@@ -1,0 +1,48 @@
+"""libmr_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of RedisGears/LibMR (reference analyzed in
+SURVEY.md), rebuilt Spark-first: DataFrame/Catalyst for everything
+relational, Arrow-batched Python only where semantics demand it.
+"""
+
+from .core.builder import (
+    ExecutionBuilder,
+    ExecutionError,
+    ExecutionResult,
+    create_builder,
+    MAX_IDLE_ERROR,
+)
+from .core.registry import (
+    GLOBAL_REGISTRY,
+    PyAccumulator,
+    StepImpl,
+    StepType,
+    accumulator,
+    filterer,
+    mapper,
+    reader,
+    remote_task,
+)
+from .core.rpc import register_builtin_tasks, run_on_all_shards, run_on_key
+from .session import get_spark
+
+register_builtin_tasks()
+
+__all__ = [
+    "ExecutionBuilder",
+    "ExecutionError",
+    "ExecutionResult",
+    "GLOBAL_REGISTRY",
+    "MAX_IDLE_ERROR",
+    "PyAccumulator",
+    "StepImpl",
+    "StepType",
+    "accumulator",
+    "create_builder",
+    "filterer",
+    "get_spark",
+    "mapper",
+    "reader",
+    "remote_task",
+    "run_on_all_shards",
+    "run_on_key",
+]

@@ -1,0 +1,87 @@
+"""Point and broadcast task analogs of the reference's RPC surface.
+
+* ``run_on_key`` ≈ MR_RunOnKey (``/root/reference/src/mr.c:2120-2173``):
+  run a named task against the rows owning one key. Spark is
+  scan-oriented, so this compiles to a keyed filter that Catalyst turns
+  into partition/file pruning + parquet predicate pushdown — the same
+  "only touch the owning shard" effect, at scan latency rather than RPC
+  latency (the latency-class difference is documented in SURVEY §7.4).
+
+* ``run_on_all_shards`` ≈ MR_RunOnAllShards
+  (``/root/reference/src/mr.c:2263-2311``): run a task once per shard
+  and gather the per-shard results at the initiator — here one result
+  row per partition via ``mapInPandas``, gathered by ``collect``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .registry import GLOBAL_REGISTRY, Registry, StepType
+
+
+def run_on_key(
+    df: DataFrame,
+    key_col: str,
+    key: Any,
+    task: str | Callable[[DataFrame, Any], DataFrame] | None = None,
+    args: Any = None,
+    registry: Registry | None = None,
+) -> DataFrame:
+    """Point lookup: rows of ``df`` where ``key_col == key``, optionally
+    post-processed by a named remote task. The reference short-circuits
+    to a local call when the slot is local
+    (``/root/reference/src/mr.c:2133-2136``); Catalyst's pushdown +
+    pruning is the equivalent short-circuit here.
+    """
+    hit = df.filter(F.col(key_col) == F.lit(key))
+    if task is None:
+        return hit
+    fn = (registry or GLOBAL_REGISTRY).get(StepType.REMOTE_TASK, task).fn if isinstance(task, str) else task
+    return fn(hit, args) if args is not None else fn(hit)
+
+
+def run_on_all_shards(
+    df: DataFrame,
+    task: str | Callable[[pd.DataFrame, Any], dict],
+    out_schema: str,
+    args: Any = None,
+    registry: Registry | None = None,
+) -> DataFrame:
+    """One task invocation per partition ("shard"), each emitting one
+    result row; the caller gathers with ``.collect()`` like the
+    reference's initiator barrier (``/root/reference/src/mr.c:1904-1949``).
+
+    Example parity target: RemoteTaskDBSize — per-shard dbsize summed at
+    the initiator (``/root/reference/tests/mr_test_module/src/lib.rs:478-505``)
+    ≡ ``run_on_all_shards(df, dbsize, "n bigint")`` then sum.
+    """
+    fn = (registry or GLOBAL_REGISTRY).get(StepType.REMOTE_TASK, task).fn if isinstance(task, str) else task
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches]
+        part = pd.concat(frames) if frames else pd.DataFrame()
+        row = fn(part, args) if args is not None else fn(part)
+        if row is not None:
+            yield pd.DataFrame([row])
+
+    return df.mapInPandas(per_partition, schema=out_schema)
+
+
+def dbsize(part: pd.DataFrame) -> dict:
+    """Per-shard record count (parity with RemoteTaskDBSize)."""
+    return {"n": int(len(part))}
+
+
+GLOBAL_REGISTRY_TASKS_INITIALIZED = False
+
+
+def register_builtin_tasks(registry: Registry | None = None) -> None:
+    from .registry import StepImpl
+
+    reg = registry or GLOBAL_REGISTRY
+    reg.register(StepImpl("dbsize", StepType.REMOTE_TASK, dbsize, relational=False))
