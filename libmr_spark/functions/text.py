@@ -1,0 +1,108 @@
+"""Text-analysis scalar functions for the training-data pipeline
+(north-star extensions, BASELINE.json): tokenization, shingling,
+language-ID heuristic, quality scoring, fingerprints.
+
+Everything here is a JVM-side Column expression — ``split``, ``regexp``,
+``md5``, length arithmetic — so it rides whole-stage codegen and scales
+linearly. Each function is written so the *same arithmetic* is
+expressible in ANSI SQL for the DuckDB oracle (no engine-specific
+semantics in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+# Counting is done with length/replace arithmetic, which is identical
+# ANSI semantics in Spark and DuckDB.
+LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "es": [" el ", " que "],
+    "fr": [" le ", " et "],
+    "de": [" der ", " und "],
+    "zh": [" de ", " shi "],
+}
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Number of (possibly overlapping-adjacent) occurrences of a fixed
+    substring, via length arithmetic: (len(s) - len(replace(s, n, ''))) / len(n)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish regex split)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams (shingles) — the dedup unit for
+    MinHash/Jaccard. Built with JVM higher-order functions:
+    split → sliding windows via transform over an index sequence."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.when(
+        k <= 0, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-occurrence score for one language."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        score = score + occurrence_count(padded, m)
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker scores, 'und' on zero.
+    Deterministic tie-break = lexicographic language code order."""
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(LANG_MARKERS):
+        s = lang_score(text, lang)
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stops = F.lit(0.0)
+    for m in [" the ", " a ", " and ", " of ", " to "]:
+        stops = stops + occurrence_count(padded, m)
+    return stops / F.greatest(token_count(text).cast("double"), F.lit(1.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length and
+    stopword density, penalizes punctuation noise. Weights are fixed so
+    the oracle SQL can mirror them exactly."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * (F.lit(1.0) - punct_pen), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+* signatures (minhash/simhash/fingerprints) are computed with JVM
+  higher-order functions + xxhash64 — no Python, no UDF in the hot path;
+* candidate generation is banded LSH: explode to (band, bucket) keys and
+  self-join on the bucket — the shuffle is proportional to candidate
+  volume, never all-pairs;
+* verification (exact Jaccard / cosine) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+from ..functions.vector import cosine_similarity
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one hash-aggregate,
+    keeps the smallest id per duplicate group (deterministic survivor).
+    """
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, set-of-shingles) — the unit for Jaccard-family dedup."""
+    return df.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles"))
+
+
+def _pair_jaccard(a: DataFrame, b: DataFrame, id_col: str) -> DataFrame:
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return a.alias("a").join(b.alias("b"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (inter / union).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted index:
+    explode shingles → self-join on shingle (only docs sharing ≥1
+    shingle ever meet — never all-pairs) → count shared shingles per
+    pair → Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingle_df(df, text_col, id_col, n).withColumn("sz", F.size("shingles"))
+    ex = sh.select(id_col, "sz", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 64, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure JVM (transform + array_min)."""
+    sh = shingle_df(df, text_col, id_col, n)
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+    )
+    return sh.select(id_col, sig.alias("sig"), "shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, bucket-join to
+    get candidates, then (by default) verify candidates with exact
+    Jaccard so the output contains no false positives.
+
+    With r = num_hashes/bands rows per band, P[candidate] =
+    1-(1-j^r)^bands — at j=threshold=0.8, r=4, b=16 recall ≈ 1-2e-3.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, num_hashes, text_col, id_col, n)
+    banded = sigs.select(
+        id_col,
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side:
+    per-token xxhash64 → ±1 vote per bit (aggregate with an array
+    accumulator) → sign bits. The hash is kept as ``array<int>`` of 64
+    bits (not packed into a bigint) so hamming distance and banding are
+    plain higher-order functions with no overflow concerns under ANSI
+    mode; a hex rendering is derived where a scalar is wanted."""
+    # The Python shiftright() wrapper only takes a literal bit count;
+    # the SQL form takes any expression, so the vote fold is one expr.
+    votes = F.expr(
+        f"""
+        aggregate(
+          split(trim(lower({text_col})), '\\\\s+'),
+          array_repeat(0L, {_SIMHASH_BITS}),
+          (acc, t) -> zip_with(
+            acc,
+            transform(sequence(0, {_SIMHASH_BITS - 1}),
+                      i -> CASE WHEN shiftright(xxhash64(t), i) & 1 = 1 THEN 1L ELSE -1L END),
+            (a, v) -> a + v)
+        )
+        """
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    return df.select(F.col(id_col), bits.alias("simhash_bits"))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two bit arrays (JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.lit(0), lambda acc, x: acc + x)
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: any pair within hamming ≤3 shares at least one exact
+    chunk), bucket-join on chunk hashes, verify with exact hamming."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.xxhash64(F.concat_ws(",", F.slice(F.col("simhash_bits"), c * 16 + 1, 16))).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash_bits", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = hamming_distance(F.col("a.simhash_bits"), F.col("b.simhash_bits"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicates. Small/medium inputs: direct
+    self-join (Catalyst broadcasts the smaller side). At 100 TB scale,
+    pre-bucket with `similarity.random_hyperplane_buckets` and join on
+    the bucket instead."""
+    a, b = df.alias("a"), df.alias("b")
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,885 @@
+"""The engine's query inventory: one entry per operator from SURVEY §2
+(LibMR-parity pipelines + the relational surface + LLM-pipeline
+operators), each paired with an ANSI-SQL oracle that DuckDB runs over
+the same parquet tables.
+
+Determinism rules (so the driver's order-insensitive value-hash
+matches):
+
+* money/double aggregates go through DECIMAL(18,2) (exact arithmetic in
+  both engines) and are cast back to DOUBLE at the end — identical bits;
+* every top-k has a unique tie-break column;
+* timestamps leave as epoch millis (bigint) or 'yyyy-MM-dd' strings;
+* derived ints are cast to BIGINT on both sides;
+* heuristic text scores share one expression tree: the oracle SQL is
+  *generated from the same constants* as the Spark Columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.builder import create_builder
+from .core.rpc import run_on_all_shards, run_on_key
+from .functions import text as TX
+from .functions.vector import cosine_similarity
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.relational import (
+    anti_join,
+    as_of_join,
+    broadcast_join,
+    range_join,
+    semi_join,
+    top_k,
+    top_k_per_group,
+)
+from .sources.readers import kv_table, load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def defquery(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------
+# §2.1 LibMR-parity pipelines over the kv keyspace view (FIXTURES.md §1)
+# --------------------------------------------------------------------
+
+KV_SQL = (
+    "(SELECT concat('key', CAST(o_orderkey AS VARCHAR)) AS key, "
+    "CAST(o_totalprice AS VARCHAR) AS value, "
+    "CASE WHEN o_orderstatus = 'O' THEN 'string' ELSE 'hash' END AS type FROM orders)"
+)
+
+
+@defquery(
+    "kv_scan",
+    f"SELECT key FROM {KV_SQL} kv",
+    "reader → collect (reference test_basic.py:5-10)",
+)
+def kv_scan(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .map(lambda df: df.select("key"))
+        .collect()
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
+    "kv_map_type",
+    f"SELECT key, type FROM {KV_SQL} kv",
+    "reader → map(TypeMapper) → collect (test_basic.py:12-17)",
+)
+def kv_map_type(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .map(lambda df: df.select("key", "type"))
+        .collect()
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
+    "kv_filter_string",
+    f"SELECT key FROM {KV_SQL} kv WHERE type = 'string'",
+    "reader → filter(TypeFilter) → collect (test_basic.py:19-26)",
+)
+def kv_filter_string(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .filter(lambda df: F.col("type") == "string")
+        .map(lambda df: df.select("key"))
+        .collect()
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
+    "kv_count",
+    f"SELECT count(*) AS count FROM {KV_SQL} kv",
+    "reader → collect → accumulate(Count) (test_basic.py:37-41)",
+)
+def kv_count(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .collect()
+        .accumulate(lambda: F.count(F.lit(1)).alias("count"))
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
+    "kv_reshuffle_rmw",
+    f"SELECT key, concat(value, '1') AS value FROM {KV_SQL} kv WHERE type = 'string'",
+    "reader → filter → map → reshuffle → map → collect (test_basic.py:28-35)",
+)
+def kv_reshuffle_rmw(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .filter(lambda df: F.col("type") == "string")
+        .map(lambda df: df.select("key", "value"))
+        .reshuffle("key")
+        .map(lambda df: df.select("key", F.concat(F.col("value"), F.lit("1")).alias("value")))
+        .collect()
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
+    "kv_point_lookup",
+    f"SELECT key, value FROM {KV_SQL} kv "
+    f"WHERE key = concat('key', CAST((SELECT min(o_orderkey) FROM orders) AS VARCHAR))",
+    "run_on_key point GET (test_basic.py:80-84; /root/reference/src/mr.c:2120-2173)",
+)
+def kv_point_lookup(spark, sf_dir):
+    kv = kv_table(spark, sf_dir)
+    min_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    return run_on_key(kv, "key", f"key{min_key}").select("key", "value")
+
+
+@defquery(
+    "kv_dbsize_sum",
+    f"SELECT count(*) AS dbsize FROM {KV_SQL} kv",
+    "run_on_all_shards(dbsize) → sum (test_basic.py:86-93)",
+)
+def kv_dbsize_sum(spark, sf_dir):
+    kv = kv_table(spark, sf_dir)
+    parts = run_on_all_shards(kv, "dbsize", "n bigint")
+    return parts.groupBy(F.lit(1).alias("__g__")).agg(F.sum("n").alias("dbsize")).drop("__g__")
+
+
+# --------------------------------------------------------------------
+# §2.2 relational surface: aggregation
+# --------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@defquery(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: hash aggregate with decimal-exact sums",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@defquery(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3-style: 3-way join + agg + global top-k with tie-break",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10).select(
+        "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority"
+    )
+
+
+@defquery(
+    "join_broadcast_dims",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "star join through two broadcast dims — fact side never shuffles for the join",
+)
+def join_broadcast_dims(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        broadcast_join(broadcast_join(c, n, c.c_nationkey == n.n_nationkey), r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@defquery(
+    "semi_join_customers_with_orders",
+    "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "left-semi join (EXISTS)",
+)
+def semi_join_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey")
+
+
+@defquery(
+    "anti_join_customers_without_orders",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "left-anti join (NOT EXISTS)",
+)
+def anti_join_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey")
+
+
+@defquery(
+    "distinct_and_approx",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "distinct aggregation (approx_count_distinct exercised in tests; exact here for the oracle)",
+)
+def distinct_and_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@defquery(
+    "rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy totals (absent from the reference, SURVEY §2.2)",
+)
+def rollup_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@defquery(
+    "cube_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE over two dimensions",
+)
+def cube_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty")
+    )
+
+
+@defquery(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    "GROUPING SETS — single Expand pass in Catalyst",
+)
+def grouping_sets_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# windows / sorts / set ops
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    "top-3 orders per customer via row_number — one shuffle, no global sort",
+)
+def window_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3)
+
+
+@defquery(
+    "window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+    "running sum per supplier (decimal-exact so engines agree bit-for-bit)",
+)
+def window_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@defquery(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order
+    FROM orders
+    """,
+    "lag/lead navigation",
+)
+def window_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@defquery(
+    "orderby_limit_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20
+    """,
+    "global top-k: TakeOrderedAndProject (per-partition heaps), never a full sort",
+)
+def orderby_limit_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return top_k(li, [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()], 20)
+
+
+@defquery(
+    "setop_union_intersect_except",
+    """
+    SELECT c_custkey, 'rich' AS tag FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT c_custkey, 'building' AS tag FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT c_custkey, 'rich_only' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    "union / intersect / except in one result (tagged)",
+)
+def setops_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        rich.withColumn("tag", F.lit("rich"))
+        .unionByName(building.withColumn("tag", F.lit("building")))
+        .unionByName(rich.intersect(building).withColumn("tag", F.lit("both")))
+        .unionByName(rich.exceptAll(building).distinct().withColumn("tag", F.lit("rich_only")))
+    )
+
+
+# --------------------------------------------------------------------
+# scalar functions / JSON / time
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "scalar_string_date_math",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           length(o_orderpriority) AS pri_len,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(4,2)) AS DOUBLE) AS tithe,
+           abs(o_orderkey % 7 - 3) AS bucket7
+    FROM orders
+    """,
+    "string/date/math scalar passthrough (~400 builtins available; sample here)",
+)
+def scalar_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("int").alias("pri_len"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        (F.col("o_totalprice").cast(_DEC) * F.lit(0.1).cast("decimal(4,2)")).cast("double").alias("tithe"),
+        F.abs(F.col("o_orderkey") % 7 - 3).alias("bucket7"),
+    )
+
+
+@defquery(
+    "json_extract_events",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    "JSON scalar extraction over the events.props column",
+)
+def json_extract_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.filter(k.isNotNull()).select("event_id", k.cast("bigint").alias("k_val"))
+
+
+@defquery(
+    "tumbling_window_events",
+    """
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling 1h windowed aggregation (batch analog of the streaming op)",
+)
+def tumbling_window_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("window_start_ms"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@defquery(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                       > 1800000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events)
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    "sessionization: 30-min inactivity gap → session starts per user",
+)
+def sessionize_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.unix_millis(F.col("ts")) - F.unix_millis(prev) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("is_start", is_start)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@defquery(
+    "asof_join_events",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS pvalue FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, CAST(epoch_ms(c.ts) AS BIGINT) AS ts_ms, p.pvalue
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "as-of join: each click matched to the user's latest purchase at-or-before it "
+    "(union+window implementation — one shuffle, no range explosion)",
+)
+def asof_join_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = as_of_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"])
+    return joined.select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "pvalue")
+
+
+@defquery(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT CAST(lo AS DOUBLE) AS lo, CAST(lo + 250 AS DOUBLE) AS hi,
+             concat('band_', CAST(CAST(lo AS INT) AS VARCHAR)) AS band
+      FROM (SELECT unnest(range(0, 2000, 250)) AS lo))
+    SELECT b.band, count(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    "range join into fixed price bands (bucketed equi-join path for scale)",
+)
+def range_join_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    bands = spark.range(0, 2000, 250).select(
+        F.col("id").cast("double").alias("lo"),
+        (F.col("id") + 250).cast("double").alias("hi"),
+        F.concat(F.lit("band_"), F.col("id").cast("int").cast("string")).alias("band"),
+    )
+    joined = range_join(p, bands, "p_retailprice", "lo", "hi", bucket_width=250.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(_DEC)).cast("double").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------
+# north-star: dedup
+# --------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM toks)
+"""
+
+
+@defquery(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup by normalized fingerprint — one hash aggregate",
+)
+def dedup_exact_q(spark, sf_dir):
+    return DD.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@defquery(
+    "dedup_ngram_jaccard",
+    _SHINGLE_SQL
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.2
+    """,
+    "exact n-gram Jaccard pairs via inverted shingle index (never all-pairs)",
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@defquery(
+    "dedup_minhash_lsh",
+    _SHINGLE_SQL
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) AS jaccard
+FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.8
+    """,
+    "MinHash(64)+LSH(16 bands) candidates, verified with exact Jaccard ≥0.8 — "
+    "oracle is exact all-qualifying-pairs (recall ≈ 1-2e-4 at the threshold)",
+)
+def dedup_minhash_q(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8).select("id_a", "id_b", "jaccard")
+
+
+@defquery(
+    "dedup_simhash",
+    None,  # bit-level hash banding isn't SQL-expressible; rows-only check + pytest
+    "SimHash near-dup pairs (hamming ≤ 3, 4×16-bit pigeonhole banding)",
+)
+def dedup_simhash_q(spark, sf_dir):
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@defquery(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+    """,
+    "embedding-cosine near-duplicate pairs",
+)
+def dedup_embedding_q(spark, sf_dir):
+    return DD.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --------------------------------------------------------------------
+# north-star: similarity search
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id ASC) AS rank
+      FROM embeddings e CROSS JOIN q) t
+    WHERE rank <= 5
+    """,
+    "exact cosine top-5 for 5 query vectors — single corpus scan, broadcast queries",
+)
+def knn_bruteforce_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.knn_bruteforce(emb, queries, k=5)
+
+
+@defquery(
+    "knn_lsh",
+    None,  # approximate — recall asserted against knn_bruteforce in tests
+    "LSH (signed random projection) ANN top-5; bucket equi-join instead of full scan",
+)
+def knn_lsh_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.knn_lsh(emb, queries, dim=64, k=5, num_planes=4)
+
+
+@defquery(
+    "knn_ivf",
+    None,  # approximate — recall asserted against knn_bruteforce in tests
+    "IVF coarse-quantizer ANN top-5 (nlist=16, nprobe=4)",
+)
+def knn_ivf_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.knn_ivf(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+# --------------------------------------------------------------------
+# north-star: text analysis
+# --------------------------------------------------------------------
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    return f"(length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)}"
+
+
+def _lang_id_sql() -> str:
+    """Generate the oracle CASE chain from the same LANG_MARKERS the
+    Spark Column is built from — one expression tree, two dialects."""
+    padded = "concat(' ', lower(text), ' ')"
+    scores = {
+        lang: " + ".join(_occ_sql(padded, m) for m in TX.LANG_MARKERS[lang]) for lang in sorted(TX.LANG_MARKERS)
+    }
+    expr = "'und'"
+    best = "0.0"
+    for lang in sorted(TX.LANG_MARKERS):
+        s = f"({scores[lang]})"
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
+
+
+@defquery(
+    "text_lang_id",
+    f"SELECT doc_id, lang AS labeled_lang, {_lang_id_sql()} AS lang_guess FROM documents",
+    "heuristic language ID (stopword-marker argmax)",
+)
+def text_lang_id_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"), TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _quality_sql() -> str:
+    padded = "concat(' ', lower(text), ' ')"
+    stops = " + ".join(_occ_sql(padded, m) for m in [" the ", " a ", " and ", " of ", " to "])
+    toks = "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1"  # single-spaced synthetic text
+    punct = (
+        "(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))) "
+        "/ greatest(length(text), 1)"
+    )
+    len_score = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    stop_score = f"least(({stops}) / greatest(CAST(({toks}) AS DOUBLE), 1.0) * 5.0, 1.0)"
+    punct_pen = f"least(({punct}) * 5.0, 1.0)"
+    return f"round(0.4 * {len_score} + 0.4 * {stop_score} + 0.2 * (1.0 - {punct_pen}), 6)"
+
+
+@defquery(
+    "text_quality_score",
+    f"SELECT doc_id, {_quality_sql()} AS quality FROM documents",
+    "composite quality score (length / stopword density / punctuation noise)",
+)
+def text_quality_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@defquery(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+    "whitespace token counting",
+)
+def text_token_count_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"), "n_chars")
+
+
+@defquery(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents
+    """,
+    "document fingerprinting (md5 of normalized text)",
+)
+def text_fingerprint_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@defquery(
+    "text_stats_by_lang",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    "corpus composition stats",
+)
+def text_stats_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.sql for name, qd in QUERIES.items() if qd.sql is not None}

@@ -39,7 +39,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        return events_table(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """events with a usable timestamp column.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. Read nanos as a raw long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — Spark's native timestamp precision. Truncation is a
+    floor, matching DuckDB's ns→ms flooring in ``epoch_ms``.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
