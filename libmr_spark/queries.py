@@ -877,6 +877,37 @@ def text_stats_q(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# north-star: multimodal columns (binary payload + typed metadata;
+# decode stubs live in operators/multimodal.py — plumbing is real)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "multimodal_bytes_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+    FROM documents
+    """,
+    "binary media column + derived metadata (the SQL-checkable slice of the multimodal plumbing)",
+)
+def multimodal_bytes_meta_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 

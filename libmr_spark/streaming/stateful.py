@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+This is the streaming analog of LibMR's accumulate step
+(``/root/reference/src/mr.c:787-810``): a per-key fold whose state
+lives across micro-batches instead of across a batch pull. State is
+partitioned by key (Spark shuffles each micro-batch to the state
+owner), and evicted by timeout — the same watermark discipline as the
+windowed operators.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_accumulator(
+    sdf: DataFrame,
+    key_cols: list[str],
+    fold: Callable[[Any, pd.DataFrame], Any],
+    zero: Any,
+    state_schema: str,
+    out_schema: str,
+    emit: Callable[[tuple, Any], dict],
+) -> DataFrame:
+    """Streaming per-key fold: ``state = fold(state, batch)`` per
+    micro-batch, emitting ``emit(key, state)`` after each update.
+
+    fold receives the key's rows of the current micro-batch as one
+    pandas DataFrame (Arrow-batched — never row-at-a-time Python).
+    """
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        acc = state.get[0] if state.exists else zero
+        for pdf in pdfs:
+            acc = fold(acc, pdf)
+        state.update((acc,))
+        yield pd.DataFrame([emit(key, acc)])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionizer(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    out_schema: str = "user_id bigint, n_sessions bigint, n_events bigint",
+) -> DataFrame:
+    """Stateful sessionization: counts sessions per key across
+    micro-batches using a 'last event time' carried in state — the
+    streaming twin of the batch ``sessionize_events`` query, kept
+    behaviorally identical so batch output is its oracle."""
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for t in sorted(pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000):
+                if last_ts is None or t - last_ts > gap_seconds * 1000:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = int(t)
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame([{"user_id": key[0], "n_sessions": n_sessions, "n_events": n_events}])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="last_ts bigint, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
