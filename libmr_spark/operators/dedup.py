@@ -58,6 +58,9 @@ def ngram_jaccard_pairs(
     pair → Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
     """
     sh = shingle_df(df, text_col, id_col, n).withColumn("sz", F.size("shingles"))
+    # (measured: persisting the exploded index here is a net loss — the
+    # double computation is cheaper than materializing + re-reading it,
+    # unlike the minhash/simhash signature tables below)
     ex = sh.select(id_col, "sz", F.explode("shingles").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
@@ -79,14 +82,38 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_signature(df: DataFrame, num_hashes: int = 64, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle). Pure JVM (transform + array_min)."""
+_MERSENNE31 = (1 << 31) - 1  # prime modulus for the affine permutations
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 64, text_col: str = "text", id_col: str = "doc_id", n: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash signature per doc via one base hash + affine
+    permutations: sig[i] = min over shingles of (aᵢ·h(s) + bᵢ) mod p.
+
+    Each shingle is string-hashed ONCE (xxhash64, codegen'd); the
+    num_hashes permutations are long multiply-adds over the cached
+    base hashes — ~64× fewer string hashes than hashing per
+    (permutation, shingle). Operands stay < 2⁶² so ANSI-mode long
+    arithmetic never overflows."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE31, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=num_hashes, dtype=np.int64)
     sh = shingle_df(df, text_col, id_col, n)
+    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    with_base = sh.withColumn("__h__", base)
+    def perm(ai: int, bi: int):
+        # nb: single-parameter lambda — Spark treats two-arg lambdas as
+        # (element, index) and would pass a Column as the second arg
+        return lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(_MERSENNE31))
+
     sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(F.col("__h__"), perm(int(a[i]), int(b[i]))))
+            for i in range(num_hashes)
+        ]
     )
-    return sh.select(id_col, sig.alias("sig"), "shingles")
+    return with_base.select(id_col, sig.alias("sig"), "shingles")
 
 
 def minhash_lsh_pairs(
@@ -123,6 +150,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # both sides of the bucket self-join read the banded signatures;
+    # persist them (ids + band keys + shingle sets ≪ corpus bytes)
+    banded = banded.persist()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -160,23 +190,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     bits (not packed into a bigint) so hamming distance and banding are
     plain higher-order functions with no overflow concerns under ANSI
     mode; a hex rendering is derived where a scalar is wanted."""
-    # The Python shiftright() wrapper only takes a literal bit count;
-    # the SQL form takes any expression, so the vote fold is one expr.
-    votes = F.expr(
-        f"""
-        aggregate(
-          split(trim(lower({text_col})), '\\\\s+'),
-          array_repeat(0L, {_SIMHASH_BITS}),
-          (acc, t) -> zip_with(
-            acc,
-            transform(sequence(0, {_SIMHASH_BITS - 1}),
-                      i -> CASE WHEN shiftright(xxhash64(t), i) & 1 = 1 THEN 1L ELSE -1L END),
-            (a, v) -> a + v)
-        )
-        """
+    # explode tokens → one codegen'd xxhash64 per token → 64 SUM
+    # aggregates (whole-stage codegen, map-side partial agg) — measured
+    # faster than the interpreted higher-order-function fold, and the
+    # groupBy shuffles only (doc_id, 64 longs).
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok__")
+    ).select(F.col(id_col), F.xxhash64("__tok__").alias("__h__"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}__")
+            for i in range(_SIMHASH_BITS)
+        ]
     )
-    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
-    return df.select(F.col(id_col), bits.alias("simhash_bits"))
+    bits = F.array(
+        *[F.when(F.col(f"__v{i}__") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(_SIMHASH_BITS)]
+    )
+    return votes.select(F.col(id_col), bits.alias("simhash_bits"))
 
 
 def hamming_distance(a, b):
@@ -203,7 +235,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", i
                 ]
             )
         ).alias("cv"),
-    ).select(id_col, "simhash_bits", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    ).select(id_col, "simhash_bits", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val")).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = hamming_distance(F.col("a.simhash_bits"), F.col("b.simhash_bits"))
     return (
