@@ -72,6 +72,47 @@ def run_on_all_shards(
     return df.mapInPandas(per_partition, schema=out_schema)
 
 
+def internal_command(
+    df: DataFrame,
+    commands: list[str],
+    reply_parser: Callable[[str, Any], dict] | None = None,
+    out_schema: str = "command string, reply string",
+) -> DataFrame:
+    """Analog of the reference's internal-commands execution
+    (``/root/reference/src/mr.c:1160-1220``): a pipeline consisting
+    only of named commands, fanned out to every shard, each reply
+    parsed into a record on the initiator; per-element errors become
+    error records (``/root/reference/src/mr.c:1203-1214``).
+
+    Here a "shard" is a partition and a command is a named admin
+    operation evaluated against the partition's rows. One result row
+    per (partition, command); a ``reply_parser`` turns the raw reply
+    into the record shape, mirroring InternalCommandReplyParser
+    (``/root/reference/src/mr.h:212-214``).
+    """
+    known = {
+        "DBSIZE": lambda part: str(len(part)),
+        "PING": lambda part: "PONG",
+        "MEMORY": lambda part: str(int(part.memory_usage(deep=True).sum()) if len(part) else 0),
+    }
+
+    def per_partition(batches) -> "Iterator[pd.DataFrame]":
+        frames = [b for b in batches]
+        part = pd.concat(frames) if frames else pd.DataFrame()
+        rows = []
+        for cmd in commands:
+            try:
+                raw = known[cmd.upper()](part)
+                rows.append(
+                    reply_parser(cmd, raw) if reply_parser else {"command": cmd, "reply": raw}
+                )
+            except Exception as e:  # per-element error record
+                rows.append({"command": cmd, "reply": f"ERR {e}"})
+        yield pd.DataFrame(rows)
+
+    return df.mapInPandas(per_partition, schema=out_schema)
+
+
 def dbsize(part: pd.DataFrame) -> dict:
     """Per-shard record count (parity with RemoteTaskDBSize)."""
     return {"n": int(len(part))}

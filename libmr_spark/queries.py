@@ -482,6 +482,40 @@ def setops_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot (wide aggregation) — orderstatus columns per priority",
+)
+def pivot_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).agg(F.count(F.lit(1)))
+    # Spark pivot yields null for empty cells; the FILTER oracle yields 0
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["O", "F", "P"]],
+    )
+
+
+@defquery(
+    "approx_aggregates",
+    None,  # HLL/quantile sketches are engine-specific; exactness asserted in tests
+    "approx_count_distinct (HyperLogLog++) and approx percentiles per returnflag",
+)
+def approx_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    )
+
+
 # --------------------------------------------------------------------
 # scalar functions / JSON / time
 # --------------------------------------------------------------------
