@@ -23,6 +23,8 @@ HEADLINE = [
     "kv_count",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q17_small_quantity_revenue",
     "join_broadcast_dims",
     "window_topk_per_group",
     "window_running_sum",

@@ -152,3 +152,33 @@ def accumulator(name: str, *, relational: bool = True):
 def remote_task(name: str):
     """Register a point/broadcast RPC task (SURVEY §2.1 #8/#9)."""
     return _decorator(StepType.REMOTE_TASK, name, relational=True)
+
+
+# ---------------------------------------------------------------------
+# Built-in steps, registered at import time on every node — the
+# Spark-native analog of the reference's auto-registration via the
+# linkme distributed slice (/root/reference/LibMRDerive/src/lib.rs:15-26,
+# /root/reference/rust_api/libmr/mod.rs:30-31,56-60).
+# ---------------------------------------------------------------------
+
+
+def _count_fold(acc: dict, _rec: dict) -> dict:
+    return {"count": acc["count"] + 1}
+
+
+def _count_merge(a: dict, b: dict) -> dict:
+    return {"count": a["count"] + b["count"]}
+
+
+#: Parity with the reference's CountAccumulator
+#: (/root/reference/tests/mr_test_module/src/lib.rs:541-560): usable by
+#: name, `.accumulate("count")`, like `lmr_count_key`
+#: (/root/reference/tests/mr_test_module/src/lib.rs:254-275).
+GLOBAL_REGISTRY.register(
+    StepImpl(
+        name="count",
+        step_type=StepType.ACCUMULATOR,
+        fn=PyAccumulator(zero={"count": 0}, fn=_count_fold, merge=_count_merge, schema="count bigint"),
+        relational=False,
+    )
+)

@@ -517,6 +517,157 @@ def approx_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# multi-way joins & subqueries (Catalyst join reordering, decorrelation)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5-style 6-way join: fact-fact shuffle joins + broadcast dims, "
+    "local-supplier correlation (c_nationkey = s_nationkey)",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dims (supplier/nation/region) broadcast; only the two fact joins shuffle
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@defquery(
+    "scalar_subquery_above_avg_orders",
+    """
+    SELECT o_orderkey
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+    "uncorrelated scalar subquery: global-average threshold (decimal-exact "
+    "avg so both engines compute the identical double)",
+)
+def scalar_subquery_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    thr = o.agg(
+        (F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    # scalar subquery = broadcast of a 1-row aggregate, then a pushed filter
+    return o.join(F.broadcast(thr)).filter(F.col("o_totalprice") > F.col("thr")).select("o_orderkey")
+
+
+@defquery(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_thr
+        FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND l.l_quantity < t.qty_thr
+    """,
+    "TPC-H Q17-style correlated scalar subquery, decorrelated to a "
+    "per-key aggregate + join (the plan a 100 TB run needs: one shuffle "
+    "on l_partkey instead of a per-row subquery)",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)))).alias("qty_thr")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg((F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@defquery(
+    "in_subquery_orders_of_top_nation",
+    """
+    SELECT o_orderkey
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey = (
+            SELECT c_nationkey FROM customer
+            GROUP BY c_nationkey ORDER BY count(*) DESC, c_nationkey ASC LIMIT 1
+        )
+    )
+    """,
+    "IN-subquery (compiles to a left-semi join) with a nested scalar "
+    "subquery picking the most-populous nation (deterministic tie-break)",
+)
+def in_subquery_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    top_nation = (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("c_nationkey").asc())
+        .limit(1)
+        .select("c_nationkey")
+    )
+    keys = c.join(F.broadcast(top_nation), "c_nationkey").select("c_custkey")
+    return o.join(F.broadcast(keys), o.o_custkey == keys.c_custkey, "left_semi").select("o_orderkey")
+
+
+@defquery(
+    "window_ntile_quartiles",
+    """
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "distribution window functions (ntile/percent_rank/cume_dist) per "
+    "segment partition — no global sort, scales with the partition key",
+)
+def window_ntile_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------
 # scalar functions / JSON / time
 # --------------------------------------------------------------------
 

@@ -106,6 +106,20 @@ def test_count_accumulate_python(spark, duck, sf_dir):
     assert res.results[0]["count"] == kv_count(duck)
 
 
+def test_count_accumulate_by_name(spark, duck, sf_dir):
+    # the built-in registered accumulator, addressable by name exactly
+    # like the reference's CountAccumulator (lib.rs:541-560, registered
+    # at module load and referenced by name in lmr_count_key)
+    res = (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .collect()
+        .accumulate("count")
+        .run()
+    )
+    assert len(res.results) == 1
+    assert res.results[0]["count"] == kv_count(duck)
+
+
 def test_accumulate_empty_input_emits_nothing(spark, sf_dir):
     # /root/reference/src/mr.c:794-798: empty stream folds to nothing
     res = (
