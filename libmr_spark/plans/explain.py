@@ -45,6 +45,12 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan — the metric to
-    minimize at 100 TB."""
-    return formatted_plan(df).count("Exchange")
+    """Number of *shuffle* exchanges in the physical plan — the metric
+    to minimize at 100 TB. Broadcast exchanges are excluded (they move
+    dim-table bytes, not the fact table); each operator is counted once
+    via its numbered entry in the formatted plan's detail section."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.MULTILINE))
+
+
+def count_broadcast_exchanges(df: DataFrame) -> int:
+    return len(re.findall(r"^\(\d+\) BroadcastExchange\b", formatted_plan(df), re.MULTILINE))

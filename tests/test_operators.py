@@ -166,3 +166,44 @@ def test_plans_are_scale_worthy(spark, sf_dir):
 
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R").select("l_orderkey")
     assert has_pushed_filter(li, "l_returnflag")
+
+
+def test_plans_prune_columns_and_partial_agg(spark, sf_dir):
+    from libmr_spark.plans.explain import formatted_plan, scan_info
+    from libmr_spark.queries import QUERIES
+
+    # q1 reads 6 of lineitem's 11 columns — pruning must reach the footer
+    q1 = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    schemas = scan_info(q1)["read_schemas"]
+    assert schemas and all("l_orderkey" not in s and "l_partkey" not in s for s in schemas)
+    # and aggregate partially before the shuffle (map-side combine)
+    plan = formatted_plan(q1)
+    assert plan.count("HashAggregate") >= 2
+
+    # point lookup reads only the two columns the kv view derives from
+    # (key is concat(o_orderkey) — not invertible to a scan pushdown, so
+    # pruning is the scan-side win here; see rpc.run_on_key docstring)
+    kv = QUERIES["kv_point_lookup"].fn(spark, sf_dir)
+    kv_schemas = scan_info(kv)["read_schemas"]
+    assert kv_schemas and all("o_orderdate" not in s and "o_custkey" not in s for s in kv_schemas)
+
+
+def test_plans_bound_shuffles(spark, sf_dir):
+    from libmr_spark.plans.explain import count_exchanges, formatted_plan, uses_broadcast_join
+    from libmr_spark.queries import QUERIES
+
+    # q5: suppliers/nation/region broadcast; only the fact joins + agg shuffle
+    q5 = QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert uses_broadcast_join(q5)
+    assert count_exchanges(q5) <= 4  # 2 fact-join exchanges + partial agg + broadcasts
+
+    # exact dedup is ONE hash-aggregate: a single shuffle end-to-end
+    dd = QUERIES["dedup_exact"].fn(spark, sf_dir)
+    assert count_exchanges(dd) <= 1
+    assert "HashAggregate" in formatted_plan(dd)
+
+    # per-group top-k: WindowGroupLimit prunes to k rows per group
+    # BEFORE the window sort — and never range-partitions globally
+    topk_plan = formatted_plan(QUERIES["window_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in topk_plan
+    assert "Exchange rangepartitioning" not in topk_plan
