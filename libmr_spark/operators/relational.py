@@ -172,3 +172,60 @@ def grouping_sets(df: DataFrame, view_name: str, sets_sql: str, agg_sql: str, gr
     return df.sparkSession.sql(
         f"SELECT {group_cols}, {agg_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}"
     )
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str, num_buckets: int) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key``: the
+    pre-shuffle that makes every later equi-join/agg on ``key``
+    exchange-free. ``repartition`` first so each bucket is one sorted
+    file — then a join of two co-bucketed tables needs neither Exchange
+    nor Sort (verified in test_bucketed_join_is_exchange_free).
+
+    This is the durable analog of the reference's keyspace partitioning:
+    LibMR data is permanently hash-sliced across shards
+    (``/root/reference/src/cluster.c:1820-1843``), so its reshuffle step
+    is a no-op for already-owned records (``src/mr.c:745-749``);
+    bucketing gives Spark the same "already co-located" property.
+    """
+    (
+        df.repartition(num_buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+
+
+def co_located_join(spark, left_table: str, right_table: str, on, how: str = "inner") -> DataFrame:
+    """Join two tables previously written with ``write_bucketed`` on
+    their bucket key: scan-local merge join, zero shuffle of either
+    side. ``hint('merge')`` pins sort-merge so a small side doesn't
+    broadcast away the demonstration at test scale."""
+    return spark.table(left_table).hint("merge").join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+    salt_col: str = "__salt__",
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each (possibly hot) fact key
+    across ``num_salts`` sub-keys and replicate the dim side that many
+    times, so one pathological key occupies ``num_salts`` reducers
+    instead of one. Complements AQE's runtime skew splitting (enabled in
+    session.py) when skew is known ahead of time.
+
+    The salt value only balances rows — any assignment yields the same
+    join result — so it's derived from ``monotonically_increasing_id``
+    (cheap, no extra hash of row content).
+    """
+    fact_s = fact.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
+    rep = dim.crossJoin(
+        F.broadcast(
+            dim.sparkSession.range(num_salts).select(F.col("id").cast("int").alias(salt_col))
+        )
+    )
+    return fact_s.join(rep, [on, salt_col], how).drop(salt_col)

@@ -740,6 +740,52 @@ def tumbling_window_q(spark, sf_dir):
 
 
 @defquery(
+    "streaming_tumbling_window",
+    """
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "REAL Structured Streaming execution: readStream(file source) → "
+    "window() aggregation → availableNow drain to a memory sink; the "
+    "finite stream's complete-mode result must equal the batch oracle",
+)
+def streaming_tumbling_q(spark, sf_dir):
+    import os as _os
+
+    from .streaming.windows import run_to_memory_sink, tumbling_window_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        # glob form: the file stream source requires a directory or glob
+        spark.readStream.schema(raw_schema)
+        .parquet(_os.path.join(sf_dir, "events*.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    win = tumbling_window_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        ],
+    )
+    out = win.select(
+        F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    run_to_memory_sink(out, "q_streaming_tumbling", output_mode="complete")
+    return spark.table("q_streaming_tumbling")
+
+
+@defquery(
     "sessionize_events",
     """
     WITH gaps AS (

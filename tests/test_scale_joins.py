@@ -1,0 +1,61 @@
+"""Scale-path join strategies: bucketed co-located joins (zero
+exchange) and salted joins (skew spreading), verified for both
+correctness and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from libmr_spark.operators.relational import co_located_join, salted_join, write_bucketed
+from libmr_spark.plans.explain import count_exchanges, formatted_plan
+from libmr_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"), "orders_b", "o_custkey", 8)
+    write_bucketed(c.select("c_custkey", "c_name"), "customer_b", "c_custkey", 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed):
+    j = co_located_join(
+        spark, "orders_b", "customer_b", F.col("o_custkey") == F.col("c_custkey")
+    )
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert count_exchanges(j) == 0  # both sides scan-local: bucketing == pre-shuffled
+    # buckets are pre-sorted single files, so the SMJ needs no Sort either
+    assert "(+- Sort" not in plan.replace("   ", " ")
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed, sf_dir):
+    j = co_located_join(spark, "orders_b", "customer_b", F.col("o_custkey") == F.col("c_custkey"))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    plain = o.join(c, o.o_custkey == c.c_custkey)
+    assert j.count() == plain.count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, "customer", sf_dir).withColumnRenamed("c_custkey", "custkey")
+    salted = salted_join(o, c.select("custkey", "c_name"), "custkey", num_salts=4)
+    plain = o.join(c.select("custkey", "c_name"), "custkey")
+    assert sorted(r.o_orderkey for r in salted.select("o_orderkey").collect()) == sorted(
+        r.o_orderkey for r in plain.select("o_orderkey").collect()
+    )
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    # every original key appears under num_salts distinct join sub-keys
+    o = load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "custkey")
+    fact_s = o.withColumn("__salt__", F.pmod(F.monotonically_increasing_id(), F.lit(4)).cast("int"))
+    n_subkeys = fact_s.select("custkey", "__salt__").distinct().count()
+    n_keys = o.select("custkey").distinct().count()
+    assert n_subkeys > n_keys  # hot keys split across sub-keys
