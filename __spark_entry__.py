@@ -18,15 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from libmr_spark import queries as Q  # noqa: E402
+from libmr_spark.session import ensure_package_shipped  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1-style pricing summary at sf0.001."""
+    ensure_package_shipped(spark)
     return Q.QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _shipping(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    # the harness may hand us a session it built itself — executors then
+    # need the package zip before any registered-step pipeline runs
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return Q.queries()
+    return {name: _shipping(fn) for name, fn in Q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

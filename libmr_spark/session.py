@@ -22,6 +22,18 @@ def _package_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Idempotently ship ``libmr_spark`` to the executors of ANY
+    session — including one created by an external harness rather than
+    :func:`get_spark`. Safe to call per-query (marker on the
+    SparkContext makes repeats free)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_libmr_pkg_shipped", False):
+        return
+    _ship_package(spark)
+    sc._libmr_pkg_shipped = True
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make ``libmr_spark`` importable on every executor.
 
@@ -82,5 +94,5 @@ def get_spark(
         os.environ["PYTHONPATH"] = f"{_package_root()}{os.pathsep}{pp}" if pp else _package_root()
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _ship_package(spark)
+    ensure_package_shipped(spark)
     return spark
