@@ -1139,6 +1139,27 @@ def multimodal_bytes_meta_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "multimodal_image_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+           CAST((octet_length(encode(text)) % 64 + 1) * (octet_length(encode(text)) % 48 + 1) AS BIGINT) AS n_pixels,
+           substr(sha256(text), 1, 16) AS phash
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    "image decode through the Arrow-batched mapInPandas pipeline "
+    "(deterministic fake codec — sha256-derived, so even the decode "
+    "output is oracle-checkable; mean_pixel is pytest-verified)",
+)
+def multimodal_image_decode_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, decode_images
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media).select("media_id", "width", "height", "n_pixels", "phash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 

@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) for the pure primitives the
+distributed operators rest on — these run without a SparkSession, so
+they're fast enough for wide random coverage."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from libmr_spark.core.partitioner import NUM_SLOTS, crc16, extract_hashtag, key_slot
+
+# valid-unicode text (no lone surrogates — keys are utf-8 encodable)
+_text = st.text(alphabet=st.characters(blacklist_categories=("Cs",)))
+_tag_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="{}"),
+    min_size=1,
+    max_size=20,
+)
+
+
+def test_crc16_known_vectors():
+    # published XMODEM check value and Redis slot anchors
+    assert crc16(b"123456789") == 0x31C3
+    assert crc16(b"") == 0
+    # the Redis cluster spec's canonical example: "foo" and "{foo}.bar"
+    # must land on the same slot
+    assert key_slot("foo") == key_slot("{foo}.bar")
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300)
+def test_crc16_range_and_determinism(data):
+    v = crc16(data)
+    assert 0 <= v <= 0xFFFF
+    assert crc16(data) == v
+
+
+@given(_text)
+@settings(max_examples=300)
+def test_key_slot_in_range(key):
+    assert 0 <= key_slot(key) < NUM_SLOTS
+
+
+@given(_tag_text)
+@settings(max_examples=200)
+def test_hashtag_rule(tag):
+    # a non-empty {tag} section hashes exactly like the bare tag
+    assert extract_hashtag("prefix{" + tag + "}suffix") == tag
+    assert key_slot("prefix{" + tag + "}suffix") == key_slot(tag)
+    # no braces → whole key
+    assert extract_hashtag(tag) == tag
+
+
+@given(_tag_text)
+@settings(max_examples=200)
+def test_hashtag_degenerate_cases(key):
+    # for a brace-free key: an appended empty {} or unterminated {
+    # falls back to hashing the whole key (the published Redis rule)
+    assert extract_hashtag(key + "{}") == key + "{}"
+    assert extract_hashtag(key + "{") == key + "{"
