@@ -815,6 +815,43 @@ def sessionize_q(spark, sf_dir):
 
 
 @defquery(
+    "streaming_stateful_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                       > 1800000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events)
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    "REAL stateful streaming: applyInPandasWithState sessionizer over a "
+    "readStream drain — per-key state across micro-batches must "
+    "reproduce the batch sessionization exactly",
+)
+def streaming_stateful_sessions_q(spark, sf_dir):
+    import os as _os
+
+    from .streaming.stateful import sessionizer
+    from .streaming.windows import run_to_memory_sink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_os.path.join(sf_dir, "events*.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "event_id")
+    )
+    out = sessionizer(sdf, key_cols=["user_id"], ts_col="ts", gap_seconds=1800)
+    run_to_memory_sink(out, "q_streaming_sessions", output_mode="update")
+    # one input file = one micro-batch = exactly one update row per key;
+    # a multi-file input would need last-update-per-key selection here
+    return spark.table("q_streaming_sessions")
+
+
+@defquery(
     "asof_join_events",
     """
     WITH purchases AS (
