@@ -27,6 +27,14 @@ from .session import get_spark
 
 register_builtin_tasks()
 
+# Importing the package registers every built-in step on this node —
+# the analog of the reference's register-at-module-load discipline
+# (/root/reference/src/mr.c:1681-1762): correctness there depends on
+# every node knowing the same named steps, and here on driver AND
+# executors resolving them regardless of which module a user imports
+# first.
+from .sources import readers as _builtin_readers  # noqa: E402,F401  (registers KeysReader et al.)
+
 __all__ = [
     "ExecutionBuilder",
     "ExecutionError",

@@ -127,3 +127,20 @@ def test_max_idle_timeout(spark, sf_dir):
     )
     with pytest.raises(ExecutionError, match=MAX_IDLE_ERROR):
         b.run()
+
+
+def test_unknown_step_name_lists_known(spark):
+    # the registry error names what IS registered (debuggability parity
+    # with the reference's by-name step resolution, src/mr.c:466-516)
+    with pytest.raises(KeyError, match="KeysReader"):
+        create_builder(spark, "NoSuchReader")
+
+
+def test_relational_filter_must_return_column(spark, sf_dir):
+    with pytest.raises(ExecutionError, match="must return a Column"):
+        (
+            create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+            .filter(lambda df: True)  # not a Column predicate
+            .collect()
+            .run()
+        )
