@@ -644,6 +644,94 @@ def in_subquery_q(spark, sf_dir):
 
 
 @defquery(
+    "q10_returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10-style: revenue lost to returned items per customer, "
+    "global top-20 with unique tie-break",
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20).select(
+        "c_custkey", "c_name", "revenue", "n_name"
+    )
+
+
+@defquery(
+    "q14_promo_revenue_percent",
+    """
+    SELECT CAST(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+           AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    "TPC-H Q14-style promo revenue share: conditional aggregation over a "
+    "broadcast dim join, decimal-exact ratio",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_pct")
+        )
+    )
+
+
+@defquery(
+    "kv_collect_then_map",
+    f"SELECT key, length(value) AS value_len FROM {KV_SQL} kv WHERE type = 'string'",
+    "collect-then-continue: python map AFTER collect runs on the gathered "
+    "single partition (the reference keeps stepping after gather at the "
+    "initiator — tests/mr_test_module/src/lib.rs:255-258)",
+)
+def kv_collect_then_map(spark, sf_dir):
+    return (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .filter(lambda df: df.type == "string")
+        .collect()
+        .map(
+            lambda rec: {"key": rec["key"], "value_len": len(rec["value"])},
+            relational=False,
+            out_schema="key string, value_len int",
+        )
+        .create_execution()
+        .dataframe()
+    )
+
+
+@defquery(
     "window_ntile_quartiles",
     """
     SELECT c_custkey,
