@@ -828,6 +828,41 @@ def tumbling_window_q(spark, sf_dir):
 
 
 @defquery(
+    "sliding_window_events",
+    """
+    WITH starts AS (
+      SELECT CAST(epoch_ms(ts) // 1800000 * 1800000 AS BIGINT) AS w, event_type, value FROM events
+      UNION ALL
+      SELECT CAST(epoch_ms(ts) // 1800000 * 1800000 - 1800000 AS BIGINT) AS w, event_type, value FROM events
+    )
+    SELECT w AS window_start_ms, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY w, event_type
+    """,
+    "sliding window (1h window, 30min slide — every event lands in two "
+    "windows); oracle enumerates both window starts per event",
+)
+def sliding_window_q(spark, sf_dir):
+    from .streaming.windows import sliding_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    win = sliding_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        ],
+    )
+    return win.select(
+        F.unix_millis(F.col("win.start")).alias("window_start_ms"), "event_type", "n", "total_value"
+    )
+
+
+@defquery(
     "streaming_tumbling_window",
     """
     SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
