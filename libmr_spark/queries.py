@@ -439,6 +439,32 @@ def window_lag_lead(spark, sf_dir):
 
 
 @defquery(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+               RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_spend
+    FROM orders
+    """,
+    "RANGE window frame: per-customer trailing-7-day spend — value-based "
+    "frame bounds (vs the row-count frames of window_running_sum)",
+)
+def window_range_frame_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-604800000, 0)  # 7 days in millis
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("trailing_7d_spend"),
+    )
+
+
+@defquery(
     "orderby_limit_topk",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -207,3 +207,20 @@ def test_plans_bound_shuffles(spark, sf_dir):
     topk_plan = formatted_plan(QUERIES["window_topk_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in topk_plan
     assert "Exchange rangepartitioning" not in topk_plan
+
+
+def test_python_udtf_tokenize(spark):
+    from libmr_spark.functions.udtfs import Tokenize, register_udtfs
+
+    register_udtfs(spark)
+    # lateral form from SQL
+    rows = spark.sql(
+        "SELECT t.pos, t.token FROM VALUES ('a b c'), ('x y') AS v(s), LATERAL tokenize(v.s) t"
+    ).collect()
+    assert sorted((r.pos, r.token) for r in rows) == [
+        (0, "a"), (0, "x"), (1, "b"), (1, "y"), (2, "c"),
+    ]
+    # direct DataFrame form
+    from pyspark.sql import functions as F2
+
+    assert Tokenize(F2.lit("one two")).count() == 2
