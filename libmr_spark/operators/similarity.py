@@ -34,9 +34,17 @@ def knn_bruteforce(
     One broadcast (queries), one window shuffle (per-query top-k);
     the corpus is scanned exactly once, so this scales with corpus
     size regardless of query count."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec__"))
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec__")), 6)
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    from ..functions.vector import norm
+
+    # norms are per-vector, not per-pair: compute each side's norm ONCE
+    # (corpus: one pass; queries: in the broadcast) so the per-pair work
+    # is a single fused dot product instead of three array traversals
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec__"), norm(F.col(vec_col)).alias("__qnorm__")
+    )
+    c = corpus.withColumn("__cnorm__", norm(F.col(vec_col)))
+    cos = F.round(dot(F.col(vec_col), F.col("__qvec__")) / (F.col("__cnorm__") * F.col("__qnorm__")), 6)
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
         cos.alias("cosine"),
@@ -89,9 +97,16 @@ def knn_lsh(
     bucket, the standard recall boost that avoids re-hashing the
     corpus)."""
     cb = random_hyperplane_buckets(corpus, dim, num_planes, seed, vec_col)
+    from ..functions.vector import norm
+
     qb0 = random_hyperplane_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)), dim, num_planes, seed, vec_col
-    ).select(query_id_col, F.col(vec_col).alias("__qvec__"), "bucket")
+    ).select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec__"),
+        norm(F.col(vec_col)).alias("__qnorm__"),
+        "bucket",
+    )
     probe_masks = [0]
     if probes >= 1:
         probe_masks += [1 << i for i in range(num_planes)]
@@ -102,10 +117,14 @@ def knn_lsh(
     qb = qb0.select(
         query_id_col,
         "__qvec__",
+        "__qnorm__",
         F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])).alias("bucket"),
     )
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qvec__")), 6)
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    # per-side norms computed once (see knn_bruteforce); per-candidate
+    # work is one fused dot product
+    cbn = cb.withColumn("__cnorm__", norm(F.col(vec_col)))
+    cos = F.round(dot(F.col(vec_col), F.col("__qvec__")) / (F.col("__cnorm__") * F.col("__qnorm__")), 6)
+    scored = cbn.join(F.broadcast(qb), "bucket").select(
         F.col(query_id_col), F.col(id_col), cos.alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
