@@ -33,6 +33,7 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "json_extract_events",
+    "wordcount_top100",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

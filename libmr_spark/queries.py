@@ -1213,6 +1213,29 @@ def _lang_id_sql() -> str:
 
 
 @defquery(
+    "wordcount_top100",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 100
+    """,
+    "the canonical MapReduce pipeline (map→reshuffle→reduce) as one "
+    "declarative chain: explode tokens → hash aggregate → top-k; the "
+    "shape LibMR users hand-build from map + reshuffle + accumulate",
+)
+def wordcount_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_k(counts, [F.col("n").desc(), F.col("token").asc()], 100)
+
+
+@defquery(
     "text_lang_id",
     f"SELECT doc_id, lang AS labeled_lang, {_lang_id_sql()} AS lang_guess FROM documents",
     "heuristic language ID (stopword-marker argmax)",
