@@ -58,3 +58,32 @@ def test_hashtag_degenerate_cases(key):
     # falls back to hashing the whole key (the published Redis rule)
     assert extract_hashtag(key + "{}") == key + "{}"
     assert extract_hashtag(key + "{") == key + "{"
+
+
+# ---------------------------------------------------------------------
+# accumulator algebra: LibMR requires folds to be commutative +
+# associative (record arrival order is nondeterministic — SURVEY §2.3);
+# verify the builtin count accumulator's zero/fold/merge laws over
+# arbitrary partitionings of an input stream.
+# ---------------------------------------------------------------------
+
+from libmr_spark.core.registry import GLOBAL_REGISTRY, StepType  # noqa: E402
+
+
+def _fold_all(acc_impl, records):
+    state = acc_impl.zero
+    for r in records:
+        state = acc_impl.fn(state, r)
+    return state
+
+
+@given(st.lists(st.integers(), max_size=60), st.integers(min_value=0, max_value=60))
+@settings(max_examples=200)
+def test_count_accumulator_partition_invariance(xs, split):
+    acc = GLOBAL_REGISTRY.get(StepType.ACCUMULATOR, "count").fn
+    records = [{"v": x} for x in xs]
+    whole = _fold_all(acc, records)
+    split = min(split, len(records))
+    left, right = records[:split], records[split:]
+    merged = acc.merge(_fold_all(acc, left), _fold_all(acc, right))
+    assert merged == whole == {"count": len(records)}
