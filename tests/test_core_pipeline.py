@@ -268,3 +268,18 @@ def test_crc16_slots():
 
     assert key_slot("foo") == 12182
     assert key_slot("{user1000}.following") == key_slot("{user1000}.followers")
+
+
+def test_reshuffle_colocates_keys(spark, sf_dir):
+    # the property the reference's reshuffle guarantees: after routing,
+    # all records of one key live on exactly one shard
+    # (/root/reference/src/mr.c:736-785) — here: one partition
+    ex = (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .map(lambda df: df.select("key", "value"))
+        .reshuffle("key", num_partitions=8)
+        .create_execution()
+    )
+    df = ex.dataframe().withColumn("__pid__", F.spark_partition_id())
+    per_key = df.groupBy("key").agg(F.countDistinct("__pid__").alias("nparts"))
+    assert per_key.agg(F.max("nparts")).first()[0] == 1
