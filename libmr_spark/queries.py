@@ -530,6 +530,30 @@ def pivot_q(spark, sf_dir):
 
 
 @defquery(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    ) u
+    """,
+    "unpivot / melt (wide → long): each order row becomes one row per measure",
+)
+def unpivot_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("o_custkey_d")
+    ).unpivot(
+        ["o_orderkey"],
+        [F.col("o_totalprice").alias("totalprice"), F.col("o_custkey_d").alias("custkey")],
+        "measure",
+        "value",
+    )
+
+
+@defquery(
     "approx_aggregates",
     None,  # HLL/quantile sketches are engine-specific; exactness asserted in tests
     "approx_count_distinct (HyperLogLog++) and approx percentiles per returnflag",
