@@ -273,6 +273,32 @@ def join_broadcast_dims(spark, sf_dir):
 
 
 @defquery(
+    "outer_join_order_counts",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    "left outer join: every customer, zero-filled measures for the "
+    "orderless (null-extension + count-ignores-null semantics)",
+)
+def outer_join_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@defquery(
     "semi_join_customers_with_orders",
     "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
     "left-semi join (EXISTS)",
