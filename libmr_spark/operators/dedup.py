@@ -305,3 +305,57 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every
+    doc gets ``cluster_id`` = the minimum doc id reachable through dup
+    pairs (singletons cluster with themselves). This is the step that
+    turns pairwise dedup output into keep-one-per-group decisions.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors, via one join +
+    one aggregate per round; converges in O(graph diameter) rounds
+    (near-dup clusters are dense, so diameter is small in practice; the
+    large-star/small-star variant is the drop-in upgrade if a corpus
+    produces long chains). Each round persists its label table and
+    unpersists the previous one, so lineage stays O(1) and the shuffle
+    per round is (node, label) pairs — never the corpus.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().persist()
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label")).persist()
+    labels.count()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.u)
+            .select(sym.u.alias("u"), F.col("label"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left_outer")
+            .select(F.col("u"), F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))

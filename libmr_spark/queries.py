@@ -1190,6 +1190,35 @@ def dedup_embedding_q(spark, sf_dir):
     return DD.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+@defquery(
+    "dedup_clusters",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """,
+    "near-duplicate CLUSTERS: exact Jaccard pairs (≥0.6) → connected "
+    "components (iterative min-label propagation; oracle = recursive-CTE "
+    "transitive closure) — the keep-one-per-group step of a dedup pipeline",
+)
+def dedup_clusters_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
+    return DD.connected_components(pairs, docs)
+
+
 # --------------------------------------------------------------------
 # north-star: similarity search
 # --------------------------------------------------------------------

@@ -224,3 +224,14 @@ def test_python_udtf_tokenize(spark):
     from pyspark.sql import functions as F2
 
     assert Tokenize(F2.lit("one two")).count() == 2
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3-4-5 forces multiple propagation rounds; 6,7 pair;
+    # 8 is a singleton — clusters: {1..5}→1, {6,7}→6, {8}→8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    out = {r.doc_id: r.cluster_id for r in DD.connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
