@@ -939,6 +939,39 @@ def sliding_window_q(spark, sf_dir):
 
 
 @defquery(
+    "events_minmax_norm",
+    """
+    SELECT event_id,
+           user_id,
+           CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+                ELSE round((value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w), 6)
+           END AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    "grouped applyInPandas (Arrow batch per group): per-user min-max "
+    "normalization — IEEE-double arithmetic is identical across engines, "
+    "so even the Pandas path is oracle-checkable",
+)
+def events_minmax_norm_q(spark, sf_dir):
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def norm_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        if hi == lo:
+            pdf["value_norm"] = 0.5
+        else:
+            pdf["value_norm"] = ((pdf["value"] - lo) / (hi - lo)).round(6)
+        return pdf[["event_id", "user_id", "value_norm"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        norm_group, schema="event_id bigint, user_id bigint, value_norm double"
+    )
+
+
+@defquery(
     "streaming_tumbling_window",
     """
     SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
