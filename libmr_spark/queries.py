@@ -944,7 +944,7 @@ def sliding_window_q(spark, sf_dir):
     SELECT event_id,
            user_id,
            CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
-                ELSE round((value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w), 6)
+                ELSE (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w)
            END AS value_norm
     FROM events
     WINDOW w AS (PARTITION BY user_id)
@@ -963,7 +963,10 @@ def events_minmax_norm_q(spark, sf_dir):
         if hi == lo:
             pdf["value_norm"] = 0.5
         else:
-            pdf["value_norm"] = ((pdf["value"] - lo) / (hi - lo)).round(6)
+            # no rounding: IEEE-754 (v-lo)/(hi-lo) is bit-identical in
+            # numpy and DuckDB; rounding would DIVERGE on exact halves
+            # (numpy rounds half-even, DuckDB half-away-from-zero)
+            pdf["value_norm"] = (pdf["value"] - lo) / (hi - lo)
         return pdf[["event_id", "user_id", "value_norm"]]
 
     return e.groupBy("user_id").applyInPandas(
@@ -1297,6 +1300,34 @@ def knn_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return SIM.knn_ivf(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+@defquery(
+    "embedding_label_centroids",
+    """
+    SELECT label, CAST(pos - 1 AS INT) AS dim,
+           CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,20))) AS VARCHAR) AS sum_val,
+           COUNT(*) AS n
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) u
+    GROUP BY label, pos
+    """,
+    "per-label centroid numerator, one row per (label, dimension): "
+    "posexplode + decimal-exact sum emitted as its decimal string "
+    "(floats enter the decimal domain via their shortest string repr — "
+    "the one canonical form both engines agree on — so the aggregate is "
+    "bit-exact under ANY partitioning; centroid = sum_val / n)",
+)
+def embedding_label_centroids_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode(F.col("embedding")).alias("dim", "val"))
+    return ex.groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("double").cast("string").cast("decimal(38,20)"))
+        .cast("string")
+        .alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 # --------------------------------------------------------------------
