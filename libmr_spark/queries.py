@@ -422,7 +422,8 @@ def window_topk_per_group(spark, sf_dir):
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
     FROM lineitem
     """,
@@ -432,7 +433,16 @@ def window_running_sum(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        # (118k dup groups at sf0.1) — l_quantity completes a total order
+        # up to full-row duplicates, whose relative order can't change the
+        # output multiset, so the running sum is hash-deterministic
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_quantity").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
@@ -479,9 +489,15 @@ def window_lag_lead(spark, sf_dir):
 )
 def window_range_frame_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # tz-free epoch millis from the NTZ column: casting through the
+    # session timezone would shift values non-uniformly under DST tzs
+    # (e.g. America/New_York) and break window membership at boundaries
+    epoch_ms = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+    ) / F.lit(1000)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .orderBy(epoch_ms.cast("bigint"))
         .rangeBetween(-604800000, 0)  # 7 days in millis
     )
     return o.select(
@@ -894,8 +910,12 @@ def json_extract_q(spark, sf_dir):
 )
 def tumbling_window_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
+    # pure epoch arithmetic, NOT date_trunc: truncation in the session
+    # timezone diverges from the oracle under any non-whole-hour-offset
+    # session tz (e.g. Asia/Kolkata); unix_millis of an instant is tz-free
+    hour_ms = 3600 * 1000
     return e.groupBy(
-        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("window_start_ms"),
+        (F.floor(F.unix_millis(F.col("ts")) / hour_ms) * hour_ms).cast("bigint").alias("window_start_ms"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
