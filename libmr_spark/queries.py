@@ -736,6 +736,61 @@ def in_subquery_q(spark, sf_dir):
 
 
 @defquery(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6-style forecast revenue: pure scan+filter+agg — the query "
+    "whose plan must be a single pass with every predicate pushed down",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@defquery(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 120
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    "TPC-H Q18-style large-volume orders: join + agg + HAVING + top-k "
+    "(aggregate-then-filter, the shape that needs partial aggregation "
+    "before the having filter)",
+)
+def q18_large_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 120)
+        .select("c_custkey", "o_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return top_k(agg, [F.col("total_qty").desc(), F.col("o_orderkey").asc()], 50)
+
+
+@defquery(
     "q10_returned_item_customers",
     """
     SELECT c.c_custkey, c.c_name,
