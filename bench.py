@@ -22,6 +22,7 @@ HEADLINE = [
     "kv_scan",
     "kv_count",
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
