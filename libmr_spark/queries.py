@@ -551,6 +551,24 @@ def setops_q(spark, sf_dir):
 
 
 @defquery(
+    "orders_per_customer_list",
+    """
+    SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey ASC) AS orderkeys
+    FROM orders GROUP BY o_custkey
+    """,
+    "array aggregation: collect_list → sort_array → array_join (sorted, "
+    "so the collected order is deterministic despite shuffle arrival order)",
+)
+def orders_list_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list(F.col("o_orderkey"))), ",").alias(
+            "orderkeys"
+        )
+    )
+
+
+@defquery(
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
