@@ -26,6 +26,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q19_disjunctive_revenue",
     "join_broadcast_dims",
     "window_topk_per_group",
     "window_running_sum",
