@@ -1,0 +1,108 @@
+"""Deterministic sampling & splitting operators for training-data
+pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool for corpus curation: its
+output depends on partitioning and RNG state, so re-runs (or AQE
+re-plans) see different rows, and train/test membership can drift
+between pipeline stages. The operators here derive every decision from
+a **content hash of a stable key** (md5 of the key + a seed string), so
+
+* membership is a pure function of (key, seed) — identical on re-run,
+  across engines, and under any partitioning/AQE decisions;
+* the predicate is a codegen'd JVM expression that pushes through
+  Catalyst like any other filter — no UDF, no RNG broadcast;
+* splits are disjoint and exhaustive by construction (bucket ranges).
+
+The hex-prefix comparison trick keeps the whole thing portable SQL:
+the first 4 hex chars of md5 are uniformly distributed over 0x0000..
+0xffff, so `prefix < '1a66'` samples at 0x1a66/0x10000 ≈ 10.3%.
+Rates are therefore quantized to 1/65536 granularity — irrelevant at
+corpus scale and exactly reproducible in any engine with md5().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex alphabet is lowercase in both Spark and DuckDB md5()
+_PREFIX_LEN = 4
+_SPACE = 16 ** _PREFIX_LEN  # 65536 buckets
+
+
+def _hex_cut(rate: float) -> str:
+    """The _PREFIX_LEN-hex-digit cutoff c such that P[prefix < c] = rate
+    (quantized to 1/65536). Only valid strictly inside (0, 1): at the
+    boundaries the lexicographic compare breaks ('ffff' < '10000' is
+    FALSE as strings) — callers must use :func:`keep_condition`, which
+    short-circuits 0 and 1 to literal FALSE/TRUE."""
+    cut = int(round(rate * _SPACE))
+    if not 0 < cut < _SPACE:
+        raise ValueError(f"rate {rate} quantizes outside (0,1) — use keep_condition")
+    return format(cut, f"0{_PREFIX_LEN}x")
+
+
+def keep_condition(bucket: Column, rate: float) -> Column:
+    """Keep-predicate for a sampling rate over a hash_bucket column.
+    Rates that quantize to 0 or 1 become literal FALSE/TRUE (a string
+    compare can't express them: every prefix is >= '0000', and '10000'
+    sorts *below* most 4-char prefixes)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    cut = int(round(rate * _SPACE))
+    if cut >= _SPACE:
+        return F.lit(True)
+    if cut <= 0:
+        return F.lit(False)
+    return bucket < F.lit(_hex_cut(rate))
+
+
+def hash_bucket(key: Column, seed: str = "42") -> Column:
+    """First 4 hex chars of md5('<seed>:<key>') — a uniform, engine-
+    portable 16-bit bucket label (string-compared, never parsed)."""
+    return F.substring(F.md5(F.concat(F.lit(seed + ":"), key.cast("string")).cast("binary")), 1, _PREFIX_LEN)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str, seed: str = "42") -> DataFrame:
+    """Keep a deterministic ~`rate` fraction of rows by content hash of
+    `key_col`. Same (key, seed) → same decision, forever."""
+    return df.filter(keep_condition(hash_bucket(F.col(key_col), seed), rate))
+
+
+def split_column(key: Column, weights: dict[str, float], seed: str = "42") -> Column:
+    """A `split` label column partitioning rows into named fractions
+    (e.g. {'train': .8, 'val': .1, 'test': .1}) — disjoint and
+    exhaustive: consecutive bucket ranges over the 16-bit hash space,
+    with the last split absorbing the rounding remainder."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(key, seed)
+    names = list(weights)
+    expr: Column | None = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = keep_condition(b, min(acc, 1.0))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
+
+
+def mix_sources(df: DataFrame, rates: dict[str, float], source_col: str, key_col: str, seed: str = "42") -> DataFrame:
+    """Corpus mixing: per-source deterministic sampling rates in ONE
+    pass (e.g. keep all of wiki, 25% of crawl). Sources absent from
+    `rates` are dropped. This is the `sampleBy` of a curation pipeline,
+    minus the nondeterminism."""
+    b = hash_bucket(F.col(key_col), seed)
+    keep: Column = F.lit(False)
+    for src, rate in rates.items():
+        keep = keep | ((F.col(source_col) == src) & keep_condition(b, rate))
+    return df.filter(keep)
+
+
+def sample_fixed_k(df: DataFrame, k: int, key_col: str, seed: str = "42") -> DataFrame:
+    """Exactly-k deterministic pseudo-random sample: global top-k by
+    hash bucket (full md5 as tie-break → total order). TakeOrderedAndProject
+    keeps this a per-partition top-k + single merge — no global sort."""
+    full = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")).cast("binary"))
+    return df.withColumn("__hk__", full).orderBy("__hk__").limit(k).drop("__hk__")

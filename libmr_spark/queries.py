@@ -2080,6 +2080,128 @@ def q2_best_supplier(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# North-star: deterministic sampling / splitting for corpus curation
+# (operators/sampling.py — membership is a pure function of
+# (key, seed), so the oracle SQL reproduces it exactly)
+# --------------------------------------------------------------------
+
+from .operators.sampling import _SPACE, _hex_cut, hash_sample, mix_sources, sample_fixed_k, split_column  # noqa: E402
+
+
+def _md5_pfx_sql(key_expr: str, seed: str = "42") -> str:
+    return f"substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 4)"
+
+
+def _keep_sql(key_expr: str, rate: float, seed: str = "42") -> str:
+    """SQL mirror of sampling.keep_condition — same boundary handling
+    (0/1 → literal FALSE/TRUE; a string compare can't express them)."""
+    cut = int(round(rate * _SPACE))
+    if cut >= _SPACE:
+        return "TRUE"
+    if cut <= 0:
+        return "FALSE"
+    return f"{_md5_pfx_sql(key_expr, seed)} < '{_hex_cut(rate)}'"
+
+
+@defquery(
+    "sample_hash_10pct",
+    f"SELECT doc_id FROM documents WHERE {_keep_sql('doc_id', 0.1)}",
+    "deterministic ~10% corpus sample by content hash — stable under "
+    "re-runs, repartitioning, and AQE (df.sample() is none of these); "
+    "the filter is a codegen'd expression, no RNG, no UDF",
+)
+def sample_hash_q(spark, sf_dir):
+    return hash_sample(_t(spark, sf_dir, "documents"), 0.1, "doc_id").select("doc_id")
+
+
+@defquery(
+    "train_val_test_split",
+    f"""
+    SELECT split, count(*) AS n
+    FROM (
+        SELECT CASE WHEN {_keep_sql('doc_id', 0.8)} THEN 'train'
+                    WHEN {_keep_sql('doc_id', 0.9)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) s
+    GROUP BY split
+    """,
+    "deterministic 80/10/10 train/val/test assignment: disjoint, "
+    "exhaustive hash-bucket ranges — membership never drifts between "
+    "pipeline stages or re-runs",
+)
+def split_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@defquery(
+    "mix_sources_counts",
+    f"""
+    SELECT source, count(*) AS n_kept
+    FROM documents
+    WHERE (source IN ('src0', 'src1', 'src2') AND {_keep_sql('doc_id', 1.0)})
+       OR (source IN ('src3', 'src4') AND {_keep_sql('doc_id', 0.5)})
+    GROUP BY source
+    """,
+    "corpus mixing: per-source sampling rates in one deterministic pass "
+    "(keep all of src0-2, half of src3-4, drop the rest) — the "
+    "curation-pipeline sampleBy, minus the nondeterminism",
+)
+def mix_sources_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 0.5, "src4": 0.5}
+    return mix_sources(d, rates, "source", "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+@defquery(
+    "sample_fixed_100",
+    f"""
+    SELECT doc_id FROM documents
+    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) LIMIT 100
+    """,
+    "exactly-100 deterministic pseudo-random sample: top-k by content "
+    "hash (per-partition top-k + single merge — no global sort)",
+)
+def sample_fixed_q(spark, sf_dir):
+    return sample_fixed_k(_t(spark, sf_dir, "documents"), 100, "doc_id").select("doc_id")
+
+
+@defquery(
+    "quality_percentile_filter",
+    None,  # set below: shares the quality expression with text_quality_score
+    "keep the top-10%-quality documents by EXACT percentile (percent_rank "
+    "with doc_id tie-break → identical rank on both engines). Scale note: "
+    "the global-order window is the oracle-exact form; at 100 TB swap the "
+    "threshold for approx_percentile(quality, 0.9) broadcast as a scalar",
+)
+def quality_percentile_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.9)
+        .select("doc_id", "quality")
+    )
+
+
+QUERIES["quality_percentile_filter"].sql = f"""
+    SELECT doc_id, quality FROM (
+        SELECT doc_id, {_quality_sql()} AS quality,
+               percent_rank() OVER (ORDER BY {_quality_sql()}, doc_id) AS pr
+        FROM documents
+    ) q WHERE pr >= 0.9
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 

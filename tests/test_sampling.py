@@ -1,0 +1,94 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py):
+the properties that matter at corpus scale — reproducibility under
+re-run and repartitioning, disjoint/exhaustive splits, rate accuracy.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libmr_spark.operators.sampling import (
+    _hex_cut,
+    hash_sample,
+    mix_sources,
+    sample_fixed_k,
+    split_column,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hex_cut_bounds():
+    assert _hex_cut(0.5) == "8000"
+    # boundary rates can't be expressed as a string compare — _hex_cut
+    # refuses them (keep_condition turns them into literal TRUE/FALSE)
+    with pytest.raises(ValueError):
+        _hex_cut(0.0)
+    with pytest.raises(ValueError):
+        _hex_cut(1.0)
+
+
+def test_hash_sample_reproducible_and_partition_invariant(docs):
+    ids1 = sorted(r.doc_id for r in hash_sample(docs, 0.2, "doc_id").select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(7, "source"), 0.2, "doc_id").select("doc_id").collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_hash_sample_rate_accuracy(docs):
+    n = docs.count()
+    k = hash_sample(docs, 0.3, "doc_id").count()
+    # binomial 3-sigma bound at n=500, p=0.3 → ±~31
+    assert abs(k - 0.3 * n) < 4 * (n * 0.3 * 0.7) ** 0.5
+
+
+def test_hash_sample_seed_changes_membership(docs):
+    a = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id", seed="a").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id", seed="b").collect()}
+    assert a != b
+
+
+def test_split_disjoint_exhaustive(docs):
+    out = docs.select("doc_id", split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive, no overlap possible (single label col)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_weights_must_sum_to_one():
+    with pytest.raises(ValueError):
+        split_column(F.col("x"), {"a": 0.5, "b": 0.2})
+
+
+def test_split_consistent_with_sample(docs):
+    """The 'train' split at 0.8 is exactly the rows hash_sample(0.8) keeps
+    (same bucket ranges) — membership can't drift between operators."""
+    train = {
+        r.doc_id
+        for r in docs.select("doc_id", split_column(F.col("doc_id"), {"train": 0.8, "rest": 0.2}))
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    sampled = {r.doc_id for r in hash_sample(docs, 0.8, "doc_id").collect()}
+    assert train == sampled
+
+
+def test_mix_sources_rates_and_drop(docs):
+    out = mix_sources(docs, {"src0": 1.0, "src1": 0.0}, "source", "doc_id")
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src.get("src0", 0) == docs.filter(F.col("source") == "src0").count()  # keep-all
+    assert "src1" not in per_src  # rate 0
+    assert "src2" not in per_src  # absent from rates → dropped
+
+
+def test_sample_fixed_k_exact_and_stable(docs):
+    s1 = sorted(r.doc_id for r in sample_fixed_k(docs, 37, "doc_id").collect())
+    s2 = sorted(r.doc_id for r in sample_fixed_k(docs.repartition(5), 37, "doc_id").collect())
+    assert len(s1) == 37 and s1 == s2
