@@ -37,6 +37,9 @@ HEADLINE = [
     "orderby_limit_topk",
     "tumbling_window_events",
     "sessionize_events",
+    "retention_cohorts",
+    "rolling_7d_active_users",
+    "event_funnel",
     "asof_join_events",
     "json_extract_events",
     "wordcount_top100",

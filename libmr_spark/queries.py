@@ -2202,6 +2202,147 @@ QUERIES["quality_percentile_filter"].sql = f"""
 """
 
 
+# --------------------------------------------------------------------
+# §2.2 event analytics: cohorts, rolling actives, funnels
+# (epoch-ms integer arithmetic throughout — timezone-proof vs the
+# oracle, same as the window queries above)
+# --------------------------------------------------------------------
+
+_WEEK_MS = 7 * 86400 * 1000
+_DAY_MS = 86400 * 1000
+
+
+@defquery(
+    "retention_cohorts",
+    f"""
+    WITH ua AS (
+        SELECT DISTINCT user_id, CAST(epoch_ms(ts) // {_WEEK_MS} AS BIGINT) AS wk FROM events
+    ),
+    first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ua GROUP BY user_id)
+    SELECT f.cohort_wk, ua.wk - f.cohort_wk AS weeks_since, count(*) AS n_users
+    FROM ua JOIN first_wk f ON ua.user_id = f.user_id
+    GROUP BY f.cohort_wk, weeks_since
+    """,
+    "retention cohorts: users bucketed by first-activity week, counted "
+    "at each week-offset they return — two hash aggs + one equi-join on "
+    "user_id (the distinct, the min, and the join all share that key, so "
+    "at scale this is a single-shuffle pipeline)",
+)
+def retention_cohorts_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ua = e.select(
+        "user_id", F.expr(f"unix_millis(ts) div {_WEEK_MS}").cast("bigint").alias("wk")
+    ).distinct()
+    first_wk = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ua.join(first_wk, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@defquery(
+    "rolling_7d_active_users",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(epoch_ms(ts) // {_DAY_MS} AS BIGINT) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, count(DISTINCT ud.user_id) AS active_7d
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    "trailing-7-day distinct active users per day. The oracle uses the "
+    "range join; the Spark plan instead EXPLODES each user-day into the "
+    "7 days it contributes to (sequence + explode = 7× fan-out, still "
+    "shuffle-by-day) — at 100 TB a bounded fan-out beats a range join's "
+    "per-day × per-user-day comparison matrix",
+)
+def rolling_active_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr(f"unix_millis(ts) div {_DAY_MS}").cast("bigint").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias("day")
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@defquery(
+    "event_funnel",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+    s1 AS (SELECT user_id, MIN(tms) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT ev.user_id, MIN(tms) AS t2 FROM ev JOIN s1 ON ev.user_id = s1.user_id
+           WHERE event_type = 'click' AND tms > t1 GROUP BY ev.user_id),
+    s3 AS (SELECT ev.user_id, MIN(tms) AS t3 FROM ev JOIN s2 ON ev.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND tms > t2 GROUP BY ev.user_id)
+    SELECT '1_view' AS step, count(*) AS n_users FROM s1
+    UNION ALL SELECT '2_click', count(*) FROM s2
+    UNION ALL SELECT '3_purchase', count(*) FROM s3
+    """,
+    "ordered 3-step funnel (view → click after first view → purchase "
+    "after first qualifying click): each stage is a conditional-MIN agg "
+    "semi-restricted by the previous stage — all joins on user_id, so "
+    "one partitioning serves the whole funnel",
+)
+def event_funnel_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", F.unix_millis("ts").alias("tms"))
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("tms").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return step(s1, "1_view").union(step(s2, "2_click")).union(step(s3, "3_purchase"))
+
+
+@defquery(
+    "streaming_dedup_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "REAL readStream execution of streaming deduplication: "
+    "dropDuplicates on (user_id, event_type) with state carried across "
+    "micro-batches, drained with availableNow — must equal batch DISTINCT",
+)
+def streaming_dedup_q(spark, sf_dir):
+    import os as _os
+
+    from .streaming.windows import run_to_memory_sink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_os.path.join(sf_dir, "events*.parquet"))
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    run_to_memory_sink(sdf, "q_streaming_dedup", output_mode="append")
+    return spark.table("q_streaming_dedup")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
