@@ -2343,6 +2343,57 @@ def streaming_dedup_q(spark, sf_dir):
     return spark.table("q_streaming_dedup")
 
 
+@defquery(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.user_id, c.cid AS click_id, v.vid AS view_id
+    FROM (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id AS vid, ts AS vts FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.vts BETWEEN c.cts - INTERVAL 1 HOUR AND c.cts
+    """,
+    "REAL stream-stream inner join: views attributed to clicks within a "
+    "1-hour lookback, both sides watermarked so join state evicts (the "
+    "interval condition bounds how long a buffered view can still match); "
+    "availableNow drain must equal the batch interval join",
+)
+def streaming_ss_join_q(spark, sf_dir):
+    import os as _os
+
+    from .streaming.windows import run_to_memory_sink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(_os.path.join(sf_dir, "events*.parquet"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = clicks.join(
+        views,
+        F.expr("user_id = v_user AND v_ts >= c_ts - interval 1 hour AND v_ts <= c_ts"),
+    ).select("user_id", "click_id", "view_id")
+    run_to_memory_sink(joined, "q_streaming_ss_join", output_mode="append")
+    return spark.table("q_streaming_ss_join")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
