@@ -2394,6 +2394,78 @@ def streaming_ss_join_q(spark, sf_dir):
     return spark.table("q_streaming_ss_join")
 
 
+@defquery(
+    "stats_moments_by_type",
+    """
+    SELECT event_type, n, mean_value,
+           (sxx - sx * sx / n) / (n - 1) AS var_value,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_ts
+    FROM (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(epoch_ms(ts) // 1000 - 1704067200 AS DECIMAL(14,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(epoch_ms(ts) // 1000 - 1704067200 AS DECIMAL(14,0))
+                        * CAST(epoch_ms(ts) // 1000 - 1704067200 AS DECIMAL(14,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(epoch_ms(ts) // 1000 - 1704067200 AS DECIMAL(14,0))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type
+    ) m
+    """,
+    "deterministic distributed statistics: mean / sample variance / "
+    "stddev / Pearson corr(value, event-time) derived from exact-decimal "
+    "moment sums, combined in double with an identical expression tree — "
+    "native stddev/corr aggregates are partial-sum-order dependent and "
+    "would never hash-match across engines (or even across re-runs at "
+    "1000 executors); moment sums in decimal are exact under ANY "
+    "partitioning, so the derived stats are bit-stable. Time is seconds "
+    "since 2024-01-01 — corr is translation-invariant and the smaller "
+    "magnitude keeps y² inside 64-bit decimal multiplication",
+)
+def stats_moments_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,4)")
+    y = (F.expr("unix_millis(ts) div 1000") - F.lit(1704067200)).cast("decimal(14,0)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(x).cast("double") / F.count(F.lit(1))).alias("mean_value"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.select(
+        "event_type",
+        "n",
+        "mean_value",
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        corr.alias("corr_value_ts"),
+    )
+
+
+@defquery(
+    "median_by_type",
+    "SELECT event_type, median(value) AS median_value, count(*) AS n FROM events GROUP BY event_type",
+    "exact per-group median (even counts interpolate the two middle "
+    "values — IEEE mean of two doubles, identical across engines). At "
+    "100 TB swap for approx_percentile(value, 0.5, accuracy) — exact "
+    "median requires a per-group sort",
+)
+def median_by_type_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.median("value").alias("median_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
