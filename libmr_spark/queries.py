@@ -2466,6 +2466,89 @@ def median_by_type_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "array_hof_order_quantities",
+    """
+    SELECT o_orderkey,
+           CAST(len(qtys) AS INT) AS n_lines,
+           CAST(coalesce(list_sum(list_filter(qtys, q -> q > 25)), 0) AS DOUBLE) AS big_qty_sum,
+           CAST(list_sort(qtys)[-1] AS DOUBLE) AS max_qty,
+           CAST(list_sum(list_transform(qtys, q -> q * q)) AS DOUBLE) AS sum_sq
+    FROM (
+        SELECT l_orderkey AS o_orderkey, list_sort(list(CAST(l_quantity AS DECIMAL(9,0)))) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    ) g
+    """,
+    "higher-order array functions end-to-end: collect per-order quantity "
+    "arrays, then filter / transform / aggregate / sort entirely inside "
+    "the array domain (one shuffle to build the arrays, everything after "
+    "is per-row JVM expression work). Quantities are integral, collected "
+    "as decimal and sorted, so every list reduction is exact and "
+    "order-independent",
+)
+def array_hof_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("decimal(9,0)"))).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    # the merge lambda must re-cast: decimal addition widens precision,
+    # and Spark requires the accumulator type to stay fixed
+    return g.select(
+        "o_orderkey",
+        F.size(qtys).alias("n_lines"),
+        F.aggregate(
+            F.filter(qtys, lambda q: q > 25),
+            F.lit(0).cast("decimal(19,0)"),
+            lambda a, q: (a + q).cast("decimal(19,0)"),
+        )
+        .cast("double")
+        .alias("big_qty_sum"),
+        F.element_at(qtys, -1).cast("double").alias("max_qty"),
+        F.aggregate(
+            F.transform(qtys, lambda q: q * q),
+            F.lit(0).cast("decimal(28,0)"),
+            lambda a, q: (a + q).cast("decimal(28,0)"),
+        )
+        .cast("double")
+        .alias("sum_sq"),
+    )
+
+
+@defquery(
+    "udtf_token_positions",
+    """
+    SELECT token, count(*) AS n, CAST(MAX(pos) AS INT) AS max_pos
+    FROM (
+        SELECT d.toks[r.i + 1] AS token, CAST(r.i AS INT) AS pos
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents) d,
+             unnest(range(len(d.toks))) AS r(i)
+    ) t
+    GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "Python UDTF (table function) through the SQL lateral-join path: "
+    "tokenize() yields (pos, token) rows per document — the UDTF shape "
+    "of the reference's reader (SURVEY §2.2: ExecutionReader is a "
+    "UDTF-as-source, /root/reference/src/mr.h:80). Arrow-batched lateral "
+    "fan-out; the relational wordcount_top100 is the fast path, this "
+    "pins the API surface",
+)
+def udtf_q(spark, sf_dir):
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf__")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n, MAX(t.pos) AS max_pos
+        FROM __docs_udtf__ d, LATERAL tokenize(trim(d.text)) t
+        GROUP BY t.token
+        ORDER BY n DESC, token ASC LIMIT 50
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
