@@ -2324,7 +2324,10 @@ def event_funnel_q(spark, sf_dir):
     "SELECT DISTINCT user_id, event_type FROM events",
     "REAL readStream execution of streaming deduplication: "
     "dropDuplicates on (user_id, event_type) with state carried across "
-    "micro-batches, drained with availableNow — must equal batch DISTINCT",
+    "micro-batches, drained with availableNow — must equal batch "
+    "DISTINCT. State note for unbounded streams: use "
+    "dropDuplicatesWithinWatermark (key + event-time) so old keys "
+    "evict; here the key space is finite so state is bounded anyway",
 )
 def streaming_dedup_q(spark, sf_dir):
     import os as _os
