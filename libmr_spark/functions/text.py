@@ -112,3 +112,34 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+#: BPE-ish pre-tokenization pattern: runs of letters, runs of digits,
+#: runs of other non-space symbols — the split GPT-style tokenizers
+#: apply before merges. Alternation of character classes only, so the
+#: same pattern means the same thing in Java regex and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (see BPE_ISH_PATTERN)."""
+    return F.regexp_extract_all(F.trim(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def winnowing_fingerprints(text: Column, n: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprint set (the MOSS scheme): hash the word
+    n-shingle sequence, slide a ``window`` over consecutive hashes,
+    keep each window's minimum, distinct + sort. Robust dedup
+    fingerprints: a local edit changes only the few windows covering
+    it, so near-identical docs share most fingerprints — unlike the
+    all-or-nothing whole-document md5.
+
+    Selection needs only a total ORDER on hashes, so the md5 hex
+    strings are compared directly (lexicographic) — no hex→int
+    conversion, and the oracle SQL orders identically. Per-row cost is
+    O(shingles × window) with ``window`` a small constant.
+    """
+    hs = F.transform(word_shingles(text, n), lambda s: F.md5(s))
+    nwin = F.greatest(F.size(hs) - (window - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, window)))
+    return F.array_sort(F.array_distinct(mins))

@@ -2552,6 +2552,61 @@ def udtf_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0)) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0))) AS INT) AS n_distinct
+    FROM documents
+    """,
+    "BPE-ish pre-tokenization counting: runs of letters / digits / "
+    "symbols (the split GPT-style tokenizers apply before merges) — the "
+    "character-class-only pattern means the same thing in Java regex "
+    "and RE2, so the oracle shares it verbatim",
+)
+def bpe_token_count_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.bpe_ish_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@defquery(
+    "text_winnowing_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+      FROM toks),
+    hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
+    wins AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(h) - 3, 1) + 1),
+               i -> list_aggregate(h[i:i+3], 'min')))) AS fps
+      FROM hs)
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+    "winnowing fingerprints (MOSS): min-hash per sliding window over "
+    "the shingle-hash sequence — local edits change only the windows "
+    "covering them, so near-dups share most fingerprints; selection "
+    "needs only a total order, so md5 hex strings compare directly",
+)
+def winnowing_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(TX.winnowing_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
