@@ -235,3 +235,23 @@ def test_connected_components_chain_and_singletons(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
     out = {r.doc_id: r.cluster_id for r in DD.connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+def test_winnowing_robust_to_local_edit(spark):
+    """The winnowing property that makes it a dedup fingerprint: a
+    single-word edit changes only the windows covering the edited
+    shingles, so most fingerprints survive — where whole-doc md5 shares
+    nothing."""
+    from libmr_spark.functions.text import winnowing_fingerprints
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = base.replace(" w30 ", " XX ")
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select("doc_id", winnowing_fingerprints(F.col("text")).alias("fps")).collect()
+    }
+    inter = len(fps[1] & fps[2])
+    union = len(fps[1] | fps[2])
+    assert inter / union > 0.6, (inter, union)
+    assert fps[1] != fps[2]
