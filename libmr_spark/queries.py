@@ -2607,6 +2607,40 @@ def winnowing_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_idx
+    FROM (SELECT doc_id, octet_length(encode(text)) % 16 + 1 AS nf
+          FROM documents WHERE doc_id % 3 = 2) d,
+         unnest(range(0, d.nf, 2)) AS u(i)
+    """,
+    "video frame sampling through the 1→N mapInPandas pipeline (every "
+    "2nd frame of the metadata-declared frame count) — the integer "
+    "frame indices are oracle-checkable; frame bytes are pytest-verified",
+)
+def multimodal_frames_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, sample_video_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_nth=2).select("media_id", "frame_idx")
+
+
+@defquery(
+    "multimodal_audio_features",
+    None,  # duration/loudness are Python-rounded floats: half-even vs
+    # half-away rounding diverges between engines (SCALING.md
+    # "Determinism lessons") — rows-only here, values pytest-checked
+    "audio feature extraction (duration from sample-rate metadata, "
+    "loudness over the payload head) via Arrow-batched mapInPandas",
+)
+def multimodal_audio_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, audio_features
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return audio_features(media).select("media_id", "sample_rate", "duration_s", "loudness")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
