@@ -2641,6 +2641,52 @@ def multimodal_audio_q(spark, sf_dir):
     return audio_features(media).select("media_id", "sample_rate", "duration_s", "loudness")
 
 
+@defquery(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY bin
+    """,
+    "fixed-width histogram by integer binning (floor of value/width) — "
+    "the groupBy form scales to any bin count, unlike driver-side "
+    "histogram collection; min/max per bin double as bin-edge checks",
+)
+def value_histogram_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@defquery(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(64 AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    "image resize through mapInPandas: every image payload becomes the "
+    "target resolution's byte size (8×8 → exactly 64 bytes — the size "
+    "invariant is the oracle; resampled bytes are pytest-verified)",
+)
+def multimodal_resize_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, resize_images
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return resize_images(media, 8, 8).select(
+        "media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 

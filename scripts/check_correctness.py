@@ -49,7 +49,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
 
-    spark = get_spark("check-correctness", shuffle_partitions=16)
+    # SPARK_GRAFT_SHUFFLE overrides the partition count — rerunning the
+    # whole gate at an adversarial (prime) count is the cheap way to
+    # catch any result that depends on partial-aggregation order
+    spark = get_spark(
+        "check-correctness",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
