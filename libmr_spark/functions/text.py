@@ -126,6 +126,26 @@ def bpe_ish_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.trim(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
 
 
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """md5 hash per word n-shingle, in document order."""
+    return F.transform(word_shingles(text, n), lambda s: F.md5(s))
+
+
+def winnowing_from_hashes(hs: Column, window: int = 4) -> Column:
+    """Winnowing selection over an ALREADY-MATERIALIZED hash-array
+    column: min per sliding window, distinct + sort.
+
+    ``hs`` must be a real column (`.withColumn` first), not a nested
+    expression: Spark does not common-subexpression-eliminate across
+    lambda boundaries, so passing the shingle→md5 pipeline inline makes
+    every window index re-evaluate it — measured 16s vs 0.3s for 500
+    docs. With the column materialized, per-row cost is the expected
+    O(shingles × window)."""
+    nwin = F.greatest(F.size(hs) - (window - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def winnowing_fingerprints(text: Column, n: int = 3, window: int = 4) -> Column:
     """Winnowing fingerprint set (the MOSS scheme): hash the word
     n-shingle sequence, slide a ``window`` over consecutive hashes,
@@ -136,10 +156,11 @@ def winnowing_fingerprints(text: Column, n: int = 3, window: int = 4) -> Column:
 
     Selection needs only a total ORDER on hashes, so the md5 hex
     strings are compared directly (lexicographic) — no hex→int
-    conversion, and the oracle SQL orders identically. Per-row cost is
-    O(shingles × window) with ``window`` a small constant.
+    conversion, and the oracle SQL orders identically.
+
+    NOTE: this one-expression convenience form re-evaluates the shingle
+    pipeline per window (no CSE across lambdas — see
+    :func:`winnowing_from_hashes`); for corpus-scale use, materialize
+    :func:`shingle_hashes` as a column and call ``winnowing_from_hashes``.
     """
-    hs = F.transform(word_shingles(text, n), lambda s: F.md5(s))
-    nwin = F.greatest(F.size(hs) - (window - 1), F.lit(1))
-    mins = F.transform(F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, window)))
-    return F.array_sort(F.array_distinct(mins))
+    return winnowing_from_hashes(shingle_hashes(text, n), window)

@@ -2602,8 +2602,11 @@ def bpe_token_count_q(spark, sf_dir):
 )
 def winnowing_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(TX.winnowing_fingerprints(F.col("text"))).alias("fp")
+    # two-step: materialize the hash array so the window-min pass reads
+    # a column, not a re-evaluated expression (see winnowing_from_hashes)
+    hs = d.withColumn("__hs__", TX.shingle_hashes(F.col("text")))
+    return hs.select(
+        "doc_id", F.explode(TX.winnowing_from_hashes(F.col("__hs__"))).alias("fp")
     )
 
 
@@ -2684,6 +2687,103 @@ def multimodal_resize_q(spark, sf_dir):
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
     return resize_images(media, 8, 8).select(
         "media_id", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+
+
+@defquery(
+    "q21_last_shippers",
+    """
+    WITH marked AS (
+        SELECT l_suppkey, l_orderkey,
+               l_shipdate = MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS is_last,
+               COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supps
+        FROM lineitem
+    )
+    SELECT l_suppkey AS s_suppkey, count(DISTINCT l_orderkey) AS numwait
+    FROM marked
+    WHERE is_last AND n_supps > 1
+    GROUP BY l_suppkey
+    """,
+    "TPC-H Q21-shaped blame attribution (no receipt/commit dates in the "
+    "driver schema): suppliers holding the latest ship date on "
+    "multi-supplier orders — two window functions over one l_orderkey "
+    "partitioning, then a distinct-count per supplier",
+)
+def q21_last_shippers_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    marked = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        (F.col("l_shipdate") == F.max("l_shipdate").over(w)).alias("is_last"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+    )
+    return (
+        marked.filter(F.col("is_last") & (F.col("n_supps") > 1))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+  FROM toks),
+hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
+wins AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(h) - 3, 1) + 1),
+           i -> list_aggregate(h[i:i+3], 'min')))) AS fps
+  FROM hs),
+fp AS (SELECT doc_id, len(fps) AS sz, unnest(fps) AS fp FROM wins)
+"""
+
+
+@defquery(
+    "dedup_winnowing",
+    _WINNOW_SQL
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / least(any_value(a.sz), any_value(b.sz)) AS overlap
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) / least(any_value(a.sz), any_value(b.sz)) >= 0.5
+    """,
+    "winnowing near-dup pairs: inverted fingerprint index (docs only "
+    "meet on shared window-minima — never all-pairs), overlap "
+    "coefficient ≥ 0.5 — the MOSS selection bounds index size to "
+    "~1/window of the shingle count, so the join is ~4× cheaper than "
+    "the full shingle index at the same discrimination",
+)
+def dedup_winnowing_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fps = (
+        d.withColumn("__hs__", TX.shingle_hashes(F.col("text")))
+        .select("doc_id", TX.winnowing_from_hashes(F.col("__hs__")).alias("fps"))
+        .withColumn("sz", F.size("fps"))
+    )
+    # both join sides read the fingerprint index; persist it — (id, sz,
+    # fp) rows are far smaller than the corpus. (persist: 18→14.5s;
+    # materializing the hash column above: →6s at sf0.01)
+    ex = fps.select("doc_id", "sz", F.explode("fps").alias("fp")).persist()
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("id_a", "id_b", (F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))).alias("overlap"))
+        .filter(F.col("overlap") >= 0.5)
     )
 
 
