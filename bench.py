@@ -43,6 +43,8 @@ HEADLINE = [
     "asof_join_events",
     "json_extract_events",
     "wordcount_top100",
+    "sample_hash_10pct",
+    "train_val_test_split",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
