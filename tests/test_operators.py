@@ -255,3 +255,33 @@ def test_winnowing_robust_to_local_edit(spark):
     union = len(fps[1] | fps[2])
     assert inter / union > 0.6, (inter, union)
     assert fps[1] != fps[2]
+
+
+def test_plans_tpch_extension_shapes(spark, sf_dir):
+    """Plan pins for the adapted TPC-H queries: the many-way joins keep
+    the fact table un-shuffled (all dims broadcast, one exchange for the
+    agg) and the funnel stays a one-scan, low-shuffle plan."""
+    from libmr_spark.plans.explain import (
+        count_broadcast_exchanges,
+        count_exchanges,
+        formatted_plan,
+    )
+    from libmr_spark.queries import QUERIES
+
+    q9 = QUERIES["q9_profit_by_nation_year"].fn(spark, sf_dir)
+    assert count_broadcast_exchanges(q9) >= 3  # part/supplier/nation
+    assert count_exchanges(q9) <= 2
+
+    q19 = QUERIES["q19_disjunctive_revenue"].fn(spark, sf_dir)
+    plan = formatted_plan(q19)
+    # the quantity bounds of the disjunction reach the lineitem scan
+    assert "l_quantity" in "".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+
+    funnel = QUERIES["event_funnel"].fn(spark, sf_dir)
+    assert count_exchanges(funnel) <= 2
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", formatted_plan(funnel), re.MULTILINE)
+    assert len(scans) == 1
