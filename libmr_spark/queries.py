@@ -2795,6 +2795,34 @@ def dedup_winnowing_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "salted_join_revenue_by_status",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    "skew-salted fact-fact join: each fact key spreads over 8 sub-keys "
+    "with the dim side replicated 8×, so one hot key occupies 8 "
+    "reducers instead of one. Salting must be semantically transparent "
+    "— the oracle is the PLAIN join, which is exactly the point",
+)
+def salted_join_q(spark, sf_dir):
+    from .operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"), o, "o_orderkey"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
