@@ -2823,6 +2823,82 @@ def salted_join_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "text_edit_distance_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 22
+    """,
+    "edit-distance near-dup pairs: Levenshtein over text prefixes, "
+    "blocked by source so the quadratic comparison runs within blocks, "
+    "never all-pairs (the blocking-key pattern of record linkage); "
+    "prefix truncation caps the O(m·n) DP cost per pair",
+)
+def edit_distance_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("pfx")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), dist.alias("dist"))
+        .filter(F.col("dist") <= 22)
+    )
+
+
+@defquery(
+    "table_profile_orders",
+    """
+    SELECT col, n_nulls, n_distinct, lo, hi FROM (
+        SELECT 'o_custkey' AS col,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_custkey) AS DOUBLE) AS lo, CAST(MAX(o_custkey) AS DOUBLE) AS hi
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(count(*) - count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey',
+               CAST(count(*) - count(o_orderkey) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+        FROM orders
+    ) p
+    """,
+    "data-quality profiling: per-column null count / distinct count / "
+    "range in ONE scan (all aggregates fused into a single pass, then "
+    "unpivoted to (col, metric) rows — the oracle's UNION ALL form "
+    "scans three times; at 100 TB the fused form is the only option)",
+)
+def table_profile_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(c: str):
+        return [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__lo"),
+            F.max(c).cast("double").alias(f"{c}__hi"),
+        ]
+
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    agg = o.agg(*[m for c in cols for m in prof(c)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__lo, {c}__hi" for c in cols
+    )
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, lo, hi)")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
