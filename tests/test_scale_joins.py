@@ -59,3 +59,23 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     n_subkeys = fact_s.select("custkey", "__salt__").distinct().count()
     n_keys = o.select("custkey").distinct().count()
     assert n_subkeys > n_keys  # hot keys split across sub-keys
+
+
+def test_bucket_pruned_point_lookup(spark, bucketed, sf_dir):
+    """The at-scale form of the reference's RunOnKey (point lookup RPC,
+    src/mr.c:2120-2173): an equality filter on the bucket key scans ONE
+    bucket of the table, not all of them — Spark's analog of routing a
+    GET to the slot-owning shard."""
+    # autoBucketedScan turns the bucketed layout OFF for plans that
+    # don't need its distribution — point lookups DO want it (pruning),
+    # so pin it on, the way a lookup-serving session would
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        lookup = spark.table("orders_b").filter(F.col("o_custkey") == 42)
+        plan = formatted_plan(lookup)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    lookup = spark.table("orders_b").filter(F.col("o_custkey") == 42)
+    want = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") == 42).count()
+    assert lookup.count() == want
