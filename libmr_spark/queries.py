@@ -2899,6 +2899,44 @@ def table_profile_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "zscore_outlier_events",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0
+    """,
+    "z-score outlier flagging per event type: group moments from "
+    "exact-decimal sums broadcast back onto the stream (5-row dim), "
+    "z computed with an identical double expression tree on both "
+    "engines — the feature-engineering pattern for outlier filtering "
+    "at corpus scale (one shuffle for the moments, none for the scoring)",
+)
+def zscore_outliers_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,4)")
+    m = e.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("value") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    return (
+        e.join(F.broadcast(m), e.event_type == F.col("m_type"))
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERIES.items()}
 
