@@ -29,6 +29,7 @@ supplied by Spark's scheduler/shuffle and deliberately NOT rebuilt.
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -37,6 +38,8 @@ from typing import Any, Callable, Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyspark.sql.types import StructType
 
 from .registry import GLOBAL_REGISTRY, PyAccumulator, Registry, StepImpl, StepType
 
@@ -49,6 +52,35 @@ MAX_IDLE_ERROR = "execution max idle reached"
 
 class ExecutionError(RuntimeError):
     pass
+
+
+def run_with_job_group_timeout(spark: SparkSession, work: Callable[[], Any], timeout_ms: int, error_msg: str) -> Any:
+    """Run ``work`` (which triggers Spark jobs) with a deadline: the jobs
+    are tagged with a job group and cancelled on the cluster if the
+    deadline passes, then ``ExecutionError(error_msg)`` is raised. This
+    is the Spark analog of the reference's event-loop delay-task timers
+    (execution max-idle /root/reference/src/mr.c:1306-1331, remote-task
+    timeout /root/reference/src/mr.c:2085-2099)."""
+    sc = spark.sparkContext
+    group = f"libmr-timeout-{uuid.uuid4().hex}"
+    out: dict[str, Any] = {}
+
+    def target():
+        sc.setJobGroup(group, "libmr_spark timed work", interruptOnCancel=True)
+        try:
+            out["value"] = work()
+        except Exception as e:  # surfaced below
+            out["exc"] = e
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_ms / 1000.0)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        raise ExecutionError(error_msg)
+    if "exc" in out:
+        raise out["exc"]
+    return out["value"]
 
 
 @dataclass
@@ -97,7 +129,9 @@ def _py_map_stage(df: DataFrame, fn: Callable, args: Any, out_schema: str | None
     else:
         out_fields = out_schema
     full_schema = f"{out_fields}, {ERROR_COL} string"
-    out_cols = [f.strip().split()[0].strip("`") for f in out_fields.split(",")]
+    # parse the DDL rather than splitting on ',' — field types like
+    # decimal(18,2) or map<string,int> contain commas
+    out_cols = [f.name for f in StructType.fromDDL(out_fields).fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,28 +249,12 @@ class Execution:
         """
         if self.max_idle_ms is None:
             return ExecutionResult(self._collect_results(), self._collect_errors())
-
-        sc = self.spark.sparkContext
-        group = f"libmr-{self.execution_id}"
-        out: dict[str, Any] = {}
-
-        def work():
-            sc.setJobGroup(group, "libmr_spark execution", interruptOnCancel=True)
-            try:
-                out["results"] = self._collect_results()
-                out["errors"] = self._collect_errors()
-            except Exception as e:  # surfaced below
-                out["exc"] = e
-
-        t = threading.Thread(target=work, daemon=True)
-        t.start()
-        t.join(self.max_idle_ms / 1000.0)
-        if t.is_alive():
-            sc.cancelJobGroup(group)
-            raise ExecutionError(MAX_IDLE_ERROR)
-        if "exc" in out:
-            raise out["exc"]
-        return ExecutionResult(out["results"], out["errors"])
+        return run_with_job_group_timeout(
+            self.spark,
+            lambda: ExecutionResult(self._collect_results(), self._collect_errors()),
+            self.max_idle_ms,
+            MAX_IDLE_ERROR,
+        )
 
     def _collect_results(self) -> list:
         return self.dataframe().collect()
@@ -275,24 +293,26 @@ class ExecutionBuilder:
     # -- pipeline steps ------------------------------------------------
     def map(self, fn, args: Any = None, *, relational: bool | None = None, out_schema: str | None = None):
         impl = _resolve(self.registry, StepType.MAPPER, fn, relational_default=relational is not False)
-        if relational is not None:
-            impl.relational = relational
-        if out_schema is not None:
-            impl.out_schema = out_schema
+        # copy before overriding — _resolve may return the registry-owned
+        # instance, and a per-call override must not rewrite the global step
+        if relational is not None and impl.relational != relational:
+            impl = dataclasses.replace(impl, relational=relational)
+        if out_schema is not None and impl.out_schema != out_schema:
+            impl = dataclasses.replace(impl, out_schema=out_schema)
         self._steps.append(_Step(StepType.MAPPER, impl.name, args, impl))
         return self
 
     def filter(self, fn, args: Any = None, *, relational: bool | None = None):
         impl = _resolve(self.registry, StepType.FILTER, fn, relational_default=relational is not False)
-        if relational is not None:
-            impl.relational = relational
+        if relational is not None and impl.relational != relational:
+            impl = dataclasses.replace(impl, relational=relational)
         self._steps.append(_Step(StepType.FILTER, impl.name, args, impl))
         return self
 
     def accumulate(self, fn, args: Any = None):
         impl = _resolve(self.registry, StepType.ACCUMULATOR, fn)
-        if isinstance(impl.fn, PyAccumulator):
-            impl.relational = False
+        if isinstance(impl.fn, PyAccumulator) and impl.relational:
+            impl = dataclasses.replace(impl, relational=False)
         self._steps.append(_Step(StepType.ACCUMULATOR, impl.name, args, impl))
         return self
 

@@ -21,7 +21,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .builder import run_with_job_group_timeout
 from .registry import GLOBAL_REGISTRY, Registry, StepType
+
+#: Error string raised when a per-call RPC deadline passes; matches the
+#: reference's "Remote task timeout" (/root/reference/src/mr.c:2085-2099).
+REMOTE_TASK_TIMEOUT_ERROR = "Remote task timeout"
+
+
+def _maybe_timed(result: DataFrame, timeout_ms: int | None) -> DataFrame:
+    """With a deadline set, the call becomes eager (the reference's RPC
+    is always eager — the timer spans the remote call): run under a
+    cancellable job group and re-wrap the rows so the caller still gets
+    a DataFrame."""
+    if timeout_ms is None:
+        return result
+    rows = run_with_job_group_timeout(
+        result.sparkSession, result.collect, timeout_ms, REMOTE_TASK_TIMEOUT_ERROR
+    )
+    return result.sparkSession.createDataFrame(rows, schema=result.schema)
 
 
 def run_on_key(
@@ -31,18 +49,21 @@ def run_on_key(
     task: str | Callable[[DataFrame, Any], DataFrame] | None = None,
     args: Any = None,
     registry: Registry | None = None,
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """Point lookup: rows of ``df`` where ``key_col == key``, optionally
     post-processed by a named remote task. The reference short-circuits
     to a local call when the slot is local
     (``/root/reference/src/mr.c:2133-2136``); Catalyst's pushdown +
-    pruning is the equivalent short-circuit here.
+    pruning is the equivalent short-circuit here. ``timeout_ms`` mirrors
+    MR_RunOnKey's per-call deadline (``/root/reference/src/mr.c:2085-2099``).
     """
     hit = df.filter(F.col(key_col) == F.lit(key))
     if task is None:
-        return hit
+        return _maybe_timed(hit, timeout_ms)
     fn = (registry or GLOBAL_REGISTRY).get(StepType.REMOTE_TASK, task).fn if isinstance(task, str) else task
-    return fn(hit, args) if args is not None else fn(hit)
+    out = fn(hit, args) if args is not None else fn(hit)
+    return _maybe_timed(out, timeout_ms)
 
 
 def run_on_all_shards(
@@ -51,10 +72,13 @@ def run_on_all_shards(
     out_schema: str,
     args: Any = None,
     registry: Registry | None = None,
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """One task invocation per partition ("shard"), each emitting one
     result row; the caller gathers with ``.collect()`` like the
     reference's initiator barrier (``/root/reference/src/mr.c:1904-1949``).
+    ``timeout_ms`` bounds the whole fan-out+gather, as MR_RunOnAllShards'
+    deadline does (``/root/reference/src/mr.c:2263-2311``).
 
     Example parity target: RemoteTaskDBSize — per-shard dbsize summed at
     the initiator (``/root/reference/tests/mr_test_module/src/lib.rs:478-505``)
@@ -69,7 +93,7 @@ def run_on_all_shards(
         if row is not None:
             yield pd.DataFrame([row])
 
-    return df.mapInPandas(per_partition, schema=out_schema)
+    return _maybe_timed(df.mapInPandas(per_partition, schema=out_schema), timeout_ms)
 
 
 def internal_command(

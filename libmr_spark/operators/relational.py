@@ -70,32 +70,41 @@ def as_of_join(
     tolerance: Column | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for every left row, the single right row with the
-    greatest ``on`` ≤ left.on (direction='backward'), matching on the
-    ``by`` equi-keys.
+    """As-of join: for every left row, the single right row nearest in
+    ``on`` (per ``direction``), matching on the ``by`` equi-keys.
+
+    * ``backward`` — greatest right.on ≤ left.on (the default, and the
+      common "latest quote before the trade" semantics),
+    * ``forward``  — smallest right.on ≥ left.on,
+    * ``nearest``  — whichever of the two is closer (ties → backward).
 
     The reference has no join at all (SURVEY §2.2); this is built
-    Spark-first as union + window ``last(ignorenulls)`` — ONE shuffle on
-    (by, on), no range-explosion, no broadcast requirement, so it holds
-    at 100 TB where a naive range join would quadratically blow up:
+    Spark-first as union + window carry — ONE shuffle on (by, on), no
+    range-explosion, no broadcast requirement, so it holds at 100 TB
+    where a naive range join would quadratically blow up:
 
     1. tag both sides, union on the (by, on) spine,
-    2. per ``by`` group ordered by (on, right-first), carry the last
-       seen right values forward,
-    3. keep left rows; optionally null out matches older than
-       ``tolerance`` (seconds).
+    2. per ``by`` group ordered by ``on``, carry the nearest right row
+       as ONE struct (all carried fields come from the same right row,
+       and legitimately-null right values survive),
+    3. keep left rows; optionally null out matches farther than
+       ``tolerance`` (same units as ``on``).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = list(by)
     lcols = [c for c in left.columns]
     tag = "__asof_side__"
-    rv_prefix = "__asof_r_"
+    rv = "__asof_r__"
+
+    r_struct_of = lambda prefix: F.struct(
+        F.col(on).alias("__on__"), *[F.col(prefix + rc).alias(rc) for rc in right_cols]
+    )
 
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias(tag),
-        *[F.lit(None).cast(right.schema[rc].dataType).alias(rv_prefix + rc) for rc in right_cols],
+        *[F.lit(None).cast(right.schema[rc].dataType).alias("__in_" + rc) for rc in right_cols],
     )
     # align right onto the left schema: shared (by, on) columns pass
     # through, every other left column becomes a typed null
@@ -105,33 +114,52 @@ def as_of_join(
             for c in lcols
         ],
         F.lit(0).alias(tag),
-        *[F.col(rc).alias(rv_prefix + rc) for rc in right_cols],
+        *[F.col(rc).alias("__in_" + rc) for rc in right_cols],
     )
 
     unioned = l_tagged.unionByName(r_full)
-    # right rows (tag=0) sort before left rows at the same timestamp, so
-    # an exact-timestamp right row IS visible to the left row (<=).
-    w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(tag).asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # one struct per right row; null on left rows so ignorenulls skips them
+    unioned = unioned.withColumn(rv, F.when(F.col(tag) == 0, r_struct_of("__in_")))
+    unioned = unioned.drop(*["__in_" + rc for rc in right_cols])
+
     carried = unioned
-    for rc in right_cols:
-        carried = carried.withColumn(rv_prefix + rc, F.last(rv_prefix + rc, ignorenulls=True).over(w))
-    if tolerance is not None:
-        on_carry = "__asof_r_on__"
-        carried = carried.withColumn(
-            on_carry,
-            F.last(F.when(F.col(tag) == 0, F.col(on)), ignorenulls=True).over(w),
+    gap_bwd = F.col(on).cast("double") - F.col("__bwd__.__on__").cast("double")
+    gap_fwd = F.col("__fwd__.__on__").cast("double") - F.col(on).cast("double")
+    if direction in ("backward", "nearest"):
+        # right rows (tag=0) sort before left rows at the same timestamp,
+        # so an exact-timestamp right row IS visible to the left row (<=)
+        wb = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(tag).asc()).rowsBetween(
+            Window.unboundedPreceding, 0
         )
-        stale = F.col(on).cast("double") - F.col(on_carry).cast("double") > tolerance
-        for rc in right_cols:
-            carried = carried.withColumn(
-                rv_prefix + rc, F.when(stale, F.lit(None)).otherwise(F.col(rv_prefix + rc))
-            )
-        carried = carried.drop(on_carry)
-    out = carried.filter(F.col(tag) == 1).drop(tag)
-    for rc in right_cols:
-        out = out.withColumnRenamed(rv_prefix + rc, rc)
+        carried = carried.withColumn("__bwd__", F.last(rv, ignorenulls=True).over(wb))
+        if tolerance is not None:
+            carried = carried.withColumn("__bwd__", F.when(gap_bwd <= tolerance, F.col("__bwd__")))
+    if direction in ("forward", "nearest"):
+        # left rows sort before right rows at the same timestamp, so an
+        # exact-timestamp right row is inside [current, following] (>=)
+        wf = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(tag).desc()).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        carried = carried.withColumn("__fwd__", F.first(rv, ignorenulls=True).over(wf))
+        if tolerance is not None:
+            carried = carried.withColumn("__fwd__", F.when(gap_fwd <= tolerance, F.col("__fwd__")))
+
+    if direction == "backward":
+        chosen = F.col("__bwd__")
+    elif direction == "forward":
+        chosen = F.col("__fwd__")
+    else:
+        chosen = (
+            F.when(F.col("__bwd__").isNull(), F.col("__fwd__"))
+            .when(F.col("__fwd__").isNull(), F.col("__bwd__"))
+            .when(gap_fwd < gap_bwd, F.col("__fwd__"))
+            .otherwise(F.col("__bwd__"))
+        )
+    out = carried.withColumn(rv, chosen).filter(F.col(tag) == 1)
+    out = out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(rv)[rc].alias(rc) for rc in right_cols],
+    )
     return out
 
 
@@ -221,7 +249,13 @@ def salted_join(
     The salt value only balances rows — any assignment yields the same
     join result — so it's derived from ``monotonically_increasing_id``
     (cheap, no extra hash of row content).
+
+    Only ``inner``/``left`` joins are valid: the dim side is replicated
+    ``num_salts`` times, so a right/full outer join would emit every
+    unmatched dim row once per salt. Use a plain join for those.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left only (dim side is replicated), got {how!r}")
     fact_s = fact.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
     rep = dim.crossJoin(
         F.broadcast(

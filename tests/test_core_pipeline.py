@@ -283,3 +283,51 @@ def test_reshuffle_colocates_keys(spark, sf_dir):
     df = ex.dataframe().withColumn("__pid__", F.spark_partition_id())
     per_key = df.groupBy("key").agg(F.countDistinct("__pid__").alias("nparts"))
     assert per_key.agg(F.max("nparts")).first()[0] == 1
+
+
+def test_per_call_override_does_not_mutate_registry(spark, sf_dir):
+    # a per-pipeline relational/out_schema override must not rewrite the
+    # globally registered StepImpl (ADVICE r1: builder copied via
+    # dataclasses.replace before applying overrides)
+    from libmr_spark.core.registry import GLOBAL_REGISTRY, StepImpl, StepType
+
+    impl = GLOBAL_REGISTRY.register(
+        StepImpl("TmpValueMapper", StepType.MAPPER, lambda df, a=None: df.select("value"))
+    )
+    try:
+        b = create_builder(spark, "KeysReader", {"sf_dir": sf_dir}).map(
+            "TmpValueMapper", out_schema="value string"
+        )
+        assert (impl.relational, impl.out_schema) == (True, None)
+        assert b._steps[-1].impl is not impl
+        assert b._steps[-1].impl.out_schema == "value string"
+    finally:
+        GLOBAL_REGISTRY._steps.pop((StepType.MAPPER, "TmpValueMapper"), None)
+
+
+def test_python_map_comma_typed_schema(spark, sf_dir):
+    # out_schema with comma-containing DDL types (decimal(18,2),
+    # map<string,int>) must parse as a schema, not split on ','
+    from decimal import Decimal
+
+    def to_price(rec):
+        return {
+            "key": rec["key"],
+            "price": Decimal(rec["value"]).quantize(Decimal("0.01")),
+            "tags": {"n": len(rec["key"])},
+        }
+
+    res = (
+        create_builder(spark, "KeysReader", {"sf_dir": sf_dir})
+        .map(lambda df: df.select("key", "value").limit(5))
+        .collect()
+        .map(
+            to_price,
+            relational=False,
+            out_schema="key string, price decimal(18,2), tags map<string,int>",
+        )
+        .run()
+    )
+    assert len(res.results) == 5 and res.errors == []
+    r0 = sorted(res.results, key=lambda r: r.key)[0]
+    assert r0.price is not None and r0.tags["n"] == len(r0.key)

@@ -144,3 +144,60 @@ def test_relational_filter_must_return_column(spark, sf_dir):
             .collect()
             .run()
         )
+
+
+def test_reader_error_records(spark, duck, sf_dir):
+    # parity with the reference's failing-READER case
+    # (/root/reference/tests/mr_test_module/pytests/test_errors.py:5-25):
+    # rows that fail during the scan become error records, the execution
+    # completes, and good rows keep flowing. A reader joins the error
+    # channel by emitting the ERROR_COL convention.
+    from libmr_spark.core.builder import ERROR_COL
+    from libmr_spark.core.registry import GLOBAL_REGISTRY, StepImpl, StepType
+    from libmr_spark.sources.readers import kv_table
+
+    def flaky_reader(spark_, args):
+        kv = kv_table(spark_, args["sf_dir"])
+        # every 'hash'-typed key fails to deserialize mid-scan
+        return kv.select(
+            "key",
+            "value",
+            "type",
+            F.when(
+                F.col("type") == "hash", F.concat(F.lit("read failed: "), F.col("key"))
+            ).alias(ERROR_COL),
+        )
+
+    GLOBAL_REGISTRY.register(StepImpl("FlakyReader", StepType.READER, flaky_reader))
+    try:
+        n_ok = duck.sql("SELECT count(*) FROM orders WHERE o_orderstatus = 'O'").fetchone()[0]
+        n_bad = duck.sql("SELECT count(*) FROM orders WHERE o_orderstatus <> 'O'").fetchone()[0]
+        res = (
+            create_builder(spark, "FlakyReader", {"sf_dir": sf_dir})
+            .map(lambda df: df.select("key"))
+            .collect()
+            .run()
+        )
+        assert len(res.results) == n_ok
+        assert len(res.errors) == n_bad
+        assert all(e.startswith("read failed: ") for e in res.errors)
+
+        # total read failure: (0 results, N errors), execution completes
+        def dead_reader(spark_, args):
+            kv = kv_table(spark_, args["sf_dir"])
+            return kv.select(
+                "key", "value", "type", F.concat(F.lit("read failed: "), F.col("key")).alias(ERROR_COL)
+            )
+
+        GLOBAL_REGISTRY.register(StepImpl("DeadReader", StepType.READER, dead_reader))
+        res2 = (
+            create_builder(spark, "DeadReader", {"sf_dir": sf_dir})
+            .map(lambda df: df.select("key"))
+            .collect()
+            .run()
+        )
+        assert res2.results == []
+        assert len(res2.errors) == n_ok + n_bad
+    finally:
+        GLOBAL_REGISTRY._steps.pop((StepType.READER, "FlakyReader"), None)
+        GLOBAL_REGISTRY._steps.pop((StepType.READER, "DeadReader"), None)

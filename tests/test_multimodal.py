@@ -37,9 +37,71 @@ def test_decode_images_deterministic(media):
     assert len(r) == 6  # media_id, width, height, n_pixels, mean_pixel, phash
 
 
-def test_decode_real_raises_at_seam(media):
-    with pytest.raises(NotImplementedError, match="codec"):
+def test_decode_real_raises_when_codec_missing(media):
+    # escape hatch: with Pillow absent, mode='real' names the missing
+    # library and the install command; with it present, it decodes
+    from libmr_spark.operators import multimodal as MM
+
+    if MM.HAS_PIL:
+        pytest.skip("Pillow present — covered by test_decode_images_real_pil")
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_images(media, mode="real")
+
+
+def test_decode_images_real_pil(spark):
+    # runs only where Pillow is installed: a 2×2 PNG decodes to real
+    # dimensions and pixel stats through the same Spark plumbing
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.frombytes("L", (2, 2), bytes([0, 100, 200, 255])).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", "mem://1", bytearray(buf.getvalue()), (2, 2, 1, 16000, "png"))],
+        "media_id bigint, kind string, uri string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, codec:string>",
+    )
+    r = decode_images(df, mode="real").first()
+    assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+    assert abs(r.mean_pixel - (0 + 100 + 200 + 255) / 4) < 1e-6
+
+
+def test_video_real_raises_when_ffmpeg_missing(media):
+    from libmr_spark.operators import multimodal as MM
+
+    if MM.HAS_FFMPEG:
+        pytest.skip("ffmpeg present")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_video_frames(media, mode="real")
+
+
+def test_audio_features_real_wav(spark):
+    # the real audio path has a stdlib `wave` fallback, so it is
+    # exercisable even in a codec-less container: build a genuine WAV
+    # and check duration/sample-rate/loudness come from actual decode
+    import io
+    import struct
+    import wave
+
+    sr, n = 8000, 4000  # 0.5 s
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        # constant half-scale amplitude → loudness ≈ 0.5
+        w.writeframes(struct.pack(f"<{n}h", *([2**14] * n)))
+    df = spark.createDataFrame(
+        [(7, "audio", "mem://7", bytearray(buf.getvalue()), (0, 0, 0, sr, "wav"))],
+        "media_id bigint, kind string, uri string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, codec:string>",
+    )
+    r = audio_features(df, mode="real").first()
+    assert r.sample_rate == sr
+    assert abs(r.duration_s - 0.5) < 1e-6
+    assert abs(r.loudness - 0.5) < 0.01
 
 
 def test_resize_shapes(media):

@@ -55,6 +55,45 @@ def test_asof_join_tolerance(spark):
     assert out == {1: 1.0, 2: None}  # 200-90=110 > 50 → stale
 
 
+def test_asof_join_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "u"), (4, 60, "u")],
+        "event_id long, t long, u string",
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, "u"), (15, 2.0, "u"), (42, 3.0, "u")],
+        "t long, val double, u string",
+    )
+
+    def run(direction, **kw):
+        return {
+            r.event_id: r.val
+            for r in as_of_join(
+                left, right, on="t", by=["u"], right_cols=["val"], direction=direction, **kw
+            ).collect()
+        }
+
+    # forward: smallest right.t >= left.t (exact match inclusive)
+    assert run("forward") == {1: 1.0, 2: 3.0, 3: 1.0, 4: None}
+    # nearest: t=20 is 5 from 15 and 22 from 42 → 2.0; t=60 only has 42
+    assert run("nearest") == {1: 1.0, 2: 2.0, 3: 1.0, 4: 3.0}
+    # nearest with tolerance 10 drops the 60→42 match (gap 18)
+    assert run("nearest", tolerance=F.lit(10)) == {1: 1.0, 2: 2.0, 3: 1.0, 4: None}
+
+
+def test_asof_join_null_carry_from_same_row(spark):
+    # the matched right row has val=NULL: a per-column carry would reach
+    # past it to an older row's value; struct carry must preserve the null
+    # while taking val2 from the SAME (newest) row
+    left = spark.createDataFrame([(1, 30, "u")], "event_id long, t long, u string")
+    right = spark.createDataFrame(
+        [(10, 1.0, 100.0, "u"), (20, None, 200.0, "u")],
+        "t long, val double, val2 double, u string",
+    )
+    row = as_of_join(left, right, on="t", by=["u"], right_cols=["val", "val2"]).first()
+    assert row.val is None and row.val2 == 200.0
+
+
 def test_range_join_bucketed_equals_naive(spark, sf_dir):
     part = load_table(spark, "part", sf_dir)
     bands = spark.range(0, 3000, 100).select(
@@ -106,6 +145,45 @@ def test_minhash_recall_vs_exact(spark, docs):
     # verified-LSH output ⊆ exact; recall must be high
     assert lsh <= exact
     assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # a corpus where every doc shares one ubiquitous boilerplate shingle:
+    # without the df cap the index join alone produces all n*(n-1)/2
+    # pairs; with it, candidates come only from rare shingles, yet the
+    # emitted pairs carry the EXACT jaccard (hot correction included)
+    n = 60
+    rows = [(i, f"common boiler plate unique{i} text{i} words{i} here{i}") for i in range(n)]
+    # plant one true near-dup pair sharing rare shingles + the hot one
+    rows.append((1000, rows[0][1] + " tail"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = DD.ngram_jaccard_pairs(corpus, threshold=0.5, max_df=5)
+    uncapped = DD.ngram_jaccard_pairs(corpus, threshold=0.5, max_df=None)
+    got_c = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in capped.collect()}
+    got_u = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in uncapped.collect()}
+    # the planted pair survives the cap with an identical (exact) score
+    assert got_c == got_u and any(a == 0 and b == 1000 for a, b, _ in got_c)
+
+    # and the candidate volume actually shrank: count pre-verification
+    # pairs via the internal index by capping at df<=5 — the ubiquitous
+    # shingle ('common boiler plate' etc., df=61) no longer joins
+    from libmr_spark.operators.dedup import shingle_df
+
+    ex = shingle_df(corpus).select(
+        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle")
+    )
+    dfreq = ex.groupBy("shingle").count()
+    assert dfreq.filter(F.col("count") > 5).count() >= 1  # the hot shingles exist
+    rare = ex.join(dfreq.filter(F.col("count") <= 5), "shingle")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < n * (n - 1) / 2 / 10  # nowhere near all-pairs
 
 
 def test_simhash_detects_planted_neardups(spark, docs):
@@ -235,6 +313,19 @@ def test_connected_components_chain_and_singletons(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
     out = {r.doc_id: r.cluster_id for r in DD.connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+def test_connected_components_chain_converges_fast(spark):
+    # a 1000-link chain has diameter 1000: naive min-label propagation
+    # needs ~1000 rounds, large-star/small-star must land in O(log n)
+    n = 1000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    stats: dict = {}
+    out = DD.connected_components(edges, nodes, stats=stats)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0  # one component, min id 0
+    assert out.count() == n + 1
+    assert stats["rounds"] <= 20, f"took {stats['rounds']} rounds"
 
 
 def test_winnowing_robust_to_local_edit(spark):

@@ -62,3 +62,51 @@ def test_percentile_approx_bounds(spark, sf_dir):
     ).first()
     assert row.lo <= row.p50 <= row.hi
     assert abs(row.p50 - row.exact_p50) / row.exact_p50 < 0.05
+
+
+def test_rpc_timeout_mirrors_reference(spark, sf_dir):
+    # per-call deadline parity with MR_RunOnKey/MR_RunOnAllShards
+    # (/root/reference/src/mr.c:2085-2099): past the deadline the jobs
+    # are cancelled and "Remote task timeout" is raised
+    import time
+
+    import pytest
+
+    from libmr_spark.core.builder import ExecutionError
+    from libmr_spark.core.rpc import (
+        REMOTE_TASK_TIMEOUT_ERROR,
+        run_on_all_shards,
+        run_on_key,
+    )
+
+    kv = kv_table(spark, sf_dir)
+
+    def slow_task(part, args=None):
+        time.sleep(30)
+        return {"n": len(part)}
+
+    with pytest.raises(ExecutionError, match=REMOTE_TASK_TIMEOUT_ERROR):
+        run_on_all_shards(kv, slow_task, "n bigint", timeout_ms=1500)
+
+    def slow_point(hit):
+        time.sleep(30)
+        return hit
+
+    some_key = kv.select("key").first().key
+    with pytest.raises(ExecutionError, match=REMOTE_TASK_TIMEOUT_ERROR):
+        # the task builds a lazy plan instantly; the deadline must cover
+        # the actual execution, which blocks in the slow python stage
+        run_on_key(
+            kv,
+            "key",
+            some_key,
+            task=lambda hit: hit.mapInPandas(
+                lambda it: (_ for _ in ()).throw(SystemError) if time.sleep(30) else it,
+                schema="key string, value string, type string",
+            ),
+            timeout_ms=1500,
+        )
+
+    # a fast call under deadline returns normal rows
+    got = run_on_key(kv, "key", some_key, timeout_ms=30000)
+    assert got.count() == 1

@@ -79,3 +79,15 @@ def test_bucket_pruned_point_lookup(spark, bucketed, sf_dir):
     lookup = spark.table("orders_b").filter(F.col("o_custkey") == 42)
     want = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") == 42).count()
     assert lookup.count() == want
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    # the dim side is replicated num_salts times; a right/full outer join
+    # would emit every unmatched dim row once per salt (ADVICE r1)
+    import pytest
+    from libmr_spark.sources.readers import load_table
+
+    o = load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, "customer", sf_dir).withColumnRenamed("c_custkey", "custkey")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, c.select("custkey", "c_name"), "custkey", how="right")
