@@ -54,6 +54,9 @@ HEADLINE = [
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
+    "decontaminate_ngram_overlap",
+    "pii_redact_stats",
+    "quality_gopher_rules",
 ]
 
 

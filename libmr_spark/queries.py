@@ -1235,6 +1235,41 @@ def asof_join_forward_q(spark, sf_dir):
 
 
 @defquery(
+    "asof_join_events_nearest",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS pvalue FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.pvalue AS bval
+          FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts),
+    f AS (SELECT c.event_id, p.ts AS fts, p.pvalue AS fval
+          FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT b.event_id, b.user_id, CAST(epoch_ms(b.ts) AS BIGINT) AS ts_ms,
+           CASE WHEN bts IS NULL THEN fval
+                WHEN fts IS NULL THEN bval
+                WHEN (epoch_ms(fts) - epoch_ms(b.ts)) < (epoch_ms(b.ts) - epoch_ms(bts)) THEN fval
+                ELSE bval END AS pvalue
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+    "nearest as-of join: each click takes whichever purchase is closer "
+    "in time (ties → backward) — still the one-shuffle union+window "
+    "plan, both carry directions in a single pass",
+)
+def asof_join_nearest_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = as_of_join(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="nearest"
+    )
+    return joined.select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "pvalue")
+
+
+@defquery(
     "range_join_price_bands",
     """
     WITH bands AS (
@@ -2645,6 +2680,147 @@ def winnowing_q(spark, sf_dir):
     hs = d.withColumn("__hs__", TX.shingle_hashes(F.col("text")))
     return hs.select(
         "doc_id", F.explode(TX.winnowing_from_hashes(F.col("__hs__"))).alias("fp")
+    )
+
+
+@defquery(
+    "decontaminate_ngram_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 11),
+                         i -> array_to_string(t[i:i+12], ' '))) END AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0),
+    tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 7 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_13grams
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+    "training-set decontamination: flag train docs sharing any 13-gram "
+    "with the held-out eval slice (docs with doc_id % 7 = 0 stand in "
+    "for a benchmark set). The eval shingle set is BROADCAST — real "
+    "benchmark suites are tiny next to a 100 TB corpus, so the train "
+    "side never shuffles; shingles join as xxhash64 longs",
+)
+def decontaminate_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.word_shingles(F.col("text"), 13))).alias("s")
+    ).withColumn("s", F.xxhash64("s"))
+    ev = ex.filter(F.col("doc_id") % 7 == 0).select("s").distinct()
+    tr = ex.filter(F.col("doc_id") % 7 != 0)
+    return tr.join(F.broadcast(ev), "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_13grams")
+    )
+
+
+# shared constants so the Spark Columns and the DuckDB oracle are
+# generated from the same regexes (memory rule: one expression tree)
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@defquery(
+    "pii_redact_stats",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS txt
+      FROM documents),
+    red AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(txt, '{_PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(txt, '{_PII_PHONE_RE}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(txt, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+      FROM seeded)
+    SELECT source, CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_phones) AS BIGINT) AS phones,
+           count(DISTINCT redacted_md5) AS n_distinct_redacted
+    FROM red GROUP BY source
+    """,
+    "PII scrubbing: regex redaction of emails/phone patterns (seeded "
+    "deterministically per doc since the corpus is synthetic), counted "
+    "per source; pure JVM regexp_replace/extract_all — no Python, "
+    "codegen'd, scales linearly with no shuffle before the final agg",
+)
+def pii_redact_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("doc_id", "source", txt.alias("txt"))
+    red = seeded.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(txt, '{_PII_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(txt, '{_PII_PHONE_RE}', 0)")).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("txt"), _PII_EMAIL_RE, "<EMAIL>"),
+                _PII_PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+    return red.groupBy("source").agg(
+        F.sum("n_emails").cast("bigint").alias("emails"),
+        F.sum("n_phones").cast("bigint").alias("phones"),
+        F.countDistinct("redacted_md5").alias("n_distinct_redacted"),
+    )
+
+
+# Gopher-style rule constants, shared by both engines
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 20, 1000
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 2.0, 8.0
+
+
+@defquery(
+    "quality_gopher_rules",
+    f"""
+    WITH m AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS wc,
+             CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\\s+')) AS mwl,
+             contains(concat(' ', lower(text), ' '), ' the ')
+               OR contains(concat(' ', lower(text), ' '), ' a ') AS has_stop
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN wc BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX}
+                          AND mwl BETWEEN {_GOPHER_MWL_MIN} AND {_GOPHER_MWL_MAX}
+                          AND has_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM m GROUP BY source
+    """,
+    "Gopher-style document quality gate (published rule family: word-"
+    "count bounds, mean-word-length bounds, stopword presence) adapted "
+    "to the synthetic corpus; per-source pass counts. Single scan, "
+    "codegen'd Column expressions, one agg shuffle on source",
+)
+def gopher_rules_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    low = F.trim(F.lower(F.col("text")))
+    wc = F.size(F.split(low, r"\s+"))
+    mwl = F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / wc
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    has_stop = padded.contains(" the ") | padded.contains(" a ")
+    passed = (
+        wc.between(_GOPHER_WC_MIN, _GOPHER_WC_MAX)
+        & mwl.between(_GOPHER_MWL_MIN, _GOPHER_MWL_MAX)
+        & has_stop
+    )
+    return d.select("source", passed.alias("p")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("p").cast("int")).cast("bigint").alias("n_pass"),
     )
 
 
