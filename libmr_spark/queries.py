@@ -629,6 +629,27 @@ def approx_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "kv_scan_pyds",
+    f"SELECT key, type FROM {KV_SQL} kv",
+    "keyspace scan through the custom Python DataSource "
+    "(spark.read.format('libmr_kv')) — one Spark input partition per "
+    "CRC16 slot range, the reference's shard-scan shape as a real "
+    "pluggable source (sources/pyds.py)",
+)
+def kv_scan_pyds_q(spark, sf_dir):
+    from .sources.pyds import register_kv_datasource
+
+    register_kv_datasource(spark)
+    return (
+        spark.read.format("libmr_kv")
+        .option("sf_dir", sf_dir)
+        .option("numPartitions", "4")
+        .load()
+        .select("key", "type")
+    )
+
+
 # --------------------------------------------------------------------
 # multi-way joins & subqueries (Catalyst join reordering, decorrelation)
 # --------------------------------------------------------------------
@@ -1114,6 +1135,54 @@ def streaming_tumbling_q(spark, sf_dir):
     )
     run_to_memory_sink(out, "q_streaming_tumbling", output_mode="complete")
     return spark.table("q_streaming_tumbling")
+
+
+@defquery(
+    "streaming_sliding_window",
+    """
+    WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS ms, event_type, value FROM events),
+    w AS (SELECT ms, event_type, value,
+                 unnest([ms // 3600000 - 1, ms // 3600000]) AS h FROM e)
+    SELECT h * 3600000 AS window_start_ms, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    "REAL streaming sliding windows (2h window, 1h slide — every event "
+    "lands in two windows): readStream → window(duration, slide) → "
+    "availableNow drain; oracle explodes each event into its two "
+    "window starts with pure epoch-ms arithmetic (timezone-proof)",
+)
+def streaming_sliding_q(spark, sf_dir):
+    import os as _os
+
+    from .streaming.windows import run_to_memory_sink, sliding_window_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_os.path.join(sf_dir, "events*.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    win = sliding_window_agg(
+        sdf,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        ],
+    )
+    out = win.select(
+        F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    run_to_memory_sink(out, "q_streaming_sliding", output_mode="complete")
+    return spark.table("q_streaming_sliding")
 
 
 @defquery(
@@ -2622,6 +2691,29 @@ def udtf_q(spark, sf_dir):
         GROUP BY t.token
         ORDER BY n DESC, token ASC LIMIT 50
         """
+    )
+
+
+@defquery(
+    "udaf_sum_squares_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "custom UDAF surface: a grouped-agg pandas_udf (Arrow-batched "
+    "Series → scalar) computing an integer-exact sum of squares — "
+    "int64 arithmetic makes the Python aggregate deterministic under "
+    "any partitioning, which is why the demo isn't a float mean",
+)
+def udaf_q(spark, sf_dir):
+    from .functions.udafs import count_rows, sum_squares
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        sum_squares(F.col("l_quantity")).alias("sum_sq_qty"),
+        count_rows(F.col("l_quantity")).alias("n"),
     )
 
 

@@ -286,6 +286,12 @@ def test_plans_bound_shuffles(spark, sf_dir):
     assert "WindowGroupLimit" in topk_plan
     assert "Exchange rangepartitioning" not in topk_plan
 
+    # decontamination: the eval shingle set broadcasts — the (100 TB)
+    # train side must never shuffle for the overlap join
+    dc = QUERIES["decontaminate_ngram_overlap"].fn(spark, sf_dir)
+    assert uses_broadcast_join(dc)
+    assert count_exchanges(dc) <= 2  # eval distinct + final per-doc agg
+
 
 def test_python_udtf_tokenize(spark):
     from libmr_spark.functions.udtfs import Tokenize, register_udtfs

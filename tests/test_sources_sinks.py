@@ -82,3 +82,37 @@ def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
     kv.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     assert _sorted_rows(back, ["key", "value"]) == _sorted_rows(kv, ["key", "value"])
+
+
+def test_kv_datasource(spark, duck, sf_dir):
+    # custom Python DataSource (Spark 4 pluggable-source API): the kv
+    # keyspace served through spark.read.format("libmr_kv"), one input
+    # partition per CRC16 slot range — the reference's shard-scan shape
+    from pyspark.sql import functions as F
+
+    from libmr_spark.core.partitioner import key_slot
+    from libmr_spark.sources.pyds import register_kv_datasource
+
+    register_kv_datasource(spark)
+    df = (
+        spark.read.format("libmr_kv")
+        .option("sf_dir", sf_dir)
+        .option("numPartitions", "4")
+        .load()
+    )
+    want = sorted(
+        r[0] for r in duck.sql("SELECT concat('key', CAST(o_orderkey AS VARCHAR)) FROM orders").fetchall()
+    )
+    assert sorted(r.key for r in df.select("key").collect()) == want
+
+    # slot-locality: every key's CRC16 slot falls in its partition's range
+    with_pid = df.withColumn("pid", F.spark_partition_id()).select("key", "pid").collect()
+    assert {r.pid for r in with_pid} == {0, 1, 2, 3}
+    step = 16384 // 4
+    for r in with_pid:
+        assert r.pid * step <= key_slot(r.key) < (r.pid + 1) * step
+
+    # prefix filter applied inside the source (KeysReader parity)
+    some = spark.read.format("libmr_kv").option("sf_dir", sf_dir).option("prefix", "key1").load()
+    got = [r.key for r in some.collect()]
+    assert got and all(k.startswith("key1") for k in got)
