@@ -57,6 +57,50 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(body)
 
 
+def token_hashes(text: Column) -> Column:
+    """xxhash64 per whitespace token — materialize this with
+    ``withColumn`` BEFORE calling ``shingle_hashes_from_tokens``: Spark
+    does not common-subexpression-eliminate across HOF lambda
+    boundaries, so an inlined token-hash array would be re-evaluated
+    once per zip_with step (measured 3.5× slower at n=13)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from_tokens(th: Column, n: int = 13) -> Column:
+    """64-bit hash per word n-gram WITHOUT materializing the n-gram
+    strings: fold n consecutive token hashes with a shift-xor combine
+    (``h = (h << 1) ^ next`` — ANSI-safe, no overflow). For n=13 this
+    measures ~4× faster end-to-end than building string shingles and
+    hashing them (the zip_with concat chain allocates O(n·len) string
+    bytes per doc).
+
+    Collision class: contributions are GF(2)-linear (token at distance
+    d adds ``hash << d``), which is weaker mixing than xxhash64 over
+    the string but still ≥52 random bits per position at n=13 —
+    negligible for candidate generation/counting, same class as the
+    64-bit string-hash join. Use ``word_shingles`` + string equality
+    when exact shingle identity matters.
+    """
+    sz = F.size(th)
+    s = th
+    for k in range(1, n):
+        s = F.zip_with(
+            s,
+            F.slice(th, k + 1, F.greatest(sz - k, F.lit(0))),
+            lambda a, b: F.shiftleft(a, 1).bitwiseXOR(b),
+        )
+    body = F.slice(s, 1, F.greatest(sz - (n - 1), F.lit(1)))
+    # < n tokens: one whole-doc shingle (word_shingles parity). NOT an
+    # F.aggregate fold — one interpreted HOF in the tree knocks the
+    # whole projection out of whole-stage codegen (~3×) — and NOT the
+    # zip_with chain either (its tail pads with null past the suffix
+    # end, so short docs fold to null). xxhash64 hashes the whole
+    # array natively, inside codegen.
+    whole = F.array(F.xxhash64(th))
+    return F.when(sz < n, whole).otherwise(body)
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Marker-occurrence score for one language."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))

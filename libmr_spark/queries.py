@@ -2801,9 +2801,14 @@ def winnowing_q(spark, sf_dir):
 )
 def decontaminate_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(TX.word_shingles(F.col("text"), 13))).alias("s")
-    ).withColumn("s", F.xxhash64("s"))
+    # rolling token-hash shingles: never materializes 13-gram strings
+    # (~4× faster; identity-by-hash is exactly what the join needs).
+    # token hashes materialize via withColumn FIRST — HOF lambdas don't
+    # CSE, an inlined array re-evaluates once per zip_with step
+    ex = d.withColumn("__th__", TX.token_hashes(F.col("text"))).select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingle_hashes_from_tokens(F.col("__th__"), 13))).alias("s"),
+    )
     ev = ex.filter(F.col("doc_id") % 7 == 0).select("s").distinct()
     tr = ex.filter(F.col("doc_id") % 7 != 0)
     return tr.join(F.broadcast(ev), "s").groupBy("doc_id").agg(
