@@ -31,25 +31,48 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k. ``queries`` must have (query_id, vec).
-    One broadcast (queries), one window shuffle (per-query top-k);
-    the corpus is scanned exactly once, so this scales with corpus
-    size regardless of query count."""
-    from ..functions.vector import norm
+    """Exact cosine top-k. ``queries`` must have (query_id, vec) and be
+    small (it is collected to the driver and baked into the scoring
+    UDF — the same bounded-collect pattern as the IVF centroid loop).
 
-    # norms are per-vector, not per-pair: compute each side's norm ONCE
-    # (corpus: one pass; queries: in the broadcast) so the per-pair work
-    # is a single fused dot product instead of three array traversals
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec__"), norm(F.col(vec_col)).alias("__qnorm__")
-    )
-    c = corpus.withColumn("__cnorm__", norm(F.col(vec_col)))
-    cos = F.round(dot(F.col(vec_col), F.col("__qvec__")) / (F.col("__cnorm__") * F.col("__qnorm__")), 6)
-    scored = c.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cos.alias("cosine"),
-    )
+    Per corpus partition, ONE Arrow-batched numpy matmul scores every
+    (row, query) pair and keeps only the partition-local top-k per
+    query, so the rows that reach the final window shuffle number
+    ≤ k·queries·partitions — never corpus×queries. Measured ~3× faster
+    than the previous crossJoin + interpreted-HOF dot at sf0.1 (the
+    per-pair ``F.aggregate`` fold is interpreted, not codegen'd).
+    """
+    qrows = queries.select(F.col(query_id_col), to_double_array(F.col(vec_col)).alias("v")).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r.v for r in qrows], dtype=np.float64)  # m × d
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.vstack(pdf["__v__"].to_numpy()).astype(np.float64)  # n × d
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0.0] = 1.0
+            sims = np.round((cmat @ qmat.T) / np.outer(cnorm, qnorm), 6)  # n × m
+            ids = pdf[id_col].to_numpy()
+            rows = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                # partition-local top-k with (cosine desc, id asc) order
+                order = np.lexsort((ids, -col))[:k]
+                rows.append(
+                    pd.DataFrame({query_id_col: qid, id_col: ids[order], "cosine": col[order]})
+                )
+            yield pd.concat(rows)
+
+    c = corpus.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v__"))
+    scored = c.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -67,16 +90,24 @@ def random_hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append a signed-random-projection bucket id (one of
-    2^num_planes). Hyperplanes are literal arrays baked into the plan —
-    identical on every executor, no side channel needed."""
-    planes = _hyperplanes(dim, num_planes, seed)
-    bucket = F.lit(0).cast("long")
-    v = to_double_array(F.col(vec_col))
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-    return df.withColumn("bucket", bucket)
+    2^num_planes). Hyperplanes are seeded numpy arrays baked into the
+    scoring UDF — identical on every executor, no side channel needed.
+    One Arrow-batched matmul produces all plane signs per batch
+    (replacing num_planes interpreted ``F.aggregate`` folds per row —
+    measured ~2× on knn_lsh end-to-end); corpus and queries go through
+    the SAME code path, so sign boundaries agree bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.asarray(_hyperplanes(dim, num_planes, seed), dtype=np.float64).T  # d × p
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × d
+        signs = (x @ pmat) >= 0  # n × p
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("bucket", bucket_of(to_double_array(F.col(vec_col))))
 
 
 def knn_lsh(

@@ -3271,10 +3271,21 @@ _DRIVER_CHECKED: set[str] = {
 }
 
 
+# brand-new queries (never seen by ANY gate — driver or judge re-run)
+# outrank round-1 entries the judge already re-verified locally
+_NEWEST = [
+    "asof_join_events_forward", "asof_join_events_nearest",
+    "decontaminate_ngram_overlap", "pii_redact_stats",
+    "quality_gopher_rules", "streaming_sliding_window",
+    "udaf_sum_squares_by_flag", "kv_scan_pyds",
+]
+
+
 def _export_order() -> list[str]:
-    unchecked = [n for n in QUERIES if n not in _DRIVER_CHECKED]
+    newest = [n for n in _NEWEST if n in QUERIES]
+    unchecked = [n for n in QUERIES if n not in _DRIVER_CHECKED and n not in _NEWEST]
     checked = [n for n in QUERIES if n in _DRIVER_CHECKED]
-    return unchecked + checked
+    return newest + unchecked + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
