@@ -1,0 +1,423 @@
+"""Round-3 coverage extensions: sink round-trips (partitioned parquet /
+ORC / CSV), additional window analytics, corpus-statistics operators for
+training-data pipelines (repetition, unigram-LM scoring, tf-idf,
+dup-rate-by-source), embedding quantization/norm statistics, and a
+complete-mode streaming top-k.
+
+Registered into the same ``QUERIES`` dict as queries.py (imported from
+there, after the base inventory) so the driver sees one namespace.
+
+Determinism notes follow queries.py's module docstring: decimal-exact
+money math, per-row float expressions evaluated left-to-right in both
+engines, ``round(x, 6)`` before any cross-engine comparison of
+libm-derived values (ln), and unique tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import QUERIES, _t, defquery  # noqa: F401
+
+SINK_ROOT = "/tmp/libmr_spark_sinks"
+
+
+def _sink_dir(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(SINK_ROOT, name, tag)
+
+
+# --------------------------------------------------------------------
+# Window analytics
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "window_percent_rank_cume",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "percent_rank + cume_dist per status partition (deterministic "
+    "tie-break on o_orderkey). One exchange: both functions share a "
+    "single window sort.",
+)
+def window_percent_rank_cume_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------
+# Sink round-trips: the write path is the operator under test; the
+# oracle is the equivalent query over the ORIGINAL table, so a lossy
+# sink (dropped rows, mangled types, partition mis-assignment) fails
+# the hash compare.
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "sink_partitioned_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "partitioned parquet sink: write orders partitioned by "
+    "o_orderstatus (hive-style layout — at 100 TB this is how query "
+    "engines get partition pruning), read the directory back, "
+    "aggregate. Partition values round-trip through directory names.",
+)
+def sink_partitioned_roundtrip_q(spark, sf_dir):
+    path = _sink_dir("orders_by_status", sf_dir)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@defquery(
+    "sink_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "ORC sink + source round-trip (the second columnar format the "
+    "engine supports beyond parquet): write lineitem's agg columns to "
+    "ORC, read back, aggregate.",
+)
+def sink_orc_roundtrip_q(spark, sf_dir):
+    path = _sink_dir("lineitem_orc", sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@defquery(
+    "sink_csv_roundtrip",
+    """
+    SELECT r.r_name, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "CSV sink + source round-trip with an explicit read schema (header "
+    "on, so the file is self-describing for external tools): nations "
+    "per region through two CSV hops.",
+)
+def sink_csv_roundtrip_q(spark, sf_dir):
+    npath = _sink_dir("nation_csv", sf_dir)
+    rpath = _sink_dir("region_csv", sf_dir)
+    _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(npath)
+    _t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(rpath)
+    n = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option("header", "true").csv(npath)
+    r = spark.read.schema("r_regionkey int, r_name string").option("header", "true").csv(rpath)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus statistics for training-data pipelines
+# --------------------------------------------------------------------
+
+_TOK_SQL = (
+    "tok AS (SELECT doc_id, lang, source, t.term FROM documents, "
+    "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> '')"
+)
+
+
+@defquery(
+    "text_repetition_stats",
+    f"""
+    WITH {_TOK_SQL},
+    wc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           round(count(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           round(max(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_word_frac
+    FROM wc GROUP BY doc_id
+    """,
+    "Gopher-style repetition signals per doc: type-token ratio and "
+    "top-word fraction. High top-word fraction / low TTR flags "
+    "degenerate repetitive text that slips past length filters. One "
+    "explode + two hash aggregates — scales linearly.",
+)
+def text_repetition_stats_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    wc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("ttr"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_word_frac"),
+    )
+
+
+@defquery(
+    "text_unigram_logprob",
+    f"""
+    WITH {_TOK_SQL},
+    freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(CAST(AVG(CAST(round(ln(f.tf / tot.n), 6) AS DECIMAL(18,8))) AS DOUBLE), 6) AS avg_logprob
+    FROM tok t JOIN freq f ON t.term = f.term CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    "unigram language-model score per doc: mean log-probability of its "
+    "words under the corpus unigram distribution — the classic cheap "
+    "perplexity proxy for quality filtering. The term-frequency table "
+    "broadcasts (vocab ≪ corpus); per-word logs are rounded then "
+    "averaged in DECIMAL so both engines agree bit-for-bit.",
+)
+def text_unigram_logprob_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = float(freq.agg(F.sum("tf")).first()[0])
+    scored = tok.join(F.broadcast(freq), "term").select(
+        "doc_id",
+        F.round(F.log(F.col("tf") / F.lit(total)), 6).cast("decimal(18,8)").alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(F.avg("lp").cast("double"), 6).alias("avg_logprob"),
+    )
+
+
+@defquery(
+    "tfidf_top_terms",
+    f"""
+    WITH {_TOK_SQL},
+    tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             round(tf.tf * ln(nd.n / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+    ranked AS (
+      SELECT lang, term, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+    SELECT lang, term, tfidf, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+    """,
+    "tf-idf top-5 terms per language: corpus-level tf per lang × "
+    "inverse document frequency. df/idf tables are vocabulary-sized "
+    "and broadcast; the per-group top-k prunes with WindowGroupLimit.",
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = float(d.count())
+    scored = tf.join(F.broadcast(df), "term").select(
+        "lang", "term", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@defquery(
+    "dup_rate_by_source",
+    # reuse the exact-shingle pair definition the dedup family pins
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6),
+    dup_docs AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           round(count(dd.doc_id) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+    """,
+    "near-duplicate rate per source: which corpus slices are "
+    "boilerplate farms. Joins the (tiny) dup-pair vertex set back to "
+    "the corpus — the pair set comes from the capped inverted-index "
+    "path, so the whole query keeps the dedup family's scale shape.",
+)
+def dup_rate_by_source_q(spark, sf_dir):
+    from .operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup__", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup__").cast("bigint").alias("n_dup_docs"),
+            F.round(F.count("__dup__") / F.count(F.lit(1)).cast("double"), 6).alias("dup_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding-table statistics
+# --------------------------------------------------------------------
+
+_DIM_SQL = (
+    "dims AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos, "
+    "unnest(embedding)::DOUBLE AS val FROM embeddings)"
+)
+
+
+@defquery(
+    "embedding_quantize_int8",
+    f"""
+    WITH {_DIM_SQL},
+    rng AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM dims GROUP BY pos),
+    q AS (
+      SELECT d.vec_id,
+             CAST(CASE WHEN r.mx = r.mn THEN 0
+                  ELSE least(floor((d.val - r.mn) / (r.mx - r.mn) * 255), 255) END AS BIGINT) AS qv
+      FROM dims d JOIN rng r ON d.pos = r.pos)
+    SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS qsum,
+           CAST(MIN(qv) AS BIGINT) AS qmin, CAST(MAX(qv) AS BIGINT) AS qmax
+    FROM q GROUP BY vec_id
+    """,
+    "scalar int8 quantization of the embedding table: per-dimension "
+    "min/max (a 64-row table — broadcast), each value floor-mapped to "
+    "0..255. The qsum/qmin/qmax checksum pins every quantized cell "
+    "without comparing 64-wide arrays. At 100 TB the range table is "
+    "one tiny agg + broadcast; quantization is a map-only pass "
+    "(integer output = 4× smaller vectors for ANN serving).",
+)
+def embedding_quantize_int8_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    rng = dims.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    qv = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(F.least(F.floor((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255), F.lit(255)))
+        .cast("bigint")
+    )
+    q = dims.join(F.broadcast(rng), "pos").select("vec_id", qv.alias("qv"))
+    return q.groupBy("vec_id").agg(
+        F.sum("qv").cast("bigint").alias("qsum"),
+        F.min("qv").cast("bigint").alias("qmin"),
+        F.max("qv").cast("bigint").alias("qmax"),
+    )
+
+
+@defquery(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(CAST(AVG(CAST(round(sqrt(list_aggregate(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS DECIMAL(18,8))) AS DOUBLE), 6) AS avg_norm,
+           CAST(MIN(CAST(round(sqrt(list_aggregate(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS DECIMAL(18,8))) AS DOUBLE) AS min_norm,
+           CAST(MAX(CAST(round(sqrt(list_aggregate(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS DECIMAL(18,8))) AS DOUBLE) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    "per-label L2-norm statistics (unnormalized embeddings poison "
+    "cosine ANN — this is the sanity gate): per-row norm is a "
+    "left-to-right JVM fold, rounded then aggregated in DECIMAL for "
+    "cross-engine bit-equality.",
+)
+def embedding_norm_stats_q(spark, sf_dir):
+    from .functions.vector import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    nr = e.select(
+        "label", F.round(norm(F.col("embedding")), 6).cast("decimal(18,8)").alias("nrm")
+    )
+    return nr.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm").cast("double"), 6).alias("avg_norm"),
+        F.min("nrm").cast("double").alias("min_norm"),
+        F.max("nrm").cast("double").alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------
+# Streaming: complete-mode global aggregate + top-k
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_topk_event_types",
+    """
+    SELECT event_type, n FROM (
+      SELECT event_type, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+      FROM events GROUP BY event_type) t
+    WHERE rk <= 3
+    """,
+    "REAL streaming complete-mode global aggregate with sort+limit "
+    "(only legal in complete mode): running top-3 event types by "
+    "count, drained with availableNow — must equal the batch top-3.",
+)
+def streaming_topk_event_types_q(spark, sf_dir):
+    from .sources.readers import events_stream
+    from .streaming.windows import run_to_memory_sink
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    run_to_memory_sink(sdf, "q_streaming_topk", output_mode="complete")
+    return spark.table("q_streaming_topk").select("event_type", "n")

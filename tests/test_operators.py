@@ -382,3 +382,66 @@ def test_plans_tpch_extension_shapes(spark, sf_dir):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", formatted_plan(funnel), re.MULTILINE)
     assert len(scans) == 1
+
+
+def test_embedding_neardup_bucketed_equals_allpairs(spark, emb):
+    """The grid-LSH equi-join path must be EXACT (recall 1): identical
+    pair set + cosines to the all-pairs form on a corpus with planted
+    near-duplicate vectors (small additive noise -> cosine ~0.99)."""
+    perturbed = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 400000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.0 + 0.02).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.limit(120).unionByName(perturbed)
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in DD.embedding_neardup_pairs(corpus, threshold=0.9).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in DD.embedding_neardup_pairs_bucketed(corpus, threshold=0.9).collect()
+    }
+    assert exact, "planted near-dups must produce pairs"
+    assert bucketed == exact
+
+
+def test_embedding_neardup_plan_has_no_cartesian(spark, sf_dir):
+    """Scale pin for the exported dedup_embedding_cosine: candidate
+    generation must be an equi-join on the grid cell, never an O(n^2)
+    cartesian / broadcast-nested-loop."""
+    from libmr_spark.plans.explain import formatted_plan
+    from libmr_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_hot_fingerprint_cap(spark):
+    """Same contract as the n-gram hot-shingle cap: capped and uncapped
+    winnowing pair sets are identical (exact overlap via the correction
+    join), and the ubiquitous boilerplate fingerprint is kept out of
+    candidate generation."""
+    n = 40
+    rows = [(i, f"common boiler plate shared everywhere unique{i} text{i} words{i}") for i in range(n)]
+    rows.append((1000, rows[0][1] + " tail"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = DD.winnowing_pairs(corpus, threshold=0.3, max_df=5)
+    uncapped = DD.winnowing_pairs(corpus, threshold=0.3, max_df=None)
+    got_c = {(r.id_a, r.id_b, round(r.overlap, 9)) for r in capped.collect()}
+    got_u = {(r.id_a, r.id_b, round(r.overlap, 9)) for r in uncapped.collect()}
+    # every capped pair carries the EXACT score (correction join):
+    # capped ⊆ uncapped with identical overlap values. Pairs sharing
+    # ONLY hot boilerplate fingerprints are the documented recall
+    # trade-off — they exist here by construction and may be absent
+    # from the capped set.
+    assert got_c <= got_u
+    # the planted near-dup shares rare fingerprints → must survive the
+    # cap, with a score identical to the uncapped run
+    planted_c = {(a, b, s) for a, b, s in got_c if a == 0 and b == 1000}
+    planted_u = {(a, b, s) for a, b, s in got_u if a == 0 and b == 1000}
+    assert planted_c and planted_c == planted_u
