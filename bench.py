@@ -59,6 +59,10 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "pii_redact_stats",
     "quality_gopher_rules",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "sink_partitioned_roundtrip",
 ]
 
 

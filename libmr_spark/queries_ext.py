@@ -421,3 +421,293 @@ def streaming_topk_event_types_q(spark, sf_dir):
     )
     run_to_memory_sink(sdf, "q_streaming_topk", output_mode="complete")
     return spark.table("q_streaming_topk").select("event_type", "n")
+
+
+# --------------------------------------------------------------------
+# Time-series gap filling (hypertable-style rollup + interpolation)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "events_gap_fill_ffill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+             CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS avg_v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+    dom AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM bounds),
+    j AS (
+      SELECT dom.event_type, dom.hr, coalesce(h.n, 0) AS n,
+             round(last_value(h.avg_v IGNORE NULLS) OVER (
+               PARTITION BY dom.event_type ORDER BY dom.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_avg
+      FROM dom LEFT JOIN hourly h ON h.event_type = dom.event_type AND h.hr = dom.hr)
+    SELECT event_type, CAST(epoch_ms(hr) AS BIGINT) AS hour_ms,
+           CAST(n AS BIGINT) AS n, filled_avg
+    FROM j
+    """,
+    "hypertable-style hourly rollup with gap filling + forward fill: "
+    "generate the dense hour domain per event_type (sequence explode), "
+    "left-join the real hourly aggregate, carry the last non-null "
+    "average forward (last_value IGNORE NULLS over an unbounded-"
+    "preceding frame). The domain explode is bounded by "
+    "types × hours — never by event volume — and the fill is one "
+    "window over the (small) dense series.",
+)
+def events_gap_fill_ffill_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("value").cast("decimal(18,4)")).cast("double").alias("avg_v"),
+    )
+    dom = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hr"),
+        )
+    )
+    j = dom.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.unix_millis("hr").alias("hour_ms"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.last("avg_v", ignorenulls=True).over(w), 6).alias("filled_avg"),
+    )
+
+
+# --------------------------------------------------------------------
+# Streaming: stream-static join
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_stream_static_join",
+    """
+    WITH pdim AS (
+      SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT e.event_id, e.user_id, coalesce(p.n_purchases, 0) AS n_purchases
+    FROM events e LEFT JOIN pdim p ON e.user_id = p.user_id
+    WHERE e.event_type = 'click'
+    """,
+    "REAL stream-static join: the click stream enriched against a "
+    "static per-user purchase-count dimension (computed batch-side, "
+    "broadcast into every micro-batch — the standard dimension-"
+    "enrichment shape; the static side is re-resolved per batch on a "
+    "real cluster, giving slowly-changing-dim refresh for free).",
+)
+def streaming_stream_static_join_q(spark, sf_dir):
+    from .sources.readers import events_stream, events_table
+    from .streaming.windows import run_to_memory_sink
+
+    pdim = (
+        events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = clicks.join(F.broadcast(pdim), "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("n_purchases", F.lit(0)).alias("n_purchases")
+    )
+    run_to_memory_sink(out, "q_streaming_static_join", output_mode="append")
+    return spark.table("q_streaming_static_join")
+
+
+# --------------------------------------------------------------------
+# Bucketed co-located join (no shuffle on either fact side)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "bucketed_join_no_shuffle",
+    """
+    SELECT o_orderstatus, count(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    "bucketed co-located fact-fact join: both tables written bucketed "
+    "(+sorted) on the join key, so the sort-merge join reads matching "
+    "buckets directly — ZERO exchange on either side (pinned by "
+    "test_bucketed_join_plan). At 100 TB this is THE way to make a "
+    "recurring fact-fact join cheap: pay the bucketing shuffle once at "
+    "ingest, never again per query.",
+)
+def bucketed_join_no_shuffle_q(spark, sf_dir):
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ob, lb = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    if not spark.catalog.tableExists(ob):
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", _sink_dir(ob, sf_dir))
+            .mode("overwrite")
+            .saveAsTable(ob)
+        )
+    if not spark.catalog.tableExists(lb):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", _sink_dir(lb, sf_dir))
+            .mode("overwrite")
+            .saveAsTable(lb)
+        )
+    o, li = spark.table(ob), spark.table(lb)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Exact percentiles / bivariate statistics
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+    "exact interpolated percentiles (p25/p50/p75/p95) per event type in "
+    "one aggregate pass — Spark's percentile() takes the array of "
+    "fractions, so all four come from a single sort per group. The "
+    "approximate twin for 100 TB is percentile_approx (see "
+    "approx_aggregates); this is the exact gate for it.",
+)
+def percentiles_by_type_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.50, 0.75, 0.95]))
+    return e.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p25"),
+        F.round(pct[1], 6).alias("p50"),
+        F.round(pct[2], 6).alias("p75"),
+        F.round(pct[3], 6).alias("p95"),
+    )
+
+
+@defquery(
+    "stats_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(stddev_samp(l_quantity), 6) AS sd_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "bivariate statistics per return flag: Pearson correlation, sample "
+    "covariance, stddev — single-pass streaming moments in both "
+    "engines, rounded before compare (summation order differs across "
+    "engines at the 1e-12 level).",
+)
+def stats_corr_covar_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_q"),
+    )
+
+
+# --------------------------------------------------------------------
+# MapType: JSON props → map explode → per-key statistics
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "props_map_stats",
+    """
+    WITH kv AS (
+      SELECT event_type, unnest(json_keys(props)) AS key,
+             CAST(json_extract(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, key, count(*) AS n,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+    FROM kv GROUP BY event_type, key
+    """,
+    "JSON → MapType explode: parse the props JSON into map<string,"
+    "bigint>, explode to (key, value) rows, aggregate per (event_type, "
+    "key) — schema-free ingestion of semi-structured payloads without "
+    "a fixed from_json struct. Generic over any key set the driver "
+    "generates.",
+)
+def props_map_stats_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    kv = e.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,bigint>")).alias("key", "v"),
+    )
+    return kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.min("v").cast("bigint").alias("vmin"),
+        F.max("v").cast("bigint").alias("vmax"),
+    )
+
+
+# --------------------------------------------------------------------
+# Streaming: foreachBatch sink
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_foreach_batch_sink",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "REAL foreachBatch sink: the escape hatch for sinks Structured "
+    "Streaming lacks natively (JDBC upserts, multi-table writes) — "
+    "each micro-batch DataFrame is written by arbitrary batch code "
+    "(here: parquet append), then the materialized output is "
+    "aggregated and must equal the batch count.",
+)
+def streaming_foreach_batch_sink_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources.readers import events_stream
+
+    path = _sink_dir("foreach_batch_out", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(path)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_feb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -82,3 +82,53 @@ def sessionizer(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_stats_tws(sdf, value_col: str = "value") -> DataFrame:
+    """Per-key running (count, max) via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: typed state handles
+    (value/list/map state), timers, and TTL, backed by the RocksDB
+    state store.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf-based state-server protocol; on hosts with a broken
+    ``google.protobuf`` install the query fails at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The operator is
+    therefore exercised by a skip-gated test
+    (tests/test_streaming.py::test_transform_with_state_user_stats)
+    rather than the oracle-gated query surface; the
+    applyInPandasWithState sessionizer above is the always-available
+    stateful path. ``sdf`` is a GroupedData (``stream.groupBy(key)``);
+    set the RocksDB state-store provider before starting the query.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n bigint, vmax double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, vmax = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                m = pdf[value_col].max()
+                vmax = m if vmax is None else max(vmax, m)
+            if self._state.exists():
+                pn, pv = self._state.get()
+                n += pn
+                vmax = pv if vmax is None else max(vmax, pv)
+            self._state.update((n, float(vmax)))
+            yield pd.DataFrame([{"user_id": key[0], "n": n, "vmax": float(vmax)}])
+
+        def close(self) -> None:
+            pass
+
+    return sdf.transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id bigint, n bigint, vmax double",
+        outputMode="Update",
+        timeMode="None",
+    )

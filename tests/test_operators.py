@@ -445,3 +445,21 @@ def test_winnowing_hot_fingerprint_cap(spark):
     planted_c = {(a, b, s) for a, b, s in got_c if a == 0 and b == 1000}
     planted_u = {(a, b, s) for a, b, s in got_u if a == 0 and b == 1000}
     assert planted_c and planted_c == planted_u
+
+
+def test_bucketed_join_plan_no_exchange(spark, sf_dir):
+    """Scale pin for bucketed_join_no_shuffle: the sort-merge join must
+    consume bucketed scans directly — no Exchange on either fact side
+    (the only exchange allowed is the final aggregate's)."""
+    import re
+
+    from libmr_spark.plans.explain import formatted_plan
+    from libmr_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_join_no_shuffle"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    # bucket pruning visible on the scans
+    assert "SelectedBucketsCount" in plan
+    # at most the aggregate exchange; the join inputs read pre-bucketed
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from libmr_spark.sources.readers import keys_reader, kv_table, load_table
@@ -116,3 +118,27 @@ def test_kv_datasource(spark, duck, sf_dir):
     some = spark.read.format("libmr_kv").option("sf_dir", sf_dir).option("prefix", "key1").load()
     got = [r.key for r in some.collect()]
     assert got and all(k.startswith("key1") for k in got)
+
+
+def test_schema_guard_loads_all_tables(spark, sf_dir):
+    """Every driver table loads under the dtype contract — the loud
+    early failure for the next testdata regeneration (round 2's events
+    drift surfaced as 11 per-query AnalysisExceptions instead)."""
+    from libmr_spark.sources.readers import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        assert df.columns, name
+    # events.ts lands as a session-tz timestamp whatever the file had
+    ts_type = dict(load_table(spark, "events", sf_dir).dtypes)["ts"]
+    assert ts_type == "timestamp"
+
+
+def test_schema_guard_detects_drift(spark):
+    from libmr_spark.sources.readers import SchemaDriftError, check_schema
+
+    bad = spark.createDataFrame([(1, "2024")], "event_id long, ts string")
+    with pytest.raises(SchemaDriftError) as ei:
+        check_schema("events", bad)
+    msg = str(ei.value)
+    assert "events" in msg and "'ts'" in msg and "user_id" in msg

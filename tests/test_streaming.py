@@ -105,3 +105,46 @@ def test_stateful_sessionizer_matches_batch_query(spark, events_dir, events_batc
     assert len(merged) == len(batch)
     assert (merged["n_sessions_s"] == merged["n_sessions_b"]).all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState python worker needs a functional google.protobuf",
+)
+def test_transform_with_state_user_stats(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: running per-user count/max
+    must equal the batch aggregate (single-file source = one batch)."""
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.readers import events_stream, events_table
+    from libmr_spark.streaming.stateful import user_stats_tws
+    from libmr_spark.streaming.windows import run_to_memory_sink
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    grouped = events_stream(spark, sf_dir).select("user_id", "value").groupBy("user_id")
+    out = user_stats_tws(grouped)
+    run_to_memory_sink(out, "t_tws_user_stats", output_mode="update")
+    got = {
+        r.user_id: (r.n, round(r.vmax, 6))
+        for r in spark.table("t_tws_user_stats").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.vmax, 6))
+        for r in events_table(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("vmax"))
+        .collect()
+    }
+    assert got == want
