@@ -1,0 +1,99 @@
+"""Iterative graph algorithms over pair/edge DataFrames.
+
+Complements the connected-components clustering in
+:mod:`..operators.dedup` (the other iterative operator): PageRank-style
+scoring of the near-duplicate graph ranks the "template" documents that
+many near-copies orbit — useful for choosing canonical survivors and
+for spotting boilerplate hubs in a crawl.
+
+Scale design mirrors connected_components: per-iteration work is one
+join + one aggregate over the EDGE list (never the corpus), lineage is
+truncated every iteration (iterative DataFrame plans grow exponentially
+in Catalyst otherwise), and iteration count is fixed — power iteration
+converges geometrically at rate = damping, so ~20 rounds give ~1e-3
+relative error regardless of graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    damping: float = 0.85,
+    iterations: int = 20,
+    undirected: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an edge list; returns ``(id_col, rank)``.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    handled as a 1-row aggregate broadcast-cross-joined into the update
+    (stays lazy: one job per iteration, no driver round-trip) rather
+    than materializing virtual edges to every node (which would be
+    |dangling|×|V| rows).
+
+    ``rank`` sums to 1.0 over nodes (probability interpretation);
+    everything stays distributed.
+    """
+    n_nodes = nodes.count()
+    if undirected:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    else:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # edge table annotated with source out-degree, reused every round
+    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    # the dangling node SET is rank-independent — compute once
+    dangling_ids = (
+        nodes.select(F.col(id_col).alias("u")).join(deg, "u", "left_anti").localCheckpoint(eager=True)
+    )
+
+    # ranks carries every node from round 0, so each update is a LEFT
+    # join of inflow onto the running rank table — no per-round join
+    # back to the corpus node list
+    ranks = nodes.select(F.col(id_col).alias("u")).withColumn(
+        "rank", F.lit(1.0 / n_nodes)
+    )
+    base = (1.0 - damping) / n_nodes
+    for it in range(iterations):
+        # mass flowing along edges: rank(u)/deg(u) to each neighbor v
+        contrib = (
+            ed.join(ranks, "u")
+            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass spreads uniformly — 1-row lazy aggregate,
+        # broadcast into the update
+        dangling = ranks.join(dangling_ids, "u", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm__")
+        )
+        ranks = (
+            ranks.select("u")
+            .join(contrib, "u", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm__") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        # truncate lineage periodically — every round doubles the plan,
+        # but a checkpoint costs a full materialization; every
+        # checkpoint_every rounds balances plan growth vs job count
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("u").alias(id_col), F.round("rank", 8).alias("rank"))

@@ -711,3 +711,28 @@ def streaming_foreach_batch_sink_q(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------
+# Iterative graph scoring (rows-only: power iteration is not
+# SQL-expressible; semantics pinned by test_pagerank_matches_reference)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "pagerank_dup_graph",
+    None,
+    "PageRank over the near-duplicate pair graph: ranks the template/"
+    "hub documents that many near-copies orbit (canonical-survivor "
+    "selection). Edge-list power iteration with per-round lineage "
+    "truncation — the second iterative operator beside connected "
+    "components. Rows-only: fixed-point iteration has no SQL oracle; "
+    "exactness is pinned against a dense-matrix reference in pytest.",
+)
+def pagerank_dup_graph_q(spark, sf_dir):
+    from .operators import dedup as DD
+    from .operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6).select("id_a", "id_b")
+    return pagerank(pairs, d.select("doc_id"), iterations=20)

@@ -463,3 +463,34 @@ def test_bucketed_join_plan_no_exchange(spark, sf_dir):
     assert "SelectedBucketsCount" in plan
     # at most the aggregate exchange; the join inputs read pre-bucketed
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_pagerank_matches_reference(spark):
+    """Distributed PageRank equals a dense-matrix power iteration with
+    identical damping/dangling handling (hand graph incl. a dangling
+    node and a disconnected edge)."""
+    import numpy as np
+
+    from libmr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {r.doc_id: r.rank for r in pagerank(edges, nodes, iterations=30).collect()}
+
+    ids = list(range(1, 7))
+    n = len(ids)
+    und = {(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)}
+    deg = {u: sum(1 for a, _ in und if a == u) for u in ids}
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(30):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[i] for i, u in enumerate(ids) if deg[u] == 0)
+        nxt += d * dangling / n
+        for (u, v) in und:
+            nxt[ids.index(v)] += d * r[ids.index(u)] / deg[u]
+        r = nxt
+    want = {u: round(float(r[i]), 8) for i, u in enumerate(ids)}
+    assert set(got) == set(want)
+    assert all(abs(got[u] - want[u]) < 1e-6 for u in ids)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
