@@ -265,3 +265,69 @@ def knn_ivf(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PCA: project every vector onto the top-``k``
+    principal components of the corpus.
+
+    Two passes, the standard big-data shape:
+
+    1. **Reduce pass** — each Arrow batch contributes a partial
+       ``(count, sum, X'X)`` via one matmul; partials are dim(+1)²
+       doubles, so the driver reduce handles dim²·partitions numbers —
+       never anything proportional to rows. Covariance =
+       ``X'X/n − μμ'``; eigendecomposition of the dim×dim matrix runs
+       on the driver (μs for any realistic dim).
+    2. **Map pass** — the k×dim component matrix is baked into a
+       broadcast-free pandas UDF (seeded constants travel with the
+       serialized closure) and applied as one matmul per batch.
+
+    Component SIGN is made deterministic (largest-|loading| coordinate
+    forced positive) so output doesn't flip between runs/partitionings.
+    Eigenvector ORDER follows descending eigenvalue with a stable index
+    tie-break. Scores are rounded to 6 for cross-run stability.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    agg = df.select(vec_col).mapInPandas(
+        partials, schema="n double, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in agg)
+    s = np.sum([np.asarray(r["s"]) for r in agg], axis=0)
+    dim = s.shape[0]
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in agg], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    comp = evecs[:, order].T  # k × dim
+    # deterministic sign: largest-|loading| coordinate positive
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        scores = np.round((x - mu) @ comp.T, 6)
+        return pd.Series(list(scores))
+
+    return df.select(id_col, project(F.col(vec_col)).alias("pc_scores"))

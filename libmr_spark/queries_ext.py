@@ -736,3 +736,132 @@ def pagerank_dup_graph_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, threshold=0.6).select("id_a", "id_b")
     return pagerank(pairs, d.select("doc_id"), iterations=20)
+
+
+# --------------------------------------------------------------------
+# Native session windows (batch form of the streaming operator)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "session_window_stats",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered)
+    SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "native session_window (30-min gap) emitting one row per session "
+    "(start + event count) — Spark merges sessions incrementally in "
+    "the aggregate (no per-event sort); the oracle rebuilds the same "
+    "islands with lag + running sum. The session-PER-ROW shape "
+    "complements sessionize_events' per-user rollup.",
+)
+def session_window_stats_q(spark, sf_dir):
+    from .streaming.windows import session_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    win = session_window_agg(e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")])
+    return win.select(
+        "user_id",
+        F.unix_millis(F.col("win.start")).alias("session_start_ms"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------
+# Stratified deterministic sampling
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "sample_stratified_per_source",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents) t
+    WHERE rk <= 5
+    """,
+    "deterministic stratified sampling: exactly k=5 docs per source, "
+    "chosen by content-hash order — partition/AQE/run invariant like "
+    "the rest of the sampling family, and balanced across strata "
+    "where a global hash sample would follow stratum sizes. "
+    "WindowGroupLimit prunes to k per stratum before the sort.",
+)
+def sample_stratified_per_source_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id")
+    )
+
+
+@defquery(
+    "window_first_last_nth",
+    """
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "first_value / last_value / nth_value over an unbounded frame "
+    "(cheapest/priciest/runner-up order per status attached to every "
+    "row) — completes the window-function surface.",
+)
+def window_first_last_nth_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding PCA (rows-only: eigendecomposition has no SQL oracle;
+# pinned against numpy in test_pca_matches_numpy)
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "embedding_pca_project",
+    None,
+    "distributed PCA of the embedding table: per-partition Gram/sum "
+    "partials (one dim×dim matmul per Arrow batch) reduced on the "
+    "driver (dim² doubles — tiny), eigendecomposition there, then a "
+    "broadcast projection matmul maps every vector to the top-4 "
+    "principal components. The classic two-pass big-data PCA: nothing "
+    "driver-side scales with rows. Rows-only; exactness (vs numpy on "
+    "the collected table, up to component sign) is pinned in pytest.",
+)
+def embedding_pca_project_q(spark, sf_dir):
+    from .operators.similarity import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_project(e, k=4)

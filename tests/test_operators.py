@@ -494,3 +494,34 @@ def test_pagerank_matches_reference(spark):
     assert set(got) == set(want)
     assert all(abs(got[u] - want[u]) < 1e-6 for u in ids)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pca_matches_numpy(spark, emb):
+    """Distributed two-pass PCA equals numpy PCA on the collected table
+    (same sign convention), and is invariant to repartitioning."""
+    import numpy as np
+
+    got = {
+        r.vec_id: np.asarray(r.pc_scores)
+        for r in SIM.pca_project(emb, k=3).collect()
+    }
+    got_rep = {
+        r.vec_id: np.asarray(r.pc_scores)
+        for r in SIM.pca_project(emb.repartition(7), k=3).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:3]
+    comp = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    want = np.round((x - mu) @ comp.T, 6)
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-4), vid
+        assert np.allclose(got_rep[vid], got[vid], atol=1e-4), vid
