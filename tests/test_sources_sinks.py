@@ -142,3 +142,53 @@ def test_schema_guard_detects_drift(spark):
         check_schema("events", bad)
     msg = str(ei.value)
     assert "events" in msg and "'ts'" in msg and "user_id" in msg
+
+
+def test_events_ts_dispatch_all_physical_types(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (round 1)
+    and timestamp[us] (round 2+). Pin all three dispatch branches of
+    _normalize_events_ts by writing the same rows in each physical
+    layout and asserting identical loaded values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libmr_spark.sources.readers import events_table
+
+    base = [
+        (1, 1704067200_123_456_000, 10, "click", 1.5, "{}"),
+        (2, 1704070800_987_654_000, 11, "view", 2.5, "{}"),
+    ]
+
+    def write(dirname, ts_type, ts_vals):
+        d = tmp_path / dirname
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in base], pa.int64()),
+                "ts": pa.array(ts_vals, ts_type),
+                "user_id": pa.array([r[2] for r in base], pa.int64()),
+                "event_type": pa.array([r[3] for r in base]),
+                "value": pa.array([r[4] for r in base], pa.float64()),
+                "props": pa.array([r[5] for r in base]),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    nanos = [r[1] for r in base]
+    micros = [r[1] // 1000 for r in base]
+    d_ns = write("sf_ns", pa.timestamp("ns"), nanos)
+    d_us = write("sf_us", pa.timestamp("us"), micros)
+    d_tz = write("sf_tz", pa.timestamp("us", tz="UTC"), micros)
+
+    out = {}
+    for label, d in [("ns", d_ns), ("us", d_us), ("tz", d_tz)]:
+        df = events_table(spark, d)
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        out[label] = {
+            r.event_id: r.ms
+            for r in df.select("event_id", F.unix_millis("ts").alias("ms")).collect()
+        }
+    # all three physical layouts load to the same instant (ns floors)
+    assert out["ns"] == out["us"] == out["tz"]
+    assert out["us"][1] == 1704067200123
