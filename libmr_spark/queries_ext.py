@@ -865,3 +865,68 @@ def embedding_pca_project_q(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return pca_project(e, k=4)
+
+
+# --------------------------------------------------------------------
+# Pipeline-ops utilities: upsert compaction + skew diagnostics
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "events_latest_per_user",
+    """
+    SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events) t
+    WHERE rk = 1
+    """,
+    "CDC/upsert compaction: latest record per key by (ts, event_id) — "
+    "the merge-on-read collapse every changelog pipeline needs. "
+    "max_by over a struct gives one hash aggregate (no window sort); "
+    "deterministic via the event_id tiebreak.",
+)
+def events_latest_per_user_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    latest = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    return (
+        e.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("m.ts")).alias("last_ts_ms"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+@defquery(
+    "key_skew_profile",
+    """
+    WITH f AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t, count(*) AS n_keys FROM f)
+    SELECT key, n, round(n / tot.t, 6) AS share,
+           CAST(tot.n_keys AS BIGINT) AS n_keys_total
+    FROM f CROSS JOIN tot
+    ORDER BY n DESC, key ASC LIMIT 10
+    """,
+    "join-key skew diagnostic: top-10 heaviest keys with their share of "
+    "total rows — the pre-flight check that decides whether a join "
+    "needs salting/AQE skew handling. One aggregate + a broadcast "
+    "1-row total; top-k never global-sorts.",
+)
+def key_skew_profile_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    tot = f.agg(
+        F.sum("n").cast("double").alias("t"), F.count(F.lit(1)).cast("bigint").alias("n_keys_total")
+    )
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .select("key", "n", F.round(F.col("n") / F.col("t"), 6).alias("share"), "n_keys_total")
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(10)
+    )
