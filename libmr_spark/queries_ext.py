@@ -930,3 +930,119 @@ def key_skew_profile_q(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------
+# Relational surface completions: full outer join, bag-semantics set
+# ops, ordered string aggregation
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "full_outer_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    "FULL OUTER join of two aggregates (customer vs supplier presence "
+    "per nation): both null-extension directions in one plan — "
+    "completes the outer-join surface beyond the existing left outer.",
+)
+def full_outer_nation_activity_q(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+@defquery(
+    "setop_all_variants",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t
+    UNION ALL
+    SELECT 'intersect_all', CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+    """,
+    "bag-semantics set operations (UNION ALL / INTERSECT ALL / EXCEPT "
+    "ALL preserve multiplicities) — the distinct-variant twin is "
+    "setop_union_intersect_except.",
+)
+def setop_all_variants_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+
+    def cnt(name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+
+    return (
+        cnt("union_all", a.unionAll(b))
+        .unionByName(cnt("intersect_all", a.intersectAll(b)))
+        .unionByName(cnt("except_all", a.exceptAll(b)))
+    )
+
+
+@defquery(
+    "string_agg_by_group",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name ASC) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    "ordered string aggregation (listagg/string_agg): nation names per "
+    "region, comma-joined in sorted order — deterministic under any "
+    "partitioning because the ordering is explicit.",
+)
+def string_agg_by_group_q(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@defquery(
+    "multimodal_phash_dedup",
+    """
+    SELECT substr(sha256(text), 1, 16) AS phash,
+           count(*) AS n,
+           CAST(min(doc_id) AS BIGINT) AS survivor
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY 1
+    """,
+    "perceptual-hash image dedup: decode (Arrow-batched mapInPandas) → "
+    "group by phash → smallest-id survivor per group. In fake-decode "
+    "mode the phash is sha256(payload)[:16], which the oracle "
+    "reproduces byte-for-byte; with PIL installed the same pipeline "
+    "computes a real 8x8 average-hash (then the exact-group step "
+    "becomes a hamming-banded pair join — see simhash_pairs for the "
+    "banding machinery the real path reuses).",
+)
+def multimodal_phash_dedup_q(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, decode_images
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = decode_images(attach_fake_media(d))
+    return imgs.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("media_id").cast("bigint").alias("survivor"),
+    )
