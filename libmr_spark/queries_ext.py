@@ -1046,3 +1046,78 @@ def multimodal_phash_dedup_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("media_id").cast("bigint").alias("survivor"),
     )
+
+
+@defquery(
+    "null_safe_join_priority",
+    """
+    WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, count(*) AS n
+               FROM orders GROUP BY 1),
+    b AS (SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS k,
+                 coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT-CLASS') AS label
+          FROM orders)
+    SELECT b.label, CAST(a.n AS BIGINT) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    "null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match NULL keys instead of vanishing — the semantics every "
+    "changelog/SCD merge needs when business keys are nullable.",
+)
+def null_safe_join_priority_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        o.select(k.alias("k"))
+        .distinct()
+        .select("k", F.coalesce("k", F.lit("URGENT-CLASS")).alias("label"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select("label", F.col("n").cast("bigint").alias("n"))
+
+
+@defquery(
+    "json_roundtrip_struct",
+    """
+    SELECT CAST(json_extract(j, '$.u') AS BIGINT) AS user_id,
+           CAST(json_extract(j, '$.n') AS BIGINT) AS n
+    FROM (
+      SELECT to_json({u: user_id, n: count(*)}) AS j
+      FROM events GROUP BY user_id)
+    """,
+    "struct -> to_json -> parse-back round-trip: the serialization "
+    "path used whenever results feed a message bus; proves the JSON "
+    "writer/parser pair is lossless for typed payloads.",
+)
+def json_roundtrip_struct_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = agg.select(F.to_json(F.struct("user_id", F.col("n"))).alias("j"))
+    parsed = j.select(F.from_json("j", "user_id bigint, n bigint").alias("s"))
+    return parsed.select(F.col("s.user_id").alias("user_id"), F.col("s.n").alias("n"))
+
+
+@defquery(
+    "try_cast_error_safe",
+    """
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(TRY_CAST(substr(props, 7, 2) AS BIGINT)) AS BIGINT) AS n_parsed,
+      CAST(SUM(coalesce(TRY_CAST(substr(props, 7, 2) AS BIGINT), 0)) AS BIGINT) AS parsed_sum
+    FROM events
+    """,
+    "error-safe casting under ANSI mode: try_cast turns malformed "
+    "values into NULL instead of failing the job — the difference "
+    "between one bad record poisoning a 100 TB pass and a countable "
+    "quality signal. Parses a fixed-width slice of the props JSON: "
+    "two-digit values parse, one-digit rows hit the closing brace and "
+    "become NULL — a genuine mixed success/failure corpus.",
+)
+def try_cast_error_safe_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = F.substring("props", 7, 2).try_cast("bigint")
+    parsed = e.select(v.alias("v"))
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("v").cast("bigint").alias("n_parsed"),
+        F.sum(F.coalesce("v", F.lit(0))).cast("bigint").alias("parsed_sum"),
+    )
