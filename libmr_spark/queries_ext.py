@@ -1121,3 +1121,55 @@ def try_cast_error_safe_q(spark, sf_dir):
         F.count("v").cast("bigint").alias("n_parsed"),
         F.sum(F.coalesce("v", F.lit(0))).cast("bigint").alias("parsed_sum"),
     )
+
+
+@defquery(
+    "secondary_sort_deltas",
+    """
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+      FROM events)
+    SELECT user_id,
+           CAST(count(delta) AS BIGINT) AS n_deltas,
+           CAST(SUM(CAST(round(abs(delta), 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_abs_delta
+    FROM d GROUP BY user_id
+    """,
+    "secondary-sort pattern: repartition by key + sortWithinPartitions "
+    "by (key, ts) + one ordered Arrow pass per partition — the "
+    "MapReduce-era 'ordered state machine per key' without paying two "
+    "window shuffles. Computes per-user consecutive |value| deltas; "
+    "the oracle rebuilds them with lag(). At 100 TB this shape is how "
+    "ordered per-key logic (compaction, run-length, state replay) "
+    "avoids the window operator's extra sort when the partitioner "
+    "already groups the key.",
+)
+def secondary_sort_deltas_q(spark, sf_dir):
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arranged = e.repartition("user_id").sortWithinPartitions("user_id", "ts", "event_id")
+
+    def per_partition(batches):
+        prev_user, prev_val = None, None
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for u, v in zip(pdf["user_id"], pdf["value"]):
+                if u == prev_user:
+                    st = acc.setdefault(int(u), [0, 0.0])
+                    st[0] += 1
+                    st[1] += round(abs(v - prev_val), 6)
+                else:
+                    acc.setdefault(int(u), [0, 0.0])
+                prev_user, prev_val = u, v
+        if acc:
+            yield pd.DataFrame(
+                [
+                    {"user_id": u, "n_deltas": n, "total_abs_delta": round(t, 6)}
+                    for u, (n, t) in acc.items()
+                ]
+            )
+
+    return arranged.mapInPandas(
+        per_partition, schema="user_id bigint, n_deltas bigint, total_abs_delta double"
+    )
