@@ -63,6 +63,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "embedding_quantize_int8",
     "sink_partitioned_roundtrip",
+    "events_gap_fill_ffill",
+    "events_latest_per_user",
+    "session_window_stats",
+    "window_percent_rank_cume",
 ]
 
 
