@@ -525,3 +525,22 @@ def test_pca_matches_numpy(spark, emb):
     for i, vid in enumerate(ids):
         assert np.allclose(got[vid], want[i], atol=1e-4), vid
         assert np.allclose(got_rep[vid], got[vid], atol=1e-4), vid
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine's join-strategy surface: BROADCAST / MERGE /
+    SHUFFLE_HASH hints must each produce the requested physical join —
+    the manual override path when Catalyst's size estimates are wrong
+    (a real situation at 100 TB, where stale stats pick sort-merge for
+    a 10 MB dim)."""
+    from libmr_spark.plans.explain import formatted_plan
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+
+    def plan(hint):
+        return formatted_plan(c.hint(hint).join(o, c.c_custkey == o.o_custkey))
+
+    assert "BroadcastHashJoin" in plan("broadcast")
+    assert "SortMergeJoin" in plan("merge")
+    assert "ShuffledHashJoin" in plan("shuffle_hash")
