@@ -3266,6 +3266,9 @@ _NEWEST = [
     "streaming_dedup_pairs", "tumbling_window_events",
     "sliding_window_events", "events_minmax_norm", "sessionize_events",
     "asof_join_events", "json_extract_events", "dedup_embedding_cosine",
+    # (c cont.) n-gram index rewritten to persisted/exact-hot form —
+    # the old green rows for its consumers are stale
+    "dedup_ngram_jaccard", "dedup_clusters",
 ]
 
 
