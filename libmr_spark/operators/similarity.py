@@ -163,67 +163,22 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def knn_ivf(
+def train_ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     nlist: int = 16,
-    nprobe: int = 4,
     lloyd_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus into ``nlist`` cells
-    (deterministic init = lowest ids; Lloyd refinement), then score
-    queries only against their ``nprobe`` nearest cells.
-
-    Centroids are nlist×dim doubles — small enough that the k-means
-    driver loop follows the classic Spark pattern: collect centroids to
-    the driver each round and bake them into the next round's plan as
-    literal arrays. Assignment is then a pure per-row expression
-    (argmax over nlist literal centroids) — no corpus×nlist crossJoin,
-    no per-row window shuffle, and each round's lineage is truncated at
-    the collected centroids instead of re-running every prior round.
-    (Rewrite measured ~4× faster end-to-end than the previous
-    all-DataFrame Lloyd loop at sf0.01.)
-    """
-    import math
-
-    # deterministic init: the nlist lowest-id vectors
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer once and reuse it: the measured
+    scaling curve (SCALING.md) shows per-call Lloyd training dominating
+    knn_ivf wall clock, so a production deployment trains centroids on
+    a sample/first batch and passes them to every subsequent
+    :func:`knn_ivf` call via ``centroids=``."""
     init = corpus.orderBy(id_col).limit(nlist).select(to_double_array(F.col(vec_col)).alias("v")).collect()
     cents: list[list[float]] = [r.v for r in init]
-
-    def best_cid_expr(cent_list: list[list[float]]):
-        """argmax_{cid} cosine(vec, centroid[cid]) with lowest-cid
-        tie-break, as one Arrow-batched matmul: scores = X @ (C/|C|)ᵀ,
-        argmax per row (numpy argmax takes the first maximum → lowest
-        cid on ties). The row's own norm divides every candidate
-        equally, so ranking by dot/|centroid| is the same argmax.
-        A 10k-row Arrow batch against 16 centroids is one
-        10k×64 @ 64×16 matmul. Measured: the original corpus×nlist
-        crossJoin + per-row window took 16.6s at sf0.01; this form
-        runs the whole IVF (2 Lloyd rounds + search) in ~3s at sf0.1
-        — 10× the data. Python-worker startup makes it a wash on tiny
-        inputs; the matmul wins as batches fill."""
-        from pyspark.sql.functions import pandas_udf
-
-        cmat = np.asarray(cent_list, dtype=np.float64)
-        cnorms = np.linalg.norm(cmat, axis=1)
-        cnorms[cnorms == 0.0] = 1.0
-        cunit = (cmat / cnorms[:, None]).T  # d × c
-
-        @pandas_udf("int")
-        def best_cid(vecs: pd.Series) -> pd.Series:
-            x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × d
-            return pd.Series((x @ cunit).argmax(axis=1).astype(np.int32))
-
-        return best_cid(to_double_array(F.col(vec_col)))
-
     for _ in range(lloyd_iters):
-        assigned = corpus.withColumn("cid", best_cid_expr(cents))
-        # new centroid = elementwise mean of member vectors (computed in
-        # Spark — nlist×dim tiny rows come back to the driver)
+        assigned = corpus.withColumn("cid", _best_cid_expr(cents, vec_col))
         means = (
             assigned.select("cid", F.posexplode(to_double_array(F.col(vec_col))).alias("i", "v"))
             .groupBy("cid", "i")
@@ -238,8 +193,75 @@ def knn_ivf(
             [by_cid[cid][i] for i in sorted(by_cid[cid])] if cid in by_cid else cents[cid]
             for cid in range(nlist)
         ]
+    return cents
 
-    assigned = corpus.withColumn("cid", best_cid_expr(cents))
+
+def _best_cid_expr(cent_list: list[list[float]], vec_col: str):
+    """argmax_{cid} cosine(vec, centroid[cid]) with lowest-cid
+    tie-break, as one Arrow-batched matmul: scores = X @ (C/|C|)ᵀ,
+    argmax per row (numpy argmax takes the first maximum → lowest
+    cid on ties). The row's own norm divides every candidate
+    equally, so ranking by dot/|centroid| is the same argmax.
+    A 10k-row Arrow batch against 16 centroids is one
+    10k×64 @ 64×16 matmul. Measured: the original corpus×nlist
+    crossJoin + per-row window took 16.6s at sf0.01; this form
+    runs the whole IVF (2 Lloyd rounds + search) in ~3s at sf0.1
+    — 10× the data. Python-worker startup makes it a wash on tiny
+    inputs; the matmul wins as batches fill."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cent_list, dtype=np.float64)
+    cnorms = np.linalg.norm(cmat, axis=1)
+    cnorms[cnorms == 0.0] = 1.0
+    cunit = (cmat / cnorms[:, None]).T  # d × c
+
+    @pandas_udf("int")
+    def best_cid(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × d
+        return pd.Series((x @ cunit).argmax(axis=1).astype(np.int32))
+
+    return best_cid(to_double_array(F.col(vec_col)))
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``nlist`` cells
+    (deterministic init = lowest ids; Lloyd refinement), then score
+    queries only against their ``nprobe`` nearest cells.
+
+    Centroids are nlist×dim doubles — small enough that the k-means
+    driver loop follows the classic Spark pattern: collect centroids to
+    the driver each round and bake them into the next round's plan as
+    literal arrays. Assignment is then a pure per-row expression
+    (argmax over nlist literal centroids) — no corpus×nlist crossJoin,
+    no per-row window shuffle, and each round's lineage is truncated at
+    the collected centroids instead of re-running every prior round.
+    (Rewrite measured ~4× faster end-to-end than the previous
+    all-DataFrame Lloyd loop at sf0.01.)
+
+    Pass ``centroids`` (from :func:`train_ivf_centroids`) to skip
+    training — the production pattern: per-call Lloyd dominates the
+    measured wall clock, and a quantizer trained on one batch serves
+    every later query batch.
+    """
+    import math
+
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, nlist=nlist, lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col
+    )
+    nlist = len(cents)
+
+    assigned = corpus.withColumn("cid", _best_cid_expr(cents, vec_col))
 
     # probe list per query: nprobe nearest centroids — computed the same
     # literal-expression way, then exploded to (query, cid) pairs

@@ -544,3 +544,20 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "BroadcastHashJoin" in plan("broadcast")
     assert "SortMergeJoin" in plan("merge")
     assert "ShuffledHashJoin" in plan("shuffle_hash")
+
+
+def test_ivf_pretrained_centroids_reused(spark, emb):
+    """Pretrained centroids must reproduce the in-call-training result
+    exactly (same init, same rounds) — the train-once/reuse production
+    pattern the scaling curve motivates."""
+    from libmr_spark.operators.similarity import train_ivf_centroids
+
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = train_ivf_centroids(emb, nlist=8, lloyd_iters=2)
+    a = sorted(
+        map(tuple, SIM.knn_ivf(emb, queries, k=5, nlist=8, nprobe=4).collect())
+    )
+    b = sorted(
+        map(tuple, SIM.knn_ivf(emb, queries, k=5, nprobe=4, centroids=cents).collect())
+    )
+    assert a == b and len(a) > 0
