@@ -1173,3 +1173,144 @@ def secondary_sort_deltas_q(spark, sf_dir):
     return arranged.mapInPandas(
         per_partition, schema="user_id bigint, n_deltas bigint, total_abs_delta double"
     )
+
+
+# --------------------------------------------------------------------
+# Search / LM-construction operators
+# --------------------------------------------------------------------
+
+
+@defquery(
+    "inverted_index_sample",
+    f"""
+    WITH {_TOK_SQL},
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    top AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 20),
+    post AS (SELECT t.term, t.doc_id FROM tok t JOIN top ON t.term = top.term GROUP BY t.term, t.doc_id)
+    SELECT p.term, CAST(any_value(top.df) AS BIGINT) AS df,
+           string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id ASC) AS postings
+    FROM post p JOIN top ON p.term = top.term
+    GROUP BY p.term
+    """,
+    "inverted-index construction (the search-engine core): posting "
+    "list per term, shown for the 20 highest-df terms. The full index "
+    "at 100 TB is the same two aggregates with the postings kept as "
+    "arrays per (term-shard); string form here only for the oracle.",
+)
+def inverted_index_sample_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(20)
+    return (
+        tok.join(F.broadcast(top), "term")
+        .groupBy("term")
+        .agg(
+            F.max("df").cast("bigint").alias("df"),
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id"))), ",").alias("postings"),
+        )
+    )
+
+
+@defquery(
+    "bigram_lm_top",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> {w1: ws[i], w2: ws[i+1]})) AS p
+      FROM toks),
+    cnt AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n FROM big GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1)
+    SELECT c.w1 AS w1, c.w2 AS w2, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(u.n1 AS DOUBLE), 6) AS cond_p
+    FROM cnt c JOIN uni u ON c.w1 = u.w1
+    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+    "bigram language-model construction: adjacent-token pairs via one "
+    "ordered zip per document (no self-join in the Spark plan — the "
+    "oracle's positional join is the relational spelling of the same "
+    "zip), conditional probability P(w2|w1), top-50. The n-gram LM "
+    "table is the classic map-side-heavy corpus job.",
+)
+def bigram_lm_top_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        cnt.join(uni, "w1")
+        .select(
+            "w1", "w2", F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n1").cast("double"), 6).alias("cond_p"),
+        )
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
+
+
+@defquery(
+    "union_schema_evolution",
+    """
+    SELECT doc_id, lang, source FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id >= 400
+    """,
+    "schema-evolution union (unionByName allowMissingColumns=True): an "
+    "old batch lacking a column unions with the current schema, "
+    "null-filling the gap — how pipelines merge data written before a "
+    "schema change without rewriting history.",
+)
+def union_schema_evolution_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") < 100).select("doc_id", "lang", "source")
+    old_batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "lang")  # pre-'source' schema
+    return new_batch.unionByName(old_batch, allowMissingColumns=True)
+
+
+@defquery(
+    "rolling_zscore_events",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, round((value - mu) / sd, 6) AS z
+    FROM s WHERE n >= 30 AND sd > 0 AND abs((value - mu) / sd) > 3.0
+    """,
+    "rolling anomaly detection: z-score of each event against the "
+    "TRAILING 100 events of its type (never its own value — the "
+    "1-PRECEDING frame end keeps the test honest), flagged at |z|>3 "
+    "with a 30-observation warm-up. The streaming-friendly cousin of "
+    "the global zscore_outlier_events.",
+)
+def rolling_zscore_events_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-100, -1)
+    )
+    mu, sd, n = F.avg("value").over(w), F.stddev_samp("value").over(w), F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        e.select("event_id", "event_type", "value", mu.alias("mu"), sd.alias("sd"), n.alias("n"), z.alias("zr"))
+        .filter((F.col("n") >= 30) & (F.col("sd") > 0) & (F.abs("zr") > 3.0))
+        .select("event_id", "event_type", F.round("zr", 6).alias("z"))
+    )
