@@ -1314,3 +1314,87 @@ def rolling_zscore_events_q(spark, sf_dir):
         .filter((F.col("n") >= 30) & (F.col("sd") > 0) & (F.abs("zr") > 3.0))
         .select("event_id", "event_type", F.round("zr", 6).alias("z"))
     )
+
+
+@defquery(
+    "common_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS path FROM events GROUP BY user_id),
+    tri AS (
+      SELECT unnest(list_transform(range(1, greatest(len(path) - 2, 0) + 1),
+                    i -> concat_ws('>', path[i], path[i+1], path[i+2]))) AS p3
+      FROM seq)
+    SELECT p3, count(*) AS n FROM tri GROUP BY p3
+    ORDER BY n DESC, p3 ASC LIMIT 10
+    """,
+    "path analysis: top-10 most common 3-event sequences across user "
+    "timelines — ordered collect per user (bounded by per-user event "
+    "count), sliding-triple explode, one count. The product-analytics "
+    "staple that needs ordered arrays, not joins.",
+)
+def common_event_paths_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("path")
+        )
+    )
+    tri = seq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("path") - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("path", i),
+                    F.element_at("path", i + 1),
+                    F.element_at("path", i + 2),
+                ),
+            )
+        ).alias("p3")
+    )
+    return (
+        tri.groupBy("p3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("p3").asc())
+        .limit(10)
+    )
+
+
+@defquery(
+    "fk_integrity_check",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+    """,
+    "referential-integrity audit: orphan counts per foreign-key edge "
+    "via left-join null probes — the ingest-time data-quality gate. "
+    "Parent key sets broadcast when small; at 100 TB the same probes "
+    "ride the existing join partitioning.",
+)
+def fk_integrity_check_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def probe(name, child, ckey, parent, pkey):
+        j = child.join(parent, child[ckey] == parent[pkey], "left")
+        return j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(parent[pkey].isNull(), 1).otherwise(0)).cast("bigint").alias("n_orphans"),
+        ).select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+
+    return probe("lineitem->orders", li, "l_orderkey", o, "o_orderkey").unionByName(
+        probe("orders->customer", o, "o_custkey", c, "c_custkey")
+    )
