@@ -376,12 +376,14 @@ def test_plans_tpch_extension_shapes(spark, sf_dir):
         ln for ln in plan.splitlines() if "PushedFilters" in ln
     )
 
-    funnel = QUERIES["event_funnel"].fn(spark, sf_dir)
-    assert count_exchanges(funnel) <= 2
-    import re
-
-    scans = re.findall(r"^\(\d+\) Scan parquet", formatted_plan(funnel), re.MULTILINE)
-    assert len(scans) == 1
+    # funnel: the skew-safe conditional-MIN chain — no per-user array
+    # collection or sort anywhere in the plan (the old sort_array +
+    # interpreted-HOF form measured 28.7× at a 10×-density stress);
+    # the repeated repartition subtrees dedupe at runtime via AQE's
+    # ReusedExchange
+    funnel_plan = formatted_plan(QUERIES["event_funnel"].fn(spark, sf_dir))
+    assert "sort_array" not in funnel_plan and "collect_list" not in funnel_plan
+    assert "CartesianProduct" not in funnel_plan
 
 
 def test_embedding_neardup_bucketed_equals_allpairs(spark, emb):
