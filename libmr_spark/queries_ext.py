@@ -1398,3 +1398,79 @@ def fk_integrity_check_q(spark, sf_dir):
     return probe("lineitem->orders", li, "l_orderkey", o, "o_orderkey").unionByName(
         probe("orders->customer", o, "o_custkey", c, "c_custkey")
     )
+
+
+@defquery(
+    "revenue_share_window",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           round(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 / SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER (), 6) AS share
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "ratio-to-report: each group's share of the grand total via an "
+    "empty-frame window over the aggregate — one extra single-row "
+    "exchange instead of a self-join against the total.",
+)
+def revenue_share_window_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "o_orderstatus",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(F.col("rev_d") / F.sum("rev_d").over(w), 6).alias("share"),
+    )
+
+
+@defquery(
+    "dense_rank_ties",
+    """
+    SELECT l_quantity,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(rank() OVER (ORDER BY count(*) DESC, l_quantity ASC) AS BIGINT) AS rk,
+           CAST(dense_rank() OVER (ORDER BY count(*) DESC) AS BIGINT) AS drk
+    FROM lineitem GROUP BY l_quantity
+    """,
+    "rank vs dense_rank over tied counts: rank leaves gaps after ties, "
+    "dense_rank doesn't — both in one window sort. dense_rank orders "
+    "by count alone so tied groups genuinely collide.",
+)
+def dense_rank_ties_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.orderBy(F.col("n").desc(), F.col("l_quantity").asc())
+    w2 = Window.orderBy(F.col("n").desc())
+    return agg.select(
+        "l_quantity",
+        F.col("n").cast("bigint").alias("n"),
+        F.rank().over(w1).cast("bigint").alias("rk"),
+        F.dense_rank().over(w2).cast("bigint").alias("drk"),
+    )
+
+
+@defquery(
+    "histogram2d_hour_value",
+    """
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(floor(value / 25) AS BIGINT) AS value_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    "2-D histogram (hour-of-day × value bucket): the heatmap aggregate "
+    "— integer binning on both axes, one hash aggregate, cardinality "
+    "bounded by bucket grid not data.",
+)
+def histogram2d_hour_value_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            F.floor(F.col("value") / 25).cast("bigint").alias("value_bucket"),
+        )
+        .groupBy("hour_of_day", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
