@@ -270,8 +270,8 @@ def audio_features(df: DataFrame, mode: str = "fake") -> DataFrame:
         return {
             "media_id": rec["media_id"],
             "sample_rate": int(sr),
-            "duration_s": round(dur, 6),
-            "loudness": round(sum(samples) / max(len(samples), 1), 6),
+            "duration_s": dur,
+            "loudness": sum(samples) / max(len(samples), 1),
         }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,14 +281,20 @@ def audio_features(df: DataFrame, mode: str = "fake") -> DataFrame:
                 if mode == "real":
                     rows.append(real_features(rec))
                     continue
+                # Emit UNROUNDED doubles: Python round() is half-even,
+                # which diverges from SQL's half-up at .5 boundaries
+                # (duration is an exact multiple of 0.5 µs here, so the
+                # boundary is hit constantly). Quantization is the
+                # caller's job — see multimodal_audio_q, which scales to
+                # integer micro-units with SQL-side HALF_UP semantics.
                 payload = bytes(rec["payload"])
                 sr = rec["meta"]["sample_rate"]
                 rows.append(
                     {
                         "media_id": rec["media_id"],
                         "sample_rate": sr,
-                        "duration_s": round(len(payload) / sr, 6),
-                        "loudness": round(sum(payload[:256]) / max(min(len(payload), 256), 1), 6),
+                        "duration_s": len(payload) / sr,
+                        "loudness": sum(payload[:256]) / max(min(len(payload), 256), 1),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -1424,9 +1424,10 @@ def dedup_simhash_q(spark, sf_dir):
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
     """,
-    "embedding-cosine near-duplicate pairs (deterministic grid-LSH "
-    "equi-join — recall 1, no cartesian; the all-pairs form survives "
-    "only as this query's oracle)",
+    "embedding-cosine near-duplicate pairs (banded sign-LSH equi-join, "
+    "r=10 planes x B=32 bands — probabilistic recall, miss probability "
+    "~5e-4 per pair at the 0.9 threshold boundary, no cartesian; the "
+    "all-pairs form survives only as this query's oracle)",
 )
 def dedup_embedding_q(spark, sf_dir):
     return DD.embedding_neardup_pairs_bucketed(_t(spark, sf_dir, "embeddings"), threshold=0.9)
@@ -2918,17 +2919,39 @@ def multimodal_frames_q(spark, sf_dir):
 
 @defquery(
     "multimodal_audio_features",
-    None,  # duration/loudness are Python-rounded floats: half-even vs
-    # half-away rounding diverges between engines (SCALING.md
-    # "Determinism lessons") — rows-only here, values pytest-checked
+    """
+    SELECT doc_id AS media_id,
+           16000 AS sample_rate,
+           CAST(round(CAST(length(text) AS DOUBLE) / 16000.0 * 2000000.0) AS BIGINT)
+             AS duration_us_x2,
+           CAST(round(
+             CAST(list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                                          i -> ord(text[i:i]))) AS DOUBLE)
+             / least(length(text), 256) * 1000000.0) AS BIGINT) AS loudness_e6
+    FROM documents WHERE doc_id % 3 = 1
+    """,
     "audio feature extraction (duration from sample-rate metadata, "
-    "loudness over the payload head) via Arrow-batched mapInPandas",
+    "loudness over the payload head) via Arrow-batched mapInPandas. "
+    "Features are quantized to integer micro-units for the oracle "
+    "hash: both sides run the SAME IEEE op order (divide, then scale, "
+    "then round) and both round half-up for positives (Spark round = "
+    "HALF_UP, DuckDB = half-away), so the comparison is exact — the "
+    "duration is a multiple of 0.5 µs, hence the x2 scaling. The "
+    "oracle's ord(text[i:i]) byte-sum relies on the corpus being "
+    "ASCII (guarded: octet_length == length for every driver-"
+    "generated doc).",
 )
 def multimodal_audio_q(spark, sf_dir):
     from .operators.multimodal import attach_fake_media, audio_features
 
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
-    return audio_features(media).select("media_id", "sample_rate", "duration_s", "loudness")
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.round(F.col("duration_s") * F.lit(2000000.0)).cast("bigint").alias("duration_us_x2"),
+        F.round(F.col("loudness") * F.lit(1000000.0)).cast("bigint").alias("loudness_e6"),
+    )
 
 
 @defquery(
@@ -3246,38 +3269,71 @@ _DRIVER_CHECKED: set[str] = {
     "sample_fixed_100", "quality_percentile_filter",
     "streaming_dedup_pairs", "array_hof_order_quantities",
     "approx_aggregates", "dedup_simhash", "knn_lsh", "knn_ivf",
+    # round 3 (CORRECTNESS_r03.json) — 49 hash-green + the rows-only
+    # audio query (which gained a real oracle in round 4 and re-gates
+    # via _NEWEST below)
+    "asof_join_events", "asof_join_events_forward",
+    "asof_join_events_nearest", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_winnowing",
+    "dup_rate_by_source", "embedding_norm_stats",
+    "embedding_quantize_int8", "event_funnel", "events_gap_fill_ffill",
+    "events_minmax_norm", "json_extract_events", "median_by_type",
+    "multimodal_frame_sample", "multimodal_resize",
+    "percentiles_by_type", "q21_last_shippers", "retention_cohorts",
+    "rolling_7d_active_users", "salted_join_revenue_by_status",
+    "sessionize_events", "sink_csv_roundtrip", "sink_orc_roundtrip",
+    "sink_partitioned_roundtrip", "sliding_window_events",
+    "stats_corr_covar", "stats_moments_by_type", "streaming_dedup_pairs",
+    "streaming_sliding_window", "streaming_stateful_sessions",
+    "streaming_stream_static_join", "streaming_stream_stream_join",
+    "streaming_topk_event_types", "streaming_tumbling_window",
+    "table_profile_orders", "text_bpe_token_count",
+    "text_edit_distance_pairs", "text_repetition_stats",
+    "text_unigram_logprob", "text_winnowing_fingerprints",
+    "tfidf_top_terms", "tumbling_window_events", "udtf_token_positions",
+    "value_histogram", "window_percent_rank_cume",
+    "zscore_outlier_events",
 }
 
 
-# Round-3 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Ordered: (a) the 11 queries broken by round 2's
-# events schema drift, now fixed — they need a fresh green row; (b) the
-# never-gated names (no driver row in any round); (c) queries whose
-# code changed this round (shared events_stream reader, bucketed
-# embedding dedup) — green r1/r2 rows no longer cover them.  Entries
-# past the window stay exported; they rotate in next round.
+# Round-4 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  This round clears the re-proof BACKLOG: the
+# testdata has been regenerated twice since round 1, so names whose
+# only driver row is round-1-era need a fresh green row on current
+# data.  Ordered: (a) queries whose code changed in round 4 (ADVICE
+# fixes + the audio query's new quantized-BIGINT oracle) — their old
+# rows no longer cover them; (b) all 40 names whose latest driver row
+# is round 1; (c) the 6 oldest round-2-era oracle-backed names.  The
+# remaining ~32 r2-era + 24 never-gated (judge-verified r3) names
+# rotate in round 5.  New query additions are FROZEN until the backlog
+# clears.
 _NEWEST = [
-    # (a) events-drift casualties
-    "asof_join_events_forward", "asof_join_events_nearest",
-    "streaming_sliding_window", "streaming_stream_stream_join",
-    "retention_cohorts", "rolling_7d_active_users", "event_funnel",
-    "stats_moments_by_type", "median_by_type", "value_histogram",
-    "zscore_outlier_events",
-    # (b) never-gated
-    "udtf_token_positions", "text_bpe_token_count",
-    "text_winnowing_fingerprints", "dedup_winnowing",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_audio_features", "q21_last_shippers",
-    "salted_join_revenue_by_status", "text_edit_distance_pairs",
-    "table_profile_orders",
-    # (c) code changed this round
-    "streaming_tumbling_window", "streaming_stateful_sessions",
-    "streaming_dedup_pairs", "tumbling_window_events",
-    "sliding_window_events", "events_minmax_norm", "sessionize_events",
-    "asof_join_events", "json_extract_events", "dedup_embedding_cosine",
-    # (c cont.) n-gram index rewritten to persisted/exact-hot form —
-    # the old green rows for its consumers are stale
-    "dedup_ngram_jaccard", "dedup_clusters",
+    # (a) code changed in round 4
+    "multimodal_audio_features", "bucketed_join_no_shuffle",
+    "common_event_paths", "secondary_sort_deltas",
+    # (b) round-1-era rows — full re-proof on current data
+    "kv_scan", "kv_map_type", "kv_filter_string", "kv_count",
+    "kv_reshuffle_rmw", "kv_point_lookup", "kv_dbsize_sum",
+    "kv_collect_then_map",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_item_customers", "q14_promo_revenue_percent",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "join_broadcast_dims", "outer_join_order_counts",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders", "range_join_price_bands",
+    "distinct_and_approx", "rollup_qty", "cube_qty",
+    "grouping_sets_status_priority",
+    "window_topk_per_group", "window_running_sum", "window_lag_lead",
+    "window_range_frame", "window_ntile_quartiles",
+    "orderby_limit_topk", "setop_union_intersect_except",
+    "orders_per_customer_list", "pivot_status_by_priority",
+    "unpivot_order_measures", "scalar_subquery_above_avg_orders",
+    "in_subquery_orders_of_top_nation", "scalar_string_date_math",
+    "dedup_exact", "dedup_minhash_lsh",
+    # (c) oldest round-2-era names with SQL oracles
+    "kv_scan_pyds", "embedding_label_centroids", "wordcount_top100",
+    "text_lang_id", "text_quality_score", "text_token_count",
 ]
 
 

@@ -545,8 +545,19 @@ def streaming_stream_static_join_q(spark, sf_dir):
     "ingest, never again per query.",
 )
 def bucketed_join_no_shuffle_q(spark, sf_dir):
+    # Key the bucketed-table names on a fingerprint of the SOURCE parquet
+    # (mtime+size), not just the sf-dir basename: the driver regenerates
+    # testdata under the same path between rounds, and a surviving
+    # metastore/warehouse would otherwise serve stale bucketed copies
+    # against a fresh oracle. A new fingerprint -> new table name ->
+    # unconditional rebuild; within one round it still builds once.
+    def _fp(name):
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return f"{st.st_mtime_ns:x}_{st.st_size:x}"[-12:]
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    ob, lb = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    ob = f"orders_b_{tag}_{_fp('orders')}"
+    lb = f"lineitem_b_{tag}_{_fp('lineitem')}"
     if not spark.catalog.tableExists(ob):
         (
             _t(spark, sf_dir, "orders")
@@ -1145,10 +1156,19 @@ def try_cast_error_safe_q(spark, sf_dir):
     "already groups the key.",
 )
 def secondary_sort_deltas_q(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     arranged = e.repartition("user_id").sortWithinPartitions("user_id", "ts", "event_id")
+
+    # Mirror the oracle's arithmetic exactly: round(abs(delta), 6) is SQL
+    # half-up on the binary double (Decimal(float) is the exact value, vs
+    # Python round()'s banker's rounding), and the SUM over DECIMAL(18,6)
+    # is an exact decimal sum — and yields NULL for an all-NULL group
+    # (single-event users), so emit None when n_deltas == 0.
+    q6 = Decimal("0.000001")
 
     def per_partition(batches):
         prev_user, prev_val = None, None
@@ -1156,16 +1176,20 @@ def secondary_sort_deltas_q(spark, sf_dir):
         for pdf in batches:
             for u, v in zip(pdf["user_id"], pdf["value"]):
                 if u == prev_user:
-                    st = acc.setdefault(int(u), [0, 0.0])
+                    st = acc.setdefault(int(u), [0, Decimal(0)])
                     st[0] += 1
-                    st[1] += round(abs(v - prev_val), 6)
+                    st[1] += Decimal(abs(v - prev_val)).quantize(q6, rounding=ROUND_HALF_UP)
                 else:
-                    acc.setdefault(int(u), [0, 0.0])
+                    acc.setdefault(int(u), [0, Decimal(0)])
                 prev_user, prev_val = u, v
         if acc:
             yield pd.DataFrame(
                 [
-                    {"user_id": u, "n_deltas": n, "total_abs_delta": round(t, 6)}
+                    {
+                        "user_id": u,
+                        "n_deltas": n,
+                        "total_abs_delta": float(t) if n else None,
+                    }
                     for u, (n, t) in acc.items()
                 ]
             )
@@ -1344,17 +1368,24 @@ def common_event_paths_q(spark, sf_dir):
             ).alias("path")
         )
     )
+    # Guard short timelines: sequence(1, 0) in Spark is the DESCENDING
+    # array [1, 0], so an unguarded explode would call element_at(path, 0)
+    # (always an error) for any user with < 3 events. Emit an empty array
+    # instead, matching the oracle's empty range(1, ...+1).
     tri = seq.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("path") - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    ">",
-                    F.element_at("path", i),
-                    F.element_at("path", i + 1),
-                    F.element_at("path", i + 2),
+            F.when(
+                F.size("path") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("path") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("path", i),
+                        F.element_at("path", i + 1),
+                        F.element_at("path", i + 2),
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("p3")
     )
     return (

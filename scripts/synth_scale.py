@@ -95,10 +95,21 @@ def main() -> int:
     (
         emb.crossJoin(reps)
         .withColumn(
+            # Per-replica sign-flip decorrelation. The mask must vary by
+            # BOTH dimension and replica beyond parity: a mask shared by
+            # all vectors of a replica is an isometry (flipping dim i for
+            # both a and b leaves a_i*b_i unchanged), so replicas whose
+            # masks coincide are bit-identical corpora and pair output
+            # grows O(k^2). xxhash64(i, rep) gives each replica an
+            # independent pseudorandom mask -> cross-replica cosines
+            # concentrate near 0 at high dim. rep=0 keeps the base corpus
+            # exactly.
             "embedding",
             F.transform(
                 "embedding",
-                lambda x, i: F.when((i + F.col("rep")) % 2 == 0, x).otherwise(-x),
+                lambda x, i: F.when(
+                    (F.col("rep") == 0) | (F.xxhash64(i, F.col("rep")) % 2 == 0), x
+                ).otherwise(-x),
             ),
         )
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * vkey_off)

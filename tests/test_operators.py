@@ -387,9 +387,13 @@ def test_plans_tpch_extension_shapes(spark, sf_dir):
 
 
 def test_embedding_neardup_bucketed_equals_allpairs(spark, emb):
-    """The grid-LSH equi-join path must be EXACT (recall 1): identical
-    pair set + cosines to the all-pairs form on a corpus with planted
-    near-duplicate vectors (small additive noise -> cosine ~0.99)."""
+    """The banded sign-LSH path is PROBABILISTIC (miss probability
+    ~5e-4 per pair at the 0.9 threshold boundary; see
+    embedding_neardup_pairs_bucketed's docstring), but on this corpus
+    of PLANTED near-duplicates (small additive noise -> cosine ~0.99,
+    far above threshold, so per-band collision probability is ~1) it
+    must recover the identical pair set + cosines as the all-pairs
+    form."""
     perturbed = emb.filter(F.col("vec_id") < 8).select(
         (F.col("vec_id") + 400000).alias("vec_id"),
         F.transform(
@@ -412,8 +416,8 @@ def test_embedding_neardup_bucketed_equals_allpairs(spark, emb):
 
 def test_embedding_neardup_plan_has_no_cartesian(spark, sf_dir):
     """Scale pin for the exported dedup_embedding_cosine: candidate
-    generation must be an equi-join on the grid cell, never an O(n^2)
-    cartesian / broadcast-nested-loop."""
+    generation must be an equi-join on the (band, signature) bucket,
+    never an O(n^2) cartesian / broadcast-nested-loop."""
     from libmr_spark.plans.explain import formatted_plan
     from libmr_spark.queries import QUERIES
 
