@@ -67,6 +67,9 @@ HEADLINE = [
     "events_latest_per_user",
     "session_window_stats",
     "window_percent_rank_cume",
+    "revenue_share_window",
+    "dense_rank_ties",
+    "histogram2d_hour_value",
 ]
 
 
@@ -113,6 +116,33 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+
+    # Full-inventory sweep: rotated-out queries can silently regress if
+    # only the headline is timed, so by default every exported query
+    # also gets one timed end-to-end run (failure-isolated). Headline
+    # names reuse their min-of-2 time; the rest run once. Disable with
+    # SPARK_GRAFT_BENCH_FULL=0 (quick local iterating on the headline).
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        full_timings: dict[str, float] = dict(timings)
+        full_errors: dict[str, str] = dict(errors)
+        for name, q in QUERIES.items():
+            if name in full_timings or name in full_errors:
+                continue
+            try:
+                t0 = time.time()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                full_timings[name] = round(time.time() - t0, 3)
+                print(f"# full {name}: {full_timings[name]}s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                full_errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# full {name}: ERROR {full_errors[name][:120]}", file=sys.stderr)
+        out["full"] = {
+            "total_sec": round(sum(full_timings.values()), 3),
+            "n_queries": len(full_timings),
+            "queries": full_timings,
+        }
+        if full_errors:
+            out["full"]["errors"] = full_errors
     print(json.dumps(out))
     # always rc=0 with the JSON line emitted: a partial run with an
     # "errors" map is infinitely more useful to the gate than rc=1 with

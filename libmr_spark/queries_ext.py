@@ -1442,7 +1442,10 @@ def fk_integrity_check_q(spark, sf_dir):
     """,
     "ratio-to-report: each group's share of the grand total via an "
     "empty-frame window over the aggregate — one extra single-row "
-    "exchange instead of a self-join against the total.",
+    "exchange instead of a self-join against the total. PRECONDITION: "
+    "the unpartitioned window runs over POST-AGGREGATE rows bounded by "
+    "group cardinality (3 order statuses), never the fact table — "
+    "scale-safe because the window input is O(|groups|), not O(rows).",
 )
 def revenue_share_window_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -1468,7 +1471,10 @@ def revenue_share_window_q(spark, sf_dir):
     """,
     "rank vs dense_rank over tied counts: rank leaves gaps after ties, "
     "dense_rank doesn't — both in one window sort. dense_rank orders "
-    "by count alone so tied groups genuinely collide.",
+    "by count alone so tied groups genuinely collide. PRECONDITION: "
+    "the unpartitioned windows run over POST-AGGREGATE rows bounded by "
+    "group cardinality (~50 distinct quantities), never the fact table "
+    "— scale-safe because the window input is O(|groups|), not O(rows).",
 )
 def dense_rank_ties_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
