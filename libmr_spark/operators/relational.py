@@ -239,27 +239,81 @@ def salted_join(
     num_salts: int = 8,
     how: str = "inner",
     salt_col: str = "__salt__",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
-    """Skew-mitigating equi-join: spread each (possibly hot) fact key
-    across ``num_salts`` sub-keys and replicate the dim side that many
+    """Skew-mitigating equi-join: spread hot fact keys across
+    ``num_salts`` sub-keys and replicate the matching dim rows that many
     times, so one pathological key occupies ``num_salts`` reducers
     instead of one. Complements AQE's runtime skew splitting (enabled in
     session.py) when skew is known ahead of time.
+
+    ``hot_threshold=None`` salts EVERY key (dim side replicated
+    ``num_salts``× wholesale). That is the right call when the hot set
+    is unknown and the dim side is small, but it multiplies the entire
+    dim shuffle by ``num_salts`` — measured 12× wall for 10× data on a
+    uniform corpus (SCALING.md round-4 stress), i.e. pure overhead for
+    every key that wasn't hot.
+
+    ``hot_threshold=N`` salts ONLY keys with more than N fact rows: one
+    exact key-frequency aggregate over the fact's key column (map-side
+    partial ⇒ the shuffle carries ≤ |distinct keys| rows) yields the
+    hot-key set — bounded by |fact| / N rows BY CONSTRUCTION, so it
+    broadcasts — and both sides get salt values from a broadcast probe
+    against it: hot fact rows take a round-robin salt, cold rows salt 0;
+    hot dim rows explode to all ``num_salts`` salts, cold dim rows stay
+    single. One join, one shuffle per side, dim inflation
+    = (num_salts−1)·|hot dim rows| instead of (num_salts−1)·|dim|. At a
+    production threshold (say 10⁵ rows/key) the hot set is a handful of
+    keys and the plan is within noise of the plain join on uniform data
+    — the same melt-away shape as the dedup ``max_df`` defense.
 
     The salt value only balances rows — any assignment yields the same
     join result — so it's derived from ``monotonically_increasing_id``
     (cheap, no extra hash of row content).
 
-    Only ``inner``/``left`` joins are valid: the dim side is replicated
-    ``num_salts`` times, so a right/full outer join would emit every
-    unmatched dim row once per salt. Use a plain join for those.
+    Only ``inner``/``left`` joins are valid: dim rows are replicated, so
+    a right/full outer join would emit every unmatched dim row once per
+    salt. Use a plain join for those.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left only (dim side is replicated), got {how!r}")
-    fact_s = fact.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
-    rep = dim.crossJoin(
-        F.broadcast(
-            dim.sparkSession.range(num_salts).select(F.col("id").cast("int").alias(salt_col))
+    if hot_threshold is None:
+        fact_s = fact.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
+        rep = dim.crossJoin(
+            F.broadcast(
+                dim.sparkSession.range(num_salts).select(F.col("id").cast("int").alias(salt_col))
+            )
         )
+        return fact_s.join(rep, [on, salt_col], how).drop(salt_col)
+
+    hot = (
+        fact.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .filter(F.col("__cnt__") > hot_threshold)
+        .select(on, F.lit(True).alias("__is_hot__"))
     )
-    return fact_s.join(rep, [on, salt_col], how).drop(salt_col)
+    fact_s = (
+        fact.join(F.broadcast(hot), on, "left")
+        .withColumn(
+            salt_col,
+            F.when(
+                F.col("__is_hot__"), F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__is_hot__")
+    )
+    dim_s = (
+        dim.join(F.broadcast(hot), on, "left")
+        .withColumn(
+            salt_col,
+            F.explode(
+                F.when(F.col("__is_hot__"), F.sequence(F.lit(0), F.lit(num_salts - 1))).otherwise(
+                    F.sequence(F.lit(0), F.lit(0))
+                )
+            ),
+        )
+        .drop("__is_hot__")
+    )
+    return fact_s.join(dim_s, [on, salt_col], how).drop(salt_col)

@@ -3108,10 +3108,14 @@ def dedup_winnowing_q(spark, sf_dir):
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o_orderstatus
     """,
-    "skew-salted fact-fact join: each fact key spreads over 8 sub-keys "
-    "with the dim side replicated 8×, so one hot key occupies 8 "
-    "reducers instead of one. Salting must be semantically transparent "
-    "— the oracle is the PLAIN join, which is exactly the point",
+    "skew-salted fact-fact join, HOT-KEY-ONLY form: an exact key-"
+    "frequency pass finds keys above the threshold; only those spread "
+    "over 8 sub-keys (matching dim rows replicated 8×), cold keys join "
+    "plain — so dim inflation is 7×|hot| rows, not 7×|dim| (the full-"
+    "salt form measured 12× wall at 10× data on uniform keys). Salting "
+    "must be semantically transparent — the oracle is the PLAIN join, "
+    "which is exactly the point. threshold=9 makes ~1-2%% of orders "
+    "hot at test SFs so the gate pins both the salted and plain paths",
 )
 def salted_join_q(spark, sf_dir):
     from .operators.relational import salted_join
@@ -3119,7 +3123,10 @@ def salted_join_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(
-        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"), o, "o_orderkey"
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"),
+        o,
+        "o_orderkey",
+        hot_threshold=9,
     )
     return joined.groupBy("o_orderstatus").agg(
         F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("revenue"),
@@ -3334,6 +3341,7 @@ _NEWEST = [
     # (a) code changed in round 4
     "multimodal_audio_features", "bucketed_join_no_shuffle",
     "common_event_paths", "secondary_sort_deltas",
+    "salted_join_revenue_by_status",
     # (b) round-1-era rows — full re-proof on current data
     "kv_scan", "kv_map_type", "kv_filter_string", "kv_count",
     "kv_reshuffle_rmw", "kv_point_lookup", "kv_dbsize_sum",
@@ -3354,9 +3362,11 @@ _NEWEST = [
     "unpivot_order_measures", "scalar_subquery_above_avg_orders",
     "in_subquery_orders_of_top_nation", "scalar_string_date_math",
     "dedup_exact", "dedup_minhash_lsh",
-    # (c) oldest round-2-era names with SQL oracles
+    # (c) oldest round-2-era names with SQL oracles (text_token_count
+    # displaced to round 5 when salted_join re-entered group (a) with
+    # the round-4 hot-threshold rewrite)
     "kv_scan_pyds", "embedding_label_centroids", "wordcount_top100",
-    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_lang_id", "text_quality_score",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Plan lint: sweep EVERY exported query's physical plan for
+scale-killer operators and report violations. PLANS.md audits the
+headline set by hand; this is the automated backstop over the full
+inventory — a query added or changed in any round can't silently ship
+a cartesian product, a row-at-a-time Python eval, or an unpartitioned
+window over raw input.
+
+Checks per query (plan-string, no execution):
+- CartesianProduct / BroadcastNestedLoopJoin — O(n·m) join shapes.
+  (A broadcast NLJ over a bounded literal/dim side is sometimes fine;
+  whitelist below carries the justification.)
+- BatchEvalPython — row-at-a-time (non-Arrow) Python UDF in the plan.
+  ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas are the fast
+  paths and are NOT flagged.
+- Window with an empty partition spec whose input is NOT a bounded
+  aggregate (heuristic: a `Window` node with `windowspecdefinition(...)`
+  lacking a partition column AND no HashAggregate below it in the same
+  subtree). Bounded post-aggregate global windows are whitelisted.
+
+Usage:
+    python scripts/plan_lint.py [sf_dir]      # default /root/testdata/sf0.01
+Exit 1 on any unwhitelisted violation (pytest wraps this in
+tests/test_plan_lint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from libmr_spark.plans.explain import formatted_plan
+from libmr_spark.queries import QUERIES
+from libmr_spark.session import get_spark
+
+# name -> {check: reason} justified exceptions; every entry must say WHY
+# the shape is bounded at scale.
+WHITELIST: dict[str, dict[str, str]] = {
+    "knn_bruteforce": {
+        "nested_loop": "corpus × BROADCAST bounded query set (contract: queries fit the driver); scored via one Arrow matmul per partition, top-k per partition",
+    },
+    "knn_ivf": {
+        "nested_loop": "corpus × broadcast (query, probe-cell) pairs — nprobe·|queries| rows, bounded",
+    },
+    "knn_ivf_pretrained": {
+        "nested_loop": "same bounded broadcast probe join as knn_ivf, twice (two query batches)",
+    },
+    "knn_lsh": {
+        "nested_loop": "bucket-key equi-match expressed as array_contains over broadcast query buckets — bounded by |queries|·num_probes",
+    },
+    "range_join_price_bands": {
+        "nested_loop": "band dim is a literal ~5-row broadcast table; each part row tests 5 ranges",
+    },
+    "text_edit_distance_pairs": {
+        "nested_loop": "candidate pairs pre-filtered by length band + first-char block before the quadratic verify; blocks are bounded (see query docstring)",
+    },
+}
+
+
+def lint_one(name: str, plan: str) -> list[tuple[str, str]]:
+    """Return (check, evidence) violations for one plan string."""
+    out: list[tuple[str, str]] = []
+    if re.search(r"^\(\d+\) CartesianProduct", plan, re.MULTILINE):
+        out.append(("cartesian", "CartesianProduct node in physical plan"))
+    if re.search(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE):
+        out.append(("nested_loop", "BroadcastNestedLoopJoin node in physical plan"))
+    if re.search(r"^\(\d+\) BatchEvalPython", plan, re.MULTILINE):
+        out.append(("py_udf", "row-at-a-time BatchEvalPython (use pandas_udf)"))
+    # unpartitioned window over non-aggregate input: find Window nodes
+    # with an empty partition list; flag unless an Aggregate feeds them.
+    for m in re.finditer(r"^\(\d+\) Window\b.*$", plan, re.MULTILINE):
+        seg = plan[m.start() : m.start() + 2000]
+        spec = re.search(r"windowspecdefinition\(([^)]*)\)", seg)
+        if spec is None:
+            continue
+        args = spec.group(1)
+        # partition cols precede the ordering's "ASC NULLS FIRST/..." args;
+        # empty partition spec => spec starts with an ordered col or frame
+        has_partition = not (args.split(",")[0].strip().endswith(("ASC NULLS FIRST", "DESC NULLS LAST", "ASC NULLS LAST", "DESC NULLS FIRST")) or "specifiedwindowframe" in args.split(",")[0])
+        if has_partition:
+            continue
+        if "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan:
+            continue  # bounded post-aggregate global window
+        out.append(("global_window", "unpartitioned Window without an aggregate below it"))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-lint")
+    n_viol = 0
+    n_wl = 0
+    for name, q in QUERIES.items():
+        try:
+            plan = formatted_plan(q.fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — a planning error is itself a finding
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:120]}")
+            n_viol += 1
+            continue
+        for check, evidence in lint_one(name, plan):
+            reason = WHITELIST.get(name, {}).get(check)
+            if reason:
+                n_wl += 1
+                print(f"ok    {name} [{check}] whitelisted: {reason[:90]}")
+            else:
+                n_viol += 1
+                print(f"VIOL  {name} [{check}]: {evidence}")
+    print(f"\n{len(QUERIES)} queries linted, {n_viol} violations, {n_wl} whitelisted")
+    return 1 if n_viol else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

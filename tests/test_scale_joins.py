@@ -81,6 +81,47 @@ def test_bucket_pruned_point_lookup(spark, bucketed, sf_dir):
     assert lookup.count() == want
 
 
+def test_salted_join_hot_only_matches_plain(spark):
+    # hot-threshold form: one key carries 1000 fact rows, 50 cold keys
+    # carry 2 each; results must equal the plain join exactly, for both
+    # inner and left (incl. a fact key missing from dim)
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(k, 0) for k in range(2, 52) for _ in range(2)] + [(999, -1)],
+        "k int, payload int",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 52)], "k int, label string")
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", num_salts=4, how=how, hot_threshold=100)
+        want = fact.join(dim, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+
+
+def test_salted_join_hot_only_bounds_dim_inflation(spark):
+    # only the hot key's dim row explodes to num_salts salts; cold dim
+    # rows stay single — the whole point of the hot-threshold form
+    from libmr_spark.operators.relational import salted_join as _sj  # noqa: F401
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(k, 0) for k in range(2, 52)], "k int, payload int"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 52)], "k int, label string")
+    hot = (
+        fact.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .filter(F.col("__cnt__") > 100)
+        .select("k", F.lit(True).alias("__is_hot__"))
+    )
+    dim_s = dim.join(F.broadcast(hot), "k", "left").withColumn(
+        "__salt__",
+        F.explode(
+            F.when(F.col("__is_hot__"), F.sequence(F.lit(0), F.lit(3))).otherwise(
+                F.sequence(F.lit(0), F.lit(0))
+            )
+        ),
+    )
+    assert dim_s.count() == 51 + 3  # 50 cold rows + hot row exploded to 4
+
+
 def test_salted_join_rejects_outer(spark, sf_dir):
     # the dim side is replicated num_salts times; a right/full outer join
     # would emit every unmatched dim row once per salt (ADVICE r1)
