@@ -11,11 +11,13 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="pos int, token string")
+@udtf(returnType="pos int, token string", useArrow=True)
 class Tokenize:
     """Explode a string into (position, token) rows — the canonical
     UDTF demo, mirroring the per-record fan-out a LibMR reader does
-    from a scanned key."""
+    from a scanned key. ``useArrow=True`` puts the lateral fan-out on
+    the Arrow batch path (plan node ``ArrowEvalPythonUDTF``, verified
+    by scripts/plan_lint.py) instead of row-at-a-time pickling."""
 
     def eval(self, text: str):
         if text is None:

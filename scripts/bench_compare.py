@@ -43,7 +43,13 @@ def main(argv: list[str]) -> int:
         old_path, new_path = benches[-2], benches[-1]
 
     old, new = load(old_path), load(new_path)
+    # prefer the full-inventory sweep when both rounds carry it (bench.py
+    # "full" key, round 4+): rotated-out headline queries regress there
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    if old.get("full") and new.get("full"):
+        oq = {**old["full"].get("queries", {}), **oq}
+        nq = {**new["full"].get("queries", {}), **nq}
+        print("(comparing full-inventory sweeps; headline min-of-2 wins on overlap)")
     print(f"comparing {os.path.basename(old_path)} -> {os.path.basename(new_path)} (threshold {threshold}x)")
     print(f"total: {old.get('value'):.2f}s -> {new.get('value'):.2f}s")
 

@@ -36,25 +36,25 @@ from libmr_spark.queries import QUERIES
 from libmr_spark.session import get_spark
 
 # name -> {check: reason} justified exceptions; every entry must say WHY
-# the shape is bounded at scale.
+# the shape is bounded at scale. Keep this list MINIMAL: an entry that
+# no longer fires should be deleted (it would silently mask a future
+# plan regression) — the lint run prints every whitelist hit, so a
+# stale entry is visible as a missing "ok" line.
 WHITELIST: dict[str, dict[str, str]] = {
-    "knn_bruteforce": {
-        "nested_loop": "corpus × BROADCAST bounded query set (contract: queries fit the driver); scored via one Arrow matmul per partition, top-k per partition",
+    "scalar_subquery_above_avg_orders": {
+        "nested_loop": "scalar subquery (global AVG) compiles to a 1-row broadcast NLJ — broadcast side is a single row by construction",
     },
-    "knn_ivf": {
-        "nested_loop": "corpus × broadcast (query, probe-cell) pairs — nprobe·|queries| rows, bounded",
+    "q11_important_parts": {
+        "nested_loop": "TPC-H q11's value-fraction threshold is a scalar subquery → 1-row broadcast NLJ",
     },
-    "knn_ivf_pretrained": {
-        "nested_loop": "same bounded broadcast probe join as knn_ivf, twice (two query batches)",
+    "q22_idle_customer_balance": {
+        "nested_loop": "TPC-H q22's avg-balance threshold is a scalar subquery → 1-row broadcast NLJ",
     },
-    "knn_lsh": {
-        "nested_loop": "bucket-key equi-match expressed as array_contains over broadcast query buckets — bounded by |queries|·num_probes",
+    "key_skew_profile": {
+        "nested_loop": "crossJoin against the broadcast 1-row (total, n_keys) aggregate — single-row side by construction",
     },
-    "range_join_price_bands": {
-        "nested_loop": "band dim is a literal ~5-row broadcast table; each part row tests 5 ranges",
-    },
-    "text_edit_distance_pairs": {
-        "nested_loop": "candidate pairs pre-filtered by length band + first-char block before the quadratic verify; blocks are bounded (see query docstring)",
+    "quality_percentile_filter": {
+        "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },
 }
 
