@@ -103,17 +103,17 @@ def decode_images(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode image payloads → fixed-shape feature rows.
 
     Output schema: media_id, width, height, n_pixels, mean_pixel,
-    phash (hex). ``mode='real'`` decodes with PIL (installed →
-    used automatically; absent → NotImplementedError naming it).
+    phash (hex). ``mode='real'`` decodes with PIL when installed, else
+    the stdlib PNG codec (``functions/png.py``) for PNG payloads — a
+    REAL decode with zero dependencies, same design as the ``wave``
+    fallback in :func:`audio_features`; non-PNG payloads without PIL
+    raise NotImplementedError naming it.
     """
-    if mode == "real":
-        _require(HAS_PIL, "Pillow", "pip install Pillow")
-
     out_schema = "media_id bigint, width int, height int, n_pixels bigint, mean_pixel double, phash string"
 
     def decode_one(rec: dict) -> dict:
         payload = bytes(rec["payload"])
-        if mode == "real":
+        if mode == "real" and HAS_PIL:
             import io
 
             img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
@@ -121,6 +121,19 @@ def decode_images(df: DataFrame, mode: str = "fake") -> DataFrame:
             px = list(img.getdata())
             # 8×8 average-hash over the grayscale thumbnail
             thumb = list(img.resize((8, 8)).getdata())
+            avg = sum(thumb) / 64
+            phash = f"{sum(1 << i for i, p in enumerate(thumb) if p >= avg):016x}"
+        elif mode == "real":
+            from ..functions.png import SIGNATURE, png_decode, resize_nearest, to_grayscale
+
+            _require(
+                payload[:8] == SIGNATURE,
+                "Pillow (payload is not PNG; the stdlib fallback decodes PNG only)",
+                "pip install Pillow",
+            )
+            w, h, ch, raw = png_decode(payload)
+            px = list(to_grayscale(w, h, ch, raw))
+            thumb = list(resize_nearest(w, h, 1, bytearray(px), 8, 8))
             avg = sum(thumb) / 64
             phash = f"{sum(1 << i for i, p in enumerate(thumb) if p >= avg):016x}"
         else:
@@ -154,22 +167,38 @@ def decode_images(df: DataFrame, mode: str = "fake") -> DataFrame:
 def resize_images(df: DataFrame, target_w: int, target_h: int, mode: str = "fake") -> DataFrame:
     """Resize step: payload → payload of the target 'resolution'.
     Fake mode truncates/pads the payload deterministically; real mode
-    is PIL ``Image.resize`` → PNG bytes. Schema and batching are
-    identical in both modes."""
-    if mode == "real":
-        _require(HAS_PIL, "Pillow", "pip install Pillow")
-
+    is PIL ``Image.resize`` → PNG bytes when PIL is installed, else
+    stdlib PNG decode → nearest-neighbor resample → stdlib PNG encode
+    (PNG payloads only; the two real sub-paths agree on schema and
+    shape, not pixel values — resampling kernels differ). Schema and
+    batching are identical in all modes."""
     out_schema = "media_id bigint, width int, height int, payload binary"
     target = target_w * target_h
 
     def resize_one(payload: bytes) -> bytes:
-        if mode == "real":
+        if mode == "real" and HAS_PIL:
             import io
 
             img = _PIL_Image.open(io.BytesIO(payload)).resize((target_w, target_h))
             buf = io.BytesIO()
             img.save(buf, format="PNG")
             return buf.getvalue()
+        if mode == "real":
+            from ..functions.png import (
+                SIGNATURE,
+                png_decode,
+                png_encode,
+                resize_nearest,
+            )
+
+            _require(
+                payload[:8] == SIGNATURE,
+                "Pillow (payload is not PNG; the stdlib fallback decodes PNG only)",
+                "pip install Pillow",
+            )
+            w, h, ch, raw = png_decode(payload)
+            resized = resize_nearest(w, h, ch, raw, target_w, target_h)
+            return png_encode(target_w, target_h, bytes(resized), ch)
         return (payload * (target // max(len(payload), 1) + 1))[:target]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

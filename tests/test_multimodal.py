@@ -38,14 +38,17 @@ def test_decode_images_deterministic(media):
 
 
 def test_decode_real_raises_when_codec_missing(media):
-    # escape hatch: with Pillow absent, mode='real' names the missing
-    # library and the install command; with it present, it decodes
+    # escape hatch: with Pillow absent, a NON-PNG payload in mode='real'
+    # names the missing library and the install command (lazily, at
+    # decode time — PNG payloads decode via the stdlib codec instead);
+    # with Pillow present, it decodes everything PIL can
     from libmr_spark.operators import multimodal as MM
 
     if MM.HAS_PIL:
         pytest.skip("Pillow present — covered by test_decode_images_real_pil")
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_images(media, mode="real")
+    with pytest.raises(Exception, match="Pillow"):
+        # media payloads are utf-8 text bytes, not PNG
+        decode_images(media, mode="real").collect()
 
 
 def test_decode_images_real_pil(spark):
@@ -75,6 +78,107 @@ def test_video_real_raises_when_ffmpeg_missing(media):
         pytest.skip("ffmpeg present")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_video_frames(media, mode="real")
+
+
+def test_decode_images_real_stdlib_png(spark):
+    # the real image path has a stdlib PNG fallback (functions/png.py),
+    # so it is exercisable even in a codec-less container — the image
+    # analog of the `wave` audio fallback. Build a genuine PNG and
+    # check dims/pixel stats come from actual decode.
+    from libmr_spark.functions.png import png_encode
+    from libmr_spark.operators import multimodal as MM
+
+    if MM.HAS_PIL:
+        pytest.skip("Pillow present — PIL path covered by test_decode_images_real_pil")
+    payload = png_encode(2, 2, bytes([0, 100, 200, 255]), channels=1)
+    df = spark.createDataFrame(
+        [(1, "image", "mem://1", bytearray(payload), (2, 2, 1, 16000, "png"))],
+        "media_id bigint, kind string, uri string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, codec:string>",
+    )
+    r = decode_images(df, mode="real").first()
+    assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+    assert abs(r.mean_pixel - (0 + 100 + 200 + 255) / 4) < 1e-6
+    assert len(r.phash) == 16
+
+
+def test_resize_images_real_stdlib_png(spark):
+    # real resize via stdlib decode -> nearest resample -> re-encode:
+    # output payload is a valid PNG of the target dims with the exact
+    # nearest-neighbor pixels
+    from libmr_spark.functions.png import png_decode, png_encode
+    from libmr_spark.operators import multimodal as MM
+
+    if MM.HAS_PIL:
+        pytest.skip("Pillow present — PIL resize path applies instead")
+    payload = png_encode(2, 2, bytes([1, 2, 3, 4]), channels=1)
+    df = spark.createDataFrame(
+        [(9, "image", "mem://9", bytearray(payload), (2, 2, 1, 16000, "png"))],
+        "media_id bigint, kind string, uri string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, codec:string>",
+    )
+    r = resize_images(df, 4, 4, mode="real").first()
+    assert (r.width, r.height) == (4, 4)
+    w, h, ch, px = png_decode(bytes(r.payload))
+    assert (w, h, ch) == (4, 4, 1)
+    assert list(px) == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
+
+
+def test_png_codec_roundtrip_and_filters():
+    # pure-python PNG codec sanity: filter-0 round-trip (gray + RGB)
+    # and decode of handcrafted filter-1..4 streams (forward-filtered
+    # with an independent implementation of the spec's predictors)
+    import random
+    import struct
+    import zlib
+
+    from libmr_spark.functions.png import SIGNATURE, _chunk, png_decode, png_encode
+
+    rng = random.Random(42)
+    for ch in (1, 3):
+        w, h = 13, 7
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        got = png_decode(png_encode(w, h, px, ch))
+        assert got[:3] == (w, h, ch) and bytes(got[3]) == px
+
+    def forward(f, row, prev, ch):
+        out = bytearray(len(row))
+        for i in range(len(row)):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (row[i] - pred) & 0xFF
+        return out
+
+    for ch in (1, 3):
+        w, h = 5, 4
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        stride = w * ch
+        raw, prev = bytearray(), bytearray(stride)
+        for y in range(h):
+            row = bytearray(px[y * stride : (y + 1) * stride])
+            f = (y % 4) + 1
+            raw.append(f)
+            raw += forward(f, row, prev, ch)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0)
+        data = (
+            SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert bytes(png_decode(data)[3]) == px, f"filter decode mismatch ch={ch}"
 
 
 def test_audio_features_real_wav(spark):
