@@ -218,14 +218,45 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, mode: str = "fake
     return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)
 
 
+def _y4m_frames(payload: bytes):
+    """Parse a YUV4MPEG2 (Y4M) stream — the uncompressed interchange
+    format ffmpeg itself reads/writes — and yield raw frame bytes.
+    Stream layout (published spec): ``YUV4MPEG2 W<w> H<h> ...\\n`` then
+    per frame ``FRAME[params]\\n`` + w·h·3/2 bytes (4:2:0, the default
+    and only subsampling supported here)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise NotImplementedError(f"Y4M subsampling {tok!r} (only C420* supported)")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    fsize = w * h * 3 // 2
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: expected FRAME marker")
+        yield payload[fnl + 1 : fnl + 1 + fsize]
+        pos = fnl + 1 + fsize
+
+
 def sample_video_frames(df: DataFrame, every_nth: int = 2, mode: str = "fake") -> DataFrame:
     """Frame sampling: one output row per sampled frame (1→N mapInPandas,
     the shape a real ffmpeg-backed sampler produces). Real mode shells
     out to the ``ffmpeg`` binary per payload (the standard executor-side
-    pattern for containerized codecs)."""
-    if mode == "real":
-        _require(HAS_FFMPEG, "the ffmpeg binary", "apt-get install ffmpeg")
-
+    pattern for containerized codecs) when the binary exists; without
+    it, Y4M payloads (the uncompressed format ffmpeg emits) are parsed
+    by the stdlib :func:`_y4m_frames` — a real frame extraction with no
+    dependency, completing the stdlib-fallback triple (PNG images, WAV
+    audio, Y4M video). Non-Y4M payloads without ffmpeg raise naming it."""
     out_schema = "media_id bigint, frame_idx int, frame_bytes binary"
 
     def real_frames(media_id, payload: bytes):
@@ -252,8 +283,20 @@ def sample_video_frames(df: DataFrame, every_nth: int = 2, mode: str = "fake") -
             rows = []
             for rec in pdf.to_dict("records"):
                 payload = bytes(rec["payload"])
-                if mode == "real":
+                if mode == "real" and HAS_FFMPEG:
                     rows.extend(real_frames(rec["media_id"], payload))
+                    continue
+                if mode == "real":
+                    _require(
+                        payload[:9] == b"YUV4MPEG2",
+                        "the ffmpeg binary (payload is not Y4M; the stdlib fallback parses Y4M only)",
+                        "apt-get install ffmpeg",
+                    )
+                    for j, fb in enumerate(_y4m_frames(payload)):
+                        if j % every_nth == 0:
+                            rows.append(
+                                {"media_id": rec["media_id"], "frame_idx": j, "frame_bytes": fb}
+                            )
                     continue
                 n_frames = rec["meta"]["n_frames"]
                 for i in range(0, n_frames, every_nth):

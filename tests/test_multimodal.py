@@ -72,12 +72,42 @@ def test_decode_images_real_pil(spark):
 
 
 def test_video_real_raises_when_ffmpeg_missing(media):
+    # lazily, at decode time: non-Y4M payloads without ffmpeg name the
+    # binary; Y4M payloads parse via the stdlib fallback instead
     from libmr_spark.operators import multimodal as MM
 
     if MM.HAS_FFMPEG:
         pytest.skip("ffmpeg present")
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        sample_video_frames(media, mode="real")
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(media, mode="real").collect()
+
+
+def test_video_frames_real_y4m(spark):
+    # the real video path has a stdlib Y4M fallback: build a genuine
+    # YUV4MPEG2 stream (the uncompressed format ffmpeg emits) with 5
+    # distinguishable 4:2:0 frames and check every_nth sampling returns
+    # the actual frame bytes
+    from libmr_spark.operators import multimodal as MM
+
+    if MM.HAS_FFMPEG:
+        pytest.skip("ffmpeg present — the subprocess path applies instead")
+    w, h = 4, 2
+    fsize = w * h * 3 // 2
+    frames = [bytes([i] * fsize) for i in range(5)]
+    payload = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    df = spark.createDataFrame(
+        [(3, "video", "mem://3", bytearray(payload), (w, h, 5, 0, "y4m"))],
+        "media_id bigint, kind string, uri string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, codec:string>",
+    )
+    rows = sample_video_frames(df, every_nth=2, mode="real").collect()
+    assert [(r.frame_idx, bytes(r.frame_bytes)) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        (0, frames[0]),
+        (2, frames[2]),
+        (4, frames[4]),
+    ]
 
 
 def test_decode_images_real_stdlib_png(spark):
