@@ -29,7 +29,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from ..core.partitioner import NUM_SLOTS, key_slot
+from ..core.partitioner import NUM_SLOTS
 
 KV_SCHEMA = "key string, value string, type string"
 
@@ -51,23 +51,44 @@ class KvDataSourceReader(DataSourceReader):
         bounds = [i * step for i in range(self.n)] + [NUM_SLOTS]
         return [SlotRange(bounds[i], bounds[i + 1]) for i in range(self.n)]
 
-    def read(self, partition: SlotRange) -> Iterator[tuple]:
+    def read(self, partition: SlotRange) -> Iterator:
+        """Emit Arrow RecordBatches (Spark 4 Python DataSources accept
+        them directly): key synthesis, slot routing (vectorized CRC16
+        byte-sweep, ``core.partitioner.key_slots_np``) and filtering all
+        run as batch ops — the original per-row tuple loop measured
+        ~7s at sf0.1, this form ~1s. ``str(price)`` stays a Python
+        call per kept row: Arrow's float→string cast formats doubles
+        differently from Python/DuckDB ``str``, and the value column's
+        contract is the reference's string rendering."""
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from ..core.partitioner import key_slots_np
 
         t = pq.read_table(
             os.path.join(self.sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
         )
-        for ok, price, status in zip(
-            t.column("o_orderkey").to_pylist(),
-            t.column("o_totalprice").to_pylist(),
-            t.column("o_orderstatus").to_pylist(),
-        ):
-            key = f"key{ok}"
-            if self.prefix and not key.startswith(self.prefix):
+        for rb in t.to_batches(max_chunksize=65536):
+            oks = rb.column(0).to_numpy(zero_copy_only=False)
+            keys = np.char.mod("key%d", oks)
+            slots = key_slots_np(keys)
+            mask = (slots >= partition.lo) & (slots < partition.hi)
+            if self.prefix:
+                mask &= np.char.startswith(keys, self.prefix)
+            if not mask.any():
                 continue
-            if partition.lo <= key_slot(key) < partition.hi:
-                yield (key, str(price), "string" if status == "O" else "hash")
+            prices = rb.column(1).to_numpy(zero_copy_only=False)[mask]
+            status = rb.column(2).to_numpy(zero_copy_only=False)[mask]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys[mask]),
+                    pa.array([str(p) for p in prices]),
+                    pa.array(np.where(status == "O", "string", "hash")),
+                ],
+                names=["key", "value", "type"],
+            )
 
 
 class KvDataSource(DataSource):
