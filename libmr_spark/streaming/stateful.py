@@ -91,8 +91,8 @@ def user_stats_tws(sdf, value_col: str = "value") -> DataFrame:
     state store.
 
     ENVIRONMENT GATE: the transformWithState Python worker speaks a
-    protobuf-based state-server protocol; on hosts with a broken
-    ``google.protobuf`` install the query fails at stream start with
+    protobuf-based state-server protocol; on hosts with a broken or
+    absent ``google.protobuf`` install the query fails at stream start with
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The operator is
     therefore exercised by a skip-gated test
     (tests/test_streaming.py::test_transform_with_state_user_stats)
