@@ -1400,11 +1400,16 @@ FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.8
     """,
-    "MinHash(64)+LSH(16 bands) candidates, verified with exact Jaccard ≥0.8 — "
-    "oracle is exact all-qualifying-pairs (recall ≈ 1-2e-4 at the threshold)",
+    "MinHash(96)+LSH(24 bands x 4 rows) candidates, verified with exact "
+    "Jaccard ≥0.8 — oracle is exact all-qualifying-pairs. Bands raised "
+    "16->24 in round 4: boundary-pair miss probability drops 2.2e-4 -> "
+    "3e-6 against the exact oracle on regenerated data (same "
+    "robustness move as dedup_embedding_cosine's B=48)",
 )
 def dedup_minhash_q(spark, sf_dir):
-    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8).select("id_a", "id_b", "jaccard")
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=96, bands=24
+    ).select("id_a", "id_b", "jaccard")
 
 
 @defquery(
