@@ -73,6 +73,24 @@ HEADLINE = [
 ]
 
 
+def calibrate() -> float:
+    """Fixed CPU-bound workload (3500² numpy matmul over all BLAS
+    threads — parallel like Spark's own work — min of 3) timed
+    alongside the bench: this VM's throughput swings ±40% between runs
+    (two identical-code headlines measured 29.0s and 42.5s in round 4),
+    so cross-round per-query ratios need a machine-speed denominator.
+    scripts/bench_compare.py divides by it when both rounds carry one."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(3500, 3500)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (a @ a).sum()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -113,6 +131,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_matmul_sec": calibrate(),
     }
     if errors:
         out["errors"] = errors

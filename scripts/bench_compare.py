@@ -52,6 +52,14 @@ def main(argv: list[str]) -> int:
         print("(comparing full-inventory sweeps; headline min-of-2 wins on overlap)")
     print(f"comparing {os.path.basename(old_path)} -> {os.path.basename(new_path)} (threshold {threshold}x)")
     print(f"total: {old.get('value'):.2f}s -> {new.get('value'):.2f}s")
+    # machine-speed normalization (bench.py calib_matmul_sec, round 4+):
+    # this VM's throughput swings ±40% run-to-run, so raw cross-round
+    # ratios are rescaled by the calibration ratio when both carry one
+    oc, nc = old.get("calib_matmul_sec"), new.get("calib_matmul_sec")
+    if oc and nc:
+        speed = nc / oc
+        print(f"machine-speed calibration: {oc:.3f}s -> {nc:.3f}s (x{speed:.2f}); ratios normalized by it")
+        nq = {k: v / speed for k, v in nq.items()}
 
     regressions = []
     for name in sorted(nq):

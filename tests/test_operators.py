@@ -567,3 +567,41 @@ def test_ivf_pretrained_centroids_reused(spark, emb):
         map(tuple, SIM.knn_ivf(emb, queries, k=5, nprobe=4, centroids=cents).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_plan_lint_heuristics():
+    # scripts/plan_lint.py's plan-string checks, exercised on synthetic
+    # formatted-plan fragments (no Spark session needed)
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "plan_lint", os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_lint.py")
+    )
+    pl = ilu.module_from_spec(spec)
+    spec.loader.exec_module(pl)
+
+    cart = "(3) CartesianProduct\n(4) Scan parquet\n"
+    assert ("cartesian", "CartesianProduct node in physical plan") in pl.lint_one("x", cart)
+
+    nlj = "(5) BroadcastNestedLoopJoin BuildRight, Inner\n"
+    assert any(c == "nested_loop" for c, _ in pl.lint_one("x", nlj))
+
+    pyudf = "(7) BatchEvalPython [f(x)#1]\n"
+    assert any(c == "py_udf" for c, _ in pl.lint_one("x", pyudf))
+    arrow = "(7) ArrowEvalPython [f(x)#1]\n(8) ArrowEvalPythonUDTF [g(y)#2]\n"
+    assert pl.lint_one("x", arrow) == []
+
+    # unpartitioned window over raw input -> flagged; with an aggregate
+    # below or a partition column -> not
+    gw = (
+        "(9) Window\nArguments: [rank() windowspecdefinition(n#5L DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]\n"
+    )
+    assert any(c == "global_window" for c, _ in pl.lint_one("x", gw))
+    assert pl.lint_one("x", gw + "(2) HashAggregate [sum(x)]\n") == []
+    pw = (
+        "(9) Window\nArguments: [rank() windowspecdefinition(user_id#3L, ts#4 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]\n"
+    )
+    assert pl.lint_one("x", pw) == []
