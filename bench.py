@@ -70,6 +70,9 @@ HEADLINE = [
     "revenue_share_window",
     "dense_rank_ties",
     "histogram2d_hour_value",
+    "salted_join_revenue_by_status",
+    "text_edit_distance_pairs",
+    "kv_scan_pyds",
 ]
 
 
