@@ -758,7 +758,7 @@ def pagerank_dup_graph_q(spark, sf_dir):
     "session_window_stats",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                        OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS brk
@@ -766,7 +766,7 @@ def pagerank_dup_graph_q(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
     sess AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM ordered)
     SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
