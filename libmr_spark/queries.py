@@ -1432,7 +1432,7 @@ def dedup_simhash_q(spark, sf_dir):
     "embedding-cosine near-duplicate pairs (banded sign-LSH equi-join, "
     "r=10 planes x B=48 bands — probabilistic recall, miss probability "
     "~1e-5 per pair at the 0.9 threshold boundary (B raised 32->48 in "
-    "round 4: +11%% measured cost buys 40x lower odds of dropping a "
+    "round 4: +11% measured cost buys 40x lower odds of dropping a "
     "boundary pair vs the exact all-pairs oracle), no cartesian; the "
     "all-pairs form survives only as this query's oracle)",
 )
@@ -3123,7 +3123,7 @@ def dedup_winnowing_q(spark, sf_dir):
     "plain — so dim inflation is 7×|hot| rows, not 7×|dim| (the full-"
     "salt form measured 12× wall at 10× data on uniform keys). Salting "
     "must be semantically transparent — the oracle is the PLAIN join, "
-    "which is exactly the point. threshold=9 makes ~1-2%% of orders "
+    "which is exactly the point. threshold=9 makes ~1-2% of orders "
     "hot at test SFs so the gate pins both the salted and plain paths",
 )
 def salted_join_q(spark, sf_dir):

@@ -13,9 +13,10 @@ rows through the self-join.
 
 Usage:
     python scripts/synth_scale.py 10 /root/testdata/sf0.1 /tmp/libmr_synth_sf10x
-    python scripts/scale_stress.py [base_sf_dir] [synth_dir]
+    python scripts/scale_stress.py [base_sf_dir] [synth_dir] [query ...]
 
-Prints markdown table rows for SCALING.md.
+Extra args select the queries to stress (default: the round-4 TARGETS
+list below). Prints markdown table rows for SCALING.md.
 """
 
 from __future__ import annotations
@@ -66,12 +67,13 @@ def build_skew_corpus(spark, synth_dir: str, out_dir: str) -> None:
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     synth = sys.argv[2] if len(sys.argv) > 2 else "/tmp/libmr_synth_sf10x"
+    targets = sys.argv[3:] or TARGETS
     skew_dir = "/tmp/libmr_skew_docs"
     spark = get_spark("scale-stress")
 
     print("| query | 1× (sf0.1) | 10× | ratio |")
     print("|---|---|---|---|")
-    for name in TARGETS:
+    for name in targets:
         t1 = run_noop(spark, name, base)
         t10 = run_noop(spark, name, synth)
         print(f"| {name} | {t1}s | {t10}s | {round(t10 / t1, 1)}× |", flush=True)
