@@ -3346,52 +3346,70 @@ _DRIVER_CHECKED: set[str] = {
     "tfidf_top_terms", "tumbling_window_events", "udtf_token_positions",
     "value_histogram", "window_percent_rank_cume",
     "zscore_outlier_events",
+    # round 4 (CORRECTNESS_r04.json) — 50/50 hash-green (the full
+    # round-1-era re-proof backlog + every round-4 changed-code name)
+    "anti_join_customers_without_orders", "bucketed_join_no_shuffle",
+    "common_event_paths", "cube_qty", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh", "distinct_and_approx",
+    "embedding_label_centroids", "grouping_sets_status_priority",
+    "in_subquery_orders_of_top_nation", "join_broadcast_dims",
+    "kv_collect_then_map", "kv_count", "kv_dbsize_sum",
+    "kv_filter_string", "kv_map_type", "kv_point_lookup",
+    "kv_reshuffle_rmw", "kv_scan", "kv_scan_pyds",
+    "multimodal_audio_features", "orderby_limit_topk",
+    "orders_per_customer_list", "outer_join_order_counts",
+    "pivot_status_by_priority", "q10_returned_item_customers",
+    "q14_promo_revenue_percent", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "range_join_price_bands", "rollup_qty",
+    "salted_join_revenue_by_status", "scalar_string_date_math",
+    "scalar_subquery_above_avg_orders", "secondary_sort_deltas",
+    "semi_join_customers_with_orders", "setop_union_intersect_except",
+    "text_edit_distance_pairs", "udtf_token_positions",
+    "unpivot_order_measures", "window_lag_lead",
+    "window_ntile_quartiles", "window_range_frame",
+    "window_running_sum", "window_topk_per_group",
 }
 
 
-# Round-4 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  This round clears the re-proof BACKLOG: the
-# testdata has been regenerated twice since round 1, so names whose
-# only driver row is round-1-era need a fresh green row on current
-# data.  Ordered: (a) queries whose code changed in round 4 (ADVICE
-# fixes + the audio query's new quantized-BIGINT oracle) — their old
-# rows no longer cover them; (b) all 40 names whose latest driver row
-# is round 1; (c) the 6 oldest round-2-era oracle-backed names.  The
-# remaining ~32 r2-era + 24 never-gated (judge-verified r3) names
-# rotate in round 5.  New query additions are FROZEN until the backlog
-# clears.
+# Round-5 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 4 went 50/50, so this round rotates onto
+# the evidence backlog: (a) the 25 names that have NEVER had a driver
+# row (all judge-green in round 4's verdict, but never driver-gated);
+# (b) queries whose code changed in round 5 (the text_edit_distance
+# blocking-key rewrite) plus the two new §7.2a queries; (c) 22 of the
+# 36 names whose latest driver row is round 2 — all 13 remaining
+# TPC-H q-series, the five text_* queries, the three knn sketches and
+# dedup_simhash.  The remaining 14 r2-stale names rotate in round 6,
+# after which every name has a round-3+ row and §7.2a unfreezes fully.
 _NEWEST = [
-    # (a) code changed in round 4
-    "multimodal_audio_features", "bucketed_join_no_shuffle",
-    "common_event_paths", "secondary_sort_deltas",
-    "salted_join_revenue_by_status", "udtf_token_positions",
-    "dedup_embedding_cosine", "text_edit_distance_pairs",
-    # (b) round-1-era rows — full re-proof on current data
-    "kv_scan", "kv_map_type", "kv_filter_string", "kv_count",
-    "kv_reshuffle_rmw", "kv_point_lookup", "kv_dbsize_sum",
-    "kv_collect_then_map",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q10_returned_item_customers", "q14_promo_revenue_percent",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "join_broadcast_dims", "outer_join_order_counts",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders", "range_join_price_bands",
-    "distinct_and_approx", "rollup_qty", "cube_qty",
-    "grouping_sets_status_priority",
-    "window_topk_per_group", "window_running_sum", "window_lag_lead",
-    "window_range_frame", "window_ntile_quartiles",
-    "orderby_limit_topk", "setop_union_intersect_except",
-    "orders_per_customer_list", "pivot_status_by_priority",
-    "unpivot_order_measures", "scalar_subquery_above_avg_orders",
-    "in_subquery_orders_of_top_nation", "scalar_string_date_math",
-    "dedup_exact", "dedup_minhash_lsh",
-    # (c) oldest round-2-era names with SQL oracles (text_token_count,
-    # text_quality_score, text_lang_id and wordcount_top100 displaced
-    # to round 5 as changed-code queries re-entered group (a) — the
-    # round-4 rewrites of salted_join, udtf_token_positions,
-    # dedup_embedding_cosine and text_edit_distance_pairs)
-    "kv_scan_pyds", "embedding_label_centroids",
+    # (a) never driver-gated (export order from update_rotation.py)
+    "knn_ivf_pretrained", "props_map_stats",
+    "streaming_foreach_batch_sink", "pagerank_dup_graph",
+    "session_window_stats", "sample_stratified_per_source",
+    "window_first_last_nth", "embedding_pca_project",
+    "events_latest_per_user", "key_skew_profile",
+    "full_outer_nation_activity", "setop_all_variants",
+    "string_agg_by_group", "multimodal_phash_dedup",
+    "null_safe_join_priority", "json_roundtrip_struct",
+    "try_cast_error_safe", "inverted_index_sample", "bigram_lm_top",
+    "union_schema_evolution", "rolling_zscore_events",
+    "fk_integrity_check", "revenue_share_window", "dense_rank_ties",
+    "histogram2d_hour_value",
+    # (b) code changed / added in round 5
+    "text_edit_distance_pairs", "sequence_packing",
+    "length_bucketed_batching",
+    # (c) round-2-era rows — re-proof on current data (22 of 36)
+    "q2_best_supplier_per_part", "q4_order_priority",
+    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
+    "q11_important_parts", "q12_priority_lines",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q19_disjunctive_revenue",
+    "q20_bulk_shippers", "q22_idle_customer_balance",
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint", "text_stats_by_lang",
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_simhash",
 ]
 
 
