@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line {"metric", "value", "unit", "queries", "sf"} — kept
+under the driver's 2000-char stdout tail capture. The full-fidelity
+result (3-decimal timings + the full-inventory sweep) is written to
+BENCH_full.json next to this script.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver materialization cost in the measurement).
@@ -165,7 +168,40 @@ def main() -> int:
         }
         if full_errors:
             out["full"]["errors"] = full_errors
-    print(json.dumps(out))
+
+    # The driver stores only the LAST 2000 chars of stdout and parses
+    # the final JSON line — round 4's full-inventory sweep made the
+    # single line ~10x that and BENCH_r04 recorded `parsed: null`
+    # (a perf round that lost its own headline evidence). So: the
+    # full-fidelity dict goes to BENCH_full.json next to this script,
+    # and stdout gets ONE compact line, hard-capped under the capture
+    # window — if the per-query map would overflow it, the fastest
+    # entries are dropped first (the slow ones are the evidence).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": out["sf"],
+        "calib_matmul_sec": out["calib_matmul_sec"],
+    }
+    if "full" in out:
+        compact["full_total_sec"] = out["full"]["total_sec"]
+        compact["full_n_queries"] = out["full"]["n_queries"]
+    if errors:
+        compact["n_errors"] = len(errors)
+    n_dropped = 0
+    while len(json.dumps(compact)) > 1900 and compact["queries"]:
+        fastest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][fastest]
+        n_dropped += 1
+        compact["queries_omitted"] = n_dropped
+    print(json.dumps(compact))
     # always rc=0 with the JSON line emitted: a partial run with an
     # "errors" map is infinitely more useful to the gate than rc=1 with
     # no parse (what round 2 produced)

@@ -72,8 +72,12 @@ def key_slots_np(keys: list[str]):
     path on a 150k-key Python list (U→S conversion bounds it); the CRC
     sweep itself is ~20× and the batch form is what lets callers like
     ``sources/pyds.py`` stay fully vectorized end-to-end (its reader
-    went 6.9s → 0.7s at sf0.1). Keys containing ``{`` or embedded NULs
-    take the scalar hashtag path (rare; detected vectorized)."""
+    went 6.9s → 0.7s at sf0.1). Keys containing ``{`` or ANY NUL byte
+    take the scalar path. NUL detection cannot use the byte matrix:
+    numpy U/S dtypes are zero-padded, so a TRAILING ``\\x00`` is
+    indistinguishable from padding (the pre-round-5 trailing-scan
+    check silently hashed ``'abc\\x00'`` as ``'abc'`` — ADVICE r4);
+    the ``in``-scan below runs before any dtype conversion."""
     import numpy as np
 
     global _XMODEM_TABLE
@@ -82,6 +86,10 @@ def key_slots_np(keys: list[str]):
     out = np.zeros(len(keys), dtype=np.int32)
     if len(keys) == 0:
         return out
+    # NUL-bearing keys are invisible to (or truncated by) the padded
+    # numpy dtypes — detect them on the Python strings and route to the
+    # scalar path (C-level str __contains__; ~ms per 100k keys)
+    nul_mask = np.fromiter(("\x00" in k for k in keys), dtype=bool, count=len(keys))
     u = np.asarray(keys, dtype="U")
     try:
         # ASCII fast path: C-level U→S conversion, no per-key Python
@@ -92,15 +100,14 @@ def key_slots_np(keys: list[str]):
     maxlen = b.dtype.itemsize
     mat = np.frombuffer(b.tobytes(), dtype=np.uint8).reshape(len(keys), maxlen)
     # byte lengths from the zero-padded matrix (position after the last
-    # non-zero byte); keys with EMBEDDED NUL bytes would be undercounted
-    # by the trailing scan, so they are detected (trailing != nonzero
-    # count) and routed to the scalar path along with hashtagged keys.
+    # non-zero byte) — valid because NUL-bearing keys were already
+    # masked out above, so zero bytes here are pure padding.
     # 0x7B ('{') can't appear inside a UTF-8 multibyte sequence, so the
     # byte scan finds exactly the literal braces.
     nz = mat != 0
     lens = maxlen - nz[:, ::-1].argmax(axis=1)
     lens[~nz.any(axis=1)] = 0
-    scalar_mask = (mat == 0x7B).any(axis=1) | (nz.sum(axis=1) != lens)
+    scalar_mask = (mat == 0x7B).any(axis=1) | nul_mask
     for i in np.nonzero(scalar_mask)[0]:
         out[i] = key_slot(keys[i])
     tbl = np.array(_XMODEM_TABLE, dtype=np.uint16)

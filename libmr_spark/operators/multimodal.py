@@ -238,13 +238,20 @@ def _y4m_frames(payload: bytes):
             raise NotImplementedError(f"Y4M subsampling {tok!r} (only C420* supported)")
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    fsize = w * h * 3 // 2
+    # 4:2:0 chroma planes are ceil(w/2)*ceil(h/2) each — w*h*3//2 is
+    # wrong for odd dimensions and would desynchronize the FRAME scan
+    fsize = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
     pos = nl + 1
     while pos < len(payload):
         fnl = payload.index(b"\n", pos)
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("corrupt Y4M: expected FRAME marker")
-        yield payload[fnl + 1 : fnl + 1 + fsize]
+        frame = payload[fnl + 1 : fnl + 1 + fsize]
+        if len(frame) < fsize:
+            raise ValueError(
+                f"truncated Y4M: frame has {len(frame)} of {fsize} bytes"
+            )
+        yield frame
         pos = fnl + 1 + fsize
 
 

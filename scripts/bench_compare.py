@@ -51,7 +51,7 @@ def main(argv: list[str]) -> int:
         nq = {**new["full"].get("queries", {}), **nq}
         print("(comparing full-inventory sweeps; headline min-of-2 wins on overlap)")
     print(f"comparing {os.path.basename(old_path)} -> {os.path.basename(new_path)} (threshold {threshold}x)")
-    print(f"total: {old.get('value'):.2f}s -> {new.get('value'):.2f}s")
+    print(f"total (raw, un-normalized): {old.get('value'):.2f}s -> {new.get('value'):.2f}s")
     # machine-speed normalization (bench.py calib_matmul_sec, round 4+):
     # this VM's throughput swings ±40% run-to-run, so raw cross-round
     # ratios are rescaled by the calibration ratio when both carry one
@@ -60,6 +60,17 @@ def main(argv: list[str]) -> int:
         speed = nc / oc
         print(f"machine-speed calibration: {oc:.3f}s -> {nc:.3f}s (x{speed:.2f}); ratios normalized by it")
         nq = {k: v / speed for k, v in nq.items()}
+        # normalized totals over the COMMON query set, so the headline
+        # number printed here can't contradict the per-query verdicts
+        common = set(oq) & set(nq)
+        o_tot = sum(oq[k] for k in common)
+        n_tot = sum(nq[k] for k in common)
+        print(
+            f"total (normalized, {len(common)} common queries): "
+            f"{o_tot:.2f}s -> {n_tot:.2f}s ({n_tot / o_tot:.2f}x)"
+            if o_tot > 0
+            else "total (normalized): n/a"
+        )
 
     regressions = []
     for name in sorted(nq):

@@ -59,6 +59,34 @@ WHITELIST: dict[str, dict[str, str]] = {
 }
 
 
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _subtree_has_agg(plan: str) -> dict[int, bool]:
+    """Map node number -> whether any aggregate node is in its SUBTREE.
+
+    Parses the indented tree section of a formatted plan ("NodeName (n)"
+    lines; depth = length of the "+- "/":- " prefix). A node's subtree
+    is the run of following lines with strictly greater depth.
+    """
+    entries: list[tuple[int, str, int]] = []  # (depth, name, num)
+    for line in plan.split("\n\n", 1)[0].splitlines():
+        m = re.match(r"^([\s:+\-]*)(?:\* )?([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            entries.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    out: dict[int, bool] = {}
+    for i, (depth, _name, num) in enumerate(entries):
+        has = False
+        for d2, name2, _n2 in entries[i + 1 :]:
+            if d2 <= depth:
+                break
+            if any(a in name2 for a in _AGG_NODES):
+                has = True
+                break
+        out[num] = has
+    return out
+
+
 def lint_one(name: str, plan: str) -> list[tuple[str, str]]:
     """Return (check, evidence) violations for one plan string."""
     out: list[tuple[str, str]] = []
@@ -69,8 +97,12 @@ def lint_one(name: str, plan: str) -> list[tuple[str, str]]:
     if re.search(r"^\(\d+\) BatchEvalPython", plan, re.MULTILINE):
         out.append(("py_udf", "row-at-a-time BatchEvalPython (use pandas_udf)"))
     # unpartitioned window over non-aggregate input: find Window nodes
-    # with an empty partition list; flag unless an Aggregate feeds them.
-    for m in re.finditer(r"^\(\d+\) Window\b.*$", plan, re.MULTILINE):
+    # with an empty partition list; flag unless an Aggregate feeds THIS
+    # window (scoped to the node's subtree via the plan tree — a global
+    # window over raw input is not excused by an unrelated aggregate
+    # elsewhere in the plan).
+    agg_below = _subtree_has_agg(plan)
+    for m in re.finditer(r"^\((\d+)\) Window\b.*$", plan, re.MULTILINE):
         seg = plan[m.start() : m.start() + 2000]
         spec = re.search(r"windowspecdefinition\(([^)]*)\)", seg)
         if spec is None:
@@ -81,8 +113,14 @@ def lint_one(name: str, plan: str) -> list[tuple[str, str]]:
         has_partition = not (args.split(",")[0].strip().endswith(("ASC NULLS FIRST", "DESC NULLS LAST", "ASC NULLS LAST", "DESC NULLS FIRST")) or "specifiedwindowframe" in args.split(",")[0])
         if has_partition:
             continue
-        if "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan:
-            continue  # bounded post-aggregate global window
+        node_num = int(m.group(1))
+        # fall back to the whole-plan check only if tree parsing missed
+        # this node (unexpected explain format)
+        if node_num in agg_below:
+            if agg_below[node_num]:
+                continue  # bounded post-aggregate global window
+        elif any(a in plan for a in _AGG_NODES):
+            continue
         out.append(("global_window", "unpartitioned Window without an aggregate below it"))
     return out
 

@@ -110,6 +110,26 @@ def test_video_frames_real_y4m(spark):
     ]
 
 
+def test_y4m_parser_truncation_and_odd_dims():
+    # driverless parser edge cases (ADVICE r4): a truncated stream must
+    # raise, not silently yield a short final frame; odd dimensions use
+    # ceil halves for the 4:2:0 chroma planes (w*h*3//2 would be short
+    # and desynchronize the FRAME scan)
+    import pytest as _pytest
+
+    from libmr_spark.operators.multimodal import _y4m_frames
+
+    # odd dims: 3x3 => Y=9 + 2*(2*2)=8 -> 17 bytes per frame
+    fsize = 17
+    frames = [bytes([i] * fsize) for i in range(3)]
+    payload = b"YUV4MPEG2 W3 H3 F25:1 C420\n" + b"".join(b"FRAME\n" + f for f in frames)
+    assert list(_y4m_frames(payload)) == frames
+
+    truncated = payload[:-5]
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_y4m_frames(truncated))
+
+
 def test_decode_images_real_stdlib_png(spark):
     # the real image path has a stdlib PNG fallback (functions/png.py),
     # so it is exercisable even in a codec-less container — the image

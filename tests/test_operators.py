@@ -605,3 +605,32 @@ def test_plan_lint_heuristics():
         "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]\n"
     )
     assert pl.lint_one("x", pw) == []
+
+    # SCOPED aggregate check (with a tree section): an aggregate in a
+    # DIFFERENT branch of the plan must NOT excuse a global window over
+    # raw input — the pre-round-5 whole-plan search had this false
+    # negative (ADVICE r4)
+    gw_details = (
+        "(4) Window\nArguments: [rank() windowspecdefinition(n#5L DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]\n"
+    )
+    tree_other_branch = (
+        "== Physical Plan ==\n"
+        "SortMergeJoin (6)\n"
+        ":- Window (4)\n"
+        ":  +- Sort (3)\n"
+        ":     +- Scan parquet (1)\n"
+        "+- HashAggregate (5)\n"
+        "   +- Scan parquet (2)\n"
+        "\n\n" + gw_details
+    )
+    assert any(c == "global_window" for c, _ in pl.lint_one("x", tree_other_branch))
+    tree_agg_below = (
+        "== Physical Plan ==\n"
+        "Window (4)\n"
+        "+- Sort (3)\n"
+        "   +- HashAggregate (2)\n"
+        "      +- Scan parquet (1)\n"
+        "\n\n" + gw_details
+    )
+    assert pl.lint_one("x", tree_agg_below) == []

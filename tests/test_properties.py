@@ -51,6 +51,31 @@ def test_hashtag_rule(tag):
     assert extract_hashtag(tag) == tag
 
 
+def test_key_slots_np_adversarial_parity():
+    # table-driven parity of the vectorized path against the scalar
+    # reference on every branch: ASCII, hashtags, unicode, empty, long,
+    # and NUL-bearing keys (a TRAILING NUL is indistinguishable from
+    # numpy's S/U padding, so it must take the scalar path — ADVICE r4)
+    from libmr_spark.core.partitioner import key_slots_np
+
+    keys = [
+        "foo", "", "a", "key42", "x" * 300,
+        "{foo}.bar", "prefix{tag}suffix", "empty{}braces", "unterminated{",
+        "naïve-ключ", "日本語キー", "emoji🎯key",
+        "abc\x00", "abc\x00\x00", "\x00", "\x00abc", "ab\x00cd",
+        "{t\x00ag}x", "mixed🎯\x00tail\x00",
+    ]
+    assert list(key_slots_np(keys)) == [key_slot(k) for k in keys]
+
+
+@given(st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40), max_size=30))
+@settings(max_examples=200)
+def test_key_slots_np_property_parity(keys):
+    from libmr_spark.core.partitioner import key_slots_np
+
+    assert list(key_slots_np(keys)) == [key_slot(k) for k in keys]
+
+
 @given(_tag_text)
 @settings(max_examples=200)
 def test_hashtag_degenerate_cases(key):
