@@ -38,6 +38,11 @@ TARGETS = [
     "dedup_winnowing",
     "dedup_ngram_jaccard",
     "salted_join_revenue_by_status",
+    # round 5: the rewritten candidate-verify edit distance + the two
+    # iterative operators that had no measured 10x row
+    "text_edit_distance_pairs",
+    "pagerank_dup_graph",
+    "dedup_clusters",
 ]
 
 BOILERPLATE = (

@@ -634,3 +634,37 @@ def test_plan_lint_heuristics():
         "\n\n" + gw_details
     )
     assert pl.lint_one("x", tree_agg_below) == []
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    # greedy next-fit packing: within every (source, pack) the token
+    # fill is <= budget unless the pack is a single over-budget doc;
+    # pack ids are contiguous from 0 per source; deterministic rerun
+    from libmr_spark.queries import QUERIES
+    from libmr_spark.queries_ext import _PACK_BUDGET
+
+    rows = QUERIES["sequence_packing"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, {}).setdefault(r.pack_id, []).append(r.n_tokens)
+    for src, packs in by_src.items():
+        assert sorted(packs) == list(range(len(packs))), src
+        for pid, toks in packs.items():
+            assert sum(toks) <= _PACK_BUDGET or len(toks) == 1, (src, pid, toks)
+    rows2 = QUERIES["sequence_packing"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_length_bucketed_batching_invariants(spark, sf_dir):
+    # batches hold <= 8 docs; all docs in a bucket are within the
+    # 16-token bucket width (max-min < 16); pad_frac in [0, 1)
+    from libmr_spark.queries import QUERIES
+
+    rows = QUERIES["length_bucketed_batching"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_docs <= 8
+        assert 0.0 <= r.pad_frac < 1.0
+        assert r.max_tokens // 16 == r.bucket  # max token in-bucket
+        # sum>=n*min and bucket width bound the spread
+        assert r.sum_tokens > r.n_docs * (r.bucket * 16 - 1)
