@@ -223,6 +223,21 @@ def _best_cid_expr(cent_list: list[list[float]], vec_col: str):
     return best_cid(to_double_array(F.col(vec_col)))
 
 
+def assign_ivf(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable centroid-assignment table: the corpus with its
+    IVF cell id (``cid``) attached. A real deployment computes this
+    ONCE per (corpus, quantizer) epoch and persists it (cache locally,
+    a parquet table partitioned by ``cid`` at warehouse scale) so every
+    later query batch starts at the bucket join — assignment, like
+    training, amortizes across batches. Pass the result to
+    :func:`knn_ivf` via ``assigned=``."""
+    return corpus.withColumn("cid", _best_cid_expr(centroids, vec_col))
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -234,6 +249,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``nlist`` cells
     (deterministic init = lowest ids; Lloyd refinement), then score
@@ -252,16 +268,22 @@ def knn_ivf(
     Pass ``centroids`` (from :func:`train_ivf_centroids`) to skip
     training — the production pattern: per-call Lloyd dominates the
     measured wall clock, and a quantizer trained on one batch serves
-    every later query batch.
+    every later query batch. Pass ``assigned`` (from
+    :func:`assign_ivf`, typically persisted) to also skip the
+    per-call corpus assignment scan; ``assigned`` must have been built
+    with the same ``centroids``.
     """
     import math
 
+    if assigned is not None and centroids is None:
+        raise ValueError("assigned= requires the matching centroids=")
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, nlist=nlist, lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col
     )
     nlist = len(cents)
 
-    assigned = corpus.withColumn("cid", _best_cid_expr(cents, vec_col))
+    if assigned is None:
+        assigned = assign_ivf(corpus, cents, vec_col=vec_col)
 
     # probe list per query: nprobe nearest centroids — computed the same
     # literal-expression way, then exploded to (query, cid) pairs

@@ -1521,23 +1521,27 @@ def knn_ivf_q(spark, sf_dir):
 @defquery(
     "knn_ivf_pretrained",
     None,  # approximate — recall asserted against knn_bruteforce in tests
-    "IVF ANN via train_ivf_centroids: the production train-ONCE / "
-    "query-many pattern — one Lloyd training pass serves two separate "
-    "query batches (per-call training dominates IVF wall clock, see "
-    "SCALING.md similarity curve). Results are identical to per-call "
-    "training because init is deterministic; this pins the centroids= "
-    "reuse path in the gate.",
+    "IVF ANN via train_ivf_centroids + assign_ivf: the production "
+    "train-ONCE / assign-ONCE / query-many pattern — one Lloyd "
+    "training pass AND one persisted centroid-assignment scan serve "
+    "two separate query batches (per-call training dominates IVF wall "
+    "clock, and the corpus assignment scan is the next-largest "
+    "per-call cost — see SCALING.md similarity curve; at warehouse "
+    "scale the assignment is a parquet table partitioned by cid). "
+    "Results are identical to per-call training because init is "
+    "deterministic; this pins both reuse paths in the gate.",
 )
 def knn_ivf_pretrained_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = SIM.train_ivf_centroids(emb, nlist=16, lloyd_iters=2)
+    assigned = SIM.assign_ivf(emb, cents).persist()
     batch1 = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     batch2 = (
         emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    out1 = SIM.knn_ivf(emb, batch1, k=5, nlist=16, nprobe=4, centroids=cents)
-    out2 = SIM.knn_ivf(emb, batch2, k=5, nlist=16, nprobe=4, centroids=cents)
+    out1 = SIM.knn_ivf(emb, batch1, k=5, nprobe=4, centroids=cents, assigned=assigned)
+    out2 = SIM.knn_ivf(emb, batch2, k=5, nprobe=4, centroids=cents, assigned=assigned)
     return out1.unionByName(out2)
 
 

@@ -1322,7 +1322,15 @@ def union_schema_evolution_q(spark, sf_dir):
     "TRAILING 100 events of its type (never its own value — the "
     "1-PRECEDING frame end keeps the test honest), flagged at |z|>3 "
     "with a 30-observation warm-up. The streaming-friendly cousin of "
-    "the global zscore_outlier_events.",
+    "the global zscore_outlier_events. PRECONDITION (same class as "
+    "revenue_share_window): the window partitions on event_type, a "
+    "LOW-cardinality key — each type's whole history sorts in ONE "
+    "task, so at 100 TB a handful of types means a handful of "
+    "straggler partitions. The production swap is a time-chunked "
+    "carry: window within (event_type, time-bucket) and carry the "
+    "trailing-100 row summary across bucket boundaries (chunked "
+    "prefix-scan) — or stream it, where "
+    "streaming/stateful.py's per-key state IS that carry.",
 )
 def rolling_zscore_events_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")

@@ -569,6 +569,42 @@ def test_ivf_pretrained_centroids_reused(spark, emb):
     assert a == b and len(a) > 0
 
 
+def test_ivf_assignment_reused_across_batches(spark, emb):
+    """One persisted assign_ivf table must serve TWO query batches with
+    results identical to per-call assignment (round-5 amortization: the
+    corpus assignment scan, like training, is per-epoch not per-batch).
+    assigned= without its centroids= is a usage error."""
+    import pytest as _pytest
+
+    from libmr_spark.operators.similarity import assign_ivf, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, nlist=8, lloyd_iters=2)
+    assigned = assign_ivf(emb, cents).persist()
+    try:
+        b1 = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+        b2 = (
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        for batch in (b1, b2):
+            per_call = sorted(
+                map(tuple, SIM.knn_ivf(emb, batch, k=5, nprobe=4, centroids=cents).collect())
+            )
+            reused = sorted(
+                map(
+                    tuple,
+                    SIM.knn_ivf(
+                        emb, batch, k=5, nprobe=4, centroids=cents, assigned=assigned
+                    ).collect(),
+                )
+            )
+            assert per_call == reused and len(reused) > 0
+        with _pytest.raises(ValueError, match="centroids"):
+            SIM.knn_ivf(emb, b1, k=5, assigned=assigned)
+    finally:
+        assigned.unpersist()
+
+
 def test_plan_lint_heuristics():
     # scripts/plan_lint.py's plan-string checks, exercised on synthetic
     # formatted-plan fragments (no Spark session needed)
