@@ -22,7 +22,7 @@ corpus scale and exactly reproducible in any engine with md5().
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hex alphabet is lowercase in both Spark and DuckDB md5()
@@ -106,3 +106,28 @@ def sample_fixed_k(df: DataFrame, k: int, key_col: str, seed: str = "42") -> Dat
     keeps this a per-partition top-k + single merge — no global sort."""
     full = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")).cast("binary"))
     return df.withColumn("__hk__", full).orderBy("__hk__").limit(k).drop("__hk__")
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    group_cols: list[str],
+    seed: str = "42",
+) -> DataFrame:
+    """Exactly-min(k, |group|) rows PER GROUP, deterministically: rank
+    rows within each group by the content hash of the key (md5 total
+    order, key tie-break) and keep the top k. The reservoir-sampling
+    use case without reservoir state: membership is a pure function of
+    (key, seed), so re-runs, repartitioning, and engine changes agree.
+    One window partitioned on the group columns — scale-safe when
+    group cardinality grows with the corpus (per-source curation); the
+    WindowGroupLimit rewrite keeps it a per-partition top-k, not a full
+    sort of each group's history."""
+    full = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")).cast("binary"))
+    w = Window.partitionBy(*group_cols).orderBy(full.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

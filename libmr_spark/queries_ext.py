@@ -1647,3 +1647,85 @@ def length_bucketed_batching_q(spark, sf_dir):
             / (F.count(F.lit(1)) * F.max("n_tokens"))
         ).alias("pad_frac"),
     )
+
+
+@defquery(
+    "vocab_coverage_cutoff",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token HAVING count(*) >= 5
+    ),
+    ranked AS (
+        SELECT token, n,
+               coalesce(sum(n) OVER (ORDER BY n DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+               sum(n) OVER () AS total
+        FROM counts
+    )
+    SELECT token, CAST(n AS BIGINT) AS n,
+           round(CAST(cum_before + n AS DOUBLE) / total, 6) AS cum_frac
+    FROM ranked WHERE cum_before < 0.9 * total
+    """,
+    "tokenizer-vocabulary build: tokens with count >= 5 (min-frequency "
+    "floor), then the smallest descending-frequency prefix covering "
+    "90% of the retained token mass (coverage cutoff — the standard "
+    "two-knob vocab recipe). The cumulative window runs over "
+    "POST-AGGREGATE vocab rows, bounded by distinct-token count, not "
+    "corpus size (the same precondition class as revenue_share_window; "
+    "a 100 TB corpus still has a vocab that fits one partition — "
+    "heaps law, and the min-freq floor trims the long tail first). "
+    "Extends wordcount_top100 from fixed top-k to mass coverage.",
+)
+def vocab_coverage_cutoff_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    w_cum = (
+        Window.orderBy(F.col("n").desc(), F.col("token").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        F.col("n").cast("bigint").alias("n"),
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return ranked.filter(F.col("cum_before") < 0.9 * F.col("total")).select(
+        "token",
+        "n",
+        F.round((F.col("cum_before") + F.col("n")).cast("double") / F.col("total"), 6).alias("cum_frac"),
+    )
+
+
+@defquery(
+    "sample_k_per_group",
+    """
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    ) <= 10
+    """,
+    "exactly-min(10, |group|) docs per source, deterministically: "
+    "content-hash rank within group (md5 total order, doc_id "
+    "tie-break) — reservoir sampling's use case without reservoir "
+    "state, so membership survives re-runs, repartitioning, and AQE. "
+    "Window partitions on source (cardinality grows with corpus "
+    "fan-out); Spark's WindowGroupLimit pushes the rank filter into "
+    "a per-partition top-k instead of sorting whole groups. "
+    "Complements the global sample_fixed_100.",
+)
+def sample_k_per_group_q(spark, sf_dir):
+    from .operators.sampling import sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(d, 10, "doc_id", ["source"]).select("doc_id", "source")

@@ -92,3 +92,19 @@ def test_sample_fixed_k_exact_and_stable(docs):
     s1 = sorted(r.doc_id for r in sample_fixed_k(docs, 37, "doc_id").collect())
     s2 = sorted(r.doc_id for r in sample_fixed_k(docs.repartition(5), 37, "doc_id").collect())
     assert len(s1) == 37 and s1 == s2
+
+
+def test_sample_k_per_group_exact_and_stable(docs):
+    from libmr_spark.operators.sampling import sample_k_per_group
+
+    out = sample_k_per_group(docs, 7, "doc_id", ["source"])
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src == {s: min(7, n) for s, n in sizes.items()}
+    # partitioning-invariant membership (no RNG, pure content hash)
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in sample_k_per_group(docs.repartition(11), 7, "doc_id", ["source"]).collect()
+    )
+    assert a == b
