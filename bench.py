@@ -76,6 +76,11 @@ HEADLINE = [
     "salted_join_revenue_by_status",
     "text_edit_distance_pairs",
     "kv_scan_pyds",
+    # round-5 batch-construction additions (SURVEY §7.2a)
+    "sequence_packing",
+    "length_bucketed_batching",
+    "vocab_coverage_cutoff",
+    "sample_k_per_group",
 ]
 
 
