@@ -704,3 +704,37 @@ def test_length_bucketed_batching_invariants(spark, sf_dir):
         assert r.max_tokens // 16 == r.bucket  # max token in-bucket
         # sum>=n*min and bucket width bound the spread
         assert r.sum_tokens > r.n_docs * (r.bucket * 16 - 1)
+
+
+def test_plans_batch_construction_shapes(spark, sf_dir):
+    """Round-5 batch-construction plan pins: the shapes that make these
+    100 TB-safe, not just correct."""
+    from libmr_spark.plans.explain import count_exchanges, formatted_plan, scan_info
+    from libmr_spark.queries import QUERIES
+
+    # sequence_packing: ONE shuffle (the groupBy source), the fold runs
+    # as grouped-Arrow Python (FlatMapGroupsInPandas), and only the
+    # three narrow columns reach Python — text stays JVM-side
+    sp = QUERIES["sequence_packing"].fn(spark, sf_dir)
+    plan = formatted_plan(sp)
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_exchanges(sp) == 1
+
+    # length_bucketed_batching: zero Python, window partitioned on
+    # (source, bucket) — never an empty partition spec
+    lb = QUERIES["length_bucketed_batching"].fn(spark, sf_dir)
+    lb_plan = formatted_plan(lb)
+    assert "Python" not in lb_plan and "windowspecdefinition(source" in lb_plan
+
+    # vocab cutoff: the global windows run over POST-AGGREGATE vocab
+    # rows (HashAggregate below the Window in the same subtree)
+    vc = QUERIES["vocab_coverage_cutoff"].fn(spark, sf_dir)
+    vc_plan = formatted_plan(vc)
+    assert "HashAggregate" in vc_plan and vc_plan.count("Window") >= 1
+    assert scan_info(vc)["read_schemas"] and all(
+        "doc_id" not in s for s in scan_info(vc)["read_schemas"]
+    )  # reads only text
+
+    # sample_k_per_group: rank filter pushed into per-partition top-k
+    sk = QUERIES["sample_k_per_group"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(sk)
