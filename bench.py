@@ -81,6 +81,11 @@ HEADLINE = [
     "length_bucketed_batching",
     "vocab_coverage_cutoff",
     "sample_k_per_group",
+    # round-5 training-pipeline additions (queries_pipeline.py)
+    "dedup_exact_substring",
+    "domain_mixture_resample",
+    "bpe_merge_pairs",
+    "fluency_bigram_deciles",
 ]
 
 

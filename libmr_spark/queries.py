@@ -3328,6 +3328,11 @@ def zscore_outliers_q(spark, sf_dir):
 # (import placed after the base inventory so dict order stays stable).
 from . import queries_ext  # noqa: E402, F401  isort:skip
 
+# Round-5 training-pipeline extensions (exact-substring dedup, domain
+# mixture resampling, BPE pair counting, fluency deciles) — same dict,
+# exported after the round-5 gate window (see queries_pipeline.py).
+from . import queries_pipeline  # noqa: E402, F401  isort:skip
+
 
 # The driver's correctness gate checked exactly the first 50 dict
 # entries in round 1 (CORRECTNESS_r01.json), leaving the rest without a

@@ -1,0 +1,397 @@
+"""Round-5 training-data-pipeline extensions: span-level exact-substring
+dedup (the Lee-et-al-2021 dedup target re-expressed as bounded shingle
+aggregation), deterministic domain-mixture resampling to a target
+source distribution, BPE merge-candidate counting (the first tokenizer
+-training iteration), and bigram-LM fluency deciles (perplexity-proxy
+quality bucketing).
+
+Registered into the same ``QUERIES`` dict as queries.py /
+queries_ext.py (imported from queries.py after queries_ext) so the
+driver sees one namespace.  New names export AFTER the round-5 gate
+window (they are neither in ``_NEWEST`` nor ``_DRIVER_CHECKED``), so
+they do not displace the rotation's evidence plan; they gate in round 6.
+
+Determinism notes follow queries.py's module docstring: integer
+arithmetic wherever a boundary decision is made (mixture quotas,
+bucket ids), ``round(x, 6)`` + DECIMAL accumulation for libm-derived
+values (ln), md5 hex strings for any cross-engine pseudo-random order,
+and unique tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import QUERIES, _t, defquery  # noqa: F401
+
+# ------------------------------------------------------------------
+# 1. Exact-substring dedup (span-level cross-doc repetition)
+# ------------------------------------------------------------------
+
+_SPAN_W = 40   # window width (chars) — the "minimum duplicated span"
+_SPAN_S = 20   # stride; overlapping windows so no cross-doc span of
+               # >= W + S chars can straddle two windows undetected
+
+
+@defquery(
+    "dedup_exact_substring",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    win AS (
+      SELECT doc_id, source, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    per AS (
+      SELECT doc_id, source,
+             count(*) AS n_windows,
+             SUM(CASE WHEN shared.w IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_windows
+      FROM win LEFT JOIN shared ON win.w = shared.w
+      GROUP BY doc_id, source)
+    SELECT doc_id, source,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+           round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_frac
+    FROM per WHERE n_dup_windows / CAST(n_windows AS DOUBLE) >= 0.5
+    """,
+    "exact-substring dedup (the span-level target of Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better'): "
+    f"overlapping {_SPAN_W}-char windows at stride {_SPAN_S} over "
+    "whitespace-normalized text; a window whose content appears in >= 2 "
+    "distinct docs is a duplicated span; docs with >= 50% duplicated "
+    "windows are flagged. The suffix-array construction the paper uses "
+    "is replaced by what a 1000-executor cluster actually wants: one "
+    "explode bounded at len/stride rows per doc, one hash aggregate on "
+    "the window content (Spark side hashes to xxhash64 longs so the "
+    "shuffle carries 8-byte keys, same trick as dedup_ngram_jaccard — "
+    "the oracle groups the raw strings, counts agree), one ids-only "
+    "join back, one per-doc aggregate. Linear in corpus size; no "
+    "quadratic pair stage anywhere because spans are flagged by "
+    "group-cardinality, never by doc-pair comparison.",
+)
+def dedup_exact_substring_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    win = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(t) - (_SPAN_W - 1), F.lit(1)),
+                        F.lit(_SPAN_S),
+                    ),
+                    lambda i: F.substring(t, i, _SPAN_W),
+                )
+            ).alias("w"),
+        )
+        # 8-byte keys through the shuffle; the window text never moves
+        .select("doc_id", "source", F.xxhash64("w").alias("h"))
+    )
+    # ONE pass over the exploded windows: within a hash group,
+    # ">= 2 distinct docs" is exactly min(doc_id) != max(doc_id), so a
+    # whole-partition-frame window flags shared spans without the
+    # aggregate-then-join-back self-reference (which would scan and
+    # explode the corpus twice). Shuffle count: one exchange on h, one
+    # per-doc aggregate — the oracle's countDistinct spelling groups
+    # the raw strings and agrees.
+    wh = Window.partitionBy("h")
+    flagged = win.select(
+        "doc_id",
+        "source",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).cast("int").alias("dup"),
+    )
+    per = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("dup").cast("bigint").alias("n_dup_windows"),
+    )
+    frac = F.col("n_dup_windows") / F.col("n_windows").cast("double")
+    return per.filter(frac >= 0.5).select(
+        "doc_id", "source", "n_windows", "n_dup_windows", F.round(frac, 6).alias("dup_frac")
+    )
+
+
+# ------------------------------------------------------------------
+# 2. Domain-mixture resampling (target source distribution)
+# ------------------------------------------------------------------
+
+# Target mixture as INTEGER per-10000 weights (so every quota decision
+# is integer arithmetic — no float boundary can disagree between
+# engines).  A real pipeline reads this from curation config; the
+# shape here (head-heavy over 20 sources) mirrors the usual
+# web-heavy / curated-tail mixtures.
+_MIX_W = {
+    "src0": 1200, "src1": 1000, "src2": 1000, "src3": 800, "src4": 800,
+    "src5": 600, "src6": 600, "src7": 500, "src8": 500, "src9": 400,
+    "src10": 400, "src11": 400, "src12": 300, "src13": 300, "src14": 300,
+    "src15": 300, "src16": 200, "src17": 200, "src18": 100, "src19": 100,
+}
+assert sum(_MIX_W.values()) == 10_000
+
+_MIX_VALUES_SQL = ", ".join(f"('{s}', {w})" for s, w in _MIX_W.items())
+
+
+@defquery(
+    "domain_mixture_resample",
+    f"""
+    WITH tgt(source, w) AS (VALUES {_MIX_VALUES_SQL}),
+    counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    feas AS (
+      SELECT CAST(min(CAST(floor(c.n * 10000.0 / t.w) AS BIGINT)) AS BIGINT) AS T
+      FROM counts c JOIN tgt t ON c.source = t.source),
+    quota AS (
+      SELECT c.source, c.n, t.w,
+             CAST(floor(t.w * f.T / 10000.0) AS BIGINT) AS k
+      FROM counts c JOIN tgt t ON c.source = t.source CROSS JOIN feas f),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('42:' || CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS rk
+      FROM documents d),
+    kept AS (
+      SELECT r.source, count(*) AS n_kept
+      FROM ranked r JOIN quota q ON r.source = q.source AND r.rk <= q.k
+      GROUP BY r.source)
+    SELECT q.source, CAST(q.n AS BIGINT) AS n_total, q.w AS target_w,
+           CAST(coalesce(k2.n_kept, 0) AS BIGINT) AS n_kept,
+           round(coalesce(k2.n_kept, 0) /
+                 CAST(SUM(coalesce(k2.n_kept, 0)) OVER () AS DOUBLE), 6) AS achieved_frac
+    FROM quota q LEFT JOIN kept k2 ON q.source = k2.source
+    """,
+    "domain-mixture resampling: given integer target weights per "
+    "source (parts per 10000), find the largest total T for which "
+    "every source can meet its share (T = min over sources of "
+    "floor(n*10000/w)), downsample each source to its integer quota "
+    "floor(w*T/10000) by deterministic md5-rank, and report achieved "
+    "vs target mixture. All quota boundaries are integer arithmetic; "
+    "membership is content-hash rank, so the kept set survives "
+    "re-runs, repartitioning and AQE (same contract as "
+    "sample_k_per_group). PRECONDITION (revenue_share_window class): "
+    "the rank window partitions on source — exact per-source quotas "
+    "need a per-source ordered rank, so a 100 TB corpus with few "
+    "sources sorts each source in one task. The production swap keeps "
+    "the same config and oracle: threshold sampling (keep if "
+    "md5 < quota/n-derived hex cut) is O(1)/row and hits the quota "
+    "within ±O(sqrt(n)); a second refinement pass on the boundary "
+    "bucket makes it exact without a global sort.",
+)
+def domain_mixture_resample_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        [(s, w) for s, w in _MIX_W.items()], "source string, w int"
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ct = counts.join(F.broadcast(tgt), "source")
+    feas = ct.agg(
+        F.min(F.floor(F.col("n") * 10000.0 / F.col("w")).cast("bigint")).alias("T")
+    )
+    quota = ct.crossJoin(F.broadcast(feas)).select(
+        "source",
+        "n",
+        "w",
+        F.floor(F.col("w") * F.col("T") / 10000.0).cast("bigint").alias("k"),
+    )
+    rk_w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = d.select("source", "doc_id", F.row_number().over(rk_w).alias("rk"))
+    kept = (
+        ranked.join(F.broadcast(quota.select("source", "k")), "source")
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    out = quota.join(kept, "source", "left").select(
+        "source",
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("w").alias("target_w"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+    tot_w = Window.partitionBy()
+    return out.withColumn(
+        "achieved_frac",
+        F.round(F.col("n_kept") / F.sum("n_kept").over(tot_w).cast("double"), 6),
+    )
+
+
+# ------------------------------------------------------------------
+# 3. BPE merge candidates (first tokenizer-training iteration)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "bpe_merge_pairs",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents),
+    vocab AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+      FROM vocab, unnest(range(1, greatest(len(word) - 1, 0) + 1)) u(i))
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 40
+    """,
+    "BPE merge-candidate counting — the inner loop of tokenizer "
+    "training: frequency of every adjacent symbol pair, weighted by "
+    "word frequency; the top pair is the next merge. The scale shape "
+    "is the point: pairs explode over the VOCABULARY (distinct words, "
+    "Heaps-law bounded) weighted by freq, not over corpus positions — "
+    "the corpus-sized pass is one word-count hash aggregate with "
+    "map-side partials, and everything after is vocab-sized. "
+    "Character semantics (substr/len) are codepoint-based in both "
+    "engines, so CJK pairs count identically. Top-40 with unique "
+    "(n DESC, pair ASC) tie-break.",
+)
+def bpe_merge_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # Guard 1-char words: Spark's sequence(1, 0) is the DESCENDING
+    # array [1, 0] (see common_event_paths), which would inject
+    # spurious 1-char "pairs" — emit an empty array instead, matching
+    # the oracle's empty range(1, ...+1).
+    pairs = vocab.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, 2),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(40)
+    )
+
+
+# ------------------------------------------------------------------
+# 4. Bigram-LM fluency deciles (perplexity-proxy quality bucketing)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "fluency_bigram_deciles",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 w -> w <> '') AS ws
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> {w1: ws[i], w2: ws[i+1]})) AS p
+      FROM toks),
+    occ AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+    cnt AS (SELECT w1, w2, count(*) AS n FROM occ GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1),
+    v AS (SELECT count(DISTINCT word) AS vs
+          FROM (SELECT unnest(ws) AS word FROM toks)),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(round(ln((c.n + 1.0) / (u.n1 + v.vs)), 6) AS DECIMAL(18,8)) AS lp
+      FROM occ o
+      JOIN cnt c ON o.w1 = c.w1 AND o.w2 = c.w2
+      JOIN uni u ON o.w1 = u.w1
+      CROSS JOIN v),
+    per_doc AS (
+      SELECT doc_id,
+             round(CAST(AVG(lp) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY doc_id),
+    deciled AS (
+      SELECT doc_id, score,
+             ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS decile
+      FROM per_doc)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(AVG(CAST(score AS DECIMAL(18,8))) AS DOUBLE), 6) AS avg_score,
+           round(CAST(min(score) AS DOUBLE), 6) AS min_score,
+           round(CAST(max(score) AS DOUBLE), 6) AS max_score
+    FROM deciled GROUP BY decile
+    """,
+    "bigram-LM fluency deciles: per-doc mean log P(w2|w1) under the "
+    "corpus bigram model with add-one smoothing (all-integer counts "
+    "inside the log; per-pair logs rounded then DECIMAL-averaged so "
+    "both engines agree bit-for-bit — text_unigram_logprob's recipe), "
+    "then docs ntile(10)-bucketed by fluency with per-decile count / "
+    "avg / min / max. The bottom decile is the perplexity-filter cut "
+    "a curation pipeline drops. Scale shape: bigram occurrences join "
+    "the vocab²-bounded count table (broadcast here; sort-merge on w1 "
+    "at 100 TB) — no corpus×corpus stage; the decile window runs over "
+    "one row per DOC (score), the same post-aggregate-rows "
+    "precondition as vocab_coverage_cutoff, and ntile needs a total "
+    "order so production replaces it with fixed score-range buckets "
+    "or approx percentile boundaries at scale.",
+)
+def fluency_bigram_deciles_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    base = d.select("doc_id", toks.alias("ws"))
+    occ = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
+    vocab_size = base.select(F.explode("ws").alias("word")).agg(
+        F.countDistinct("word").alias("vs")
+    )
+    scored = (
+        occ.join(F.broadcast(cnt), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "doc_id",
+            F.round(F.log((F.col("n") + 1.0) / (F.col("n1") + F.col("vs"))), 6)
+            .cast("decimal(18,8)")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp").cast("double"), 6).alias("score")
+    )
+    dec_w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    deciled = per_doc.select(
+        "doc_id", "score", F.ntile(10).over(dec_w).alias("decile")
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("score").cast("decimal(18,8)")).cast("double"), 6).alias(
+            "avg_score"
+        ),
+        F.round(F.min("score").cast("double"), 6).alias("min_score"),
+        F.round(F.max("score").cast("double"), 6).alias("max_score"),
+    )

@@ -53,6 +53,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "key_skew_profile": {
         "nested_loop": "crossJoin against the broadcast 1-row (total, n_keys) aggregate — single-row side by construction",
     },
+    "domain_mixture_resample": {
+        "nested_loop": "crossJoin against the broadcast 1-row feasible-total (min over 20 sources) aggregate — single-row side by construction",
+    },
+    "fluency_bigram_deciles": {
+        "nested_loop": "crossJoin against the broadcast 1-row vocabulary-size aggregate — single-row side by construction",
+    },
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },

@@ -738,3 +738,73 @@ def test_plans_batch_construction_shapes(spark, sf_dir):
     # sample_k_per_group: rank filter pushed into per-partition top-k
     sk = QUERIES["sample_k_per_group"].fn(spark, sf_dir)
     assert "WindowGroupLimit" in formatted_plan(sk)
+
+
+def test_dedup_exact_substring_invariants(spark, sf_dir):
+    # flagged docs have dup_frac in [0.5, 1]; counts are consistent;
+    # deterministic rerun; the shuffle key is the 8-byte xxhash64 of
+    # the window (the 40-char text never crosses an exchange)
+    from libmr_spark.plans.explain import formatted_plan
+    from libmr_spark.queries import QUERIES
+
+    q = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
+    rows = q.collect()
+    for r in rows:
+        assert 0 < r.n_dup_windows <= r.n_windows
+        assert 0.5 <= r.dup_frac <= 1.0
+        assert abs(r.dup_frac - round(r.n_dup_windows / r.n_windows, 6)) < 1e-9
+    rows2 = QUERIES["dedup_exact_substring"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    plan = formatted_plan(q)
+    assert "xxhash64" in plan and "CartesianProduct" not in plan
+
+
+def test_domain_mixture_resample_quotas(spark, sf_dir):
+    # integer-quota contract: T = min(floor(n*10000/w)); every source
+    # keeps exactly floor(w*T/10000) docs (never more than it has),
+    # weights sum to 10000, achieved fractions sum to ~1
+    from libmr_spark.queries import QUERIES
+    from libmr_spark.queries_pipeline import _MIX_W
+
+    rows = QUERIES["domain_mixture_resample"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(_MIX_W)
+    assert sum(r.target_w for r in rows) == 10_000
+    T = min(r.n_total * 10_000 // r.target_w for r in rows)
+    for r in rows:
+        assert r.target_w == _MIX_W[r.source]
+        assert r.n_kept == r.target_w * T // 10_000 <= r.n_total
+    assert abs(sum(r.achieved_frac for r in rows) - 1.0) < 1e-4
+
+
+def test_bpe_merge_pairs_shape(spark, sf_dir):
+    # every merge candidate is exactly 2 codepoints; counts descend;
+    # and the pair explode runs over the VOCAB (an aggregate sits
+    # below the Generate), not over corpus positions
+    from libmr_spark.plans.explain import formatted_plan
+    from libmr_spark.queries import QUERIES
+
+    q = QUERIES["bpe_merge_pairs"].fn(spark, sf_dir)
+    rows = q.collect()
+    assert len(rows) == 40
+    assert all(len(r.pair) == 2 for r in rows)
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    plan = formatted_plan(q)
+    gen = plan.index("Generate")  # first (outermost) explode = pair explode
+    assert "HashAggregate" in plan[gen:]  # vocab aggregate below it
+
+
+def test_fluency_bigram_deciles_invariants(spark, sf_dir):
+    # 10 deciles partition the scored docs; per-decile score ranges
+    # are ordered and internally consistent
+    from libmr_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["fluency_bigram_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for r in rows:
+        assert r.min_score <= r.avg_score <= r.max_score
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_score <= b.min_score  # deciles ordered by fluency
