@@ -86,6 +86,8 @@ HEADLINE = [
     "domain_mixture_resample",
     "bpe_merge_pairs",
     "fluency_bigram_deciles",
+    "sink_merge_upsert",
+    "streaming_rolling_extremes",
 ]
 
 

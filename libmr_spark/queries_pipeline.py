@@ -395,3 +395,134 @@ def fluency_bigram_deciles_q(spark, sf_dir):
         F.round(F.min("score").cast("double"), 6).alias("min_score"),
         F.round(F.max("score").cast("double"), 6).alias("max_score"),
     )
+
+
+# ------------------------------------------------------------------
+# 5. Copy-on-write MERGE (upsert) sink round-trip
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "sink_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_year, CAST(price + 100.00 AS DECIMAL(18,2)) AS price
+      FROM base WHERE o_year = 1998 AND o_orderkey % 3 = 0),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_year,
+             CAST(500.00 AS DECIMAL(18,2)) AS price
+      FROM base WHERE o_year = 1998 AND o_orderkey % 10 = 0),
+    merged AS (
+      SELECT * FROM base WHERE NOT (o_year = 1998 AND o_orderkey % 3 = 0)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN o_orderkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted
+    FROM merged GROUP BY o_year
+    """,
+    "copy-on-write MERGE (upsert) into a hive-partitioned parquet "
+    "table — the CDC/SCD ingest primitive every warehouse needs: "
+    "orders snapshotted partitioned by year, then a change batch "
+    "(updates = +100.00 on a third of 1998's orders, inserts = new "
+    "keys for a tenth) merged in. Only the 1998 partition is read or "
+    "rewritten: the affected-partition list (bounded by partition "
+    "count) prunes the base scan, survivors come from a left-anti "
+    "join over that partition alone, and the write uses "
+    "partitionOverwriteMode=dynamic so 1995-1997/1999-2001 files are "
+    "untouched — the property that makes MERGE affordable when the "
+    "table is 100 TB and the change batch touches one day. The "
+    "oracle reconstructs the merged state relationally from the "
+    "original table, so a lossy merge (dropped survivors, doubled "
+    "updates, mangled partition values) fails the hash compare. See "
+    "sources/sinks.py::merge_upsert for the staging two-hop commit "
+    "note (a log-based table format replaces the second hop).",
+)
+def sink_merge_upsert_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import merge_upsert
+
+    base_path = _sink_dir("orders_merge_base", sf_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    # fresh snapshot each run (idempotent re-runs)
+    o.write.mode("overwrite").partitionBy("o_year").parquet(base_path)
+
+    upd = o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 3 == 0)).select(
+        "o_orderkey",
+        "o_year",
+        (F.col("price") + F.lit(100).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    ins = o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 10 == 0)).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_year",
+        F.lit(500).cast("decimal(18,2)").alias("price"),
+    )
+    merge_upsert(
+        spark,
+        base_path,
+        upd.unionByName(ins),
+        keys=["o_orderkey"],
+        partition_col="o_year",
+    )
+    back = spark.read.parquet(base_path)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").cast("double").alias("total"),
+        F.sum((F.col("o_orderkey") >= 100000000).cast("int")).cast("bigint").alias("n_inserted"),
+    )
+
+
+# ------------------------------------------------------------------
+# 6. Streaming trailing-window extremes (stateful chunked carry)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_rolling_extremes",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             max(value) OVER w AS mx, min(value) OVER w AS mn,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, value,
+           CASE WHEN value > mx THEN 'high' ELSE 'low' END AS kind
+    FROM s WHERE n >= 30 AND (value > mx OR value < mn)
+    """,
+    "REAL stateful streaming: trailing-100 extreme detection per "
+    "event_type via applyInPandasWithState — an event is flagged when "
+    "it exceeds the max/min of the previous 100 events of its type "
+    "(30-event warm-up, never its own value). This implements the "
+    "chunked-carry production swap that rolling_zscore_events' "
+    "docstring names for low-cardinality window partitions: the "
+    "per-key STATE carries the trailing-window summary across "
+    "micro-batch boundaries instead of sorting a key's entire history "
+    "in one task. min/max comparisons are exact (no float "
+    "accumulation), so the batch window-frame query is a bit-exact "
+    "oracle — batch/stream semantic parity is hash-verified, not "
+    "assumed.",
+)
+def streaming_rolling_extremes_q(spark, sf_dir):
+    from .sources.readers import events_stream
+    from .streaming.stateful import rolling_extremes
+    from .streaming.windows import run_to_memory_sink
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    out = rolling_extremes(
+        sdf, key_cols=["event_type"], ts_col="ts", order_col="event_id", value_col="value"
+    )
+    run_to_memory_sink(out, "q_streaming_rolling_extremes", output_mode="append")
+    return spark.table("q_streaming_rolling_extremes")

@@ -38,3 +38,49 @@ def foreach_partition_sink(df: DataFrame, fn: Callable[[Iterator], None]) -> Non
     read-modify-write idiom of the reference,
     ``tests/mr_test_module/src/lib.rs:323-353``)."""
     df.foreachPartition(fn)
+
+
+def merge_upsert(
+    spark,
+    base_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    staging_path: str | None = None,
+) -> None:
+    """Copy-on-write MERGE (upsert) into a hive-partitioned parquet
+    table: rows in ``updates`` replace base rows with the same key;
+    unmatched update rows are inserted.
+
+    The 100 TB shape: only partitions PRESENT IN THE UPDATES are
+    rewritten — untouched partitions are never read or written
+    (partition pruning on the read, ``partitionOverwriteMode=dynamic``
+    on the write). The affected-partition list is collected to the
+    driver, bounded by the table's partition count, and pushed into
+    the base scan as an ``isin`` filter so pruning happens at the
+    file listing. Survivors (base rows not matched by an update key)
+    come from a left-anti join shuffled only across the touched
+    partitions' rows.
+
+    Plain parquet has no transaction log, so the merged data for the
+    touched partitions is staged to ``staging_path`` first and then
+    dynamically overwritten into place (Spark refuses — correctly —
+    to overwrite a path it is simultaneously reading). A production
+    deployment swaps this two-hop commit for a log-based table format
+    (the mechanics above are exactly what those formats' MERGE
+    executes under the hood); semantics and partition scoping are
+    identical.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(base_path)
+    touched = base.filter(F.col(partition_col).isin(parts))
+    survivors = touched.join(updates.select(*keys), keys, "left_anti")
+    merged = survivors.unionByName(updates)
+
+    staging = staging_path or base_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(base_path)

@@ -132,3 +132,58 @@ def user_stats_tws(sdf, value_col: str = "value") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def rolling_extremes(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 100,
+    min_n: int = 30,
+    out_schema: str = "event_id bigint, event_type string, value double, kind string",
+) -> DataFrame:
+    """Trailing-window extreme detection with per-key carried state: an
+    event is flagged 'high'/'low' when its value exceeds the max / min
+    of the previous ``window`` events of its key (after a ``min_n``
+    warm-up). This is the chunked-carry production swap documented on
+    the batch ``rolling_zscore_events`` query: the per-key state IS the
+    trailing-window summary carried across micro-batch (= time-chunk)
+    boundaries, so no partition ever holds a key's whole history. The
+    comparisons are exact (min/max, no float accumulation), so the
+    batch window-frame query is a bit-exact oracle.
+
+    Ordering contract: rows are folded in (ts, order_col) order WITHIN
+    each micro-batch; cross-batch order is the file replay order. A
+    production deployment pairs this with a watermark + sorted buffer
+    per batch (same contract as the sessionizer above).
+    """
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[tuple] = []
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values([ts_col, order_col])
+            for r in rows.itertuples(index=False):
+                v = float(getattr(r, value_col))
+                if len(vals) >= min_n:
+                    if v > max(vals):
+                        out.append((getattr(r, order_col), key[0], v, "high"))
+                    elif v < min(vals):
+                        out.append((getattr(r, order_col), key[0], v, "low"))
+                vals.append(v)
+                if len(vals) > window:
+                    vals = vals[-window:]
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(out, columns=["event_id", "event_type", "value", "kind"])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="values array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

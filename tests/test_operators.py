@@ -808,3 +808,83 @@ def test_fluency_bigram_deciles_invariants(spark, sf_dir):
         assert r.min_score <= r.avg_score <= r.max_score
     for a, b in zip(rows, rows[1:]):
         assert a.max_score <= b.min_score  # deciles ordered by fluency
+
+
+def test_sink_merge_upsert_partition_scoped(spark, sf_dir, tmp_path):
+    # merge rewrites ONLY the partitions present in the update batch:
+    # untouched partition files keep their original mtimes/paths
+    import os
+
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.sinks import merge_upsert
+
+    base = str(tmp_path / "tbl")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(base)
+
+    def files_by_part():
+        out = {}
+        for d in os.listdir(base):
+            if d.startswith("o_year="):
+                p = os.path.join(base, d)
+                out[d] = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+        return out
+
+    before = files_by_part()
+    upd = o.filter((F.col("o_year") == 1998) & (F.col("o_orderkey") % 3 == 0)).withColumn(
+        "price", (F.col("price") + 1).cast("decimal(18,2)")
+    )
+    merge_upsert(spark, base, upd, keys=["o_orderkey"], partition_col="o_year")
+    after = files_by_part()
+
+    for part in before:
+        if part == "o_year=1998":
+            assert before[part] != after[part]  # rewritten
+        else:
+            assert before[part] == after[part]  # untouched files, untouched mtimes
+
+    # row-level semantics: updated rows replaced, survivors intact
+    back = spark.read.parquet(base)
+    n_base = o.count()
+    assert back.count() == n_base  # pure update, no inserts in this batch
+    bumped = back.join(upd.select("o_orderkey", F.col("price").alias("p2")), "o_orderkey")
+    assert bumped.filter(F.col("price") != F.col("p2")).count() == 0
+
+
+def test_streaming_rolling_extremes_state_carries_across_batches(spark, tmp_path):
+    # deterministic two-micro-batch stream: batch 1 = 40 warm-up rows,
+    # batch 2 = ONE row. Batch 2 alone is far below the 30-row warm-up,
+    # so its flag can only come from state carried across the boundary.
+    import datetime
+
+    from libmr_spark.streaming.stateful import rolling_extremes
+    from libmr_spark.streaming.windows import run_to_memory_sink
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows1 = [
+        (i, t0 + datetime.timedelta(seconds=i), "k", float(i % 10)) for i in range(1, 41)
+    ]
+    rows2 = [(41, t0 + datetime.timedelta(seconds=41), "k", 1000.0)]
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    sdir = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/b=0")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/b=1")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b=*")
+    )
+    out = rolling_extremes(
+        sdf, key_cols=["event_type"], ts_col="ts", order_col="event_id", value_col="value"
+    )
+    run_to_memory_sink(out, "t_rolling_extremes_2b", output_mode="append")
+    got = {(r.event_id, r.kind) for r in spark.table("t_rolling_extremes_2b").collect()}
+    assert (41, "high") in got  # flagged via carried state only
+    # warm-up respected: no flags before row 31
+    assert all(eid > 30 for eid, _ in got)
