@@ -88,6 +88,8 @@ HEADLINE = [
     "fluency_bigram_deciles",
     "sink_merge_upsert",
     "streaming_rolling_extremes",
+    "sink_compaction_roundtrip",
+    "sink_sorted_skipping_roundtrip",
 ]
 
 

@@ -526,3 +526,82 @@ def streaming_rolling_extremes_q(spark, sf_dir):
     )
     run_to_memory_sink(out, "q_streaming_rolling_extremes", output_mode="append")
     return spark.table("q_streaming_rolling_extremes")
+
+
+# ------------------------------------------------------------------
+# 7. Small-file compaction + sorted-write data skipping round-trips
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "sink_compaction_roundtrip",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    "small-file compaction round-trip: documents written as 64 tiny "
+    "files (the micro-batch-ingest accretion pattern), compacted by "
+    "sinks.compact_small_files into ceil(bytes/target) files — file "
+    "count sized from the ACTUAL byte total, never a guessed "
+    "partition count — then read back and aggregated. The oracle over "
+    "the original table catches any row lost or doubled by the "
+    "rewrite; test_compaction_reduces_file_count pins the file-count "
+    "drop. At 100 TB compaction runs per hive partition so cost "
+    "tracks churn, not table size (see the helper's docstring).",
+)
+def sink_compaction_roundtrip_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import compact_small_files
+
+    path = _sink_dir("documents_compact", sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d.repartition(64).write.mode("overwrite").parquet(path)
+    compact_small_files(spark, path, target_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@defquery(
+    "sink_sorted_skipping_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+    "sorted-write data-skipping round-trip: events rewritten "
+    "range-partitioned + sorted on ts (sinks.write_sorted), then a "
+    "five-day range scan aggregated per type. The sorted layout is "
+    "what turns parquet min/max row-group stats into real pruning — "
+    "test_sorted_write_skips_row_groups measures the row-group "
+    "overlap fraction sorted vs unsorted on the actual footers. The "
+    "oracle runs the same filter on the original table, so the "
+    "rewrite must be lossless and the ts order-preserving. Values are "
+    "cast to DECIMAL(18,6) before the SUM so accumulation is exact "
+    "and order-insensitive in both engines (a raw double SUM differs "
+    "across partial-aggregation orders).",
+)
+def sink_sorted_skipping_roundtrip_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import write_sorted
+
+    path = _sink_dir("events_sorted", sf_dir)
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    write_sorted(e, path, range_col="ts", n_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
