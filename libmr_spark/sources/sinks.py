@@ -73,6 +73,21 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    # MERGE contract: at most one source row per key (SQL MERGE raises
+    # on multiple matches; silently inserting both would double rows)
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key in update batch (e.g. {dict(zip(keys, dup[0][:-1]))}): "
+            "MERGE requires at most one source row per key"
+        )
+
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path)
     touched = base.filter(F.col(partition_col).isin(parts))

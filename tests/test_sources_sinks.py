@@ -263,3 +263,55 @@ def test_sorted_write_skips_row_groups(spark, sf_dir, tmp_path):
     assert f_unsorted > 0.9          # every unsorted file spans the month
     assert f_sorted <= 0.5           # sorted layout prunes most row groups
     assert f_sorted < f_unsorted / 2
+
+
+def test_merge_upsert_randomized_scenarios(spark, sf_dir, tmp_path):
+    # seeded random update batches vs an in-memory reference merge:
+    # covers pure-update, pure-insert, mixed, multi-partition, and
+    # empty batches; plus the duplicate-source-key contract
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.sinks import merge_upsert
+
+    rng = random.Random(42)
+    base_rows = [(k, k % 5, float(k)) for k in range(200)]
+    schema = "k bigint, p int, v double"
+
+    for trial in range(4):
+        path = str(tmp_path / f"tbl{trial}")
+        spark.createDataFrame(base_rows, schema).write.mode("overwrite").partitionBy(
+            "p"
+        ).parquet(path)
+
+        upd_keys = rng.sample(range(200), rng.randint(0, 40))          # updates
+        ins_keys = rng.sample(range(1000, 1100), rng.randint(0, 20))   # inserts
+        upd_rows = [(k, k % 5, float(k) + 0.5) for k in upd_keys] + [
+            (k, k % 5, -1.0) for k in ins_keys
+        ]
+        if not upd_rows:
+            continue
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame(upd_rows, schema),
+            keys=["k"],
+            partition_col="p",
+        )
+        got = sorted(map(tuple, spark.read.parquet(path).select("k", "p", "v").collect()))
+        ref = {k: (k, k % 5, float(k)) for k in range(200)}
+        for k, p, v in upd_rows:
+            ref[k] = (k, p, v)
+        assert got == sorted(ref.values()), f"trial {trial}"
+
+    # duplicate source keys must be rejected, and the base untouched
+    path = str(tmp_path / "tbl_dup")
+    spark.createDataFrame(base_rows, schema).write.mode("overwrite").partitionBy(
+        "p"
+    ).parquet(path)
+    dup_batch = spark.createDataFrame([(1, 1, 9.0), (1, 1, 8.0)], schema)
+    with _pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, path, dup_batch, keys=["k"], partition_col="p")
+    assert spark.read.parquet(path).count() == len(base_rows)
