@@ -90,6 +90,7 @@ HEADLINE = [
     "streaming_rolling_extremes",
     "sink_compaction_roundtrip",
     "sink_sorted_skipping_roundtrip",
+    "incremental_agg_refresh",
 ]
 
 

@@ -605,3 +605,69 @@ def sink_sorted_skipping_roundtrip_q(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 8. Incremental aggregate maintenance (materialized-view refresh)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "incremental_agg_refresh",
+    """
+    SELECT CAST(day(ts) AS INT) AS d, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "incremental aggregate maintenance (materialized-view refresh): a "
+    "per-(day, event_type) aggregate table is built from the first 20 "
+    "days, then a delta batch arrives — the remaining days PLUS late "
+    "data for day 19 — and only the delta's day-partitions are "
+    "re-aggregated and merge-upserted (new keys insert, existing keys "
+    "replaced by combined partials). The oracle is the from-scratch "
+    "aggregate over ALL events: the refreshed table must be "
+    "bit-identical to it, which holds because the stored partials "
+    "(count, DECIMAL sum) are SUM-mergeable under any arrival "
+    "grouping — the same property behind Spark's own map-side "
+    "combine. At 100 TB the nightly refresh is O(delta's days), not "
+    "O(table); avg/stddev are maintained as sum+count partials, never "
+    "stored directly.",
+)
+def incremental_agg_refresh_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import refresh_incremental_agg
+
+    agg_path = _sink_dir("events_daily_agg", sf_dir)
+    e = _t(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").cast("int").alias("d"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+
+    def agg(df):
+        return df.groupBy("d", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(18,6)").alias("sum_value"),
+        )
+
+    # base load: days 1-20, minus a slice of day 19 that arrives late
+    late = (F.col("d") == 19) & (F.col("event_id") % 7 == 0)
+    base = e.filter((F.col("d") <= 20) & ~late)
+    agg(base).write.mode("overwrite").partitionBy("d").parquet(agg_path)
+
+    # delta batch: days 21+ plus the late day-19 slice
+    delta = e.filter((F.col("d") > 20) | late)
+    refresh_incremental_agg(
+        spark,
+        agg_path,
+        agg(delta),
+        keys=["d", "event_type"],
+        partition_col="d",
+        merge_cols=["n", "sum_value"],
+    )
+    back = spark.read.parquet(agg_path)
+    return back.select(
+        "d", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )

@@ -177,3 +177,43 @@ def write_sorted(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def refresh_incremental_agg(
+    spark,
+    agg_path: str,
+    delta_agg: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    merge_cols: list[str],
+) -> None:
+    """Incremental maintenance of a partitioned aggregate table (the
+    materialized-view refresh pattern): ``delta_agg`` is the PARTIAL
+    aggregate of newly-arrived rows, with the same schema as the agg
+    table; each ``merge_cols`` entry must be a SUM-mergeable partial
+    (counts, sums — avg is maintained as sum+count, never stored
+    directly). The refresh touches only the partitions present in the
+    delta: existing agg rows for those partitions are read back,
+    unioned with the delta partials, re-summed per key, and
+    merge-upserted — new keys insert, existing keys are replaced by
+    the combined row, and every other partition's files are untouched.
+
+    At 100 TB this is the difference between an O(|day's events|)
+    nightly refresh and an O(|table|) full recompute. Correctness
+    rests on partial-aggregate mergeability — the same property Spark
+    itself exploits for map-side combine — so the refreshed table is
+    bit-identical to a from-scratch aggregate (DECIMAL partials keep
+    the sums exact under any arrival grouping)."""
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in delta_agg.select(partition_col).distinct().collect()]
+    old = spark.read.parquet(agg_path).filter(F.col(partition_col).isin(parts))
+    combined = (
+        old.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in merge_cols])
+    )
+    # cast back to the delta's schema (sum widens decimal precision)
+    for c in merge_cols:
+        combined = combined.withColumn(c, F.col(c).cast(dict(delta_agg.dtypes)[c]))
+    merge_upsert(spark, agg_path, combined, keys=keys, partition_col=partition_col)

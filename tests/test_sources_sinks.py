@@ -315,3 +315,64 @@ def test_merge_upsert_randomized_scenarios(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="duplicate key"):
         merge_upsert(spark, path, dup_batch, keys=["k"], partition_col="p")
     assert spark.read.parquet(path).count() == len(base_rows)
+
+
+def test_incremental_agg_refresh_touches_only_delta_partitions(spark, sf_dir, tmp_path):
+    # base agg over days 1-20; delta for days 21+ and late day-19 rows:
+    # days 1-18 + 20 files must be byte-identical (mtime) after refresh,
+    # and the refreshed table must equal the from-scratch aggregate
+    import os
+
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.readers import load_table
+    from libmr_spark.sources.sinks import refresh_incremental_agg
+
+    path = str(tmp_path / "agg")
+    e = load_table(spark, "events", sf_dir).select(
+        F.dayofmonth("ts").cast("int").alias("d"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+
+    def agg(df):
+        return df.groupBy("d", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(18,6)").alias("sum_value"),
+        )
+
+    late = (F.col("d") == 19) & (F.col("event_id") % 7 == 0)
+    agg(e.filter((F.col("d") <= 20) & ~late)).write.mode("overwrite").partitionBy(
+        "d"
+    ).parquet(path)
+
+    def mtimes():
+        out = {}
+        for part in os.listdir(path):
+            if part.startswith("d="):
+                p = os.path.join(path, part)
+                out[part] = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+        return out
+
+    before = mtimes()
+    refresh_incremental_agg(
+        spark,
+        path,
+        agg(e.filter((F.col("d") > 20) | late)),
+        keys=["d", "event_type"],
+        partition_col="d",
+        merge_cols=["n", "sum_value"],
+    )
+    after = mtimes()
+    for part in before:
+        day = int(part.split("=")[1])
+        if day <= 18 or day == 20:
+            assert before[part] == after[part], f"{part} should be untouched"
+    assert before["d=19"] != after["d=19"]  # late data rewrote day 19
+
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("d", "event_type", "n", "sum_value").collect())
+    )
+    want = sorted(map(tuple, agg(e).select("d", "event_type", "n", "sum_value").collect()))
+    assert got == want  # bit-identical to from-scratch aggregate
