@@ -91,6 +91,10 @@ HEADLINE = [
     "sink_compaction_roundtrip",
     "sink_sorted_skipping_roundtrip",
     "incremental_agg_refresh",
+    "heavy_hitters_2pass",
+    "hist_percentiles_mergeable",
+    "interval_overlap_sessions",
+    "triangle_count_cooccurrence",
 ]
 
 

@@ -317,3 +317,66 @@ def salted_join(
         .drop("__is_hot__")
     )
     return fact_s.join(dim_s, [on, salt_col], how).drop(salt_col)
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    start: str,
+    end: str,
+    bucket: str = "hour",
+    pair_filter=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join an interval table on the OVERLAP predicate
+    (``a.start <= b.end AND b.start <= a.end``) without the cartesian
+    fallback a theta-only join plans to: each interval is exploded to
+    the time buckets it covers, pairs meet inside a shared bucket
+    (equi-join on the bucket column), and the exact predicate verifies.
+    Transparent because two overlapping intervals always share the
+    bucket containing ``max(a.start, b.start)``; a pair sharing k
+    buckets appears k times, so callers must de-duplicate on their pair
+    key (the returned pair frame is pre-``distinct``-ed on all output
+    columns). Candidate work is bounded by per-bucket occupancy — the
+    bucket width trades explode fan-out against bucket density, the
+    same bounded-blocking contract as dedup's max_df.
+
+    Returns ``(pairs, bucketed)`` where ``pairs`` has every column of
+    both sides aliased ``a_*`` / ``b_*`` and ``bucketed`` is the
+    exploded intermediate (exposed for tests / reuse).
+    ``pair_filter(a, b) -> Column`` restricts which pairs are emitted
+    (e.g. an anti-reflexivity key order); default pairs every row with
+    every other including itself, which is rarely wanted — pass one.
+    """
+    # bucket must be a date_trunc unit so bucket values are GLOBALLY
+    # aligned — per-interval-offset buckets would break the shared-
+    # bucket guarantee and silently drop overlapping pairs
+    if bucket not in {"hour", "day", "week"}:
+        raise ValueError(f"bucket must be one of hour/day/week, got {bucket!r}")
+    bucketed = intervals.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start)),
+                F.date_trunc(bucket, F.col(end)),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cond = (
+        (F.col("a.__bucket__") == F.col("b.__bucket__"))
+        & (F.col(f"a.{start}") <= F.col(f"b.{end}"))
+        & (F.col(f"b.{start}") <= F.col(f"a.{end}"))
+    )
+    if pair_filter is not None:
+        cond = cond & pair_filter(a, b)
+    cols = [c for c in intervals.columns]
+    pairs = (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in cols],
+        )
+        .distinct()
+    )
+    return pairs, bucketed

