@@ -95,6 +95,10 @@ HEADLINE = [
     "hist_percentiles_mergeable",
     "interval_overlap_sessions",
     "triangle_count_cooccurrence",
+    "scd2_customer_segments",
+    "sink_zorder_skipping_roundtrip",
+    "sink_idempotent_retry",
+    "dpp_partitioned_agg",
 ]
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from .queries import QUERIES, _t, defquery  # noqa: F401
 
+_DEC6 = "decimal(18,6)"  # exact accumulation type for double `value` sums
+
 # ------------------------------------------------------------------
 # 1. Two-pass heavy hitters (Misra-Gries partials + exact verify)
 # ------------------------------------------------------------------
@@ -304,3 +306,244 @@ def triangle_count_q(spark, sf_dir):
         F.count_distinct("user_id").cast("bigint").alias("n_vertices")
     )
     return n_vert.crossJoin(counts)
+
+
+# ------------------------------------------------------------------
+# 5. SCD type-2 dimension maintenance
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "scd2_customer_segments",
+    """
+    WITH cur AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+    changed AS (SELECT * FROM cur WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+           1 AS valid_from, CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+    FROM cur WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS INT), 1, 2, FALSE
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, 'PROMO', CAST(c_nationkey AS INT), 2, CAST(NULL AS INT), TRUE
+    FROM changed
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEWBIE', CAST(c_nationkey AS INT), 2,
+           CAST(NULL AS INT), TRUE
+    FROM cur WHERE c_custkey % 100 = 0
+    """,
+    "slowly-changing-dimension type-2 maintenance: an initial customer "
+    "snapshot loads at version 1, then a version-2 snapshot arrives "
+    "with ~10% of segments changed plus new customers; scd2_merge "
+    "closes changed rows (valid_to=2), opens replacements, inserts new "
+    "keys, and leaves unchanged keys' validity untouched. Layout is "
+    "the 100 TB cost contract: the is_current=true partition (the live "
+    "dim, O(|dim|)) is the ONLY thing a merge rewrites, and the "
+    "is_current=false history partition is append-only — history "
+    "files are never rewritten (mtime-pinned in tests), so merge cost "
+    "is flat in the number of accumulated versions. The oracle "
+    "reconstructs the exact post-merge table state arithmetically: "
+    "versioning must be deterministic, not incidental.",
+)
+def scd2_customer_segments_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import scd2_init, scd2_merge
+
+    path = _sink_dir("customer_scd2", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    )
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    scd2_init(cust, path, keys, tracked, version=1)
+    snap2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit("NEWBIE").alias("c_mktsegment"),
+            "c_nationkey",
+        )
+    )
+    scd2_merge(spark, path, snap2, keys, tracked, version=2)
+    return spark.read.parquet(path).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        "valid_from",
+        "valid_to",
+        # hive partition values read back as strings — restore the bool
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+# ------------------------------------------------------------------
+# 6. Z-order clustered write (multi-column data skipping)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "sink_zorder_skipping_roundtrip",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN user_id BETWEEN 40 AND 47 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_user_band,
+      CAST(SUM(CASE WHEN value >= 480 THEN 1 ELSE 0 END) AS BIGINT) AS n_value_band,
+      CAST(SUM(CASE WHEN user_id BETWEEN 40 AND 47 THEN CAST(value AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_user_band
+    FROM events
+    """,
+    "Z-order clustered write + roundtrip: events are rewritten sorted "
+    "by the Morton interleave of (user_id, floor(value)) — one sorted "
+    "layout that makes parquet min/max row-group stats selective on "
+    "BOTH columns at once, where write_sorted's lexicographic layout "
+    "only skips on its leading column (a trailing column's min/max "
+    "spans everything in every file). The interleave is pure JVM "
+    "Column bit algebra (shiftleft/OR, codegen-able, no UDF). The "
+    "oracle aggregates the RAW table — clustering must be a pure "
+    "layout change; the measured both-dimension row-group pruning is "
+    "pinned in test_zorder_write_skips_on_both_columns. At 100 TB "
+    "this is the OPTIMIZE ZORDER pattern: pay one clustered rewrite, "
+    "then every selective scan on any interleaved dimension reads a "
+    "near-minimal file set.",
+)
+def sink_zorder_skipping_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import write_zorder
+
+    path = _sink_dir("events_zorder", sf_dir)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.floor("value").cast("int").alias("vbin"),
+    )
+    write_zorder(e, path, cols=["user_id", "vbin"], n_files=16, bits=10)
+    back = spark.read.parquet(path)
+    user_band = F.col("user_id").between(40, 47)
+    return back.agg(
+        F.sum(user_band.cast("bigint")).cast("bigint").alias("n_user_band"),
+        F.sum((F.col("value") >= 480).cast("bigint")).cast("bigint").alias("n_value_band"),
+        F.sum(
+            F.when(user_band, F.col("value").cast(_DEC6)).otherwise(
+                F.lit(0).cast(_DEC6)
+            )
+        )
+        .cast("double")
+        .alias("sum_user_band"),
+    )
+
+
+# ------------------------------------------------------------------
+# 7. Idempotent batch append (exactly-once under retry)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "sink_idempotent_retry",
+    """
+    SELECT CAST(CASE WHEN day(ts) <= 10 THEN 1
+                     WHEN day(ts) <= 20 THEN 2 ELSE 3 END AS INT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    "exactly-once ingestion under at-least-once delivery: three "
+    "day-range batches append into batch_id partitions, then batch 1 "
+    "is REDELIVERED (the failure mode every distributed ingest has) — "
+    "append_idempotent routes each batch through dynamic partition "
+    "overwrite of its own batch_id partition, so the replay replaces "
+    "its previous attempt instead of duplicating it, and a partially-"
+    "written failed attempt would be healed the same way. The oracle "
+    "is the batch arithmetic over the source: the final table must "
+    "hold each row exactly once. This is Structured Streaming's "
+    "foreachBatch idempotence recipe (batchId-keyed overwrite) made "
+    "explicit; retry cost is O(batch), never O(table).",
+)
+def sink_idempotent_retry_q(spark, sf_dir):
+    from .queries_ext import _sink_dir
+    from .sources.sinks import append_idempotent
+
+    path = _sink_dir("events_idempotent", sf_dir)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    d = F.dayofmonth("ts")
+    batches = [
+        (1, e.filter(d <= 10)),
+        (2, e.filter((d > 10) & (d <= 20))),
+        (3, e.filter(d > 20)),
+    ]
+    for bid, b in batches:
+        append_idempotent(spark, path, b, batch_id=bid)
+    # redelivery: batch 1 arrives again (different partitioning — the
+    # content, not the physical write, is what must be idempotent)
+    append_idempotent(spark, path, batches[0][1].repartition(7), batch_id=1)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("batch_id").cast("int").alias("batch_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+    )
+
+
+# ------------------------------------------------------------------
+# 8. Dynamic partition pruning
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "dpp_partitioned_agg",
+    """
+    WITH fact AS (
+        SELECT CAST(day(ts) AS INT) AS d, event_type, value FROM events),
+    hot_days AS (
+        SELECT d FROM (SELECT CAST(day(ts) AS INT) AS d, max(value) mx
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        WHERE mx >= 300)
+    SELECT f.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM fact f JOIN hot_days h ON f.d = h.d
+    GROUP BY f.event_type
+    """,
+    "dynamic partition pruning: the fact side is a day-partitioned "
+    "parquet table; the dim side (days whose max purchase value >= "
+    "300) is only known at runtime, so static partition pruning can't "
+    "fire — Spark's DPP plants a dynamicpruningexpression subquery on "
+    "the fact scan's partition filter, the broadcast dim's day values "
+    "prune fact PARTITION DIRECTORIES before any fact file is opened "
+    "(pinned in test_dpp_plan_prunes_fact_partitions). At 100 TB this "
+    "is the difference between scanning ~3 hot days and scanning the "
+    "whole fact table to throw 90% of it away post-join; it needs the "
+    "join key to BE the partition column — the layout decision is the "
+    "optimization.",
+)
+def dpp_partitioned_agg_q(spark, sf_dir):
+    import os
+
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("events_by_day", sf_dir)
+    e = _t(spark, sf_dir, "events")
+    # build the day-partitioned fact copy once per sf_dir (a fixture
+    # table; rewriting it per run would time the write, not the DPP)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e.select(
+            "event_id", "event_type", "value", F.dayofmonth("ts").cast("int").alias("d")
+        ).write.mode("overwrite").partitionBy("d").parquet(path)
+    fact = spark.read.parquet(path)
+    hot = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.dayofmonth("ts").cast("int").alias("d"))
+        .agg(F.max("value").alias("mx"))
+        .filter(F.col("mx") >= 300)
+        .select("d")
+    )
+    return (
+        fact.join(F.broadcast(hot), "d")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+        )
+    )
