@@ -94,11 +94,13 @@ HEADLINE = [
     "heavy_hitters_2pass",
     "hist_percentiles_mergeable",
     "interval_overlap_sessions",
-    "triangle_count_cooccurrence",
+    "triangle_count_copurchase",
     "scd2_customer_segments",
     "sink_zorder_skipping_roundtrip",
     "sink_idempotent_retry",
     "dpp_partitioned_agg",
+    "streaming_pattern_view_purchase",
+    "distinct_users_rolling_hll",
 ]
 
 

@@ -234,76 +234,66 @@ def interval_overlap_sessions_q(spark, sf_dir):
 # 4. Triangle counting with degree orientation
 # ------------------------------------------------------------------
 
-_MAX_OCC = 256  # hot-group defense: a (type, hour) cell with more
-                # co-occurring users than this is dropped from edge
-                # generation (its pair fan-out is quadratic in cell size)
-
 
 @defquery(
-    "triangle_count_cooccurrence",
-    f"""
-    WITH occ AS (
-        SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
-        FROM events),
-    cell AS (
-        SELECT event_type, h FROM occ GROUP BY 1, 2
-        HAVING count(*) <= {_MAX_OCC}),
-    edges AS (
-        SELECT DISTINCT a.user_id AS u, b.user_id AS v
-        FROM occ a JOIN occ b
-          ON a.event_type = b.event_type AND a.h = b.h
-         AND a.user_id < b.user_id
-        JOIN cell c ON c.event_type = a.event_type AND c.h = a.h)
-    SELECT CAST((SELECT count(DISTINCT user_id) FROM occ) AS BIGINT) AS n_vertices,
-           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+    "triangle_count_copurchase",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT)
+               AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
            CAST((SELECT count(*)
-                 FROM edges e1
-                 JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
-                 JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
                AS n_triangles
     """,
-    "triangle counting on the user co-occurrence graph (edge = two "
-    "users active in the same (event_type, hour) cell, cells capped at "
-    "256 users — the hot-group defense that keeps edge generation "
-    "linear, mirroring dedup's max_df contract). The count itself uses "
-    "DEGREE ORIENTATION: each undirected edge is directed from its "
-    "lower-degree endpoint (ties by id), every triangle is then "
-    "counted exactly once as a wedge at its lowest-degree vertex, and "
-    "per-vertex wedge fan-out is bounded by out-degree <= O(sqrt(m)) "
-    "— the standard bound that makes triangle counting survive "
-    "power-law degree skew, where the naive wedge join explodes "
-    "quadratically at the hub vertices. The oracle counts the same "
-    "triangles with an unoriented 3-way self-join: orientation must "
-    "be count-preserving.",
+    "triangle counting on the co-purchase graph (edge = two parts "
+    "appearing in the same order). Edge GENERATION is linear by the "
+    "data model itself: per-order pair fan-out is bounded by the "
+    "basket size (<= 7 lineitems per TPC-H order -> <= 21 pairs), so "
+    "no hot-group cap is needed — unlike a time-cell co-occurrence "
+    "graph, whose cells densify quadratically as rows-per-cell grow "
+    "with data volume (measured: the (type,hour) variant of this "
+    "query hit 95s at sf0.1 and was replaced). The COUNT uses degree "
+    "orientation: each undirected edge directed from its lower-"
+    "(degree, id) endpoint, every triangle counted exactly once as a "
+    "wedge at its smallest vertex, per-vertex wedge fan-out bounded "
+    "by out-degree = O(sqrt(m)) — the bound that survives power-law "
+    "hub parts where the unoriented wedge join is quadratic in hub "
+    "degree. The oracle counts the same triangles with an unoriented "
+    "3-way self-join: orientation must be count-preserving.",
 )
 def triangle_count_q(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    occ = e.select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).distinct()
-    cell_ok = (
-        occ.groupBy("event_type", "h")
-        .agg(F.count(F.lit(1)).alias("cs"))
-        .filter(F.col("cs") <= _MAX_OCC)
-        .drop("cs")
-    )
-    occ_ok = occ.join(cell_ok, ["event_type", "h"], "left_semi")
-    a, b = occ_ok.alias("a"), occ_ok.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
     from .operators.graph import triangle_count
 
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket expansion instead of a self-join: one groupBy shuffle
+    # builds each order's (sorted, deduped) part set, pairs expand
+    # in-line from the array — per-row fan-out bounded by the basket
+    # size, and the join's second shuffle of the whole fact disappears
+    # (measured 7.5s -> ~2s for edge generation at sf0.1)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
     counts = triangle_count(edges, "u", "v")
-    n_vert = occ.agg(
-        F.count_distinct("user_id").cast("bigint").alias("n_vertices")
+    n_vert = li.agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_vertices")
     )
     return n_vert.crossJoin(counts)
 
@@ -545,5 +535,108 @@ def dpp_partitioned_agg_q(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# 9. Streaming A-then-B pattern match (CEP primitive)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_pattern_view_purchase",
+    """
+    SELECT p.user_id, p.event_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(max(v.ts))) AS BIGINT) AS lag_sec
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts < p.ts AND p.ts - v.ts <= INTERVAL 60 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id, p.ts
+    """,
+    "REAL streaming CEP: every purchase preceded by a view of the same "
+    "user strictly earlier and within 60 minutes, detected by "
+    "applyInPandasWithState with per-user state = ONE long (latest "
+    "view timestamp, us). State is O(users) regardless of event "
+    "volume — the buffered-join formulation keeps raw event windows "
+    "per key and dies on hot keys; this one cannot. Strict-inequality "
+    "tie contract makes same-timestamp A/B pairs a non-match on both "
+    "engines regardless of replay order; the oracle is the batch "
+    "trailing-window join, so batch/stream parity is hash-verified. "
+    "lag_sec is floor-of-seconds integer arithmetic on both engines.",
+)
+def streaming_pattern_q(spark, sf_dir):
+    from .sources.readers import events_stream
+    from .streaming.stateful import ab_pattern_match
+    from .streaming.windows import run_to_memory_sink
+
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).filter(F.col("event_type").isin("view", "purchase"))
+    out = ab_pattern_match(
+        sdf,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_col="event_id",
+        type_col="event_type",
+        a_type="view",
+        b_type="purchase",
+        within_sec=3600,
+    )
+    run_to_memory_sink(out, "q_streaming_pattern_vp", output_mode="append")
+    return spark.table("q_streaming_pattern_vp")
+
+
+# ------------------------------------------------------------------
+# 10. Rolling distinct-count from mergeable HLL sketch partials
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "distinct_users_rolling_hll",
+    """
+    WITH days AS (SELECT DISTINCT CAST(day(ts) AS INT) AS d FROM events)
+    SELECT days.d,
+           (SELECT count(DISTINCT e.user_id) FROM events e
+            WHERE CAST(day(e.ts) AS INT) BETWEEN days.d - 6 AND days.d)
+               AS est_users
+    FROM days
+    """,
+    "trailing-7-day distinct users per day from MERGEABLE HLL sketch "
+    "partials (Spark's datasketches hll_sketch_agg/hll_union_agg): one "
+    "sketch per day is the stored partial — the incremental_agg_refresh "
+    "discipline applied to COUNT DISTINCT, which has no exact "
+    "SUM-mergeable partial — and any window is answered by unioning "
+    "its days' sketches, never re-scanning raw events (the exact "
+    "rolling count-distinct re-shuffles the full user column per "
+    "window at 100 TB; the sketch rollup touches |days| kilobyte-sized "
+    "blobs). Estimate exactness is a DOCUMENTED regime, not luck: a "
+    "datasketches HLL stays in exact (coupon) mode until ~2^lgK/4 "
+    "entries, so at lgConfigK=14 estimates are bit-exact below ~4k "
+    "distinct keys per window — which covers every test SF (hence the "
+    "exact-count oracle) — and degrade gracefully to the published "
+    "+/-1.6% rse beyond; a deployment sizes lgK to its cardinality "
+    "the way _MG_CAPACITY sizes to n/f_k.",
+)
+def distinct_users_rolling_hll_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").cast("int").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    target = daily.select("d")
+    # 30 x 7 day-range join over kilobyte sketches — driver-trivial,
+    # broadcast; the raw events table is touched exactly once (daily agg)
+    src = daily.select(F.col("d").alias("sd"), "sk")
+    return (
+        target.join(
+            F.broadcast(src),
+            (F.col("sd") >= F.col("d") - 6) & (F.col("sd") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("est_users")
         )
     )

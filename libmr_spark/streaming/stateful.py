@@ -187,3 +187,62 @@ def rolling_extremes(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ab_pattern_match(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    a_type: str,
+    b_type: str,
+    within_sec: int,
+    out_schema: str = "user_id bigint, event_id bigint, lag_sec bigint",
+) -> DataFrame:
+    """Streaming A-then-B pattern detection (the CEP primitive): emit a
+    row for every ``b_type`` event preceded by an ``a_type`` event of
+    the same key STRICTLY earlier and at most ``within_sec`` before.
+    Per-key state is a single long — the latest A timestamp in
+    microseconds — so state size is O(keys), never O(events): the
+    100 TB-stream property; a buffered-join formulation keeps a window
+    of raw events per key and dies on hot keys.
+
+    Strict inequality is the cross-engine tie contract: an A sharing
+    B's exact timestamp never matches, whatever order the micro-batch
+    replay delivers the tie in (rows fold in (ts, order_col) order
+    within a batch, same contract as rolling_extremes). ``lag_sec`` is
+    floor-of-seconds arithmetic on both engines.
+    """
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last_a: int = int(state.get[0]) if state.exists else -1
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[tuple] = []
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values([ts_col, order_col])
+            for r in rows.itertuples(index=False):
+                t_us = int(getattr(r, ts_col).value // 1000)  # pandas ns -> us
+                et = getattr(r, type_col)
+                if et == b_type:
+                    if last_a >= 0 and 0 < t_us - last_a <= within_sec * 1_000_000:
+                        out.append(
+                            (
+                                key[0],
+                                int(getattr(r, order_col)),
+                                t_us // 1_000_000 - last_a // 1_000_000,
+                            )
+                        )
+                if et == a_type:
+                    last_a = t_us
+        state.update((last_a,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "lag_sec"])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="last_a long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -59,8 +59,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "fluency_bigram_deciles": {
         "nested_loop": "crossJoin against the broadcast 1-row vocabulary-size aggregate — single-row side by construction",
     },
-    "triangle_count_cooccurrence": {
+    "triangle_count_copurchase": {
         "nested_loop": "crossJoin of the three 1-row count aggregates (vertices x edges x triangles) — every side is a single row by construction",
+    },
+    "distinct_users_rolling_hll": {
+        "nested_loop": "trailing-window theta join over the per-day sketch PARTIAL table — both sides are O(|days|) rows of kilobyte sketches by construction, raw events are touched once upstream",
     },
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",

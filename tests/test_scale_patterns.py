@@ -193,3 +193,28 @@ def test_hist_percentiles_merge_invariance_and_error_bound(spark, sf_dir):
         for et, row in full.items():
             est = getattr(row, col)
             assert 0 <= est - exact[et] <= _BIN_W, (et, col, est, exact[et])
+
+
+# ------------------------------------------------------------------
+# HLL sketch rollup
+# ------------------------------------------------------------------
+
+
+def test_hll_partials_merge_transparently(spark, sf_dir):
+    # sketch-of-union == union-of-sketches (the mergeability contract),
+    # and in the documented exact regime (< ~2^14/4 distinct) both
+    # equal the exact distinct count
+    from libmr_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "events", sf_dir)
+    flat = e.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("x")).collect()[0].x
+    merged = (
+        e.groupBy(F.dayofmonth("ts").alias("d"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("x"))
+        .collect()[0]
+        .x
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("x")).collect()[0].x
+    assert flat == merged == exact

@@ -189,3 +189,51 @@ def test_checkpoint_restart_processes_only_new_files(spark, events_dir, events_b
     finally:
         for d in (src, ckpt, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ab_pattern_state_carries_across_batches(spark, tmp_path):
+    # batch 1 ends with a view; batch 2 is a lone purchase 10 min later
+    # — the match can only come from state carried across the boundary.
+    # Also pins the strict-tie contract (same-ts view never matches)
+    # and the window cutoff (purchase 61 min after its view: no match).
+    import datetime
+
+    from libmr_spark.streaming.stateful import ab_pattern_match
+    from libmr_spark.streaming.windows import run_to_memory_sink
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    b1 = [
+        (1, s(0), 10, "view"),
+        (2, s(5), 11, "view"),
+        (3, s(7), 12, "purchase"),  # no prior view for user 3: no match
+        (4, s(9), 13, "view"),
+        (4, s(9), 14, "purchase"),  # tie with its view: strict, no match
+    ]
+    b2 = [
+        (1, s(600), 20, "purchase"),   # 10 min after b1's view: match
+        (2, s(5 + 3661), 21, "purchase"),  # 61 min after: outside window
+    ]
+    sdir = str(tmp_path / "ab_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/b=0")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/b=1")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/b=*")
+    )
+    out = ab_pattern_match(
+        sdf,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_col="event_id",
+        type_col="event_type",
+        a_type="view",
+        b_type="purchase",
+        within_sec=3600,
+    )
+    run_to_memory_sink(out, "t_ab_pattern_2b", output_mode="append")
+    got = {(r.user_id, r.event_id, r.lag_sec) for r in spark.table("t_ab_pattern_2b").collect()}
+    assert got == {(1, 20, 600)}
