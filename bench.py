@@ -101,6 +101,9 @@ HEADLINE = [
     "dpp_partitioned_agg",
     "streaming_pattern_view_purchase",
     "distinct_users_rolling_hll",
+    "sink_retention_vacuum",
+    "contamination_matrix",
+    "curriculum_assignment",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import QUERIES, _t, defquery  # noqa: F401
+from .queries import QUERIES, _quality_sql, _t, defquery  # noqa: F401
 
 _DEC6 = "decimal(18,6)"  # exact accumulation type for double `value` sums
 
@@ -638,5 +638,203 @@ def distinct_users_rolling_hll_q(spark, sf_dir):
             F.expr("hll_sketch_estimate(hll_union_agg(sk))")
             .cast("bigint")
             .alias("est_users")
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# 11. Retention vacuum (partition-directory deletes, O(dropped) cost)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "sink_retention_vacuum",
+    """
+    SELECT CAST(day(ts) AS INT) AS d, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE day(ts) > 14 GROUP BY 1
+    """,
+    "retention vacuum: a day-partitioned events table drops every "
+    "partition older than the 14-day cutoff as a DIRECTORY delete — "
+    "no data file read, no surviving file touched (mtime-pinned in "
+    "test_vacuum_drops_only_expired_partitions), cost O(dropped "
+    "partitions) whatever the table size. The oracle aggregates the "
+    "source with the same cutoff predicate: vacuum must equal the "
+    "WHERE clause it implements. At 100 TB, retention done any other "
+    "way on plain parquet is a full-table read-rewrite; partition "
+    "layout is what turns a policy into a metadata operation.",
+)
+def sink_retention_vacuum_q(spark, sf_dir):
+    import os
+
+    from .queries_ext import _sink_dir
+    from .sources.sinks import vacuum_partitions
+
+    path = _sink_dir("events_retention", sf_dir)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    # (re)build the partitioned table each run — vacuum is destructive,
+    # so the fixture cannot be cached like dpp_partitioned_agg's
+    e.write.mode("overwrite").partitionBy("d").parquet(path)
+    vacuum_partitions(spark, path, "d", lambda v: int(v) > 14)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("d").cast("int").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+    )
+
+
+# ------------------------------------------------------------------
+# 12. Cross-source contamination matrix
+# ------------------------------------------------------------------
+
+_CM_W = 40  # span window width/stride shared with dedup_exact_substring
+_CM_S = 20
+
+
+@defquery(
+    "contamination_matrix",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents),
+    win AS (
+        SELECT DISTINCT source, substr(t, CAST(i AS INT), {_CM_W}) AS w
+        FROM norm,
+             unnest(range(1, greatest(len(t) - {_CM_W} + 1, 1) + 1, {_CM_S})) u(i)),
+    sz AS (SELECT source, count(*) AS n FROM win GROUP BY 1),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM win a JOIN win b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           round(s.n_shared / CAST(least(za.n, zb.n) AS DOUBLE), 6)
+               AS containment
+    FROM shared s
+    JOIN sz za ON za.source = s.source_a
+    JOIN sz zb ON zb.source = s.source_b
+    """,
+    "cross-source contamination matrix: which corpus domains share "
+    "verbatim spans (the dataset-level view of dedup_exact_substring's "
+    "doc-level spans — same normalization, same 40-char/20-stride "
+    "windows, so the two reports reconcile). The scale contract is "
+    "WHERE the dedup happens: windows collapse to the (source, window) "
+    "level BEFORE the self-join, so per-window join fan-out is bounded "
+    "by |sources| choose 2 (190 at 20 sources) NO MATTER how many "
+    "documents repeat the span — occurrence-level pairing would be "
+    "quadratic in span popularity, the exact hot-shingle failure "
+    "max_df defends against elsewhere; here the source-level rollup "
+    "IS the defense, with no recall loss for the source-pair "
+    "statistic. Output is O(|sources|^2) rows, driver-trivial at any "
+    "corpus size; containment = shared / min(|A|,|B|) window sets.",
+)
+def contamination_matrix_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"),
+    )
+    win = (
+        d.select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("t") - _CM_W + 1, F.lit(1)),
+                    F.lit(_CM_S),
+                )
+            ).alias("i"),
+            "t",
+        )
+        .select("source", F.expr(f"substr(t, i, {_CM_W})").alias("w"))
+        .distinct()
+    )
+    sz = win.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = win.alias("a"), win.alias("b")
+    shared = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# 13. Curriculum assignment (decile + shuffle key, no global window)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "curriculum_assignment",
+    """
+    WITH q AS (
+        SELECT doc_id, {_qs} AS quality FROM documents),
+    b AS (SELECT doc_id, quality,
+                 CAST(floor(quality * 1000) AS INT) AS bin FROM q),
+    hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) - c AS cum_before,
+                   SUM(c) OVER () AS n
+            FROM hist)
+    SELECT b.doc_id, b.quality,
+           CAST(least(9, cum.cum_before * 10 // cum.n) AS INT) AS decile,
+           md5(CAST(b.doc_id AS VARCHAR)) AS shuffle_key
+    FROM b JOIN cum ON cum.bin = b.bin
+    """.format(_qs=_quality_sql()),
+    "curriculum assignment for staged pretraining: each document gets "
+    "a quality DECILE (easy->hard schedule) and a deterministic "
+    "shuffle key (md5 of doc_id) for within-decile order. The scale "
+    "design is what is ABSENT: no global window — percent_rank/ntile "
+    "deciles sort the whole corpus through one partition; here deciles "
+    "derive from a ~1000-bin quality histogram (one bounded agg + a "
+    "window over BINS, then a broadcast map join back), the same "
+    "mergeable-histogram move as hist_percentiles_mergeable, with "
+    "decile boundaries as integer arithmetic on cumulative counts "
+    "(docs in one bin never straddle engines differently). The global "
+    "curriculum ORDER is then materialized by a range-partitioned "
+    "sorted write on (decile, shuffle_key) — write_sorted's layout, "
+    "the distributed answer to 'sort 100 TB once' — not by a window.",
+)
+def curriculum_assignment_q(spark, sf_dir):
+    from .functions import text as TX
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    b = d.withColumn("bin", F.floor(F.col("quality") * 1000).cast("int"))
+    hist = b.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bin")
+    cum = hist.select(
+        "bin",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        b.join(F.broadcast(cum), "bin")
+        .select(
+            "doc_id",
+            "quality",
+            # `div`, not `/`: Spark's / is double division and a
+            # boundary like 0.9999.. can round across the integer; the
+            # oracle's integer / truncates — use integer division on
+            # both engines so decile edges cannot disagree
+            F.least(F.lit(9), F.expr("cum_before * 10 div n"))
+            .cast("int")
+            .alias("decile"),
+            F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         )
     )

@@ -414,3 +414,46 @@ def append_idempotent(
         .partitionBy("batch_id")
         .parquet(path)
     )
+
+
+def vacuum_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_predicate,
+) -> list[str]:
+    """Retention vacuum on a hive-partitioned table: partitions whose
+    value fails ``keep_predicate`` (a plain Python predicate over the
+    partition value, e.g. ``lambda d: int(d) >= cutoff``) are deleted
+    as DIRECTORIES — no data file is ever read, no surviving file is
+    touched, so the cost is O(dropped partitions) metadata work
+    regardless of table size. That file-listing-only shape is the whole
+    point of retention-by-partition: a row-level ``DELETE WHERE`` on
+    plain parquet is a full read-rewrite of every affected file (and of
+    EVERY file, to find the affected ones, absent partition pruning).
+    Returns the dropped partition values. A log-based table format
+    makes the same operation a metadata commit plus deferred file GC;
+    semantics identical.
+
+    Deliberately refuses non-hive layouts: retention on an
+    unpartitioned table IS the full-rewrite case — callers should hit
+    the error and fix the layout, not get a silent slow path.
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    parts = [d for d in os.listdir(path) if d.startswith(prefix)]
+    if not parts:
+        raise ValueError(
+            f"no {prefix}* partition directories under {path}: retention "
+            "vacuum requires a hive-partitioned layout (an unpartitioned "
+            "table would need a full read-rewrite — fix the layout instead)"
+        )
+    dropped = []
+    for d in parts:
+        val = d[len(prefix):]
+        if not keep_predicate(val):
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(val)
+    return dropped

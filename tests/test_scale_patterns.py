@@ -218,3 +218,29 @@ def test_hll_partials_merge_transparently(spark, sf_dir):
     )
     exact = e.agg(F.countDistinct("user_id").alias("x")).collect()[0].x
     assert flat == merged == exact
+
+
+# ------------------------------------------------------------------
+# Curriculum assignment
+# ------------------------------------------------------------------
+
+
+def test_curriculum_deciles_are_balanced_and_ordered(spark, sf_dir):
+    from libmr_spark.queries_scale import curriculum_assignment_q
+
+    rows = curriculum_assignment_q(spark, sf_dir).collect()
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.decile] = sizes.get(r.decile, 0) + 1
+    # every decile within bin-granularity of n/10 (bins never split)
+    assert set(sizes) <= set(range(10))
+    assert all(abs(c - n / 10) < n * 0.05 + 5 for c in sizes.values()), sizes
+    # decile order tracks quality order: max quality of decile k is <=
+    # min quality of decile k+2 (adjacent deciles may share one bin)
+    by_d = {}
+    for r in rows:
+        by_d.setdefault(r.decile, []).append(r.quality)
+    ds = sorted(by_d)
+    for lo, hi in zip(ds, ds[2:]):
+        assert max(by_d[lo]) <= min(by_d[hi])

@@ -222,3 +222,38 @@ def test_dpp_plan_prunes_fact_partitions(spark, sf_dir):
     df = dpp_partitioned_agg_q(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+# ------------------------------------------------------------------
+# Retention vacuum
+# ------------------------------------------------------------------
+
+
+def test_vacuum_drops_only_expired_partitions(spark, sf_dir, tmp_path):
+    import pytest
+
+    from libmr_spark.sources.sinks import vacuum_partitions
+
+    path = str(tmp_path / "retention")
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "value", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    e.write.mode("overwrite").partitionBy("d").parquet(path)
+    survivors_before = {
+        p: m for p, m in _mtimes(path).items() if not any(
+            f"/d={d}/" in p for d in range(1, 15)
+        )
+    }
+    dropped = vacuum_partitions(spark, path, "d", lambda v: int(v) > 14)
+    assert sorted(int(v) for v in dropped) == list(range(1, 15))
+    # surviving partitions byte-untouched — vacuum never reads data
+    assert {
+        p: m for p, m in _mtimes(path).items()
+    } == survivors_before
+    assert spark.read.parquet(path).filter("d <= 14").count() == 0
+
+    # unpartitioned layout is refused, not silently slow
+    flat = str(tmp_path / "flat")
+    e.drop("d").write.mode("overwrite").parquet(flat)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        vacuum_partitions(spark, flat, "d", lambda v: True)
