@@ -104,6 +104,7 @@ HEADLINE = [
     "sink_retention_vacuum",
     "contamination_matrix",
     "curriculum_assignment",
+    "runtime_bloom_join",
 ]
 
 

@@ -838,3 +838,73 @@ def curriculum_assignment_q(spark, sf_dir):
             F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 14. Runtime bloom-filter join pruning (row-level sibling of DPP)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "runtime_bloom_join",
+    """
+    SELECT l.l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+    """,
+    "runtime bloom-filter join pruning — the row-level sibling of "
+    "dpp_partitioned_agg: for a shuffle join whose dim side carries a "
+    "selective filter, Spark builds a bloom filter of the surviving "
+    "join keys and injects might_contain() into the FACT scan, so "
+    "~75% of fact rows drop before the shuffle instead of after the "
+    "join. The planner arms this only when the fact scan is large "
+    "(applicationSideScanSizeThreshold, default 10 GB) and the join "
+    "is shuffle-based — i.e. exactly at 100 TB and exactly not at "
+    "test SF, where the dim broadcasts — so this query emulates the "
+    "production regime (thresholds lowered, broadcast off) around an "
+    "EAGER materialization and restores every conf after; the plan "
+    "with BloomFilterAggregate + bloom_filter_might_contain is pinned "
+    "in test_runtime_bloom_plan_shape. The oracle is the plain join: "
+    "the filter is sound-but-not-complete (false positives only), so "
+    "it can never change results, only shuffle volume.",
+)
+def runtime_bloom_join_q(spark, sf_dir):
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_extendedprice"
+        )
+        o = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # confs must be live at EXECUTION, not planning — queries are
+        # lazy, so materialize eagerly inside the conf scope (output is
+        # |linestatus| rows; the checkpoint is trivially small)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

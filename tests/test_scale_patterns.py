@@ -244,3 +244,35 @@ def test_curriculum_deciles_are_balanced_and_ordered(spark, sf_dir):
     ds = sorted(by_d)
     for lo, hi in zip(ds, ds[2:]):
         assert max(by_d[lo]) <= min(by_d[hi])
+
+
+# ------------------------------------------------------------------
+# Runtime bloom-filter join
+# ------------------------------------------------------------------
+
+
+def test_runtime_bloom_plan_shape(spark, sf_dir):
+    # under the production size regime (big fact scan, shuffle join),
+    # the optimizer must build a bloom of the filtered dim keys and
+    # inject might_contain into the fact side
+    from libmr_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir).filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_linestatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
