@@ -105,6 +105,8 @@ HEADLINE = [
     "contamination_matrix",
     "curriculum_assignment",
     "runtime_bloom_join",
+    "trend_slope_by_type",
+    "snapshot_diff_orders",
 ]
 
 

@@ -908,3 +908,156 @@ def runtime_bloom_join_q(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ------------------------------------------------------------------
+# 15. Per-group trend fit (closed-form least squares, exact sums)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "trend_slope_by_type",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(day(ts) AS INT) AS x,
+               SUM(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+               SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+               SUM(CAST(x AS DECIMAL(18,6)) * y) AS sxy
+        FROM daily GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+    "per-group linear trend (daily revenue slope per event type) via "
+    "the closed-form least-squares normal equations — ONE aggregation "
+    "pass producing five mergeable partials (n, Sx, Sy, Sxx, Sxy), "
+    "never a per-group sort or an iterative fit. Cross-engine "
+    "determinism is the design: double summation is order-dependent "
+    "and Spark partial aggregation reorders freely, so every sum runs "
+    "in DECIMAL (exact, association-free) and floats appear only in "
+    "the final slope/intercept division, rounded once. The same "
+    "five-partial shape maintains incrementally (incremental_agg_"
+    "refresh discipline) — a 100 TB metrics store fits trends per key "
+    "from partials without touching raw history.",
+)
+def trend_slope_by_type_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    daily = e.groupBy(
+        "event_type", F.dayofmonth("ts").cast("int").alias("x")
+    ).agg(F.sum(dec(F.col("value"))).alias("y"))
+    x = dec(F.col("x"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # every division in IEEE doubles over EXACT decimal sums cast to
+    # double (all magnitudes < 2^53, so the casts are exact): decimal
+    # division precision/scale rules differ between engines, doubles
+    # with a fixed op order do not
+    slope_raw = num.cast("double") / den.cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope_raw, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope_raw * F.col("sx").cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+# ------------------------------------------------------------------
+# 16. Snapshot diff (CDC derivation from two table versions)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "snapshot_diff_orders",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 50000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0)
+    SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.o_orderstatus AS old_status,
+           v2.o_orderstatus AS new_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_orderstatus <> v2.o_orderstatus
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+    "snapshot diff — deriving a change feed (CDC) from two table "
+    "versions when the source system can't emit one: full outer join "
+    "on the key, classify insert/delete/update, emit only changed "
+    "rows (deterministic synthetic v2: ~9% deletes, ~7% status "
+    "updates, ~6% inserts). The 100 TB form is exactly this plan plus "
+    "two reducers: partition pruning when snapshots are date-"
+    "partitioned (diff only partitions whose files differ — the "
+    "incremental_agg_refresh scoping), and comparing a precomputed "
+    "row-hash column instead of N attribute columns so the shuffle "
+    "carries keys + 8-byte hashes, not full rows. The oracle is the "
+    "same join arithmetic; the operator contract is that diff(v1, v2) "
+    "applied to v1 reproduces v2 (pinned in "
+    "test_snapshot_diff_roundtrips).",
+)
+def snapshot_diff_orders_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    a, b = o.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("a.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("a.o_orderstatus").alias("old_status"),
+        F.col("b.o_orderstatus").alias("new_status"),
+    )

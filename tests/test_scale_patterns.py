@@ -276,3 +276,33 @@ def test_runtime_bloom_plan_shape(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+# ------------------------------------------------------------------
+# Snapshot diff
+# ------------------------------------------------------------------
+
+
+def test_snapshot_diff_roundtrips(spark, sf_dir):
+    # the CDC contract: applying diff(v1, v2) to v1 reproduces v2
+    from libmr_spark.queries_scale import snapshot_diff_orders_q
+    from libmr_spark.sources.readers import load_table
+
+    diff = snapshot_diff_orders_q(spark, sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    deletes = {r.o_orderkey for r in diff.filter("change_type = 'delete'").collect()}
+    upserts = {
+        r.o_orderkey: r.new_status
+        for r in diff.filter("change_type != 'delete'").collect()
+    }
+    v1 = {r.o_orderkey: r.o_orderstatus for r in o.collect()}
+    applied = {k: v for k, v in v1.items() if k not in deletes}
+    applied.update(upserts)
+
+    # independently rebuild v2 by the same rules the query synthesizes
+    want = {
+        k: ("X" if k % 13 == 0 else v) for k, v in v1.items() if k % 11 != 0
+    }
+    want.update({k + 50_000_000: "N" for k in v1 if k % 17 == 0})
+    assert applied == want
+    assert deletes and upserts  # scenario exercises every change type

@@ -257,3 +257,55 @@ def test_vacuum_drops_only_expired_partitions(spark, sf_dir, tmp_path):
     e.drop("d").write.mode("overwrite").parquet(flat)
     with pytest.raises(ValueError, match="hive-partitioned"):
         vacuum_partitions(spark, flat, "d", lambda v: True)
+
+
+def test_scd2_randomized_version_history(spark, tmp_path):
+    # five versions of random attribute churn on a 200-key dimension,
+    # checked against a pure-Python SCD2 simulation: current rows,
+    # closed-row lineage, and stamp arithmetic must all match
+    import random
+
+    from libmr_spark.sources.sinks import scd2_init, scd2_merge
+
+    rng = random.Random(20240814)
+    keys = list(range(200))
+    attrs = {k: f"seg{rng.randrange(5)}" for k in keys}
+    path = str(tmp_path / "rdim")
+
+    def snap_df(attr_map):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(attr_map.items())], "k long, seg string"
+        )
+
+    scd2_init(snap_df(attrs), path, ["k"], ["seg"], version=1)
+    # python simulation: key -> list of (seg, valid_from, valid_to)
+    sim = {k: [(v, 1, None)] for k, v in attrs.items()}
+
+    next_key = 200
+    for version in range(2, 7):
+        # mutate ~20% of keys, add a few new ones
+        for k in rng.sample(keys, 40):
+            new = f"seg{rng.randrange(5)}"
+            if new != attrs[k]:
+                attrs[k] = new
+        for _ in range(rng.randrange(3)):
+            attrs[next_key] = f"seg{rng.randrange(5)}"
+            keys.append(next_key)
+            next_key += 1
+        scd2_merge(spark, path, snap_df(attrs), ["k"], ["seg"], version=version)
+        for k, v in attrs.items():
+            if k not in sim:
+                sim[k] = [(v, version, None)]
+            elif sim[k][-1][0] != v:
+                seg, vf, _ = sim[k][-1]
+                sim[k][-1] = (seg, vf, version)
+                sim[k].append((v, version, None))
+
+    got = sorted(
+        (r.k, r.seg, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (k, seg, vf, vt) for k, rows in sim.items() for seg, vf, vt in rows
+    )
+    assert got == want
