@@ -306,3 +306,29 @@ def test_snapshot_diff_roundtrips(spark, sf_dir):
     want.update({k + 50_000_000: "N" for k in v1 if k % 17 == 0})
     assert applied == want
     assert deletes and upserts  # scenario exercises every change type
+
+
+# ------------------------------------------------------------------
+# Empty-input behavior (the first thing a scheduled 100 TB pipeline
+# hits on a quiet partition)
+# ------------------------------------------------------------------
+
+
+def test_operators_handle_empty_input(spark):
+    from libmr_spark.operators.graph import triangle_count
+    from libmr_spark.operators.relational import interval_overlap_join
+    from libmr_spark.operators.sketches import heavy_hitters, mg_candidates
+
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    row = triangle_count(empty_edges).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (0, 0)
+
+    empty_iv = spark.createDataFrame([], "id long, st timestamp, en timestamp")
+    pairs, _ = interval_overlap_join(
+        empty_iv, "st", "en", pair_filter=lambda a, b: F.col("a.id") < F.col("b.id")
+    )
+    assert pairs.count() == 0
+
+    empty_keys = spark.createDataFrame([], "k long")
+    assert mg_candidates(empty_keys, "k", capacity=8).count() == 0
+    assert heavy_hitters(empty_keys, "k", 5, 8).count() == 0
