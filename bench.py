@@ -107,6 +107,7 @@ HEADLINE = [
     "runtime_bloom_join",
     "trend_slope_by_type",
     "snapshot_diff_orders",
+    "kv_write_pyds",
 ]
 
 

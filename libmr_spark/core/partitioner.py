@@ -125,11 +125,17 @@ def slot_col(key: Column | str) -> Column:
     """``key_slot`` as a vectorized Column (Arrow-batched pandas UDF —
     the Python is unavoidable here, so it is batched, never per-row,
     and the CRC itself runs the numpy byte-sweep)."""
+    # NOTE: pandas must be imported under its annotation name before the
+    # decorator runs — pandas_udf resolves the (string, via __future__
+    # annotations) type hints with get_type_hints against this module's
+    # globals, so a function-local import raises UNSUPPORTED_SIGNATURE
+    global pd
     import pandas as pd
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
-    def _slot(s: pd.Series) -> pd.Series:
+    def _slot(s: "pd.Series") -> "pd.Series":
         mask = s.notna()
         vals = key_slots_np(list(s[mask]))
         out = pd.Series([None] * len(s), index=s.index, dtype="Int32")

@@ -1061,3 +1061,63 @@ def snapshot_diff_orders_q(spark, sf_dir):
         F.col("a.o_orderstatus").alias("old_status"),
         F.col("b.o_orderstatus").alias("new_status"),
     )
+
+
+# ------------------------------------------------------------------
+# 17. Pluggable kv sink (Python DataSource writer, two-phase commit)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "kv_write_pyds",
+    """
+    WITH kv AS (
+        SELECT concat('key', CAST(o_orderkey AS VARCHAR)) AS key,
+               CAST(o_totalprice AS VARCHAR) AS value,
+               CASE WHEN o_orderstatus = 'O' THEN 'string' ELSE 'hash' END AS type
+        FROM orders)
+    SELECT type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+    FROM kv GROUP BY type
+    """,
+    "pluggable kv SINK via the Spark-4 Python DataSource writer API — "
+    "the writer half of kv_scan_pyds, and the parity target for the "
+    "reference's write-back pipeline reshuffle().map(WriteDummyString) "
+    "(each record written by its OWNING shard after reshuffle; "
+    "mr_test_module lib.rs:323-353): rows are repartitioned by CRC16 "
+    "slot (the reference's reshuffle), each write task stages its "
+    "partition as one file, and the driver's commit() publishes "
+    "staged files atomically under a _KV_SUCCESS manifest — Spark's "
+    "task-commit protocol standing in for Redis shard locality. The "
+    "query writes the kv projection of orders through the sink, reads "
+    "it back VIA THE MANIFEST, and aggregates; the oracle aggregates "
+    "the same projection directly, so a lost, doubled, or torn write "
+    "breaks the hash. abort() visibility is pinned in "
+    "test_kv_writer_two_phase_commit.",
+)
+def kv_write_pyds_q(spark, sf_dir):
+    import shutil
+
+    from .core.partitioner import slot_col
+    from .queries_ext import _sink_dir
+    from .sources.pyds import read_kv_sink, register_kv_datasource
+
+    register_kv_datasource(spark)
+    path = _sink_dir("kv_pyds_out", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders")
+    kv = o.select(
+        F.concat(F.lit("key"), F.col("o_orderkey").cast("string")).alias("key"),
+        F.col("o_totalprice").cast("string").alias("value"),
+        F.when(F.col("o_orderstatus") == "O", "string").otherwise("hash").alias("type"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    # the reference's reshuffle: route each record to its slot's owner
+    kv.repartition(n, slot_col(F.col("key"))).write.format("libmr_kv").option(
+        "path", path
+    ).mode("overwrite").save()
+    back = read_kv_sink(spark, path)
+    return back.groupBy("type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("key").cast("bigint").alias("n_keys"),
+    )

@@ -27,7 +27,13 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..core.partitioner import NUM_SLOTS
 
@@ -91,6 +97,82 @@ class KvDataSourceReader(DataSourceReader):
             )
 
 
+class KvCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class KvDataSourceWriter(DataSourceWriter):
+    """Writer half of the kv source — the Spark-4 pluggable-sink
+    rendering of the reference's write-back map step
+    (``reshuffle().map(WriteDummyString)``,
+    ``/root/reference/tests/mr_test_module/src/lib.rs:323-353``): the
+    reference reshuffles records to their OWNING shard and each shard
+    writes its own keys; here each write task lands its partition's
+    rows (pre-partitioned by slot upstream) as one staged file, and
+    Spark's task-commit protocol provides what the reference gets from
+    Redis locality — no torn multi-writer output. TWO-PHASE COMMIT:
+    tasks write to ``_staging/<uuid>.jsonl`` and return a commit
+    message; only the driver's ``commit()`` moves staged files into
+    place and stamps a ``_KV_SUCCESS`` manifest naming exactly the
+    committed files. A reader that honors the manifest can never see a
+    half-written job — ``abort()`` leaves nothing visible (pinned in
+    ``test_kv_writer_two_phase_commit``). Speculative/retried task
+    attempts stage under distinct uuids; only attempts whose message
+    reaches commit() are published — the rest stay in _staging and are
+    swept by the cleanup there.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("libmr_kv writer requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> KvCommit:
+        import json
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"key": r.key, "value": r.value, "type": r.type}) + "\n")
+                n += 1
+        return KvCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        published = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            shutil.move(
+                os.path.join(staging, m.filename), os.path.join(self.path, m.filename)
+            )
+            published.append(m.filename)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_KV_SUCCESS"), "w") as f:
+            json.dump({"files": sorted(published), "n_rows": total}, f)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
 class KvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -101,6 +183,23 @@ class KvDataSource(DataSource):
 
     def reader(self, schema) -> KvDataSourceReader:
         return KvDataSourceReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> KvDataSourceWriter:
+        return KvDataSourceWriter(self.options, overwrite)
+
+
+def read_kv_sink(spark, path: str):
+    """Read back a ``libmr_kv``-written directory, honoring the commit
+    manifest: ONLY files named in ``_KV_SUCCESS`` are visible (the
+    atomicity contract the two-phase commit provides)."""
+    import json
+
+    with open(os.path.join(path, "_KV_SUCCESS")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], KV_SCHEMA)
+    return spark.read.schema(KV_SCHEMA).json(files)
 
 
 def register_kv_datasource(spark) -> None:

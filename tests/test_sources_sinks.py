@@ -376,3 +376,56 @@ def test_incremental_agg_refresh_touches_only_delta_partitions(spark, sf_dir, tm
     )
     want = sorted(map(tuple, agg(e).select("d", "event_type", "n", "sum_value").collect()))
     assert got == want  # bit-identical to from-scratch aggregate
+
+
+def test_kv_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    # commit: only manifest-listed files are visible; abort: a failed
+    # job publishes NOTHING (no manifest, no data files); orphans in
+    # the directory are invisible to the manifest-honoring reader
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.pyds import read_kv_sink, register_kv_datasource
+
+    register_kv_datasource(spark)
+    path = str(tmp_path / "kv_out")
+    kv = load_table(spark, "orders", sf_dir).select(
+        F.concat(F.lit("key"), F.col("o_orderkey").cast("string")).alias("key"),
+        F.col("o_totalprice").cast("string").alias("value"),
+        F.lit("string").alias("type"),
+    )
+    kv.repartition(4).write.format("libmr_kv").option("path", path).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(path, "_KV_SUCCESS")))
+    assert manifest["n_rows"] == kv.count()
+    assert read_kv_sink(spark, path).count() == kv.count()
+
+    # an orphan file (e.g. an undead task attempt) is not visible
+    with open(os.path.join(path, "zz_orphan.jsonl"), "w") as f:
+        f.write('{"key": "kX", "value": "1", "type": "string"}\n')
+    assert read_kv_sink(spark, path).count() == kv.count()
+
+    # failed job: one partition poisons -> abort -> nothing published
+    fail_path = str(tmp_path / "kv_fail")
+
+    @F.udf("string")
+    def poison(k):
+        if k == "key1":
+            raise RuntimeError("poisoned row")
+        return k
+
+    bad = kv.withColumn("key", poison("key"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.repartition(4).write.format("libmr_kv").option("path", fail_path).mode(
+            "overwrite"
+        ).save()
+    published = [
+        f for f in os.listdir(fail_path) if not f.startswith("_staging")
+    ] if os.path.exists(fail_path) else []
+    assert "_KV_SUCCESS" not in published
+    assert not [f for f in published if f.endswith(".jsonl")]
