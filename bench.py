@@ -108,6 +108,7 @@ HEADLINE = [
     "trend_slope_by_type",
     "snapshot_diff_orders",
     "kv_write_pyds",
+    "streaming_pyds_resume",
 ]
 
 

@@ -1121,3 +1121,61 @@ def kv_write_pyds_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count_distinct("key").cast("bigint").alias("n_keys"),
     )
+
+
+# ------------------------------------------------------------------
+# 18. Python streaming source with checkpointed resume
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_pyds_resume",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    "custom Python STREAMING source (Spark-4 SimpleDataSourceStream"
+    "Reader) with checkpointed restart: the source replays events as "
+    "a day-offset feed with a simulated clock; drain 1 runs with the "
+    "clock at day 15, then a SECOND query with the clock at day 31 "
+    "resumes from the CHECKPOINTED offset {day:16} — not from "
+    "initialOffset — into the same exactly-once parquet sink. The "
+    "oracle is the full-table aggregate: one lost or doubled day "
+    "across the restart boundary breaks the hash, so offset algebra + "
+    "checkpoint resume + sink idempotence are all on the hook. This "
+    "is the restart contract every 100 TB ingest leans on, pinned "
+    "end-to-end through a pluggable source rather than assumed from "
+    "the built-in file source.",
+)
+def streaming_pyds_resume_q(spark, sf_dir):
+    import shutil
+
+    from .queries_ext import _sink_dir
+    from .sources.pyds import register_events_stream_source
+
+    register_events_stream_source(spark)
+    out = _sink_dir("pyds_stream_out", sf_dir)
+    ckpt = _sink_dir("pyds_stream_ckpt", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    for upto in (15, 31):
+        q = (
+            spark.readStream.format("libmr_events_stream")
+            .option("sf_dir", sf_dir)
+            .option("upto_day", str(upto))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+    )

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -204,3 +205,69 @@ def read_kv_sink(spark, path: str):
 
 def register_kv_datasource(spark) -> None:
     spark.dataSource.register(KvDataSource)
+
+
+class EventsStreamReader(SimpleDataSourceStreamReader):
+    """Simple Python STREAMING source (the third leg of the pyds
+    trilogy: batch reader, batch writer, stream reader): replays the
+    events table as a day-offset feed. The ``upto_day`` option is the
+    simulated wall clock — ``read(start)`` returns every event in
+    ``[start.day, upto_day]`` and advances the offset to
+    ``upto_day + 1``, so a restarted query with a later clock resumes
+    from its CHECKPOINTED offset, and ``readBetweenOffsets`` re-reads
+    any batch deterministically for failure recovery. Driver-side
+    single-process read is the documented constraint of the Simple
+    API (Spark's own guidance: light feeds only); the scale path is
+    DataSourceStreamReader with planned partitions — same offset
+    algebra, partitioned read().
+    """
+
+    def __init__(self, options: dict):
+        self.sf_dir = options.get(
+            "sf_dir", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+        self.upto = int(options.get("upto_day", "31"))
+
+    def _rows(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(self.sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        ).to_pandas()
+        day = t["ts"].dt.day
+        sel = t[(day >= lo) & (day < hi)]
+        return zip(
+            sel["event_id"].tolist(),
+            sel["event_type"].tolist(),
+            sel["value"].tolist(),
+            day[(day >= lo) & (day < hi)].tolist(),
+        )
+
+    def initialOffset(self) -> dict:
+        return {"day": 1}
+
+    def read(self, start: dict):
+        d = start["day"]
+        if d > self.upto:
+            return iter([]), {"day": d}
+        return self._rows(d, self.upto + 1), {"day": self.upto + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["day"], end["day"])
+
+
+class EventsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "libmr_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, event_type string, value double, d int"
+
+    def simpleStreamReader(self, schema) -> EventsStreamReader:
+        return EventsStreamReader(self.options)
+
+
+def register_events_stream_source(spark) -> None:
+    spark.dataSource.register(EventsStreamSource)

@@ -429,3 +429,44 @@ def test_kv_writer_two_phase_commit(spark, sf_dir, tmp_path):
     ] if os.path.exists(fail_path) else []
     assert "_KV_SUCCESS" not in published
     assert not [f for f in published if f.endswith(".jsonl")]
+
+
+def test_pyds_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    # drain 1 (clock=day 10) sinks exactly days 1-10; drain 2 (clock=31)
+    # adds ONLY days 11-30 — a re-read from initialOffset would double
+    # the early days, a skipped resume would lose the late ones
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.pyds import register_events_stream_source
+
+    register_events_stream_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(upto):
+        q = (
+            spark.readStream.format("libmr_events_stream")
+            .option("sf_dir", sf_dir)
+            .option("upto_day", str(upto))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    e = load_table(spark, "events", sf_dir)
+    drain(10)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == e.filter(F.dayofmonth("ts") <= 10).count()
+    assert got1.agg(F.max("d")).first()[0] <= 10
+
+    drain(31)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == e.count()
+    # early days present exactly once (no re-read across the restart)
+    assert (
+        got2.filter("d <= 10").count()
+        == e.filter(F.dayofmonth("ts") <= 10).count()
+    )
