@@ -109,6 +109,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "kv_write_pyds",
     "streaming_pyds_resume",
+    "dedup_simhash_md5",
 ]
 
 

@@ -377,7 +377,13 @@ _SIMHASH_BITS = 64
 _SIMHASH_MAX_TOKENS = 65535
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    bits: int = _SIMHASH_BITS,
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens, fully JVM-side:
     per-token xxhash64 → packed bit-count aggregation → majority bits
     OR-ed into ONE ``simhash64`` bigint, so downstream hamming distance
@@ -394,15 +400,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     packed-sum lambda stays interpreted, losing more than the explode
     shuffle costs. Revisit only if a corpus's per-doc token counts make
     the explode row volume the bottleneck.
+
+    ``hash_fn`` (Column -> Column int64 hash) and ``bits`` (multiple
+    of 4) override the default xxhash64/64-bit layout — the md5-based
+    60-bit variant exists because xxhash64 has no DuckDB twin, so the
+    cross-engine-verifiable form hashes conv(substr(md5(tok),1,15),
+    16,10): 60 bits fit signed int64 on both engines exactly.
     """
     from functools import reduce
 
+    if bits % 4 != 0:
+        raise ValueError("bits must be a multiple of 4 for the packed-lane aggregation")
+    hf = hash_fn if hash_fn is not None else (lambda c: F.xxhash64(c))
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.slice(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), 1, _SIMHASH_MAX_TOKENS)
         ).alias("__tok__"),
-    ).select(F.col(id_col), F.xxhash64("__tok__").alias("__h__"))
+    ).select(F.col(id_col), hf(F.col("__tok__")).alias("__h__"))
     packed = [
         F.sum(
             sum(
@@ -410,7 +425,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 for m in range(4)
             )
         ).alias(f"__p{k}__")
-        for k in range(_SIMHASH_BITS // 4)
+        for k in range(bits // 4)
     ]
     votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"), *packed)
 
@@ -426,7 +441,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 F.lit(0).cast("long")
             )
         ),
-        range(_SIMHASH_BITS),
+        range(bits),
         F.lit(0).cast("long"),
     )
     return votes.select(F.col(id_col), sig.alias("simhash64"))
@@ -438,13 +453,22 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    bits: int = _SIMHASH_BITS,
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
     (pigeonhole: any pair within hamming ≤3 shares at least one exact
     chunk), bucket-join on (chunk index, chunk bits), verify with exact
     hamming = bit_count(xor). The bucket key is the raw 16-bit slice of
     the packed hash — no re-hashing needed."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_fn=hash_fn, bits=bits)
+    # 4 bands (pigeonhole for hamming <= 3) of bits//4 bits each
+    bw = bits // 4
     chunks = sh.select(
         id_col,
         "simhash64",
@@ -453,7 +477,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", i
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash64"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftright(F.col("simhash64"), c * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("val"),
                     )
                     for c in range(4)
                 ]

@@ -1179,3 +1179,68 @@ def streaming_pyds_resume_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
     )
+
+
+# ------------------------------------------------------------------
+# 19. Cross-engine-verifiable SimHash (md5-60bit variant)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "dedup_simhash_md5",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS h
+        FROM toks),
+    votes AS (
+        SELECT doc_id, b.b AS b,
+               SUM(CAST((h >> b.b) & 1 AS INT)) AS ones, count(*) AS n
+        FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+        GROUP BY 1, 2),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                   AS simhash64
+        FROM votes GROUP BY doc_id),
+    chunks AS (
+        SELECT doc_id, simhash64, c.c AS c,
+               (simhash64 >> (c.c * 15)) & 32767 AS val
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT)
+                   AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    "SimHash near-dup pairs in the cross-engine-VERIFIABLE form: the "
+    "default simhash hashes tokens with xxhash64, which no other "
+    "engine reproduces, so its gate row is rows-only; this variant "
+    "hashes conv(substr(md5(tok),1,15),16,10) — a 60-bit value both "
+    "Spark and DuckDB compute bit-identically — so the ENTIRE "
+    "pipeline (per-token hash, packed-lane majority vote, 4x15-bit "
+    "pigeonhole banding, bit_count(xor) verify) is hash-matched "
+    "against an independent SQL formulation, upgrading the SimHash "
+    "family from pytest-only to oracle-proven. Same plan shape and "
+    "banding guarantee as dedup_simhash (any pair within hamming <= 3 "
+    "shares an exact band); md5-per-token costs ~2x xxhash64 — the "
+    "verifiability tax, worth paying once in the gate while "
+    "production keeps the xxhash64 default.",
+)
+def dedup_simhash_md5_q(spark, sf_dir):
+    from .operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(
+        d,
+        max_hamming=3,
+        hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        bits=60,
+    )
