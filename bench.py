@@ -110,6 +110,7 @@ HEADLINE = [
     "kv_write_pyds",
     "streaming_pyds_resume",
     "dedup_simhash_md5",
+    "streaming_kv_sink",
 ]
 
 

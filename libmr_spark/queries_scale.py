@@ -1244,3 +1244,58 @@ def dedup_simhash_md5_q(spark, sf_dir):
         hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
         bits=60,
     )
+
+
+# ------------------------------------------------------------------
+# 20. Streaming pluggable sink (per-epoch two-phase commit)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_kv_sink",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    "streaming pluggable SINK (Spark-4 DataSourceStreamWriter): the "
+    "events stream drains through the kv sink's per-micro-batch "
+    "two-phase commit — tasks stage files, the driver's commit("
+    "messages, batchId) publishes them atomically under epoch="
+    "batchId with a per-epoch manifest, and a re-attempted batchId "
+    "REPLACES its epoch (append_idempotent's batchId-keyed overwrite "
+    "at the sink-protocol layer), so the table holds each row exactly "
+    "once however many times an epoch is attempted. The oracle is the "
+    "full-table aggregate over everything the manifest-honoring "
+    "reader sees: a torn, lost, or doubled epoch breaks the hash. "
+    "Completes the pluggable quadrilogy (batch read/write, stream "
+    "read/write).",
+)
+def streaming_kv_sink_q(spark, sf_dir):
+    import shutil
+
+    from .queries_ext import _sink_dir
+    from .sources.pyds import read_kv_stream_sink, register_kv_datasource
+    from .sources.readers import events_stream
+
+    register_kv_datasource(spark)
+    out = _sink_dir("kv_stream_out", sf_dir)
+    ckpt = _sink_dir("kv_stream_ckpt", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sdf = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        sdf.writeStream.format("libmr_kv")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_kv_stream_sink(
+        spark, out, "event_id bigint, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+    )

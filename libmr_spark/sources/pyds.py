@@ -30,6 +30,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -174,6 +175,89 @@ class KvDataSourceWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
+class KvStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the kv sink (the pluggable quadrilogy's last
+    leg): per-MICRO-BATCH two-phase commit. Tasks stage files exactly
+    like the batch writer; the driver's ``commit(messages, batchId)``
+    publishes them under ``epoch=<batchId>/`` with a per-epoch
+    ``_EPOCH_SUCCESS`` manifest. Idempotent re-delivery: Structured
+    Streaming can re-run a micro-batch after a failure with the SAME
+    batchId — commit() then REPLACES the epoch directory instead of
+    appending, which is precisely the batchId-keyed overwrite contract
+    of ``append_idempotent`` applied at the sink-protocol layer, so
+    the table holds each input row exactly once however many times an
+    epoch is attempted. ``abort()`` drops the staged attempt; a
+    manifest-honoring reader never sees a torn epoch.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("libmr_kv stream writer requires a 'path' option")
+
+    def write(self, rows) -> KvCommit:
+        import json
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+                n += 1
+        return KvCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        # batchId re-delivery replaces the epoch — exactly-once tables
+        # from at-least-once micro-batch attempts
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+        os.makedirs(epoch_dir)
+        published, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            shutil.move(
+                os.path.join(staging, m.filename), os.path.join(epoch_dir, m.filename)
+            )
+            published.append(m.filename)
+            total += m.n_rows
+        with open(os.path.join(epoch_dir, "_EPOCH_SUCCESS"), "w") as f:
+            json.dump({"files": sorted(published), "n_rows": total}, f)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+def read_kv_stream_sink(spark, path: str, schema: str):
+    """Read back every committed epoch of a kv stream sink, honoring
+    the per-epoch manifests (torn/aborted epochs are invisible)."""
+    import json
+
+    files = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("epoch="):
+            continue
+        mpath = os.path.join(path, d, "_EPOCH_SUCCESS")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            manifest = json.load(f)
+        files += [os.path.join(path, d, fn) for fn in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class KvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -187,6 +271,9 @@ class KvDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> KvDataSourceWriter:
         return KvDataSourceWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> KvStreamWriter:
+        return KvStreamWriter(self.options)
 
 
 def read_kv_sink(spark, path: str):

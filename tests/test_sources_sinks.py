@@ -470,3 +470,41 @@ def test_pyds_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         got2.filter("d <= 10").count()
         == e.filter(F.dayofmonth("ts") <= 10).count()
     )
+
+
+def test_kv_stream_sink_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # a re-delivered batchId must REPLACE its epoch, not append; torn
+    # epochs (no manifest) are invisible to the reader
+    import json
+    import os
+
+    from libmr_spark.sources.pyds import KvStreamWriter, read_kv_stream_sink
+
+    path = str(tmp_path / "stream_sink")
+    w = KvStreamWriter({"path": path})
+
+    class Row_:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self):
+            return {"event_id": self.i}
+
+    # epoch 0, attempt 1
+    m1 = w.write(iter([Row_(1), Row_(2)]))
+    w.commit([m1], batchId=0)
+    # epoch 0 RE-DELIVERED (failure recovery) with the same rows
+    m2 = w.write(iter([Row_(1), Row_(2)]))
+    w.commit([m2], batchId=0)
+    # epoch 1
+    m3 = w.write(iter([Row_(3)]))
+    w.commit([m3], batchId=1)
+    # epoch 2 aborts after staging
+    m4 = w.write(iter([Row_(4)]))
+    w.abort([m4], batchId=2)
+
+    back = read_kv_stream_sink(spark, path, "event_id bigint")
+    assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
+    manifest = json.load(open(os.path.join(path, "epoch=0", "_EPOCH_SUCCESS")))
+    assert manifest["n_rows"] == 2  # replaced, not doubled
+    assert not os.path.exists(os.path.join(path, "epoch=2"))
