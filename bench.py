@@ -111,6 +111,7 @@ HEADLINE = [
     "streaming_pyds_resume",
     "dedup_simhash_md5",
     "streaming_kv_sink",
+    "variant_extract_props",
 ]
 
 
