@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_simhash_md5",
     "streaming_kv_sink",
     "variant_extract_props",
+    "dedup_incremental_exact",
 ]
 
 

@@ -687,3 +687,46 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return out
+
+
+def dedup_incremental_exact(
+    spark,
+    fp_table_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: admit only the ``batch`` rows whose
+    normalized-text fingerprint is new — first against the batch
+    itself (min-id survivor, same rule as :func:`dedup_exact`), then
+    against the PERSISTED fingerprint history at ``fp_table_path`` —
+    and append the admitted fingerprints to the history.
+
+    This is the form corpus dedup actually runs in production: the
+    history table is O(|corpus|) fingerprints (16-byte hashes, not
+    text), each ingest batch costs one agg over the batch plus one
+    anti-join against the history — never a recompute over the
+    accumulated corpus text — and the history grows append-only (the
+    append is the only write; at warehouse scale it is bucketed by
+    fingerprint prefix so the anti-join is co-located). The same
+    incremental shape applies to MinHash/SimHash histories: persist
+    signatures instead of fingerprints and swap the anti-join for the
+    banding join; the admission logic is identical.
+
+    Returns the admitted rows (id, fp). First call bootstraps an empty
+    history.
+    """
+    import os
+
+    batch_fp = (
+        batch.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    if os.path.exists(os.path.join(fp_table_path, "_SUCCESS")):
+        history = spark.read.parquet(fp_table_path)
+        admitted = batch_fp.join(history.select("fp"), "fp", "left_anti")
+    else:
+        admitted = batch_fp
+    admitted.select("fp").write.mode("append").parquet(fp_table_path)
+    return admitted

@@ -1346,3 +1346,54 @@ def variant_extract_props_q(spark, sf_dir):
             F.sum(F.col("m").isNull().cast("int")).cast("bigint").alias("n_missing"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 22. Incremental dedup against persisted fingerprint history
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "dedup_incremental_exact",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+    corpus AS (SELECT * FROM fp WHERE CAST(substr(source, 4) AS INT) < 15),
+    batch AS (SELECT * FROM fp WHERE CAST(substr(source, 4) AS INT) >= 15),
+    batch_dedup AS (
+        SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+    SELECT b.doc_id, b.fp FROM batch_dedup b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    """,
+    "incremental exact dedup — the form corpus dedup runs in "
+    "PRODUCTION: an existing corpus (sources src0-src14) has its "
+    "fingerprint "
+    "history persisted once; a new ingest batch (src15-src19) is "
+    "deduped within itself (min-id survivor) and then anti-joined "
+    "against the HISTORY TABLE — one agg over the batch plus one "
+    "16-byte-hash anti-join, never a recompute over accumulated "
+    "corpus text — and admitted fingerprints append to the history. "
+    "At 100 TB the history is bucketed by fp prefix so the anti-join "
+    "is co-located; the same admission shape serves MinHash/SimHash "
+    "signature histories (persist signatures, swap the anti-join for "
+    "the banding join). The oracle replays corpus+batch arithmetic "
+    "from scratch: the incremental path must admit exactly the rows "
+    "the from-scratch path would.",
+)
+def dedup_incremental_exact_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("fp_history", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = d.filter(src_num < 15)
+    batch = d.filter(src_num >= 15)
+    # bootstrap history from the existing corpus (one-time load)
+    DD.dedup_incremental_exact(spark, path, corpus)
+    return DD.dedup_incremental_exact(spark, path, batch).select("doc_id", "fp")

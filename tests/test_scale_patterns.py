@@ -332,3 +332,34 @@ def test_operators_handle_empty_input(spark):
     empty_keys = spark.createDataFrame([], "k long")
     assert mg_candidates(empty_keys, "k", capacity=8).count() == 0
     assert heavy_hitters(empty_keys, "k", 5, 8).count() == 0
+
+
+# ------------------------------------------------------------------
+# Incremental dedup
+# ------------------------------------------------------------------
+
+
+def test_incremental_dedup_admits_only_new_fingerprints(spark, sf_dir, tmp_path):
+    # batch 2 re-sends half of batch 1 plus fresh docs: only the fresh
+    # fingerprints are admitted, and the history grows append-only
+    from libmr_spark.operators.dedup import dedup_incremental_exact
+    from libmr_spark.sources.readers import load_table
+
+    path = str(tmp_path / "fp_hist")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = d.filter("doc_id < 60")
+    n1 = dedup_incremental_exact(spark, path, b1).count()
+    assert n1 > 0
+
+    b2 = d.filter("doc_id >= 30 AND doc_id < 120")  # 30-59 are replays
+    admitted = dedup_incremental_exact(spark, path, b2)
+    fresh_expected = (
+        d.filter("doc_id >= 60 AND doc_id < 120")
+        .join(b1, "text", "left_anti")  # exclude exact-text replays
+        .count()
+    )
+    # every admitted doc is from the fresh id range (replays rejected)
+    assert admitted.filter("doc_id < 60").count() == 0
+    assert admitted.count() <= fresh_expected
+    # replaying batch 2 in full admits nothing
+    assert dedup_incremental_exact(spark, path, b2).count() == 0
