@@ -113,6 +113,7 @@ HEADLINE = [
     "streaming_kv_sink",
     "variant_extract_props",
     "dedup_incremental_exact",
+    "train_pipeline_e2e",
 ]
 
 

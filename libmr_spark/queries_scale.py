@@ -1397,3 +1397,101 @@ def dedup_incremental_exact_q(spark, sf_dir):
     # bootstrap history from the existing corpus (one-time load)
     DD.dedup_incremental_exact(spark, path, corpus)
     return DD.dedup_incremental_exact(spark, path, batch).select("doc_id", "fp")
+
+
+# ------------------------------------------------------------------
+# 23. End-to-end training-data pipeline (compose: gate -> dedup -> pack)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "train_pipeline_e2e",
+    """
+    WITH RECURSIVE q AS (
+        SELECT doc_id, source, text, {_qs} AS quality FROM documents),
+    gated AS (SELECT * FROM q WHERE quality >= 0.5),
+    fp AS (
+        SELECT doc_id, source, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM gated),
+    admitted AS (
+        SELECT f.* FROM fp f
+        JOIN (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp) s
+          ON s.fp = f.fp AND s.keep = f.doc_id),
+    docs AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM admitted),
+    pack AS (
+        SELECT source, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.fill + d.n_tokens <= 512
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= 512
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM pack GROUP BY source
+    """.format(_qs=_quality_sql()),
+    "END-TO-END pipeline composition — the claim a query inventory "
+    "can't make one operator at a time: quality gate (>= 0.5, the "
+    "shared _quality_sql), exact dedup (min-id survivor on the "
+    "normalized-text fingerprint), and greedy 512-token sequence "
+    "packing run as ONE lazy DAG — Catalyst sees the whole pipeline, "
+    "so the text column is read once, the quality filter prunes "
+    "before fingerprinting, and nothing materializes between stages "
+    "(one plan, not three jobs with parquet handoffs). Per-source "
+    "output: docs admitted, packs produced, tokens kept. The oracle "
+    "replays the same three stages as chained CTEs ending in the "
+    "packing recursion — every stage boundary must agree exactly for "
+    "the final per-source triple to hash-match.",
+)
+def train_pipeline_e2e_q(spark, sf_dir):
+    from .functions import text as TX
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = d.filter(TX.quality_score(F.col("text")) >= 0.5)
+    fp = gated.withColumn("fp", TX.fingerprint(F.col("text")))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    admitted = fp.join(keep, ["fp", "doc_id"], "left_semi")
+    toks = admitted.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+    import pandas as pd
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        out, pack, fill = [], 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > 512:
+                pack += 1
+                fill = 0
+            fill += int(t)
+            out.append(pack)
+        pdf["pack_id"] = pd.Series(out, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
+
+    n = d.sparkSession.sparkContext.defaultParallelism
+    packed = (
+        toks.repartition(n, "source")
+        .groupBy("source")
+        .applyInPandas(
+            pack_group,
+            schema="source string, doc_id bigint, n_tokens int, pack_id bigint",
+        )
+    )
+    return packed.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
