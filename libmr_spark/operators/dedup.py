@@ -728,5 +728,10 @@ def dedup_incremental_exact(
         admitted = batch_fp.join(history.select("fp"), "fp", "left_anti")
     else:
         admitted = batch_fp
+    # materialize BEFORE the append: the returned frame must not lazily
+    # re-run the anti-join after the history gained this batch's own
+    # fingerprints (self-rejection), and the caller's action should not
+    # recompute the admission work a second time
+    admitted = admitted.localCheckpoint(eager=True)
     admitted.select("fp").write.mode("append").parquet(fp_table_path)
     return admitted

@@ -408,7 +408,10 @@ def sink_zorder_skipping_q(spark, sf_dir):
         "event_id", "user_id", "value",
         F.floor("value").cast("int").alias("vbin"),
     )
-    write_zorder(e, path, cols=["user_id", "vbin"], n_files=16, bits=10)
+    # bits=12 covers user_id at every test SF (sf0.1 has ids > 1023 —
+    # write_zorder now REJECTS out-of-range values instead of silently
+    # aliasing them, so the resolution must cover the domain)
+    write_zorder(e, path, cols=["user_id", "vbin"], n_files=16, bits=12)
     back = spark.read.parquet(path)
     user_band = F.col("user_id").between(40, 47)
     return back.agg(
@@ -677,7 +680,7 @@ def sink_retention_vacuum_q(spark, sf_dir):
     # (re)build the partitioned table each run — vacuum is destructive,
     # so the fixture cannot be cached like dpp_partitioned_agg's
     e.write.mode("overwrite").partitionBy("d").parquet(path)
-    vacuum_partitions(spark, path, "d", lambda v: int(v) > 14)
+    vacuum_partitions(path, "d", lambda v: int(v) > 14)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("d").cast("int").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1190,8 +1193,10 @@ def streaming_pyds_resume_q(spark, sf_dir):
     "dedup_simhash_md5",
     r"""
     WITH toks AS (
+        -- mirror Spark simhash()'s 65535-token cap (F.slice) so a
+        -- pathologically long doc cannot diverge the two engines
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+               unnest((string_split_regex(trim(lower(text)), '\s+'))[1:65535]) AS tok
         FROM documents),
     h AS (
         SELECT doc_id,

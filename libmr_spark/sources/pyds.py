@@ -151,12 +151,20 @@ class KvDataSourceWriter(DataSourceWriter):
         import shutil
 
         staging = os.path.join(self.path, "_staging")
+        manifest_path = os.path.join(self.path, "_KV_SUCCESS")
+        published = []
+        total = 0
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        published = []
-        total = 0
+        elif os.path.exists(manifest_path):
+            # append mode MERGES the prior manifest — rewriting it with
+            # only this job's files would orphan every earlier commit
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            published = list(prior["files"])
+            total = prior["n_rows"]
         for m in messages:
             if m is None:
                 continue
@@ -165,7 +173,7 @@ class KvDataSourceWriter(DataSourceWriter):
             )
             published.append(m.filename)
             total += m.n_rows
-        with open(os.path.join(self.path, "_KV_SUCCESS"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump({"files": sorted(published), "n_rows": total}, f)
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -322,13 +330,13 @@ class EventsStreamReader(SimpleDataSourceStreamReader):
             os.path.join(self.sf_dir, "events.parquet"),
             columns=["event_id", "ts", "event_type", "value"],
         ).to_pandas()
-        day = t["ts"].dt.day
-        sel = t[(day >= lo) & (day < hi)]
+        t["d"] = t["ts"].dt.day
+        sel = t[(t["d"] >= lo) & (t["d"] < hi)]
         return zip(
             sel["event_id"].tolist(),
             sel["event_type"].tolist(),
             sel["value"].tolist(),
-            day[(day >= lo) & (day < hi)].tolist(),
+            sel["d"].tolist(),
         )
 
     def initialOffset(self) -> dict:

@@ -206,6 +206,12 @@ def refresh_incremental_agg(
     the sums exact under any arrival grouping)."""
     from pyspark.sql import functions as F
 
+    if partition_col not in keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be one of keys={keys}: "
+            "the re-aggregation groups by keys, so a partition column "
+            "outside them would be dropped before the partitioned write"
+        )
     parts = [r[0] for r in delta_agg.select(partition_col).distinct().collect()]
     old = spark.read.parquet(agg_path).filter(F.col(partition_col).isin(parts))
     combined = (
@@ -255,6 +261,14 @@ def scd2_merge(
 
     # hive partition values come back as strings (partition-column type
     # inference covers numerics/dates only) — restore the boolean
+    # same one-source-row-per-key contract as merge_upsert: duplicate
+    # snapshot keys would open multiple is_current rows for one key
+    dup = snapshot.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"duplicate key in snapshot (e.g. {dict(zip(keys, dup[0][:-1]))}): "
+            "SCD2 merge requires at most one snapshot row per key"
+        )
     base = spark.read.parquet(path).withColumn(
         "is_current", F.col("is_current").cast("boolean")
     )
@@ -371,6 +385,24 @@ def write_zorder(
     key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "TIMESTAMP_MICROS")
+    # zorder_col interleaves only bits 0..bits-1: a value >= 2^bits
+    # would alias onto a distant z-code and silently degrade the
+    # clustering — fail loudly instead (one cheap agg on a path that
+    # already reads everything)
+    over = df.selectExpr(
+        *[f"max({c}) as m_{i}" for i, c in enumerate(cols)],
+        *[f"min({c}) as n_{i}" for i, c in enumerate(cols)],
+    ).first()
+    for i, c in enumerate(cols):
+        if over[f"m_{i}"] is not None and (
+            over[f"m_{i}"] >= (1 << bits) or over[f"n_{i}"] < 0
+        ):
+            raise ValueError(
+                f"column {c!r} has values outside [0, 2^{bits}) "
+                f"(min={over[f'n_{i}']}, max={over[f'm_{i}']}): bucket it "
+                "first or raise bits= — silent truncation would alias "
+                "distant values onto one Morton code"
+            )
     try:
         (
             df.withColumn("__z__", zorder_col(cols, bits))
@@ -417,7 +449,6 @@ def append_idempotent(
 
 
 def vacuum_partitions(
-    spark,
     path: str,
     partition_col: str,
     keep_predicate,

@@ -211,33 +211,52 @@ def ab_pattern_match(
     Strict inequality is the cross-engine tie contract: an A sharing
     B's exact timestamp never matches, whatever order the micro-batch
     replay delivers the tie in (rows fold in (ts, order_col) order
-    within a batch, same contract as rolling_extremes). ``lag_sec`` is
-    floor-of-seconds arithmetic on both engines.
+    within a batch, same contract as rolling_extremes) — and a same-ts
+    A must also not HIDE an earlier in-window A from a same-ts B, so
+    within-timestamp A updates are buffered until the clock advances.
+    ``lag_sec`` is floor-of-seconds arithmetic on both engines. Output
+    rows are ``(*key_cols, order_col, lag_sec)`` in ``out_schema``'s
+    column order.
     """
 
+    out_cols = [f.strip().split()[0] for f in out_schema.split(",")]
+
     def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        # last_a = latest A STRICTLY BEFORE the row being processed;
+        # an A sharing the current row's timestamp is held in pend_a
+        # until the clock advances, so a same-ts A can never clobber an
+        # earlier in-window A out from under a same-ts B (B@t must
+        # match the latest A with ts < t, whatever the within-ts
+        # processing order). The merged value is committed to state:
+        # a next-batch B at the same ts still fails the strict 0 < diff.
         last_a: int = int(state.get[0]) if state.exists else -1
+        pend_ts: int = -1
+        pend_a: int = -1
         chunks = [pdf for pdf in pdfs if len(pdf)]
         out: list[tuple] = []
         if chunks:
             rows = pd.concat(chunks, ignore_index=True).sort_values([ts_col, order_col])
             for r in rows.itertuples(index=False):
                 t_us = int(getattr(r, ts_col).value // 1000)  # pandas ns -> us
+                if pend_ts >= 0 and t_us > pend_ts:
+                    last_a = max(last_a, pend_a)
+                    pend_ts = pend_a = -1
                 et = getattr(r, type_col)
                 if et == b_type:
                     if last_a >= 0 and 0 < t_us - last_a <= within_sec * 1_000_000:
                         out.append(
                             (
-                                key[0],
+                                *key,
                                 int(getattr(r, order_col)),
                                 t_us // 1_000_000 - last_a // 1_000_000,
                             )
                         )
                 if et == a_type:
-                    last_a = t_us
-        state.update((last_a,))
+                    pend_ts = t_us
+                    pend_a = max(pend_a, t_us)
+        state.update((max(last_a, pend_a),))
         if out:
-            yield pd.DataFrame(out, columns=["user_id", "event_id", "lag_sec"])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         step,

@@ -244,7 +244,7 @@ def test_vacuum_drops_only_expired_partitions(spark, sf_dir, tmp_path):
             f"/d={d}/" in p for d in range(1, 15)
         )
     }
-    dropped = vacuum_partitions(spark, path, "d", lambda v: int(v) > 14)
+    dropped = vacuum_partitions(path, "d", lambda v: int(v) > 14)
     assert sorted(int(v) for v in dropped) == list(range(1, 15))
     # surviving partitions byte-untouched — vacuum never reads data
     assert {
@@ -256,7 +256,7 @@ def test_vacuum_drops_only_expired_partitions(spark, sf_dir, tmp_path):
     flat = str(tmp_path / "flat")
     e.drop("d").write.mode("overwrite").parquet(flat)
     with pytest.raises(ValueError, match="hive-partitioned"):
-        vacuum_partitions(spark, flat, "d", lambda v: True)
+        vacuum_partitions(flat, "d", lambda v: True)
 
 
 def test_scd2_randomized_version_history(spark, tmp_path):

@@ -237,3 +237,40 @@ def test_ab_pattern_state_carries_across_batches(spark, tmp_path):
     run_to_memory_sink(out, "t_ab_pattern_2b", output_mode="append")
     got = {(r.user_id, r.event_id, r.lag_sec) for r in spark.table("t_ab_pattern_2b").collect()}
     assert got == {(1, 20, 600)}
+
+
+def test_ab_pattern_same_ts_view_does_not_hide_earlier_view(spark, tmp_path):
+    # view@0, then view@600 and purchase@600 share a timestamp: the
+    # purchase must match the view@0 (600s lag) — the same-ts view may
+    # neither match nor clobber the earlier qualifying one
+    import datetime
+
+    from libmr_spark.streaming.stateful import ab_pattern_match
+    from libmr_spark.streaming.windows import run_to_memory_sink
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    rows = [
+        (1, s(0), 1, "view"),
+        (1, s(600), 2, "view"),
+        (1, s(600), 3, "purchase"),
+        # and the carried state after the tie is the LATEST view:
+        (1, s(1200), 4, "purchase"),  # matches view@600 -> lag 600
+    ]
+    sdir = str(tmp_path / "ab_ts_tie")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(sdir)
+    sdf = spark.readStream.schema(schema).parquet(sdir)
+    out = ab_pattern_match(
+        sdf,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_col="event_id",
+        type_col="event_type",
+        a_type="view",
+        b_type="purchase",
+        within_sec=3600,
+    )
+    run_to_memory_sink(out, "t_ab_ts_tie", output_mode="append")
+    got = {(r.event_id, r.lag_sec) for r in spark.table("t_ab_ts_tie").collect()}
+    assert got == {(3, 600), (4, 600)}
