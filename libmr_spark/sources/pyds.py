@@ -48,6 +48,41 @@ class SlotRange(InputPartition):
         self.hi = hi
 
 
+class SinkFiles(InputPartition):
+    def __init__(self, files: list):
+        self.files = files
+
+
+class KvSinkReader(DataSourceReader):
+    """Manifest-honoring read-back of a ``libmr_kv``-WRITTEN directory:
+    ``spark.read.format("libmr_kv").option("path", p).load()`` returns
+    exactly what the two-phase commit published — files not named in
+    ``_KV_SUCCESS`` (orphan task attempts, torn jobs) are invisible,
+    the same atomicity contract ``read_kv_sink`` exposes as a helper,
+    now symmetric through the format string itself. One input
+    partition per committed file."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        import json
+
+        with open(os.path.join(self.path, "_KV_SUCCESS")) as f:
+            manifest = json.load(f)
+        files = [os.path.join(self.path, fn) for fn in manifest["files"]]
+        return [SinkFiles([f]) for f in files] or [SinkFiles([])]
+
+    def read(self, partition: SinkFiles) -> Iterator:
+        import json
+
+        for fpath in partition.files:
+            with open(fpath) as f:
+                for line in f:
+                    r = json.loads(line)
+                    yield (r.get("key"), r.get("value"), r.get("type"))
+
+
 class KvDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.sf_dir = options.get("sf_dir", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -274,7 +309,12 @@ class KvDataSource(DataSource):
     def schema(self) -> str:
         return KV_SCHEMA
 
-    def reader(self, schema) -> KvDataSourceReader:
+    def reader(self, schema) -> DataSourceReader:
+        # a `path` option points at a sink this source WROTE — read it
+        # back through the commit manifest; otherwise expose the
+        # keyspace scan over the testdata orders table
+        if self.options.get("path"):
+            return KvSinkReader(self.options)
         return KvDataSourceReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> KvDataSourceWriter:

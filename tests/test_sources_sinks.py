@@ -508,3 +508,27 @@ def test_kv_stream_sink_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     manifest = json.load(open(os.path.join(path, "epoch=0", "_EPOCH_SUCCESS")))
     assert manifest["n_rows"] == 2  # replaced, not doubled
     assert not os.path.exists(os.path.join(path, "epoch=2"))
+
+
+def test_kv_writer_append_merges_manifest_and_format_readback(spark, sf_dir, tmp_path):
+    # append mode must MERGE the prior commit's manifest (not orphan
+    # it), and format("libmr_kv").option("path") reads back through
+    # the manifest — full symmetry through the format string
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.pyds import register_kv_datasource
+
+    register_kv_datasource(spark)
+    path = str(tmp_path / "kv_append")
+    kv = load_table(spark, "orders", sf_dir).select(
+        F.concat(F.lit("key"), F.col("o_orderkey").cast("string")).alias("key"),
+        F.col("o_totalprice").cast("string").alias("value"),
+        F.lit("string").alias("type"),
+    )
+    b1 = kv.filter("key like 'key1%'")
+    b2 = kv.filter("key like 'key2%'")
+    b1.repartition(2).write.format("libmr_kv").option("path", path).mode("overwrite").save()
+    b2.repartition(2).write.format("libmr_kv").option("path", path).mode("append").save()
+    back = spark.read.format("libmr_kv").option("path", path).load()
+    assert back.count() == b1.count() + b2.count()
+    assert back.filter("key like 'key1%'").count() == b1.count()
