@@ -363,3 +363,61 @@ def test_incremental_dedup_admits_only_new_fingerprints(spark, sf_dir, tmp_path)
     assert admitted.count() <= fresh_expected
     # replaying batch 2 in full admits nothing
     assert dedup_incremental_exact(spark, path, b2).count() == 0
+
+
+# ------------------------------------------------------------------
+# Randomized cross-checks (seeded, one Spark job per scenario)
+# ------------------------------------------------------------------
+
+
+def test_interval_overlap_randomized_vs_theta(spark):
+    import datetime
+    import random
+
+    from libmr_spark.operators.relational import interval_overlap_join
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        t0 = datetime.datetime(2024, 3, 1)
+        rows = []
+        for i in range(120):
+            start = t0 + datetime.timedelta(minutes=rng.randrange(0, 5000))
+            end = start + datetime.timedelta(minutes=rng.randrange(0, 600))
+            rows.append((i, start, end))
+        iv = spark.createDataFrame(rows, "id long, st timestamp, en timestamp")
+        pairs, _ = interval_overlap_join(
+            iv, "st", "en", pair_filter=lambda a, b: F.col("a.id") < F.col("b.id")
+        )
+        got = sorted((r.a_id, r.b_id) for r in pairs.collect())
+        want = sorted(
+            (a_id, b_id)
+            for a_id, a_st, a_en in rows
+            for b_id, b_st, b_en in rows
+            if a_id < b_id and a_st <= b_en and b_st <= a_en
+        )
+        assert got == want, f"seed={seed}"
+
+
+def test_mg_bound_randomized_zipf(spark):
+    # zipf-ish stream: every key with freq > n/(cap+1) must be a
+    # candidate, for several random layouts and partitionings
+    import random
+
+    from libmr_spark.operators.sketches import mg_candidates
+
+    for seed, cap, parts in ((3, 16, 4), (11, 8, 8), (29, 32, 2)):
+        rng = random.Random(seed)
+        vals = []
+        for k in range(200):
+            freq = max(1, int(2000 / (k + 1)))
+            vals += [k] * freq
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(parts)
+        cand = {r.k for r in mg_candidates(df, "k", capacity=cap).collect()}
+        n = len(vals)
+        from collections import Counter
+
+        counts = Counter(vals)
+        guaranteed = {k for k, c in counts.items() if c > n / (cap + 1)}
+        assert guaranteed <= cand, f"seed={seed}: missing {guaranteed - cand}"
+        assert len(cand) <= cap * parts
