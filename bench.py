@@ -114,6 +114,7 @@ HEADLINE = [
     "variant_extract_props",
     "dedup_incremental_exact",
     "train_pipeline_e2e",
+    "reachability_recursive_cte",
 ]
 
 

@@ -1500,3 +1500,45 @@ def train_pipeline_e2e_q(spark, sf_dir):
         (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ------------------------------------------------------------------
+# 24. Recursive CTE reachability (Spark 4 WITH RECURSIVE)
+# ------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH RECURSIVE e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM {li} a JOIN {li} b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+reach(part, dist) AS (
+    SELECT CAST(l_partkey AS BIGINT), 0
+    FROM (SELECT DISTINCT l_partkey FROM {li} WHERE l_partkey <= 3) s
+    UNION ALL
+    SELECT e.v, r.dist + 1 FROM reach r JOIN e ON e.u = r.part WHERE r.dist < 2)
+SELECT CAST(min_dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_parts
+FROM (SELECT part, min(dist) AS min_dist FROM reach GROUP BY part)
+GROUP BY 1
+"""
+
+
+@defquery(
+    "reachability_recursive_cte",
+    _REACH_SQL.format(li="lineitem"),
+    "graph reachability via WITH RECURSIVE — Spark 4's recursive CTE "
+    "run NATIVELY on both engines (the one query in the inventory "
+    "where the oracle is the character-for-character same SQL): BFS "
+    "over the co-purchase graph from seed parts 1-3, per-hop frontier "
+    "expansion with an explicit depth guard (dist < 2) and min-dist "
+    "dedup at the end. The depth guard is the scale contract: an "
+    "unguarded UNION ALL recursion on a graph with cycles never "
+    "terminates, and frontier size grows with the product of degrees "
+    "per hop — the iterative-DataFrame form (dedup_clusters' "
+    "large-star/small-star, pagerank's power iteration) remains the "
+    "100 TB path for unbounded-depth traversal because it dedups the "
+    "frontier EVERY round and truncates lineage; recursive CTEs are "
+    "the right tool for bounded-hop queries exactly like this one.",
+)
+def reachability_recursive_cte_q(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__reach_li__")
+    return spark.sql(_REACH_SQL.format(li="__reach_li__"))
