@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_incremental_exact",
     "train_pipeline_e2e",
     "reachability_recursive_cte",
+    "lateral_topk_per_customer",
 ]
 
 

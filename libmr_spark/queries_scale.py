@@ -1,10 +1,21 @@
-"""Round-5 scale-pattern operators: the distributed-algorithm shapes a
-100 TB deployment leans on when the naive plan stops fitting —
-mergeable-sketch heavy hitters (Misra-Gries two-pass), mergeable
-histogram percentiles (the no-global-sort quantile path), time-bucketed
-interval overlap join (the blocking answer to an unbounded range
-self-join), and degree-oriented triangle counting (the classic
-skew-proof graph pattern).
+"""Round-5 additions: the distributed-algorithm shapes a 100 TB
+deployment leans on when the naive plan stops fitting.
+
+Five groups (25 queries):
+- scale-pattern algorithms: Misra-Gries two-pass heavy hitters,
+  mergeable histogram percentiles, time-bucketed interval overlap
+  join, degree-oriented edge-centric triangle counting, HLL sketch
+  rollups, md5-60bit cross-engine-verifiable SimHash;
+- table maintenance: SCD2, Z-order clustered writes, idempotent
+  append, dynamic partition pruning, retention vacuum, runtime bloom
+  join, snapshot-diff CDC, incremental dedup vs persisted history;
+- LLM-pipeline analytics: cross-source contamination matrix,
+  histogram-decile curriculum assignment, closed-form trend fit,
+  end-to-end gate->dedup->pack composition;
+- pluggable Python DataSource quadrilogy: kv batch writer (two-phase
+  commit), checkpointable stream source, per-epoch streaming sink;
+- Spark-4 SQL surfaces: VARIANT extraction, WITH RECURSIVE bounded-hop
+  BFS, LATERAL correlated top-k.
 
 Registered into the same ``QUERIES`` dict as queries.py / queries_ext /
 queries_pipeline (imported from queries.py last).  New names export
@@ -1542,3 +1553,38 @@ GROUP BY 1
 def reachability_recursive_cte_q(spark, sf_dir):
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__reach_li__")
     return spark.sql(_REACH_SQL.format(li="__reach_li__"))
+
+
+# ------------------------------------------------------------------
+# 25. LATERAL correlated subquery (top-k per row, planner-decorrelated)
+# ------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM {c} c, LATERAL (
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM {o}
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey <= 100
+"""
+
+
+@defquery(
+    "lateral_topk_per_customer",
+    _LATERAL_SQL.format(c="customer", o="orders"),
+    "correlated LATERAL subquery — top-2 orders per customer written "
+    "the way an analyst writes it (per-row subquery with ORDER BY "
+    "LIMIT), run natively on both engines with character-identical "
+    "SQL. The scale point is what Catalyst does to it: the naive "
+    "reading is one subquery execution PER outer row; "
+    "DecorrelateInnerQuery + RewriteLateralSubquery turn it into a "
+    "single join + per-key WindowGroupLimit — same physical shape as "
+    "window_topk_per_group's explicit formulation, so the declarative "
+    "form costs nothing at 100 TB. Unique tie-break (o_orderkey) "
+    "makes the LIMIT boundary engine-exact.",
+)
+def lateral_topk_q(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_c__")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_o__")
+    return spark.sql(_LATERAL_SQL.format(c="__lat_c__", o="__lat_o__"))
