@@ -116,6 +116,7 @@ HEADLINE = [
     "train_pipeline_e2e",
     "reachability_recursive_cte",
     "lateral_topk_per_customer",
+    "ab_welch_t_by_type",
 ]
 
 

@@ -1588,3 +1588,83 @@ def lateral_topk_q(spark, sf_dir):
     _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_c__")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_o__")
     return spark.sql(_LATERAL_SQL.format(c="__lat_c__", o="__lat_o__"))
+
+
+# ------------------------------------------------------------------
+# 26. Two-sample Welch t statistic from mergeable moments
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "ab_welch_t_by_type",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                   AS s2
+        FROM events GROUP BY 1),
+    d AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
+        FROM m),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS na, b.n AS nb,
+               a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+               (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) AS va,
+               (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) AS vb
+        FROM d a JOIN d b ON a.event_type < b.event_type)
+    SELECT type_a, type_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat
+    FROM pairs
+    """,
+    "two-sample Welch t statistic for every event-type pair, computed "
+    "ENTIRELY from three mergeable moment partials per group (n, "
+    "sum, sum-of-squares in DECIMAL — exact under any partial-agg "
+    "order): the experimentation-analytics shape where a 100 TB "
+    "event log answers 'is variant A's metric different from B's' "
+    "from kilobytes of maintained partials, never a re-scan — the "
+    "same incremental discipline as incremental_agg_refresh and "
+    "trend_slope_by_type. All divisions and the sqrt run in IEEE "
+    "doubles over exactly-cast sums with one final round; the "
+    "pair join is |types| x |types| post-aggregate rows, "
+    "driver-trivial. (Degrees-of-freedom / p-value lookup is a "
+    "driver-side scalar step on these same partials — the statistic "
+    "is the distributed part.)",
+)
+def ab_welch_t_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s1d"),
+        F.sum(dec * dec).alias("s2d"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("s1d").cast("double").alias("s1"),
+        F.col("s2d").cast("double").alias("s2"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    ma = F.col("a.s1") / F.col("a.n")
+    mb = F.col("b.s1") / F.col("b.n")
+    va = (F.col("a.s2") - F.col("a.s1") * F.col("a.s1") / F.col("a.n")) / (
+        F.col("a.n") - 1
+    )
+    vb = (F.col("b.s2") - F.col("b.s1") * F.col("b.s1") / F.col("b.n")) / (
+        F.col("b.n") - 1
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").cast("bigint").alias("na"),
+            F.col("b.n").cast("bigint").alias("nb"),
+            F.round(
+                (ma - mb) / F.sqrt(va / F.col("a.n") + vb / F.col("b.n")), 6
+            ).alias("t_stat"),
+        )
+    )

@@ -65,6 +65,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "distinct_users_rolling_hll": {
         "nested_loop": "trailing-window theta join over the per-day sketch PARTIAL table — both sides are O(|days|) rows of kilobyte sketches by construction, raw events are touched once upstream",
     },
+    "ab_welch_t_by_type": {
+        "nested_loop": "inequality self-join of the POST-AGGREGATE per-type moment table — both sides are |event_types| rows of four scalars by construction, never raw events",
+    },
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },
