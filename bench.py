@@ -117,6 +117,8 @@ HEADLINE = [
     "reachability_recursive_cte",
     "lateral_topk_per_customer",
     "ab_welch_t_by_type",
+    "streaming_merge_apply",
+    "table_audit_hash",
 ]
 
 

@@ -1668,3 +1668,137 @@ def ab_welch_t_q(spark, sf_dir):
             ).alias("t_stat"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 27. Streaming CDC apply (foreachBatch + partition-scoped MERGE)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_merge_apply",
+    """
+    WITH latest AS (
+        SELECT user_id, CAST(user_id % 16 AS INT) AS b,
+               CAST(day(ts) AS INT) AS d, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+    SELECT user_id, b, d, CAST(value AS DOUBLE) AS last_value
+    FROM latest WHERE rn = 1
+    """,
+    "streaming CDC apply — the upsert consumer every change feed "
+    "needs: the purchase stream drains through foreachBatch, each "
+    "micro-batch reduced to one row per user (latest by ts, event_id) "
+    "and MERGEd into a day-partitioned state table via the "
+    "copy-on-write merge_upsert (partition-scoped rewrite, "
+    "O(batch's days) per epoch). The composed guarantee on the hook: "
+    "batch-boundary placement must not change the final table — "
+    "last-write-wins within a batch (the pre-merge reduce) composes "
+    "with MERGE's replace-on-match across batches because the file "
+    "replay is time-ordered, so the oracle (latest purchase per user "
+    "over ALL events) hash-matches whatever the micro-batching did. "
+    "The state table partitions on a KEY-DERIVED bucket (user_id % "
+    "16), never on an attribute like day: a key whose latest row "
+    "moved day-partitions would strand its stale row outside MERGE's "
+    "touched-partition scope — the update-can't-move-partitions "
+    "precondition, now structural (pinned by the two-batch test). "
+    "This is foreachBatch + MERGE as a single tested unit — the "
+    "pattern a log-based table format calls 'streaming MERGE INTO'.",
+)
+def streaming_merge_apply_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .queries_ext import _sink_dir
+    from .sources.readers import events_stream
+    from .sources.sinks import merge_upsert
+    from pyspark.sql.window import Window as W
+
+    path = _sink_dir("merge_apply_state", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def apply_batch(bdf, batch_id):
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                (F.col("user_id") % 16).cast("int").alias("b"),
+                F.dayofmonth("ts").cast("int").alias("d"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+        )
+        import os
+
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            latest.write.mode("overwrite").partitionBy("b").parquet(path)
+        else:
+            merge_upsert(
+                bdf.sparkSession, path, latest, keys=["user_id"], partition_col="b"
+            )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_ma_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path).select(
+        "user_id",
+        F.col("b").cast("int").alias("b"),
+        F.col("d").cast("int").alias("d"),
+        "last_value",
+    )
+
+
+# ------------------------------------------------------------------
+# 28. Order-free content audit hash (cross-system integrity check)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "table_audit_hash",
+    """
+    SELECT CAST(day(ts) AS INT) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+               concat_ws('|', CAST(event_id AS VARCHAR),
+                         CAST(user_id AS VARCHAR), event_type,
+                         CAST(value AS VARCHAR))), 1, 15)) AS UBIGINT))
+               AS BIGINT) AS content_hash
+    FROM events GROUP BY 1
+    """,
+    "per-partition content audit hash: XOR-fold of a 60-bit md5 over "
+    "each row's canonical string — XOR is commutative/associative, so "
+    "the hash is identical under ANY row order, partitioning, or "
+    "merge tree, which is precisely what a cross-system integrity "
+    "check needs (compare per-day hashes after a migration, a "
+    "replication hop, or a rewrite like compaction/Z-ordering: equal "
+    "hash + equal count => content equality up to 60-bit collision). "
+    "Contrast with a hash of sorted concatenation, which costs a "
+    "global sort per check. Caveat stated plainly: XOR-folding means "
+    "a row appearing TWICE cancels out — the row count column closes "
+    "that hole for even-multiplicity corruption. The oracle computes "
+    "the same fold; the canonical string uses Spark/DuckDB-identical "
+    "float rendering via the shared CAST-to-VARCHAR contract.",
+)
+def table_audit_hash_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return e.groupBy(F.dayofmonth("ts").cast("int").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.bit_xor(h60).cast("bigint").alias("content_hash"),
+    )

@@ -274,3 +274,61 @@ def test_ab_pattern_same_ts_view_does_not_hide_earlier_view(spark, tmp_path):
     run_to_memory_sink(out, "t_ab_ts_tie", output_mode="append")
     got = {(r.event_id, r.lag_sec) for r in spark.table("t_ab_ts_tie").collect()}
     assert got == {(3, 600), (4, 600)}
+
+
+def test_streaming_merge_apply_across_batches_updates_moved_keys(spark, tmp_path):
+    # user 7's latest purchase arrives in batch 2 with a DIFFERENT day
+    # than batch 1: the state table must hold exactly one row per user
+    # with the batch-2 value — the case a day-partitioned state table
+    # would corrupt (stale batch-1 row stranded outside MERGE's scope)
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from libmr_spark.sources.sinks import merge_upsert
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    b1 = [(1, t0 + datetime.timedelta(days=1), 7, 10.0),
+          (2, t0 + datetime.timedelta(days=1), 8, 20.0)]
+    b2 = [(3, t0 + datetime.timedelta(days=20), 7, 99.0),
+          (4, t0 + datetime.timedelta(days=20), 9, 30.0)]
+    sdir = str(tmp_path / "cdc_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/f=0")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/f=1")
+
+    path = str(tmp_path / "state")
+
+    def apply_batch(bdf, batch_id):
+        import os
+
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                "user_id",
+                (F.col("user_id") % 4).cast("int").alias("b"),
+                F.dayofmonth("ts").cast("int").alias("d"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            latest.write.mode("overwrite").partitionBy("b").parquet(path)
+        else:
+            merge_upsert(bdf.sparkSession, path, latest, keys=["user_id"], partition_col="b")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir + "/f=*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="t_cdc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.d, r.last_value) for r in spark.read.parquet(path).collect()}
+    assert got == {(7, 21, 99.0), (8, 2, 20.0), (9, 21, 30.0)}
