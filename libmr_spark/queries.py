@@ -3454,6 +3454,15 @@ _DRIVER_CHECKED: set[str] = {
 # TPC-H q-series, the five text_* queries, the three knn sketches and
 # dedup_simhash.  The remaining 14 r2-stale names rotate in round 6,
 # after which every name has a round-3+ row and §7.2a unfreezes fully.
+# ROUND-6 ROTATION PLAN (mechanical): after CORRECTNESS_r05.json lands,
+# run scripts/update_rotation.py on it, append its green names to
+# _DRIVER_CHECKED, and point _NEWEST at (a) any r05 failures, (b) the
+# 39 round-4/5 additions that export just past the window (positions
+# 51-89: vocab_coverage_cutoff .. table_audit_hash — they are in
+# export order already, update_rotation.py prints the exact list), and
+# (c) the last 14 round-2-stale names. That is ~53 names: gate the
+# first 50, roll the remainder plus spillover into round 7, after
+# which every name has a round-3+ driver row.
 _NEWEST = [
     # (a) never driver-gated (export order from update_rotation.py)
     "knn_ivf_pretrained", "props_map_stats",
