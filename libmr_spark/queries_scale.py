@@ -1,7 +1,7 @@
 """Round-5 additions: the distributed-algorithm shapes a 100 TB
 deployment leans on when the naive plan stops fitting.
 
-Five groups (25 queries):
+Six groups (28 queries):
 - scale-pattern algorithms: Misra-Gries two-pass heavy hitters,
   mergeable histogram percentiles, time-bucketed interval overlap
   join, degree-oriented edge-centric triangle counting, HLL sketch
@@ -14,8 +14,11 @@ Five groups (25 queries):
   end-to-end gate->dedup->pack composition;
 - pluggable Python DataSource quadrilogy: kv batch writer (two-phase
   commit), checkpointable stream source, per-epoch streaming sink;
-- Spark-4 SQL surfaces: VARIANT extraction, WITH RECURSIVE bounded-hop
-  BFS, LATERAL correlated top-k.
+- streaming CEP + CDC apply: A-then-B pattern matcher,
+  foreachBatch + recency-aware MERGE;
+- Spark-4 SQL surfaces + audit: VARIANT extraction, WITH RECURSIVE
+  bounded-hop BFS, LATERAL correlated top-k, Welch t from moments,
+  order-free content audit hashes.
 
 Registered into the same ``QUERIES`` dict as queries.py / queries_ext /
 queries_pipeline (imported from queries.py last).  New names export
@@ -1604,7 +1607,7 @@ def lateral_topk_q(spark, sf_dir):
                SUM(CAST(value AS DECIMAL(18,6))) AS s1,
                SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
                    AS s2
-        FROM events GROUP BY 1),
+        FROM events GROUP BY 1 HAVING count(*) > 1),
     d AS (
         SELECT event_type, n,
                CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
@@ -1641,7 +1644,7 @@ def ab_welch_t_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec).alias("s1d"),
         F.sum(dec * dec).alias("s2d"),
-    ).select(
+    ).filter(F.col("n") > 1).select(
         "event_type",
         "n",
         F.col("s1d").cast("double").alias("s1"),
@@ -1688,23 +1691,23 @@ def ab_welch_t_q(spark, sf_dir):
     FROM latest WHERE rn = 1
     """,
     "streaming CDC apply — the upsert consumer every change feed "
-    "needs: the purchase stream drains through foreachBatch, each "
-    "micro-batch reduced to one row per user (latest by ts, event_id) "
-    "and MERGEd into a day-partitioned state table via the "
-    "copy-on-write merge_upsert (partition-scoped rewrite, "
-    "O(batch's days) per epoch). The composed guarantee on the hook: "
-    "batch-boundary placement must not change the final table — "
-    "last-write-wins within a batch (the pre-merge reduce) composes "
-    "with MERGE's replace-on-match across batches because the file "
-    "replay is time-ordered, so the oracle (latest purchase per user "
-    "over ALL events) hash-matches whatever the micro-batching did. "
-    "The state table partitions on a KEY-DERIVED bucket (user_id % "
-    "16), never on an attribute like day: a key whose latest row "
-    "moved day-partitions would strand its stale row outside MERGE's "
-    "touched-partition scope — the update-can't-move-partitions "
-    "precondition, now structural (pinned by the two-batch test). "
-    "This is foreachBatch + MERGE as a single tested unit — the "
-    "pattern a log-based table format calls 'streaming MERGE INTO'.",
+    "needs: the purchase stream drains through foreachBatch into "
+    "merge_upsert_latest, which keeps per key the row with the "
+    "greatest (ts, event_id) across the EXISTING STATE and the batch "
+    "(matched state rows pulled back via an O(batch) semi-join) "
+    "before the partition-scoped copy-on-write MERGE. Retaining the "
+    "recency columns in the state and re-competing on match is what "
+    "makes last-write-wins hold under ANY micro-batch ordering — a "
+    "bare replace-on-match MERGE silently depends on files replaying "
+    "in event-time order, which file mtimes do not guarantee. The "
+    "state table partitions on a KEY-DERIVED bucket (user_id % 16), "
+    "never on an attribute like day: a key whose latest row moved "
+    "day-partitions would strand its stale row outside MERGE's "
+    "touched-partition scope (both pinned by the two-batch test, "
+    "which replays batches with a tie and a moved day). Empty "
+    "micro-batches are no-ops by contract. The oracle is the latest "
+    "purchase per user over ALL events: batch-boundary placement "
+    "must not change the final table.",
 )
 def streaming_merge_apply_q(spark, sf_dir):
     import shutil
@@ -1712,32 +1715,28 @@ def streaming_merge_apply_q(spark, sf_dir):
 
     from .queries_ext import _sink_dir
     from .sources.readers import events_stream
-    from .sources.sinks import merge_upsert
-    from pyspark.sql.window import Window as W
+    from .sources.sinks import merge_upsert_latest
 
     path = _sink_dir("merge_apply_state", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
 
     def apply_batch(bdf, batch_id):
-        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-        latest = (
-            bdf.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
+        merge_upsert_latest(
+            bdf.sparkSession,
+            path,
+            bdf.select(
                 "user_id",
                 (F.col("user_id") % 16).cast("int").alias("b"),
                 F.dayofmonth("ts").cast("int").alias("d"),
+                F.col("ts"),
+                F.col("event_id"),
                 F.col("value").cast("double").alias("last_value"),
-            )
+            ),
+            keys=["user_id"],
+            partition_col="b",
+            recency_cols=["ts", "event_id"],
+            payload_cols=["d", "last_value"],
         )
-        import os
-
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            latest.write.mode("overwrite").partitionBy("b").parquet(path)
-        else:
-            merge_upsert(
-                bdf.sparkSession, path, latest, keys=["user_id"], partition_col="b"
-            )
 
     q = (
         events_stream(spark, sf_dir)
@@ -1768,10 +1767,13 @@ def streaming_merge_apply_q(spark, sf_dir):
     SELECT CAST(day(ts) AS INT) AS d,
            CAST(count(*) AS BIGINT) AS n,
            CAST(bit_xor(CAST(('0x' || substr(md5(
-               concat_ws('|', CAST(event_id AS VARCHAR),
-                         CAST(user_id AS VARCHAR), event_type,
-                         CAST(value AS VARCHAR))), 1, 15)) AS UBIGINT))
-               AS BIGINT) AS content_hash
+               concat_ws('|',
+                         coalesce(CAST(event_id AS VARCHAR), '<null>'),
+                         coalesce(CAST(epoch_us(ts) AS VARCHAR), '<null>'),
+                         coalesce(CAST(user_id AS VARCHAR), '<null>'),
+                         coalesce(event_type, '<null>'),
+                         coalesce(CAST(value AS VARCHAR), '<null>'))),
+               1, 15)) AS UBIGINT)) AS BIGINT) AS content_hash
     FROM events GROUP BY 1
     """,
     "per-partition content audit hash: XOR-fold of a 60-bit md5 over "
@@ -1784,18 +1786,28 @@ def streaming_merge_apply_q(spark, sf_dir):
     "Contrast with a hash of sorted concatenation, which costs a "
     "global sort per check. Caveat stated plainly: XOR-folding means "
     "a row appearing TWICE cancels out — the row count column closes "
-    "that hole for even-multiplicity corruption. The oracle computes "
-    "the same fold; the canonical string uses Spark/DuckDB-identical "
-    "float rendering via the shared CAST-to-VARCHAR contract.",
+    "that hole for even-multiplicity corruption. The canonical string "
+    "covers EVERY content column (ts as unix micros — integer, hence "
+    "engine-identical where timestamp string renderings are not) with "
+    "an explicit NULL sentinel per field, because concat_ws silently "
+    "drops nulls and would hash field-shifted corruption identically. "
+    "The oracle computes the same fold.",
 )
 def table_audit_hash_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
+    # canonical row encoding: EVERY content column (ts as unix micros —
+    # engine string renderings of timestamps differ, integers do not),
+    # and an explicit NULL sentinel per field — concat_ws silently
+    # DROPS nulls, so without sentinels a field-shifted corruption
+    # hashes identically to the original
+    null = F.lit("<null>")
     row_str = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), null),
+        F.coalesce(F.unix_micros("ts").cast("string"), null),
+        F.coalesce(F.col("user_id").cast("string"), null),
+        F.coalesce(F.col("event_type"), null),
+        F.coalesce(F.col("value").cast("string"), null),
     )
     h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
     return e.groupBy(F.dayofmonth("ts").cast("int").alias("d")).agg(

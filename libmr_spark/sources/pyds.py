@@ -48,6 +48,17 @@ class SlotRange(InputPartition):
         self.hi = hi
 
 
+def _manifest_files(path: str) -> list:
+    """Files published by the kv sink's two-phase commit — the ONLY
+    files a manifest-honoring reader may see (shared by KvSinkReader
+    and read_kv_sink so the two read paths cannot drift)."""
+    import json
+
+    with open(os.path.join(path, "_KV_SUCCESS")) as f:
+        manifest = json.load(f)
+    return [os.path.join(path, fn) for fn in manifest["files"]]
+
+
 class SinkFiles(InputPartition):
     def __init__(self, files: list):
         self.files = files
@@ -66,11 +77,7 @@ class KvSinkReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):
-        import json
-
-        with open(os.path.join(self.path, "_KV_SUCCESS")) as f:
-            manifest = json.load(f)
-        files = [os.path.join(self.path, fn) for fn in manifest["files"]]
+        files = _manifest_files(self.path)
         return [SinkFiles([f]) for f in files] or [SinkFiles([])]
 
     def read(self, partition: SinkFiles) -> Iterator:
@@ -314,6 +321,14 @@ class KvDataSource(DataSource):
         # back through the commit manifest; otherwise expose the
         # keyspace scan over the testdata orders table
         if self.options.get("path"):
+            # the sink read-back has no keyspace semantics — refuse the
+            # keyspace-scan options instead of silently ignoring them
+            bad = [o for o in ("prefix", "numpartitions") if self.options.get(o)]
+            if bad:
+                raise ValueError(
+                    f"options {bad} apply to the keyspace scan, not a "
+                    "'path' sink read-back — filter after load() instead"
+                )
             return KvSinkReader(self.options)
         return KvDataSourceReader(self.options)
 
@@ -328,11 +343,7 @@ def read_kv_sink(spark, path: str):
     """Read back a ``libmr_kv``-written directory, honoring the commit
     manifest: ONLY files named in ``_KV_SUCCESS`` are visible (the
     atomicity contract the two-phase commit provides)."""
-    import json
-
-    with open(os.path.join(path, "_KV_SUCCESS")) as f:
-        manifest = json.load(f)
-    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    files = _manifest_files(path)
     if not files:
         return spark.createDataFrame([], KV_SCHEMA)
     return spark.read.schema(KV_SCHEMA).json(files)

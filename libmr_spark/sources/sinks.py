@@ -89,6 +89,11 @@ def merge_upsert(
         )
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        # empty update batch: nothing to merge — and the staged rewrite
+        # of zero rows would produce a schema-less parquet dir that
+        # poisons the next read (a quiet micro-batch must be a no-op)
+        return
     base = spark.read.parquet(base_path)
     touched = base.filter(F.col(partition_col).isin(parts))
     survivors = touched.join(updates.select(*keys), keys, "left_anti")
@@ -488,3 +493,58 @@ def vacuum_partitions(
             shutil.rmtree(os.path.join(path, d))
             dropped.append(val)
     return dropped
+
+
+def merge_upsert_latest(
+    spark,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    recency_cols: list[str],
+    payload_cols: list[str],
+) -> None:
+    """Streaming CDC apply: keep, per key, the row with the greatest
+    ``recency_cols`` tuple across the existing state AND the incoming
+    ``batch`` — then MERGE. Unlike a bare ``merge_upsert`` (which
+    replaces matched keys unconditionally and therefore depends on
+    batches arriving in event-time order), this helper makes
+    last-write-wins hold under ANY micro-batch ordering: the state
+    table retains the recency columns, matched keys' current rows are
+    pulled back (semi-join on the batch's keys — O(batch), never
+    O(state)) and compete with the batch rows under the same
+    deterministic (recency, keys) ordering. First call bootstraps the
+    table. ``partition_col`` must be key-derived (stable per key) so a
+    key's row can never move partitions — the merge_upsert scoping
+    precondition, structural here.
+
+    An empty batch is a no-op (a quiet source file must not poison the
+    state table with a schema-less write).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    if batch.isEmpty():
+        return
+    cols = [*keys, partition_col, *recency_cols, *payload_cols]
+    cand = batch.select(*cols)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        state = spark.read.parquet(path).select(*cols)
+        matched = state.join(
+            batch.select(*keys).distinct(), keys, "left_semi"
+        )
+        cand = cand.unionByName(matched)
+    w = _W.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in recency_cols], *[F.asc(k) for k in keys]
+    )
+    latest = (
+        cand.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        merge_upsert(spark, path, latest, keys=keys, partition_col=partition_col)
+    else:
+        latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)

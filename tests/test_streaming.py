@@ -277,48 +277,52 @@ def test_ab_pattern_same_ts_view_does_not_hide_earlier_view(spark, tmp_path):
 
 
 def test_streaming_merge_apply_across_batches_updates_moved_keys(spark, tmp_path):
-    # user 7's latest purchase arrives in batch 2 with a DIFFERENT day
-    # than batch 1: the state table must hold exactly one row per user
-    # with the batch-2 value — the case a day-partitioned state table
-    # would corrupt (stale batch-1 row stranded outside MERGE's scope)
+    # exercises the SAME production helper (merge_upsert_latest) the
+    # query runs, across three micro-batches:
+    # - user 7's latest purchase arrives in batch 2 with a different
+    #   day (the stranded-stale-row case a day-partitioned state hits)
+    # - user 8's OLDER row replays in batch 3 AFTER its newer row — a
+    #   replace-on-match merge would regress the state; recency
+    #   comparison must keep the newer value
+    # - batch 3 also includes an empty-after-filter file: no-op
     import datetime
     import tempfile
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
 
-    from libmr_spark.sources.sinks import merge_upsert
+    from libmr_spark.sources.sinks import merge_upsert_latest
 
     t0 = datetime.datetime(2024, 1, 1)
     schema = "event_id bigint, ts timestamp, user_id bigint, value double"
-    b1 = [(1, t0 + datetime.timedelta(days=1), 7, 10.0),
-          (2, t0 + datetime.timedelta(days=1), 8, 20.0)]
-    b2 = [(3, t0 + datetime.timedelta(days=20), 7, 99.0),
-          (4, t0 + datetime.timedelta(days=20), 9, 30.0)]
+    day = lambda n: t0 + datetime.timedelta(days=n - 1)  # noqa: E731
+    b1 = [(1, day(2), 7, 10.0), (5, day(3), 8, 50.0)]
+    b2 = [(3, day(21), 7, 99.0), (4, day(21), 9, 30.0)]
+    b3 = [(2, day(2), 8, 20.0)]  # OLDER than user 8's batch-1 row
     sdir = str(tmp_path / "cdc_in")
-    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/f=0")
-    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(sdir + "/f=1")
+    for i, b in enumerate([b1, b2, b3]):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{sdir}/f={i}"
+        )
 
     path = str(tmp_path / "state")
 
     def apply_batch(bdf, batch_id):
-        import os
-
-        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-        latest = (
-            bdf.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(
+        merge_upsert_latest(
+            bdf.sparkSession,
+            path,
+            bdf.select(
                 "user_id",
                 (F.col("user_id") % 4).cast("int").alias("b"),
                 F.dayofmonth("ts").cast("int").alias("d"),
+                "ts",
+                "event_id",
                 F.col("value").cast("double").alias("last_value"),
-            )
+            ),
+            keys=["user_id"],
+            partition_col="b",
+            recency_cols=["ts", "event_id"],
+            payload_cols=["d", "last_value"],
         )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            latest.write.mode("overwrite").partitionBy("b").parquet(path)
-        else:
-            merge_upsert(bdf.sparkSession, path, latest, keys=["user_id"], partition_col="b")
 
     q = (
         spark.readStream.schema(schema)
@@ -331,4 +335,6 @@ def test_streaming_merge_apply_across_batches_updates_moved_keys(spark, tmp_path
     )
     q.awaitTermination()
     got = {(r.user_id, r.d, r.last_value) for r in spark.read.parquet(path).collect()}
-    assert got == {(7, 21, 99.0), (8, 2, 20.0), (9, 21, 30.0)}
+    # user 8 keeps the batch-1 (newer) row despite the late replay of
+    # its older event; user 7 moved days and has exactly one row
+    assert got == {(7, 21, 99.0), (8, 3, 50.0), (9, 21, 30.0)}
