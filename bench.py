@@ -119,6 +119,7 @@ HEADLINE = [
     "ab_welch_t_by_type",
     "streaming_merge_apply",
     "table_audit_hash",
+    "dedup_keep_best",
 ]
 
 

@@ -1,7 +1,7 @@
 """Round-5 additions: the distributed-algorithm shapes a 100 TB
 deployment leans on when the naive plan stops fitting.
 
-Six groups (28 queries):
+Six groups (29 queries):
 - scale-pattern algorithms: Misra-Gries two-pass heavy hitters,
   mergeable histogram percentiles, time-bucketed interval overlap
   join, degree-oriented edge-centric triangle counting, HLL sketch
@@ -1813,4 +1813,65 @@ def table_audit_hash_q(spark, sf_dir):
     return e.groupBy(F.dayofmonth("ts").cast("int").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.bit_xor(h60).cast("bigint").alias("content_hash"),
+    )
+
+
+# ------------------------------------------------------------------
+# 29. Canonical-survivor selection (quality-aware keep-best dedup)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "dedup_keep_best",
+    """
+    WITH q AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               {_qs} AS quality
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source, fp, quality,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp) AS n_dups
+        FROM q)
+    SELECT fp, doc_id AS survivor_id, source, quality,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """.format(_qs=_quality_sql()),
+    "canonical-survivor selection: exact-duplicate groups keep their "
+    "BEST document (max quality score, doc_id tie-break) instead of "
+    "dedup_exact's arbitrary min-id — the policy question every "
+    "production dedup actually has to answer, since near-identical "
+    "crawl copies differ in boilerplate/truncation and the kept copy "
+    "is what trains. One window over fp groups (group size = dup "
+    "multiplicity, bounded in practice; the pathological all-"
+    "duplicates corpus degrades the PARTITION, not the shuffle — "
+    "same profile as dedup_exact's groupBy). Survivor choice is "
+    "deterministic cross-engine because quality is the shared "
+    "round-6 _quality_sql and ties break on doc_id.",
+)
+def dedup_keep_best_q(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from .functions import text as TX
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = W.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("survivor_id"),
+            "source",
+            "quality",
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+        )
     )
