@@ -1849,7 +1849,7 @@ def table_audit_hash_q(spark, sf_dir):
     "duplicates corpus degrades the PARTITION, not the shuffle — "
     "same profile as dedup_exact's groupBy). Survivor choice is "
     "deterministic cross-engine because quality is the shared "
-    "round-6 _quality_sql and ties break on doc_id.",
+    "_quality_sql and ties break on doc_id.",
 )
 def dedup_keep_best_q(spark, sf_dir):
     from pyspark.sql.window import Window as W
