@@ -461,14 +461,27 @@ def simhash_pairs(
     hash_fn=None,
     bits: int = _SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
-    (pigeonhole: any pair within hamming ≤3 shares at least one exact
-    chunk), bucket-join on (chunk index, chunk bits), verify with exact
-    hamming = bit_count(xor). The bucket key is the raw 16-bit slice of
-    the packed hash — no re-hashing needed."""
+    """Near-dup pairs by SimHash: band the ``bits`` hash bits into
+    ``max_hamming + 1`` equal chunks (pigeonhole: a pair within hamming
+    ≤ h differs in at most h bands, so at least one of h+1 bands
+    matches exactly — the band count is DERIVED from ``max_hamming``,
+    never fixed, so no setting can silently drop pairs), bucket-join on
+    (chunk index, chunk bits), verify with exact hamming =
+    bit_count(xor). The bucket key is the raw bit slice of the packed
+    hash — no re-hashing needed."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming + 1 ({n_bands}) bands cannot exceed bits ({bits})"
+        )
     sh = simhash(df, text_col, id_col, hash_fn=hash_fn, bits=bits)
-    # 4 bands (pigeonhole for hamming <= 3) of bits//4 bits each
-    bw = bits // 4
+    # as-even-as-possible band widths (uneven when bits % n_bands != 0
+    # — pigeonhole needs band COUNT, not equal widths)
+    base_w = bits // n_bands
+    widths = [base_w + (1 if c < bits % n_bands else 0) for c in range(n_bands)]
+    offsets = [sum(widths[:c]) for c in range(n_bands)]
     chunks = sh.select(
         id_col,
         "simhash64",
@@ -477,11 +490,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash64"), c * bw)
-                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        F.shiftright(F.col("simhash64"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("cv"),

@@ -615,17 +615,67 @@ def unpivot_q(spark, sf_dir):
 
 @defquery(
     "approx_aggregates",
-    None,  # HLL/quantile sketches are engine-specific; exactness asserted in tests
-    "approx_count_distinct (HyperLogLog++) and approx percentiles per returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "approx_count_distinct (HyperLogLog++) and approx percentiles per "
+    "returnflag, cross-engine-verified as a BOUNDS oracle: sketch "
+    "values are engine-specific so their raw outputs can't hash-match "
+    "DuckDB, but their error CONTRACTS can — the query emits the exact "
+    "distinct count (hash-anchors the group) plus booleans asserting "
+    "|HLL−exact| ≤ 3·rsd·exact and that each approx percentile's true "
+    "rank fraction lands inside a generous window; the oracle asserts "
+    "the same flags as literal TRUE, so a broken sketch flips a flag "
+    "and fails the hash. Tight exactness is pinned separately in "
+    "tests/test_rpc_and_approx.py.",
 )
 def approx_q(spark, sf_dir):
     # scalar columns only: the driver's canonicalizer sorts on every
     # output column, and an array-typed column is unhashable there
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey").alias("_apx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_p95"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # second aggregate: true rank fraction of each approx percentile
+    # (one extra pass over lineitem joined to a broadcast 3-row table)
+    frac = (
+        li.join(F.broadcast(agg.select("l_returnflag", "_p50", "_p95", "_n")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("_p50"), 1).otherwise(0))
+                / F.first("_n")
+            ).alias("_f50"),
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("_p95"), 1).otherwise(0))
+                / F.first("_n")
+            ).alias("_f95"),
+        )
+    )
+    return (
+        agg.join(frac, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            # HLL++ default rsd = 0.05; 3-sigma bound
+            (
+                F.abs(F.col("_apx") - F.col("n_parts_exact"))
+                <= 0.15 * F.col("n_parts_exact")
+            ).alias("hll_ok"),
+            # accuracy=10000 → rank error ≤ 1e-4; windows are generous
+            # to absorb value ties at any SF
+            ((F.col("_f50") >= 0.45) & (F.col("_f50") <= 0.55)).alias("p50_ok"),
+            ((F.col("_f95") >= 0.90) & (F.col("_f95") <= 0.97)).alias("p95_ok"),
+        )
     )
 
 
@@ -3441,55 +3491,74 @@ _DRIVER_CHECKED: set[str] = {
     "unpivot_order_measures", "window_lag_lead",
     "window_ntile_quartiles", "window_range_frame",
     "window_running_sum", "window_topk_per_group",
+    # round 5 (CORRECTNESS_r05.json) — 44 hash-green + 5 rows-only
+    # (the ANN trio, pagerank, dedup_simhash: declared no-oracle).
+    # embedding_pca_project stays OUT (red: harness canon crash).
+    "bigram_lm_top", "dedup_simhash", "dense_rank_ties",
+    "events_latest_per_user", "fk_integrity_check",
+    "full_outer_nation_activity", "histogram2d_hour_value",
+    "inverted_index_sample", "json_roundtrip_struct",
+    "key_skew_profile", "knn_bruteforce", "knn_ivf",
+    "knn_ivf_pretrained", "knn_lsh", "length_bucketed_batching",
+    "multimodal_phash_dedup", "null_safe_join_priority",
+    "pagerank_dup_graph", "props_map_stats", "q11_important_parts",
+    "q12_priority_lines", "q13_order_count_distribution",
+    "q15_top_supplier", "q16_supplier_count_by_part",
+    "q19_disjunctive_revenue", "q20_bulk_shippers",
+    "q22_idle_customer_balance", "q2_best_supplier_per_part",
+    "q4_order_priority", "q7_nation_volume", "q8_market_share",
+    "q9_profit_by_nation_year", "revenue_share_window",
+    "rolling_zscore_events", "sample_stratified_per_source",
+    "sequence_packing", "session_window_stats", "setop_all_variants",
+    "streaming_foreach_batch_sink", "string_agg_by_group",
+    "text_edit_distance_pairs", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_stats_by_lang", "text_token_count",
+    "try_cast_error_safe", "union_schema_evolution",
+    "window_first_last_nth",
 }
 
 
-# Round-5 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Round 4 went 50/50, so this round rotates onto
-# the evidence backlog: (a) the 25 names that have NEVER had a driver
-# row (all judge-green in round 4's verdict, but never driver-gated);
-# (b) queries whose code changed in round 5 (the text_edit_distance
-# blocking-key rewrite) plus the two new §7.2a queries; (c) 22 of the
-# 36 names whose latest driver row is round 2 — all 13 remaining
-# TPC-H q-series, the five text_* queries, the three knn sketches and
-# dedup_simhash.  The remaining 14 r2-stale names rotate in round 6,
-# after which every name has a round-3+ row and §7.2a unfreezes fully.
-# ROUND-6 ROTATION PLAN (mechanical): after CORRECTNESS_r05.json lands,
-# run scripts/update_rotation.py on it, append its green names to
-# _DRIVER_CHECKED, and point _NEWEST at (a) any r05 failures, (b) the
-# 39 round-4/5 additions that export just past the window (positions
-# 51-89: vocab_coverage_cutoff .. table_audit_hash — they are in
-# export order already, update_rotation.py prints the exact list), and
-# (c) the last 14 round-2-stale names. That is ~53 names: gate the
-# first 50, roll the remainder plus spillover into round 7, after
-# which every name has a round-3+ driver row.
+# Round-6 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 5 went 49/50 (the one red was a harness
+# canonicalization crash on embedding_pca_project's array<double>
+# column, fixed this round by emitting scalar p1..p4 components).
+# This round gates: (a) the repaired embedding_pca_project; (b) the
+# last 14 names whose newest driver row is round 2; (c) 35 of the 40
+# round-4/5 additions that sat just past round 5's window (all
+# judge-green in VERDICT r5).  The remaining 5 additions
+# (lateral_topk_per_customer, ab_welch_t_by_type,
+# streaming_merge_apply, table_audit_hash, dedup_keep_best — all
+# judge-green r5) spill to round 7's first positions, after which
+# every name has a round-3+ driver row and new-query additions
+# unfreeze fully.
 _NEWEST = [
-    # (a) never driver-gated (export order from update_rotation.py)
-    "knn_ivf_pretrained", "props_map_stats",
-    "streaming_foreach_batch_sink", "pagerank_dup_graph",
-    "session_window_stats", "sample_stratified_per_source",
-    "window_first_last_nth", "embedding_pca_project",
-    "events_latest_per_user", "key_skew_profile",
-    "full_outer_nation_activity", "setop_all_variants",
-    "string_agg_by_group", "multimodal_phash_dedup",
-    "null_safe_join_priority", "json_roundtrip_struct",
-    "try_cast_error_safe", "inverted_index_sample", "bigram_lm_top",
-    "union_schema_evolution", "rolling_zscore_events",
-    "fk_integrity_check", "revenue_share_window", "dense_rank_ties",
-    "histogram2d_hour_value",
-    # (b) code changed / added in round 5
-    "text_edit_distance_pairs", "sequence_packing",
-    "length_bucketed_batching",
-    # (c) round-2-era rows — re-proof on current data (22 of 36)
-    "q2_best_supplier_per_part", "q4_order_priority",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation_year",
-    "q11_important_parts", "q12_priority_lines",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q19_disjunctive_revenue",
-    "q20_bulk_shippers", "q22_idle_customer_balance",
-    "text_lang_id", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_stats_by_lang",
-    "knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_simhash",
+    # (a) round-5 red, repaired this round
+    "embedding_pca_project",
+    # (b) last round-2-era rows — re-proof on current data (14)
+    "approx_aggregates", "wordcount_top100", "sample_hash_10pct",
+    "sample_fixed_100", "train_val_test_split",
+    "quality_percentile_filter", "quality_gopher_rules",
+    "pii_redact_stats", "decontaminate_ngram_overlap",
+    "mix_sources_counts", "multimodal_bytes_meta",
+    "multimodal_image_decode", "array_hof_order_quantities",
+    "udaf_sum_squares_by_flag",
+    # (c) round-4/5 additions, export order (35 of 40; rest round 7)
+    "vocab_coverage_cutoff", "sample_k_per_group",
+    "dedup_exact_substring", "domain_mixture_resample",
+    "bpe_merge_pairs", "fluency_bigram_deciles", "sink_merge_upsert",
+    "streaming_rolling_extremes", "sink_compaction_roundtrip",
+    "sink_sorted_skipping_roundtrip", "incremental_agg_refresh",
+    "heavy_hitters_2pass", "hist_percentiles_mergeable",
+    "interval_overlap_sessions", "triangle_count_copurchase",
+    "scd2_customer_segments", "sink_zorder_skipping_roundtrip",
+    "sink_idempotent_retry", "dpp_partitioned_agg",
+    "streaming_pattern_view_purchase", "distinct_users_rolling_hll",
+    "sink_retention_vacuum", "contamination_matrix",
+    "curriculum_assignment", "runtime_bloom_join",
+    "trend_slope_by_type", "snapshot_diff_orders", "kv_write_pyds",
+    "streaming_pyds_resume", "dedup_simhash_md5", "streaming_kv_sink",
+    "variant_extract_props", "dedup_incremental_exact",
+    "train_pipeline_e2e", "reachability_recursive_cte",
 ]
 
 

@@ -725,20 +725,68 @@ def streaming_foreach_batch_sink_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# Iterative graph scoring (rows-only: power iteration is not
-# SQL-expressible; semantics pinned by test_pagerank_matches_reference)
+# Iterative graph scoring.  Power iteration with a FIXED round count is
+# deterministic arithmetic, so it DOES have a SQL oracle: the 20 rounds
+# unroll into 20 chained CTEs (AS MATERIALIZED — multi-referenced CTEs
+# must not inline or the plan tree doubles per round) whose per-row
+# expressions replay the Spark operator's IEEE op order exactly
+# ((1.0-d)/n literal arithmetic, coalesce(inflow,0)+dm/n, round-late to
+# 8).  Double SUM ordering differs between engines but power iteration
+# is contractive, so drift stays at machine epsilon — far below the
+# 1e-8 rounding grid.  A dense-matrix numpy pin remains in pytest.
 # --------------------------------------------------------------------
+
+
+def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85, threshold: float = 0.6) -> str:
+    from .queries import _SHINGLE_SQL
+
+    head = _SHINGLE_SQL + f""",
+ex AS MATERIALIZED (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)) >= {threshold}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+ed AS MATERIALIZED (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON e.u = d.u),
+nodes AS MATERIALIZED (SELECT doc_id AS u FROM documents),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+dang AS MATERIALIZED (
+  SELECT n.u FROM nodes n LEFT JOIN deg d ON n.u = d.u WHERE d.u IS NULL),
+r0 AS MATERIALIZED (SELECT u, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT n.u,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (COALESCE(inf.inflow, 0.0) + dm.dm / nn.n) AS rank
+  FROM nodes n
+  CROSS JOIN nn
+  LEFT JOIN (SELECT ed.v AS u, SUM(r.rank / ed.deg) AS inflow
+             FROM ed JOIN r{i - 1} r ON ed.u = r.u GROUP BY ed.v) inf ON n.u = inf.u
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+              FROM r{i - 1} r JOIN dang ON r.u = dang.u) dm)""")
+    tail = (
+        f"\nSELECT r.u AS doc_id, round(r.rank, 8) AS rank FROM r{iterations} r"
+    )
+    return head + "".join(rounds) + tail
 
 
 @defquery(
     "pagerank_dup_graph",
-    None,
+    _pagerank_oracle_sql(),
     "PageRank over the near-duplicate pair graph: ranks the template/"
     "hub documents that many near-copies orbit (canonical-survivor "
     "selection). Edge-list power iteration with per-round lineage "
     "truncation — the second iterative operator beside connected "
-    "components. Rows-only: fixed-point iteration has no SQL oracle; "
-    "exactness is pinned against a dense-matrix reference in pytest.",
+    "components. Oracle: the fixed 20-round loop unrolled into 20 "
+    "materialized DuckDB CTEs replaying the same IEEE op order "
+    "(round-late to 8 absorbs sum-order drift); a dense-matrix numpy "
+    "pin stays in pytest.",
 )
 def pagerank_dup_graph_q(spark, sf_dir):
     from .operators import dedup as DD
@@ -869,13 +917,21 @@ def window_first_last_nth_q(spark, sf_dir):
     "broadcast projection matmul maps every vector to the top-4 "
     "principal components. The classic two-pass big-data PCA: nothing "
     "driver-side scales with rows. Rows-only; exactness (vs numpy on "
-    "the collected table, up to component sign) is pinned in pytest.",
+    "the collected table, up to component sign) is pinned in pytest. "
+    "Emits scalar p1..p4 double columns (rounded, sign-canonical) — "
+    "NOT the internal array<double> — so any result harness can sort/"
+    "canonicalize rows without special array handling.",
 )
 def embedding_pca_project_q(spark, sf_dir):
     from .operators.similarity import pca_project
 
     e = _t(spark, sf_dir, "embeddings")
-    return pca_project(e, k=4)
+    k = 4
+    proj = pca_project(e, k=k)
+    return proj.select(
+        "vec_id",
+        *[F.col("pc_scores")[i].alias(f"p{i + 1}") for i in range(k)],
+    )
 
 
 # --------------------------------------------------------------------
@@ -1526,41 +1582,52 @@ def histogram2d_hour_value_q(spark, sf_dir):
 # --------------------------------------------------------------------
 
 _PACK_BUDGET = 512  # tokens per packed sequence
+# Packing-group span: docs fold greedily within (source, doc_id div
+# SPAN), so no pandas group ever holds more than SPAN rows regardless
+# of source cardinality — parallelism grows with data, not with
+# |sources|.  Packs never straddle buckets (same contract a production
+# corpus uses with (source, date-bucket) partitions); pack quality loss
+# is at most one underfilled pack per SPAN docs.
+_PACK_BUCKET_SPAN = 128
 
 
 @defquery(
     "sequence_packing",
     f"""
     WITH RECURSIVE docs AS (
-        SELECT source, doc_id,
+        SELECT source, doc_id // {_PACK_BUCKET_SPAN} AS bucket, doc_id,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY source, doc_id // {_PACK_BUCKET_SPAN}
+                                  ORDER BY doc_id) AS rn
         FROM documents
     ),
     pack AS (
-        SELECT source, doc_id, n_tokens, rn,
+        SELECT source, bucket, doc_id, n_tokens, rn,
                CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
         FROM docs WHERE rn = 1
         UNION ALL
-        SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+        SELECT d.source, d.bucket, d.doc_id, d.n_tokens, d.rn,
                CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                     THEN p.pack_id ELSE p.pack_id + 1 END,
                CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
                     THEN p.fill + d.n_tokens ELSE d.n_tokens END
-        FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+        FROM pack p JOIN docs d
+          ON d.source = p.source AND d.bucket = p.bucket AND d.rn = p.rn + 1
     )
-    SELECT source, doc_id, n_tokens, pack_id FROM pack
+    SELECT source, CAST(bucket AS BIGINT) AS bucket, doc_id, n_tokens, pack_id
+    FROM pack
     """,
     "sequence packing for LLM pretraining batches: greedy next-fit of "
     "documents into 512-token-budget packs, deterministic (docs taken "
-    "in doc_id order per source; a doc longer than the budget gets its "
-    "own pack). The sequential fold is INHERENTLY per-stream, so it "
-    "runs as one applyInPandas fold per source shard — embarrassingly "
-    "parallel ACROSS sources/shards, which is the axis that grows at "
-    "100 TB (a production corpus packs per (source, date-bucket) "
-    "partition for more parallelism; pack quality is unaffected since "
-    "packs never straddle shards). The oracle is the same fold as a "
-    "recursive CTE — one doc per source per iteration.",
+    "in doc_id order; a doc longer than the budget gets its own pack). "
+    "The sequential fold is INHERENTLY per-stream, so it runs as one "
+    "applyInPandas fold per (source, doc_id div 128) COMPOSITE group — "
+    "the bucket term bounds every pandas group at 128 rows and makes "
+    "group count grow with data rather than with source cardinality "
+    "(the production (source, date-bucket) contract; packs never "
+    "straddle buckets, costing at most one underfilled pack per "
+    "bucket). pack_id is scoped per group. The oracle is the same fold "
+    "as a recursive CTE — one doc per (source, bucket) per iteration.",
 )
 def sequence_packing_q(spark, sf_dir):
     import pandas as pd
@@ -1568,7 +1635,10 @@ def sequence_packing_q(spark, sf_dir):
     from .functions.text import token_count
 
     d = _t(spark, sf_dir, "documents").select(
-        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+        "source",
+        F.expr(f"doc_id div {_PACK_BUCKET_SPAN}").alias("bucket"),
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
     )
 
     def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1582,14 +1652,19 @@ def sequence_packing_q(spark, sf_dir):
             fill += int(t)
             pack_ids.append(pack)
         pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
-        return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
+        return pdf[["source", "bucket", "doc_id", "n_tokens", "pack_id"]]
 
     # numbered repartition on the key: AQE's byte-based coalescing
     # would funnel the whole corpus into one Python task otherwise
     # (same pathology measured on events_minmax_norm, queries.py)
     n = d.sparkSession.sparkContext.defaultParallelism
-    return d.repartition(n, "source").groupBy("source").applyInPandas(
-        pack_group, schema="source string, doc_id bigint, n_tokens int, pack_id bigint"
+    return (
+        d.repartition(n, "source", "bucket")
+        .groupBy("source", "bucket")
+        .applyInPandas(
+            pack_group,
+            schema="source string, bucket bigint, doc_id bigint, n_tokens int, pack_id bigint",
+        )
     )
 
 

@@ -29,9 +29,9 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -147,7 +147,7 @@ class KvCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class KvDataSourceWriter(DataSourceWriter):
+class KvDataSourceWriter(DataSourceArrowWriter):
     """Writer half of the kv source — the Spark-4 pluggable-sink
     rendering of the reference's write-back map step
     (``reshuffle().map(WriteDummyString)``,
@@ -174,7 +174,13 @@ class KvDataSourceWriter(DataSourceWriter):
             raise ValueError("libmr_kv writer requires a 'path' option")
         self.overwrite = overwrite
 
-    def write(self, rows) -> KvCommit:
+    def write(self, batches) -> KvCommit:
+        """Arrow-batched task write (round 6): the task receives pyarrow
+        ``RecordBatch``es instead of pickled Rows — the same Arrow
+        transfer that took the READ path from 6.9 s to 0.7 s at sf0.1
+        (r4). Per-batch column extraction replaces per-row attribute
+        access; json.dumps remains per line because jsonl IS the sink
+        format (correct escaping for arbitrary content)."""
         import json
         import uuid
 
@@ -182,10 +188,22 @@ class KvDataSourceWriter(DataSourceWriter):
         os.makedirs(staging, exist_ok=True)
         fname = f"{uuid.uuid4().hex}.jsonl"
         n = 0
+        dumps = json.dumps
         with open(os.path.join(staging, fname), "w") as f:
-            for r in rows:
-                f.write(json.dumps({"key": r.key, "value": r.value, "type": r.type}) + "\n")
-                n += 1
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                ks = batch.column("key").to_pylist()
+                vs = batch.column("value").to_pylist()
+                ts = batch.column("type").to_pylist()
+                f.write(
+                    "\n".join(
+                        dumps({"key": k, "value": v, "type": t})
+                        for k, v, t in zip(ks, vs, ts)
+                    )
+                    + "\n"
+                )
+                n += batch.num_rows
         return KvCommit(fname, n)
 
     def commit(self, messages) -> None:
@@ -196,11 +214,7 @@ class KvDataSourceWriter(DataSourceWriter):
         manifest_path = os.path.join(self.path, "_KV_SUCCESS")
         published = []
         total = 0
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, f))
-        elif os.path.exists(manifest_path):
+        if not self.overwrite and os.path.exists(manifest_path):
             # append mode MERGES the prior manifest — rewriting it with
             # only this job's files would orphan every earlier commit
             with open(manifest_path) as f:
@@ -215,8 +229,23 @@ class KvDataSourceWriter(DataSourceWriter):
             )
             published.append(m.filename)
             total += m.n_rows
-        with open(manifest_path, "w") as f:
+        # The manifest swap IS the commit point: write to a temp name
+        # and os.replace() atomically, so a driver crash anywhere in
+        # commit() leaves the reader on exactly the old snapshot (old
+        # files are never touched before the swap) or exactly the new
+        # one.  Superseded files are deleted only AFTER the swap; a
+        # crash between swap and sweep leaves harmless orphans that a
+        # manifest-honoring reader ignores and the next overwrite
+        # commit sweeps.
+        new_files = set(published)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"files": sorted(published), "n_rows": total}, f)
+        os.replace(tmp, manifest_path)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in new_files:
+                    os.remove(os.path.join(self.path, f))
         shutil.rmtree(staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -225,7 +254,7 @@ class KvDataSourceWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
-class KvStreamWriter(DataSourceStreamWriter):
+class KvStreamWriter(DataSourceStreamArrowWriter):
     """Streaming half of the kv sink (the pluggable quadrilogy's last
     leg): per-MICRO-BATCH two-phase commit. Tasks stage files exactly
     like the batch writer; the driver's ``commit(messages, batchId)``
@@ -245,7 +274,9 @@ class KvStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("libmr_kv stream writer requires a 'path' option")
 
-    def write(self, rows) -> KvCommit:
+    def write(self, batches) -> KvCommit:
+        # Arrow-batched like the batch writer (round 6); schema-generic
+        # (to_pylist yields one dict per row for ANY micro-batch schema)
         import json
         import uuid
 
@@ -253,10 +284,13 @@ class KvStreamWriter(DataSourceStreamWriter):
         os.makedirs(staging, exist_ok=True)
         fname = f"{uuid.uuid4().hex}.jsonl"
         n = 0
+        dumps = json.dumps
         with open(os.path.join(staging, fname), "w") as f:
-            for r in rows:
-                f.write(json.dumps(r.asDict()) + "\n")
-                n += 1
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                f.write("\n".join(dumps(d) for d in batch.to_pylist()) + "\n")
+                n += batch.num_rows
         return KvCommit(fname, n)
 
     def commit(self, messages, batchId: int) -> None:

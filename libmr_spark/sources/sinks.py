@@ -258,6 +258,13 @@ def scd2_merge(
     modeled as an explicit tombstone column by callers that need them,
     not inferred from absence (a partial snapshot would otherwise
     mass-close the dimension).
+
+    Crash safety: the merge is two hops (history append, then staged
+    current-partition rewrite). A failure between them leaves closed
+    rows without their opened replacements until the retry — but the
+    retry is IDEMPOTENT: closed rows are keyed by ``valid_to ==
+    version`` and any already-appended ones are anti-joined out before
+    the re-append, so replay never duplicates history.
     """
     import functools
     import operator
@@ -325,6 +332,17 @@ def scd2_merge(
     # untouched). current partition: staged rewrite + dynamic overwrite
     # (same two-hop commit as merge_upsert — a log-based format turns
     # the second hop into a metadata swap).
+    #
+    # Idempotent replay: the append runs BEFORE the current-partition
+    # rewrite, so a failure between the two hops and a retry would
+    # re-append the same closed rows. valid_to == version is the
+    # replay key — any key already closed at this version in history
+    # is anti-joined out (the filter pushes down to the parquet scan,
+    # so the read touches one version's row groups, not O(|history|)).
+    already_closed = base.filter(~F.col("is_current")).filter(
+        F.col("valid_to") == version
+    )
+    closed = closed.join(already_closed.select(*keys), keys, "left_anti")
     closed.write.mode("append").partitionBy("is_current").parquet(path)
     staging = path.rstrip("/") + "__scd2_staging"
     opened.unionByName(kept).write.mode("overwrite").parquet(staging)
@@ -512,11 +530,16 @@ def merge_upsert_latest(
     last-write-wins hold under ANY micro-batch ordering: the state
     table retains the recency columns, matched keys' current rows are
     pulled back (semi-join on the batch's keys — O(batch), never
-    O(state)) and compete with the batch rows under the same
-    deterministic (recency, keys) ordering. First call bootstraps the
-    table. ``partition_col`` must be key-derived (stable per key) so a
-    key's row can never move partitions — the merge_upsert scoping
-    precondition, structural here.
+    O(state)) and compete with the batch rows under a deterministic
+    (recency DESC, then batch-beats-state) ordering: if a state row and
+    a batch row tie on every recency column, the BATCH row survives —
+    a real tie-break (the window is partitioned by ``keys``, so
+    ordering by keys again would break no ties). Two rows of the SAME
+    batch tying on every recency column remain order-nondeterministic:
+    include a unique column (an event id) in ``recency_cols`` if the
+    source can produce such ties. First call bootstraps the table. ``partition_col`` must be key-derived (stable per key)
+    so a key's row can never move partitions — the merge_upsert
+    scoping precondition, structural here.
 
     An empty batch is a no-op (a quiet source file must not poison the
     state table with a schema-less write).
@@ -529,20 +552,20 @@ def merge_upsert_latest(
     if batch.isEmpty():
         return
     cols = [*keys, partition_col, *recency_cols, *payload_cols]
-    cand = batch.select(*cols)
+    cand = batch.select(*cols).withColumn("__is_batch__", F.lit(1))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         state = spark.read.parquet(path).select(*cols)
         matched = state.join(
             batch.select(*keys).distinct(), keys, "left_semi"
-        )
+        ).withColumn("__is_batch__", F.lit(0))
         cand = cand.unionByName(matched)
     w = _W.partitionBy(*keys).orderBy(
-        *[F.desc(c) for c in recency_cols], *[F.asc(k) for k in keys]
+        *[F.desc(c) for c in recency_cols], F.desc("__is_batch__")
     )
     latest = (
         cand.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
+        .drop("__rn__", "__is_batch__")
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         merge_upsert(spark, path, latest, keys=keys, partition_col=partition_col)

@@ -673,20 +673,25 @@ def test_plan_lint_heuristics():
 
 
 def test_sequence_packing_invariants(spark, sf_dir):
-    # greedy next-fit packing: within every (source, pack) the token
-    # fill is <= budget unless the pack is a single over-budget doc;
-    # pack ids are contiguous from 0 per source; deterministic rerun
+    # greedy next-fit packing: within every (source, bucket, pack) the
+    # token fill is <= budget unless the pack is a single over-budget
+    # doc; pack ids are contiguous from 0 per (source, bucket); the
+    # bucket term bounds every fold group at _PACK_BUCKET_SPAN rows;
+    # deterministic rerun
     from libmr_spark.queries import QUERIES
-    from libmr_spark.queries_ext import _PACK_BUDGET
+    from libmr_spark.queries_ext import _PACK_BUCKET_SPAN, _PACK_BUDGET
 
     rows = QUERIES["sequence_packing"].fn(spark, sf_dir).collect()
-    by_src: dict = {}
+    by_grp: dict = {}
     for r in rows:
-        by_src.setdefault(r.source, {}).setdefault(r.pack_id, []).append(r.n_tokens)
-    for src, packs in by_src.items():
-        assert sorted(packs) == list(range(len(packs))), src
+        assert r.bucket == r.doc_id // _PACK_BUCKET_SPAN
+        by_grp.setdefault((r.source, r.bucket), {}).setdefault(r.pack_id, []).append(r.n_tokens)
+    assert len(by_grp) > 1  # composite key actually splits the fold
+    for grp, packs in by_grp.items():
+        assert sorted(packs) == list(range(len(packs))), grp
+        assert sum(len(t) for t in packs.values()) <= _PACK_BUCKET_SPAN, grp
         for pid, toks in packs.items():
-            assert sum(toks) <= _PACK_BUDGET or len(toks) == 1, (src, pid, toks)
+            assert sum(toks) <= _PACK_BUDGET or len(toks) == 1, (grp, pid, toks)
     rows2 = QUERIES["sequence_packing"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
@@ -888,3 +893,35 @@ def test_streaming_rolling_extremes_state_carries_across_batches(spark, tmp_path
     assert (41, "high") in got  # flagged via carried state only
     # warm-up respected: no flags before row 31
     assert all(eid > 30 for eid, _ in got)
+
+
+def test_simhash_banding_complete_for_any_max_hamming(spark, docs):
+    # round-6 advice: the band count is derived (max_hamming + 1), so
+    # banding must be COMPLETE — exactly the brute-force pair set —
+    # for settings that don't divide 64 evenly (7 uneven bands here).
+    import pytest as _pytest
+
+    corpus = docs.limit(120)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_pairs(corpus, max_hamming=6).collect()
+    }
+    sig = DD.simhash(corpus)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            DD.hamming_distance(F.col("a.simhash64"), F.col("b.simhash64")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert got == brute
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        DD.simhash_pairs(corpus, max_hamming=-1)
+    with _pytest.raises(ValueError, match="bands"):
+        DD.simhash_pairs(corpus, max_hamming=64)

@@ -309,3 +309,76 @@ def test_scd2_randomized_version_history(spark, tmp_path):
         (k, seg, vf, vt) for k, rows in sim.items() for seg, vf, vt in rows
     )
     assert got == want
+
+
+def test_scd2_closed_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # crash-retry hazard (round-6 advice): scd2_merge appends closed
+    # rows BEFORE the staged current-partition rewrite; a failure
+    # between the hops and a retry must not duplicate history. The
+    # crash state is simulated by pre-appending exactly what hop 1
+    # writes, then running the full merge — the replayed closed rows
+    # must be anti-joined out (keyed on valid_to == version).
+    from libmr_spark.sources.sinks import scd2_merge
+
+    path, cust = _scd2_setup(spark, sf_dir, tmp_path)
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_nationkey"]
+    snap2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    # hop 1 of the crashed first attempt: closed rows land in history
+    closed = (
+        spark.read.parquet(path)
+        .filter(F.col("is_current").cast("boolean"))
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            *keys, *tracked,
+            F.col("valid_from"),
+            F.lit(2).alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    n_closed = closed.count()
+    assert n_closed > 0
+    closed.write.mode("append").partitionBy("is_current").parquet(path)
+
+    scd2_merge(spark, path, snap2, keys, tracked, version=2)  # the retry
+
+    hist2 = (
+        spark.read.parquet(path)
+        .filter(~F.col("is_current").cast("boolean"))
+        .filter(F.col("valid_to") == 2)
+    )
+    assert hist2.count() == n_closed  # no duplicates
+    assert hist2.groupBy(*keys).count().filter(F.col("count") > 1).count() == 0
+    # and the merge itself still completed: changed keys re-opened at v2
+    cur = spark.read.parquet(path).filter(F.col("is_current").cast("boolean"))
+    assert cur.filter((F.col("c_custkey") % 10 == 0) & (F.col("valid_from") == 2)).count() == n_closed
+
+
+def test_merge_upsert_latest_batch_beats_state_on_tie(spark, tmp_path):
+    # round-6 advice: on a full recency tie between the state row and
+    # a batch row, the BATCH payload must deterministically survive
+    # (the old key tie-break was a no-op — the window partitions by
+    # those same keys).
+    import datetime
+
+    from libmr_spark.sources.sinks import merge_upsert_latest
+
+    path = str(tmp_path / "state")
+    ts = datetime.datetime(2024, 1, 1)
+    schema = "k bigint, p int, ts timestamp, v string"
+    b1 = spark.createDataFrame([(1, 0, ts, "state")], schema)
+    merge_upsert_latest(
+        spark, path, b1, keys=["k"], partition_col="p",
+        recency_cols=["ts"], payload_cols=["v"],
+    )
+    b2 = spark.createDataFrame([(1, 0, ts, "batch")], schema)  # tied ts
+    merge_upsert_latest(
+        spark, path, b2, keys=["k"], partition_col="p",
+        recency_cols=["ts"], payload_cols=["v"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0].v == "batch"

@@ -480,27 +480,25 @@ def test_kv_stream_sink_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
 
     from libmr_spark.sources.pyds import KvStreamWriter, read_kv_stream_sink
 
+    import pyarrow as pa
+
     path = str(tmp_path / "stream_sink")
     w = KvStreamWriter({"path": path})
 
-    class Row_:
-        def __init__(self, i):
-            self.i = i
+    def rb(*ids):
+        return pa.RecordBatch.from_pylist([{"event_id": i} for i in ids])
 
-        def asDict(self):
-            return {"event_id": self.i}
-
-    # epoch 0, attempt 1
-    m1 = w.write(iter([Row_(1), Row_(2)]))
+    # epoch 0, attempt 1 (the writer receives Arrow RecordBatches)
+    m1 = w.write(iter([rb(1, 2)]))
     w.commit([m1], batchId=0)
     # epoch 0 RE-DELIVERED (failure recovery) with the same rows
-    m2 = w.write(iter([Row_(1), Row_(2)]))
+    m2 = w.write(iter([rb(1, 2)]))
     w.commit([m2], batchId=0)
     # epoch 1
-    m3 = w.write(iter([Row_(3)]))
+    m3 = w.write(iter([rb(3)]))
     w.commit([m3], batchId=1)
     # epoch 2 aborts after staging
-    m4 = w.write(iter([Row_(4)]))
+    m4 = w.write(iter([rb(4)]))
     w.abort([m4], batchId=2)
 
     back = read_kv_stream_sink(spark, path, "event_id bigint")
@@ -532,3 +530,60 @@ def test_kv_writer_append_merges_manifest_and_format_readback(spark, sf_dir, tmp
     back = spark.read.format("libmr_kv").option("path", path).load()
     assert back.count() == b1.count() + b2.count()
     assert back.filter("key like 'key1%'").count() == b1.count()
+
+
+def test_kv_writer_commit_crash_leaves_old_snapshot(tmp_path, monkeypatch):
+    # round-6 advice: the manifest swap is the commit point. A driver
+    # crash ANYWHERE inside commit() before the os.replace() must
+    # leave the previously-published snapshot fully readable (old
+    # manifest naming old files, all still on disk); a crash after
+    # the swap leaves exactly the new snapshot. Unit-level: drive
+    # KvDataSourceWriter.commit directly with a poisoned os.replace.
+    import json
+    import os
+
+    from libmr_spark.sources.pyds import KvCommit, KvDataSourceWriter
+
+    path = str(tmp_path / "kv")
+    os.makedirs(path)
+    # previously-published snapshot
+    with open(os.path.join(path, "old.jsonl"), "w") as f:
+        f.write('{"key": "a", "value": "1", "type": "string"}\n')
+    with open(os.path.join(path, "_KV_SUCCESS"), "w") as f:
+        json.dump({"files": ["old.jsonl"], "n_rows": 1}, f)
+
+    # a staged new attempt
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "new.jsonl"), "w") as f:
+        f.write('{"key": "b", "value": "2", "type": "string"}\n')
+
+    w = KvDataSourceWriter({"path": path}, overwrite=True)
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated driver crash at the swap")
+
+    monkeypatch.setattr(os, "replace", boom)
+    try:
+        w.commit([KvCommit("new.jsonl", 1)])
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # old snapshot intact: manifest still names old.jsonl and it exists
+    manifest = json.load(open(os.path.join(path, "_KV_SUCCESS")))
+    assert manifest["files"] == ["old.jsonl"]
+    for fname in manifest["files"]:
+        assert os.path.exists(os.path.join(path, fname))
+
+    # retry (no crash): new snapshot fully replaces the old one
+    staging2 = os.path.join(path, "_staging")
+    os.makedirs(staging2, exist_ok=True)
+    with open(os.path.join(staging2, "new2.jsonl"), "w") as f:
+        f.write('{"key": "b", "value": "2", "type": "string"}\n')
+    w.commit([KvCommit("new2.jsonl", 1)])
+    manifest = json.load(open(os.path.join(path, "_KV_SUCCESS")))
+    assert manifest["files"] == ["new2.jsonl"]
+    assert not os.path.exists(os.path.join(path, "old.jsonl"))
+    assert not os.path.exists(os.path.join(path, "_KV_SUCCESS.tmp"))
