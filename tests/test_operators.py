@@ -925,3 +925,50 @@ def test_simhash_banding_complete_for_any_max_hamming(spark, docs):
         DD.simhash_pairs(corpus, max_hamming=-1)
     with _pytest.raises(ValueError, match="bands"):
         DD.simhash_pairs(corpus, max_hamming=64)
+
+
+def test_doc_chunking_invariants(spark, sf_dir):
+    # chunks tile each doc: start 0, stride 96, len in [1,128], last
+    # chunk ends exactly at n_tokens, interior chunks are full-width
+    from libmr_spark.queries import QUERIES
+    from libmr_spark.queries_pipeline import _CHUNK_C, _CHUNK_S
+
+    rows = QUERIES["doc_chunking_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * _CHUNK_S
+            assert 1 <= c.chunk_len <= _CHUNK_C
+        for c in chunks[:-1]:
+            assert c.chunk_len == _CHUNK_C  # only the tail may be short
+        last = chunks[-1]
+        n = last.start_tok + last.chunk_len  # implied doc token count
+        if len(chunks) > 1:
+            # the tail starts before the previous chunk's end (overlap)
+            assert last.start_tok < chunks[-2].start_tok + _CHUNK_C
+            # and one fewer chunk would NOT cover the doc
+            assert chunks[-2].start_tok + _CHUNK_C < n or last.chunk_len <= _CHUNK_C
+
+
+def test_dataset_epoch_shuffle_invariants(spark, sf_dir, docs):
+    # a permutation: every doc exactly once; shard in range; positions
+    # contiguous from 1 per shard; deterministic rerun
+    from libmr_spark.queries import QUERIES
+    from libmr_spark.queries_pipeline import _EPOCH_SHARDS
+
+    rows = QUERIES["dataset_epoch_shuffle"].fn(spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < _EPOCH_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    rows2 = QUERIES["dataset_epoch_shuffle"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

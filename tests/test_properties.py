@@ -112,3 +112,36 @@ def test_count_accumulator_partition_invariance(xs, split):
     left, right = records[:split], records[split:]
     merged = acc.merge(_fold_all(acc, left), _fold_all(acc, right))
     assert merged == whole == {"count": len(records)}
+
+
+def test_slot_col_expr_spark_parity(spark):
+    # round 6: the pure-Column CRC16 (slot_col_expr) and the production
+    # Arrow-batched UDF (slot_col) must both match the scalar reference
+    # on every branch — ASCII, hashtag edge cases (first-brace rule,
+    # empty {}, unterminated, multiple tags), unicode, NUL bytes, empty
+    # and long keys — plus NULL passthrough.
+    from libmr_spark.core.partitioner import slot_col, slot_col_expr
+
+    keys = [
+        "foo", "", "a", "key42", "x" * 300,
+        "{foo}.bar", "prefix{tag}suffix", "empty{}braces", "unterminated{",
+        "}a{b}", "a}b{c}", "{a}{b}", "a{b}c{d}e", "{}",
+        "naïve-ключ", "日本語キー", "emoji🎯key",
+        "abc\x00", "\x00abc", "{t\x00ag}x",
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    out = df.select(
+        "key",
+        slot_col("key").alias("udf_slot"),
+        slot_col_expr("key").alias("expr_slot"),
+    ).collect()
+    for r in out:
+        want = key_slot(r.key)
+        assert r.udf_slot == want, (repr(r.key), r.udf_slot, want)
+        assert r.expr_slot == want, (repr(r.key), r.expr_slot, want)
+    null_row = (
+        spark.createDataFrame([(None,)], "key string")
+        .select(slot_col("key").alias("u"), slot_col_expr("key").alias("e"))
+        .first()
+    )
+    assert null_row.u is None and null_row.e is None
