@@ -120,6 +120,11 @@ HEADLINE = [
     "streaming_merge_apply",
     "table_audit_hash",
     "dedup_keep_best",
+    # round-6 additions (context-window chunking, epoch shuffle,
+    # distributed prefix-sum file splits)
+    "doc_chunking_overlap",
+    "dataset_epoch_shuffle",
+    "token_budget_file_splits",
 ]
 
 

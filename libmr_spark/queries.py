@@ -3518,6 +3518,17 @@ _DRIVER_CHECKED: set[str] = {
 }
 
 
+# ROUND-7 ROTATION PLAN (mechanical): after CORRECTNESS_r06.json lands,
+# run scripts/update_rotation.py on it, append its green names to
+# _DRIVER_CHECKED, and point _NEWEST at (a) any r06 failures, (b) the 5
+# round-5 spillover names (lateral_topk_per_customer, ab_welch_t_by_type,
+# streaming_merge_apply, table_audit_hash, dedup_keep_best — judge-green
+# r5), and (c) the round-6 additions doc_chunking_overlap,
+# dataset_epoch_shuffle and token_budget_file_splits. That is ~8 names; every other inventory name
+# then has a round-3+ driver row, the freeze lifts fully, and the rest
+# of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
+# (round-3 era) for continuous re-proof.
+#
 # Round-6 priority window (the driver gate checks exactly the FIRST 50
 # queries() entries).  Round 5 went 49/50 (the one red was a harness
 # canonicalization crash on embedding_pca_project's array<double>

