@@ -125,6 +125,7 @@ HEADLINE = [
     "doc_chunking_overlap",
     "dataset_epoch_shuffle",
     "token_budget_file_splits",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -748,3 +748,102 @@ def dedup_incremental_exact(
     admitted = admitted.localCheckpoint(eager=True)
     admitted.select("fp").write.mode("append").parquet(fp_table_path)
     return admitted
+
+
+def dedup_incremental_minhash(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup admission: admit only the ``batch`` rows
+    with no near-duplicate (exact n-gram Jaccard >= ``threshold``)
+    already in the persisted corpus history — the MinHash/LSH
+    generalization of :func:`dedup_incremental_exact`, and the form a
+    continuously-ingesting crawl pipeline actually runs.
+
+    The history at ``store_path`` is TWO append-only tables, the
+    index/payload split a warehouse would use:
+
+    - ``index/`` — (doc_id, band, bucket): 16 tiny rows per doc, the
+      LSH banding keys. At 100 TB this is bucketed by (band, bucket)
+      so each batch's candidate join is co-located.
+    - ``payload/`` — (doc_id, shingles): the distinct shingle-hash
+      array, fetched ONLY for candidate doc_ids to verify exact
+      Jaccard (hashes, never text; drop this table and verify on
+      signature agreement instead to trade exactness for bytes).
+
+    Per-batch cost: one signature pass over the batch, one banding
+    join of 16·|batch| keys against the index, one payload fetch for
+    candidates, one anti-join — never a recompute over accumulated
+    corpus text. Admission is vs HISTORY only: near-dups arriving in
+    the same batch are admitted together (dedup within a batch is
+    :func:`minhash_lsh_pairs`'s job before calling this).
+
+    Returns the admitted (id, sz) rows; first call bootstraps the
+    store. Admitted docs' index+payload rows append atomically after
+    the admission set is materialized (localCheckpoint prevents
+    self-rejection re-evaluation, same as dedup_incremental_exact).
+    """
+    import os
+
+    def _band_keys(sdf):
+        rows = num_hashes // bands
+        return sdf.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[F.col("sig")[bi * rows + r] for r in range(rows)]
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    sigs = minhash_signature(batch, num_hashes, text_col, id_col, n)
+    banded = _band_keys(sigs)
+    idx_path = os.path.join(store_path, "index")
+    pay_path = os.path.join(store_path, "payload")
+    if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        hist_idx = spark.read.parquet(idx_path)
+        cand = (
+            banded.alias("b")
+            .join(
+                hist_idx.alias("h"),
+                (F.col("b.band") == F.col("h.band")) & (F.col("b.bucket") == F.col("h.bucket")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+            )
+            .dropDuplicates(["bid", "hid"])
+        )
+        hist_pay = spark.read.parquet(pay_path)
+        verified = (
+            cand.join(sigs.select(F.col(id_col).alias("bid"), F.col("shingles").alias("sh_b")), "bid")
+            .join(hist_pay.select(F.col(id_col).alias("hid"), F.col("shingles").alias("sh_h")), "hid")
+        )
+        inter = F.size(F.array_intersect("sh_b", "sh_h"))
+        union = F.size(F.array_union("sh_b", "sh_h"))
+        rejected = (
+            verified.filter(inter / union >= threshold)
+            .select(F.col("bid").alias(id_col))
+            .distinct()
+        )
+        admitted = sigs.join(rejected, id_col, "left_anti")
+    else:
+        admitted = sigs
+    admitted = admitted.select(id_col, "sig", "shingles").localCheckpoint(eager=True)
+    _band_keys(admitted).write.mode("append").parquet(idx_path)
+    admitted.select(id_col, "shingles").write.mode("append").parquet(pay_path)
+    return admitted.select(id_col, F.size("shingles").cast("bigint").alias("sz"))

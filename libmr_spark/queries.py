@@ -3524,7 +3524,8 @@ _DRIVER_CHECKED: set[str] = {
 # round-5 spillover names (lateral_topk_per_customer, ab_welch_t_by_type,
 # streaming_merge_apply, table_audit_hash, dedup_keep_best — judge-green
 # r5), and (c) the round-6 additions doc_chunking_overlap,
-# dataset_epoch_shuffle and token_budget_file_splits. That is ~8 names; every other inventory name
+# dataset_epoch_shuffle, token_budget_file_splits and
+# dedup_incremental_minhash. That is ~9 names; every other inventory name
 # then has a round-3+ driver row, the freeze lifts fully, and the rest
 # of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
 # (round-3 era) for continuous re-proof.

@@ -841,3 +841,64 @@ def token_budget_file_splits_q(spark, sf_dir):
         "cum_tokens",
         F.expr(f"(cum_tokens - n_tokens) div {_FILE_TOKEN_BUDGET}").alias("file_idx"),
     )
+
+
+# ------------------------------------------------------------------
+# Round 6: incremental NEAR-dup admission (MinHash/LSH vs history)
+# ------------------------------------------------------------------
+
+
+def _incr_minhash_sql() -> str:
+    from .queries import _SHINGLE_SQL
+
+    return _SHINGLE_SQL + """,
+ex AS MATERIALIZED (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn,
+         len(shingles) AS sz, unnest(shingles) AS shingle
+  FROM sh JOIN documents USING (doc_id)),
+hist AS (SELECT * FROM ex WHERE srcn < 15),
+batch AS (SELECT * FROM ex WHERE srcn >= 15),
+pairs AS (
+  SELECT b.doc_id AS bid,
+         count(*) / (any_value(b.sz) + any_value(h.sz) - count(*)) AS j
+  FROM batch b JOIN hist h ON b.shingle = h.shingle
+  GROUP BY b.doc_id, h.doc_id),
+rejected AS (SELECT DISTINCT bid FROM pairs WHERE j >= 0.8)
+SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS sz
+FROM sh s JOIN documents d USING (doc_id)
+WHERE CAST(substr(d.source, 4) AS INT) >= 15
+  AND s.doc_id NOT IN (SELECT bid FROM rejected)
+"""
+
+
+@defquery(
+    "dedup_incremental_minhash",
+    _incr_minhash_sql(),
+    "incremental NEAR-dup admission — the MinHash/LSH generalization "
+    "of dedup_incremental_exact, and the loop a continuously-ingesting "
+    "crawl dedup actually runs: the existing corpus (src0-src14) "
+    "bootstraps a persisted index/payload signature store; the new "
+    "batch (src15-src19) is admitted only where banded-LSH candidate "
+    "generation + exact-Jaccard verification against the HISTORY finds "
+    "no partner at >= 0.8. Per-batch cost is one signature pass over "
+    "the batch + a band-key join against the (bucketed-at-scale) "
+    "index + payload fetch for candidates only — never a recompute "
+    "over accumulated corpus text. The oracle replays the admission "
+    "from scratch as an exact cross-set Jaccard; LSH recall at 0.8 "
+    "with 16x4 banding is ~1-2e-3 per qualifying pair, the same "
+    "documented regime as dedup_minhash_lsh (hash-green since r3).",
+)
+def dedup_incremental_minhash_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("minhash_history", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = d.filter(src_num < 15)
+    batch = d.filter(src_num >= 15)
+    DD.dedup_incremental_minhash(spark, path, corpus)  # bootstrap
+    return DD.dedup_incremental_minhash(spark, path, batch)

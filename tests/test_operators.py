@@ -1020,3 +1020,33 @@ def test_token_budget_file_splits_invariants(spark, sf_dir):
     n_files = rows[-1].file_idx + 1
     total = rows[-1].cum_tokens
     assert n_files == total // _FILE_TOKEN_BUDGET + (1 if total % _FILE_TOKEN_BUDGET else 0) or n_files >= 1
+
+
+def test_dedup_incremental_minhash_rejects_neardups_across_batches(spark, docs, tmp_path):
+    # batch 2 contains: (a) a light mangling of a batch-1 doc (must be
+    # REJECTED — near-dup of history), (b) a fresh doc (admitted)
+    store = str(tmp_path / "mh_store")
+    base = docs.limit(30).select("doc_id", "text")
+    admitted1 = DD.dedup_incremental_minhash(spark, store, base)
+    assert admitted1.count() == 30  # bootstrap admits everything
+
+    mangled = docs.limit(5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 105)).select(
+        "doc_id", "text"
+    )
+    admitted2 = {r.doc_id for r in DD.dedup_incremental_minhash(
+        spark, store, mangled.unionByName(fresh)
+    ).collect()}
+    assert {100, 101, 102, 103, 104} <= admitted2
+    rejected = {500000 + i for i in range(5)} - admitted2
+    assert len(rejected) >= 4  # tiny perturbation -> jaccard ~1 vs history
+
+    # and the store grew append-only: a third batch replaying the fresh
+    # docs is rejected against THEM (they are history now)
+    admitted3 = DD.dedup_incremental_minhash(
+        spark, store, fresh.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    )
+    assert admitted3.count() == 0
