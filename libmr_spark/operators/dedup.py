@@ -786,11 +786,33 @@ def dedup_incremental_minhash(
     :func:`minhash_lsh_pairs`'s job before calling this).
 
     Returns the admitted (id, sz) rows; first call bootstraps the
-    store. Admitted docs' index+payload rows append atomically after
-    the admission set is materialized (localCheckpoint prevents
-    self-rejection re-evaluation, same as dedup_incremental_exact).
+    store. The admission set is materialized BEFORE the appends
+    (localCheckpoint prevents self-rejection re-evaluation, same as
+    dedup_incremental_exact).
+
+    Crash consistency: a naive pair of appends would leave a torn
+    store on a crash between them (doc verifiable but not
+    discoverable, or vice versa) and make batch replay self-reject.
+    Both holes are closed with a batch manifest — the same pattern as
+    the kv sink's ``_KV_SUCCESS``: each batch writes its index and
+    payload rows into ``batch=<tag>`` subdirectories, and the tag is
+    published by atomically rewriting ``_BATCHES`` (``os.replace``)
+    as the LAST step. History readers load only manifest-listed batch
+    directories, so a crash anywhere before the swap leaves orphan
+    directories that are invisible — the retry re-runs admission
+    against exactly the pre-batch history.
     """
+    import json
     import os
+    import uuid
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+
+    def _committed_tags() -> list:
+        if not os.path.exists(manifest_path):
+            return []
+        with open(manifest_path) as f:
+            return json.load(f)["batches"]
 
     def _band_keys(sdf):
         rows = num_hashes // bands
@@ -815,8 +837,11 @@ def dedup_incremental_minhash(
     banded = _band_keys(sigs)
     idx_path = os.path.join(store_path, "index")
     pay_path = os.path.join(store_path, "payload")
-    if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-        hist_idx = spark.read.parquet(idx_path)
+    tags = _committed_tags()
+    if tags:
+        hist_idx = spark.read.parquet(
+            *[os.path.join(idx_path, f"batch={t}") for t in tags]
+        )
         cand = (
             banded.alias("b")
             .join(
@@ -828,7 +853,9 @@ def dedup_incremental_minhash(
             )
             .dropDuplicates(["bid", "hid"])
         )
-        hist_pay = spark.read.parquet(pay_path)
+        hist_pay = spark.read.parquet(
+            *[os.path.join(pay_path, f"batch={t}") for t in tags]
+        )
         verified = (
             cand.join(sigs.select(F.col(id_col).alias("bid"), F.col("shingles").alias("sh_b")), "bid")
             .join(hist_pay.select(F.col(id_col).alias("hid"), F.col("shingles").alias("sh_h")), "hid")
@@ -844,6 +871,18 @@ def dedup_incremental_minhash(
     else:
         admitted = sigs
     admitted = admitted.select(id_col, "sig", "shingles").localCheckpoint(eager=True)
-    _band_keys(admitted).write.mode("append").parquet(idx_path)
-    admitted.select(id_col, "shingles").write.mode("append").parquet(pay_path)
+    # two-phase commit: write both batch directories, THEN publish the
+    # tag with an atomic manifest swap — unpublished directories are
+    # invisible to every reader (see docstring)
+    tag = uuid.uuid4().hex
+    _band_keys(admitted).write.mode("overwrite").parquet(
+        os.path.join(idx_path, f"batch={tag}")
+    )
+    admitted.select(id_col, "shingles").write.mode("overwrite").parquet(
+        os.path.join(pay_path, f"batch={tag}")
+    )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batches": [*tags, tag]}, f)
+    os.replace(tmp, manifest_path)
     return admitted.select(id_col, F.size("shingles").cast("bigint").alias("sz"))

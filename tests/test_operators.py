@@ -1050,3 +1050,33 @@ def test_dedup_incremental_minhash_rejects_neardups_across_batches(spark, docs, 
         spark, store, fresh.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
     )
     assert admitted3.count() == 0
+
+
+def test_dedup_incremental_minhash_torn_batch_is_invisible(spark, docs, tmp_path):
+    # a batch whose directories exist but whose tag never reached the
+    # _BATCHES manifest (simulated crash before the atomic swap) must
+    # be invisible: replaying it re-admits the same docs
+    import json
+    import os
+
+    store = str(tmp_path / "mh_store2")
+    base = docs.limit(20).select("doc_id", "text")
+    DD.dedup_incremental_minhash(spark, store, base)
+
+    batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
+        "doc_id", "text"
+    )
+    n1 = DD.dedup_incremental_minhash(spark, store, batch).count()
+    assert n1 == 10
+    # simulate the crash: un-publish the second batch's tag
+    manifest = os.path.join(store, "_BATCHES")
+    tags = json.load(open(manifest))["batches"]
+    assert len(tags) == 2
+    with open(manifest, "w") as f:
+        json.dump({"batches": tags[:1]}, f)
+    # retry: the orphan directories are ignored, admission re-runs
+    # against pre-batch history -> everything re-admitted, manifest
+    # grows by exactly one new tag
+    n2 = DD.dedup_incremental_minhash(spark, store, batch).count()
+    assert n2 == 10
+    assert len(json.load(open(manifest))["batches"]) == 2
