@@ -321,6 +321,11 @@ def minhash_lsh_pairs(
     With r = num_hashes/bands rows per band, P[candidate] =
     1-(1-j^r)^bands — at j=threshold=0.8, r=4, b=16 recall ≈ 1-2e-3.
     """
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — banding slices the signature into equal rows"
+        )
     rows = num_hashes // bands
     sigs = minhash_signature(df, num_hashes, text_col, id_col, n)
     banded = sigs.select(
@@ -806,13 +811,31 @@ def dedup_incremental_minhash(
     import os
     import uuid
 
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — banding slices the signature into equal rows"
+        )
+
     manifest_path = os.path.join(store_path, "_BATCHES")
+    params = {"num_hashes": num_hashes, "bands": bands, "n": n, "threshold": threshold}
 
     def _committed_tags() -> list:
         if not os.path.exists(manifest_path):
             return []
         with open(manifest_path) as f:
-            return json.load(f)["batches"]
+            m = json.load(f)
+        # signature parameters are STORE properties: a mismatched later
+        # call would band over different signature slices, find zero
+        # index candidates, and silently admit every near-dup of
+        # history — refuse loudly instead
+        stored = m.get("params")
+        if stored is not None and stored != params:
+            raise ValueError(
+                f"signature-store parameter mismatch at {store_path}: "
+                f"store was built with {stored}, call uses {params}"
+            )
+        return m["batches"]
 
     def _band_keys(sdf):
         rows = num_hashes // bands
@@ -883,6 +906,6 @@ def dedup_incremental_minhash(
     )
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batches": [*tags, tag]}, f)
+        json.dump({"batches": [*tags, tag], "params": params}, f)
     os.replace(tmp, manifest_path)
     return admitted.select(id_col, F.size("shingles").cast("bigint").alias("sz"))

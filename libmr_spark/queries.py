@@ -3520,12 +3520,14 @@ _DRIVER_CHECKED: set[str] = {
 
 # ROUND-7 ROTATION PLAN (mechanical): after CORRECTNESS_r06.json lands,
 # run scripts/update_rotation.py on it, append its green names to
-# _DRIVER_CHECKED, and point _NEWEST at (a) any r06 failures, (b) the 5
-# round-5 spillover names (lateral_topk_per_customer, ab_welch_t_by_type,
+# _DRIVER_CHECKED, and point _NEWEST at (a) any r06 failures, (b) the 7
+# spillover names (lateral_topk_per_customer, ab_welch_t_by_type,
 # streaming_merge_apply, table_audit_hash, dedup_keep_best — judge-green
-# r5), and (c) the round-6 additions doc_chunking_overlap,
-# dataset_epoch_shuffle, token_budget_file_splits and
-# dedup_incremental_minhash. That is ~9 names; every other inventory name
+# r5 — plus train_pipeline_e2e and reachability_recursive_cte, displaced
+# from the round-6 window by the code-changed sequence_packing/
+# pagerank_dup_graph re-gates), and (c) the round-6 additions
+# doc_chunking_overlap, dataset_epoch_shuffle, token_budget_file_splits
+# and dedup_incremental_minhash. That is ~11 names; every other inventory name
 # then has a round-3+ driver row, the freeze lifts fully, and the rest
 # of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
 # (round-3 era) for continuous re-proof.
@@ -3544,8 +3546,15 @@ _DRIVER_CHECKED: set[str] = {
 # every name has a round-3+ driver row and new-query additions
 # unfreeze fully.
 _NEWEST = [
-    # (a) round-5 red, repaired this round
+    # (a) round-5 red, repaired this round, plus the two names whose
+    # CODE/ORACLE changed in round 6 (sequence_packing's composite
+    # fold key + output schema; pagerank_dup_graph's brand-new
+    # unrolled-CTE oracle) — changed queries always re-gate, per the
+    # rotation rule. train_pipeline_e2e + reachability_recursive_cte
+    # moved to round-7 spillover to keep the window at exactly 50.
     "embedding_pca_project",
+    "sequence_packing",
+    "pagerank_dup_graph",
     # (b) last round-2-era rows — re-proof on current data (14)
     "approx_aggregates", "wordcount_top100", "sample_hash_10pct",
     "sample_fixed_100", "train_val_test_split",
@@ -3554,7 +3563,7 @@ _NEWEST = [
     "mix_sources_counts", "multimodal_bytes_meta",
     "multimodal_image_decode", "array_hof_order_quantities",
     "udaf_sum_squares_by_flag",
-    # (c) round-4/5 additions, export order (35 of 40; rest round 7)
+    # (c) round-4/5 additions, export order (33 of 40; rest round 7)
     "vocab_coverage_cutoff", "sample_k_per_group",
     "dedup_exact_substring", "domain_mixture_resample",
     "bpe_merge_pairs", "fluency_bigram_deciles", "sink_merge_upsert",
@@ -3570,7 +3579,6 @@ _NEWEST = [
     "trend_slope_by_type", "snapshot_diff_orders", "kv_write_pyds",
     "streaming_pyds_resume", "dedup_simhash_md5", "streaming_kv_sink",
     "variant_extract_props", "dedup_incremental_exact",
-    "train_pipeline_e2e", "reachability_recursive_cte",
 ]
 
 

@@ -951,8 +951,8 @@ def test_doc_chunking_invariants(spark, sf_dir):
         if len(chunks) > 1:
             # the tail starts before the previous chunk's end (overlap)
             assert last.start_tok < chunks[-2].start_tok + _CHUNK_C
-            # and one fewer chunk would NOT cover the doc
-            assert chunks[-2].start_tok + _CHUNK_C < n or last.chunk_len <= _CHUNK_C
+            # minimality: one fewer chunk would NOT cover the doc
+            assert chunks[-2].start_tok + _CHUNK_C < n
 
 
 def test_dataset_epoch_shuffle_invariants(spark, sf_dir, docs):
@@ -1019,7 +1019,10 @@ def test_token_budget_file_splits_invariants(spark, sf_dir):
         prev_cum, prev_file = r.cum_tokens, r.file_idx
     n_files = rows[-1].file_idx + 1
     total = rows[-1].cum_tokens
-    assert n_files == total // _FILE_TOKEN_BUDGET + (1 if total % _FILE_TOKEN_BUDGET else 0) or n_files >= 1
+    # a doc's file is where its FIRST token lands, so a long doc can
+    # span several budget windows and leave later indices unused —
+    # file count is therefore bounded by ceil(total/budget), not equal
+    assert 1 <= n_files <= -(-total // _FILE_TOKEN_BUDGET)
 
 
 def test_dedup_incremental_minhash_rejects_neardups_across_batches(spark, docs, tmp_path):
