@@ -126,6 +126,7 @@ HEADLINE = [
     "dataset_epoch_shuffle",
     "token_budget_file_splits",
     "dedup_incremental_minhash",
+    "leakage_safe_split",
 ]
 
 

@@ -131,3 +131,35 @@ def sample_k_per_group(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """NEAR-dup-leakage-safe train/val/test assignment: connected
+    components over the near-dup ``pairs`` graph give every doc a
+    ``cluster_id`` (min reachable id; singletons cluster with
+    themselves), and the split is keyed on the CLUSTER id — so no two
+    docs connected by any chain of near-duplicate pairs can land in
+    different splits. This closes the hole an exact-fingerprint split
+    leaves open (a lightly-mangled twin of a test doc leaking into
+    train). Cost = the CC rounds (edge-linear each, O(log n) rounds)
+    plus one hash projection; the split arithmetic is the same
+    deterministic disjoint/exhaustive bucket scheme as
+    :func:`split_column`. Leakage-freedom is pinned in
+    ``test_cluster_aware_split_no_leakage``.
+
+    Returns (id_col, cluster_id, split).
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        split_column(F.col("cluster_id"), weights, seed=seed),
+    )

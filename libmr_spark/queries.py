@@ -3526,8 +3526,8 @@ _DRIVER_CHECKED: set[str] = {
 # r5 — plus train_pipeline_e2e and reachability_recursive_cte, displaced
 # from the round-6 window by the code-changed sequence_packing/
 # pagerank_dup_graph re-gates), and (c) the round-6 additions
-# doc_chunking_overlap, dataset_epoch_shuffle, token_budget_file_splits
-# and dedup_incremental_minhash. That is ~11 names; every other inventory name
+# doc_chunking_overlap, dataset_epoch_shuffle, token_budget_file_splits,
+# dedup_incremental_minhash and leakage_safe_split. That is ~12 names; every other inventory name
 # then has a round-3+ driver row, the freeze lifts fully, and the rest
 # of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
 # (round-3 era) for continuous re-proof.

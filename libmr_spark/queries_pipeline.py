@@ -902,3 +902,77 @@ def dedup_incremental_minhash_q(spark, sf_dir):
     batch = d.filter(src_num >= 15)
     DD.dedup_incremental_minhash(spark, path, corpus)  # bootstrap
     return DD.dedup_incremental_minhash(spark, path, batch)
+
+
+# ------------------------------------------------------------------
+# Round 6: leakage-safe split (duplicate group ⇒ same split)
+# ------------------------------------------------------------------
+
+
+def _leakage_split_sql() -> str:
+    from .queries import _keep_sql
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    lab AS (
+      SELECT doc_id, fp,
+             CASE WHEN {_keep_sql('fp', 0.8)} THEN 'train'
+                  WHEN {_keep_sql('fp', 0.9)} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp),
+    leak AS (
+      SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_leaky FROM (
+        SELECT fp FROM lab GROUP BY fp HAVING count(DISTINCT split) > 1) t)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+           leak.n_leaky AS n_leaky_groups_total
+    FROM lab CROSS JOIN leak
+    GROUP BY split, leak.n_leaky
+    """
+
+
+@defquery(
+    "leakage_safe_split",
+    _leakage_split_sql(),
+    "train/val/test assignment keyed on the DUPLICATE-GROUP "
+    "fingerprint, not the doc id: every exact duplicate of a document "
+    "lands in the same split by construction, closing the "
+    "eval-contamination hole a doc-id split leaves open (a test doc's "
+    "twin in train = leaked labels). Same disjoint/exhaustive "
+    "hash-bucket arithmetic as train_val_test_split, applied to "
+    "md5(normalized text); the query emits its own leakage audit "
+    "(n_leaky_groups_total, structurally 0) so the oracle re-proves "
+    "the no-leak property cross-engine rather than trusting the "
+    "construction. For NEAR-dup-safe splits, key on the "
+    "connected-component root from dedup_clusters instead — same "
+    "shape, pytest-pinned in test_cluster_aware_split_no_leakage.",
+)
+def leakage_safe_split_q(spark, sf_dir):
+    from .functions.text import fingerprint
+    from .operators.sampling import split_column
+
+    d = _t(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "doc_id", "fp", split_column(F.col("fp"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    leak = (
+        lab.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_leaky"))
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_groups", F.col("n_leaky").alias("n_leaky_groups_total"))
+    )

@@ -1083,3 +1083,29 @@ def test_dedup_incremental_minhash_torn_batch_is_invisible(spark, docs, tmp_path
     n2 = DD.dedup_incremental_minhash(spark, store, batch).count()
     assert n2 == 10
     assert len(json.load(open(manifest))["batches"]) == 2
+
+
+def test_cluster_aware_split_no_leakage(spark, docs):
+    # plant near-dup twins of 10 docs, build the pair graph, and
+    # assert NO near-dup pair ever crosses splits — the leakage
+    # property an exact-fp split cannot give
+    from libmr_spark.operators.sampling import cluster_aware_split
+
+    mangled = docs.limit(10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    pairs = DD.ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    assigned = cluster_aware_split(
+        corpus, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split_of = {r.doc_id: r.split for r in assigned.collect()}
+    assert len(split_of) == corpus.count()  # exhaustive
+    for p in pairs.collect():
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+    # the planted twins specifically share their original's split
+    for i, r in enumerate(docs.limit(10).collect()):
+        assert split_of[r.doc_id] == split_of[r.doc_id + 700000]
+    # all three splits are populated at this corpus size
+    assert {"train", "val", "test"} <= set(split_of.values())
