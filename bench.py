@@ -127,6 +127,7 @@ HEADLINE = [
     "token_budget_file_splits",
     "dedup_incremental_minhash",
     "leakage_safe_split",
+    "streaming_incremental_dedup",
 ]
 
 

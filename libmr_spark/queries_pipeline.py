@@ -976,3 +976,82 @@ def leakage_safe_split_q(spark, sf_dir):
         .crossJoin(F.broadcast(leak))
         .select("split", "n_docs", "n_groups", F.col("n_leaky").alias("n_leaky_groups_total"))
     )
+
+
+# ------------------------------------------------------------------
+# Round 6: streaming incremental dedup (the continuous-ingest loop)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_incremental_dedup",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+    "the continuous-ingest dedup loop END-TO-END through Structured "
+    "Streaming: the corpus arrives as four id-ordered parquet chunks "
+    "(mtimes set ascending so FileStreamSource's oldest-first order "
+    "is deterministic), each micro-batch drains through foreachBatch "
+    "into dedup_incremental_exact — dedup within the batch, anti-join "
+    "against the persisted fingerprint history, append admitted fps — "
+    "and admitted (fp, doc_id) rows land in a results table. Because "
+    "chunks arrive in ascending id order, the admitted survivor per "
+    "fingerprint is exactly the GLOBAL min doc_id, so the oracle is "
+    "plain batch dedup over all documents: batch-boundary placement "
+    "must not change the final table (same invariant class as "
+    "streaming_merge_apply). Exactly-once: admission is materialized "
+    "before the history append inside the operator, and the driver "
+    "checkpoint makes each chunk's batch replay-safe.",
+)
+def streaming_incremental_dedup_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_dedup_in", sf_dir)
+    store = _sink_dir("stream_dedup_store", sf_dir)
+    results = _sink_dir("stream_dedup_admitted", sf_dir)
+    for p in (srcdir, store, results):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]  # 1-row driver scalar
+    n_chunks = 4
+    span = (max_id + n_chunks) // n_chunks
+    base_t = 1_700_000_000
+    for k in range(n_chunks):
+        chunk = d.filter(
+            (F.col("doc_id") >= k * span) & (F.col("doc_id") < (k + 1) * span)
+        )
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))  # oldest-first order
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        admitted = DD.dedup_incremental_exact(bdf.sparkSession, store, bdf)
+        admitted.select("fp", "doc_id").write.mode("append").parquet(results)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_sid_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results).select("fp", "doc_id")
