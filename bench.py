@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "leakage_safe_split",
     "streaming_incremental_dedup",
+    "time_decayed_user_score",
 ]
 
 

@@ -1055,3 +1055,53 @@ def streaming_incremental_dedup_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(results).select("fp", "doc_id")
+
+
+# ------------------------------------------------------------------
+# Round 6: time-decayed scoring (freshness-weighted curation priority)
+# ------------------------------------------------------------------
+
+_DECAY_TAU_S = 604800.0  # 7-day e-folding time
+
+
+@defquery(
+    "time_decayed_user_score",
+    f"""
+    WITH tm AS (SELECT max(ts) AS tmax FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(round(
+               exp(-((epoch_us(tm.tmax) - epoch_us(ts)) / 1000000.0)
+                   / {_DECAY_TAU_S}) * value, 9) AS DECIMAL(28,9)))
+             AS DOUBLE), 6) AS score
+    FROM events CROSS JOIN tm
+    GROUP BY user_id
+    """,
+    "exponentially time-decayed per-user engagement score (7-day "
+    "e-folding) — the freshness weighting a curation pipeline uses to "
+    "prioritize recent activity without a hard cutoff. Cross-engine "
+    "exactness despite libm exp and order-free distributed summation: "
+    "each per-event term is QUANTIZED (round to 9) then accumulated "
+    "as DECIMAL(28,9) — decimal addition is associative, so Spark's "
+    "arbitrary partial-aggregation order and DuckDB's sequential scan "
+    "produce the identical sum; the elapsed-time operand is built "
+    "from integer microseconds with one double division, the same op "
+    "order in both engines (the repo's round-late discipline, same "
+    "class as text_unigram_logprob's ln handling). The global max-ts "
+    "anchor is a broadcast 1-row aggregate.",
+)
+def time_decayed_user_score_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tm = e.agg(F.max("ts").alias("tmax"))
+    dt_s = (F.unix_micros(F.col("tmax")) - F.unix_micros(F.col("ts"))) / 1000000.0
+    term = F.round(F.exp(-dt_s / _DECAY_TAU_S) * F.col("value"), 9).cast(
+        "decimal(28,9)"
+    )
+    return (
+        e.crossJoin(F.broadcast(tm))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(term).cast("double"), 6).alias("score"),
+        )
+    )

@@ -68,6 +68,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ab_welch_t_by_type": {
         "nested_loop": "inequality self-join of the POST-AGGREGATE per-type moment table — both sides are |event_types| rows of four scalars by construction, never raw events",
     },
+    "time_decayed_user_score": {
+        "nested_loop": "crossJoin against the broadcast 1-row global max-ts anchor aggregate — single-row side by construction",
+    },
     "leakage_safe_split": {
         "nested_loop": "crossJoin against the broadcast 1-row leakage-audit count (groups spanning >1 split, structurally 0) — single-row side by construction",
     },
