@@ -129,6 +129,7 @@ HEADLINE = [
     "leakage_safe_split",
     "streaming_incremental_dedup",
     "time_decayed_user_score",
+    "dedup_incremental_embedding",
 ]
 
 

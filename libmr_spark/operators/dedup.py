@@ -538,6 +538,31 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95, vec_col: str
     )
 
 
+def _sign_band_hashes(r: int, B: int, seed: int):
+    """Arrow-batched banded sign-LSH hasher: one matmul per batch packs
+    the signs of ``B*r`` seeded hyperplane projections into ``B`` longs
+    (band index encoded in the hash so band i only joins band i).
+    Shared by the batch pair generator and the incremental admission
+    operator — both sides of any bucket join MUST come from the same
+    (r, B, seed) or sign boundaries disagree bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def band_hashes(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × d
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        rng = np.random.RandomState(seed)
+        pmat = rng.randn(x.shape[1], B * r)
+        signs = ((x / norms) @ pmat) >= 0  # n × B*r
+        packed = signs.reshape(-1, B, r) @ (1 << np.arange(r))  # n × B
+        # disambiguate band index in the hash so band i only joins band i
+        enc = packed + (np.arange(B, dtype=np.int64) << r)
+        return pd.Series(list(enc.astype(np.int64)))
+
+    return band_hashes
+
+
 def embedding_neardup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,
@@ -579,23 +604,7 @@ def embedding_neardup_pairs_bucketed(
     a degenerate bucket (millions of mutual near-dups) is inherently
     quadratic in its own size, the irreducible cost of pair output.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    r, B = planes_per_band, bands
-
-    @pandas_udf("array<long>")
-    def band_hashes(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × d
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        rng = np.random.RandomState(seed)
-        pmat = rng.randn(x.shape[1], B * r)
-        signs = ((x / norms) @ pmat) >= 0  # n × B*r
-        packed = signs.reshape(-1, B, r) @ (1 << np.arange(r))  # n × B
-        # disambiguate band index in the hash so band i only joins band i
-        enc = packed + (np.arange(B, dtype=np.int64) << r)
-        return pd.Series(list(enc.astype(np.int64)))
-
+    band_hashes = _sign_band_hashes(planes_per_band, bands, seed)
     sig = df.select(id_col, vec_col).withColumn("__bh__", band_hashes(F.col(vec_col)))
     ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -909,3 +918,108 @@ def dedup_incremental_minhash(
         json.dump({"batches": [*tags, tag], "params": params}, f)
     os.replace(tmp, manifest_path)
     return admitted.select(id_col, F.size("shingles").cast("bigint").alias("sz"))
+
+
+def dedup_incremental_embedding(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    planes_per_band: int = 10,
+    bands: int = 48,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental embedding-cosine near-dup admission — the vector
+    analog of :func:`dedup_incremental_minhash`, same store contract:
+    admit only batch vectors with no history partner at exact cosine
+    >= ``threshold``; candidates come from the banded sign-LSH bucket
+    join against the persisted ``index/`` table, verification fetches
+    history vectors from ``payload/`` for CANDIDATES only, and batches
+    commit through the atomic ``_BATCHES`` manifest swap (torn batches
+    invisible, replay idempotent, parameter mismatch refused — all the
+    properties the minhash docstring details). Recall follows the
+    banding curve (r=10, B=48: a 0.9-boundary pair is missed w.p.
+    ~5e-5; a true near-dup at cos 0.99 essentially never). At 100 TB
+    the payload table stores int8-quantized vectors (see
+    embedding_quantize_int8) to cut verify-fetch bytes 4x.
+
+    Returns the admitted (id) rows; first call bootstraps the store.
+    """
+    import json
+    import os
+    import uuid
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    params = {
+        "planes_per_band": planes_per_band,
+        "bands": bands,
+        "seed": seed,
+        "threshold": threshold,
+    }
+
+    def _committed_tags() -> list:
+        if not os.path.exists(manifest_path):
+            return []
+        with open(manifest_path) as f:
+            m = json.load(f)
+        stored = m.get("params")
+        if stored is not None and stored != params:
+            raise ValueError(
+                f"signature-store parameter mismatch at {store_path}: "
+                f"store was built with {stored}, call uses {params}"
+            )
+        return m["batches"]
+
+    band_hashes = _sign_band_hashes(planes_per_band, bands, seed)
+    sig = batch.select(id_col, vec_col).withColumn("__bh__", band_hashes(F.col(vec_col)))
+    banded = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
+    idx_path = os.path.join(store_path, "index")
+    pay_path = os.path.join(store_path, "payload")
+    tags = _committed_tags()
+    if tags:
+        hist_idx = spark.read.parquet(
+            *[os.path.join(idx_path, f"batch={t}") for t in tags]
+        )
+        cand = (
+            banded.alias("b")
+            .join(hist_idx.alias("h"), F.col("b.bucket") == F.col("h.bucket"))
+            .select(F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid"))
+            .dropDuplicates(["bid", "hid"])
+        )
+        hist_pay = spark.read.parquet(
+            *[os.path.join(pay_path, f"batch={t}") for t in tags]
+        )
+        cos = F.round(
+            cosine_similarity(F.col("__vb__"), F.col("__vh__")), 6
+        )
+        rejected = (
+            cand.join(
+                sig.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("__vb__")),
+                "bid",
+            )
+            .join(
+                hist_pay.select(F.col(id_col).alias("hid"), F.col(vec_col).alias("__vh__")),
+                "hid",
+            )
+            .filter(cos >= threshold)
+            .select(F.col("bid").alias(id_col))
+            .distinct()
+        )
+        admitted = sig.join(rejected, id_col, "left_anti")
+    else:
+        admitted = sig
+    admitted = admitted.select(id_col, vec_col, "__bh__").localCheckpoint(eager=True)
+    tag = uuid.uuid4().hex
+    admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx_path, f"batch={tag}"))
+    admitted.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(pay_path, f"batch={tag}")
+    )
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batches": [*tags, tag], "params": params}, f)
+    os.replace(tmp, manifest_path)
+    return admitted.select(id_col)

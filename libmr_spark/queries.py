@@ -3528,8 +3528,8 @@ _DRIVER_CHECKED: set[str] = {
 # pagerank_dup_graph re-gates), and (c) the round-6 additions
 # doc_chunking_overlap, dataset_epoch_shuffle, token_budget_file_splits,
 # dedup_incremental_minhash, leakage_safe_split,
-# streaming_incremental_dedup and time_decayed_user_score. That is
-# ~14 names; every other inventory name
+# streaming_incremental_dedup, time_decayed_user_score and
+# dedup_incremental_embedding. That is ~15 names; every other inventory name
 # then has a round-3+ driver row, the freeze lifts fully, and the rest
 # of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
 # (round-3 era) for continuous re-proof.

@@ -1105,3 +1105,51 @@ def time_decayed_user_score_q(spark, sf_dir):
             F.round(F.sum(term).cast("double"), 6).alias("score"),
         )
     )
+
+
+@defquery(
+    "dedup_incremental_embedding",
+    """
+    WITH h AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    b AS (
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 1
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    rej AS (
+      SELECT DISTINCT b.vec_id FROM b JOIN h
+      ON round(list_cosine_similarity(
+           b.embedding::DOUBLE[], h.embedding::DOUBLE[]), 6) >= 0.9)
+    SELECT CAST(b.vec_id AS BIGINT) AS vec_id FROM b
+    WHERE b.vec_id NOT IN (SELECT vec_id FROM rej)
+    """,
+    "incremental EMBEDDING near-dup admission — the vector leg of the "
+    "incremental-dedup family (exact: dedup_incremental_exact, text "
+    "near-dup: dedup_incremental_minhash): 80% of the embedding table "
+    "bootstraps a manifest-gated sign-LSH signature store; the ingest "
+    "batch mixes exact copies of history vectors under new ids (cos "
+    "1.0 — every banding bucket matches, certain rejection) with the "
+    "held-out 20% (max cross-cosine 0.49 on this table — admitted). "
+    "Candidates come from the banded bucket join against the index, "
+    "exact-cosine verification fetches history vectors for candidates "
+    "only, and the oracle replays admission from scratch as the "
+    "all-pairs cross-set cosine. No 0.9-boundary pairs exist in the "
+    "data, so LSH recall cannot blur the cross-engine comparison.",
+)
+def dedup_incremental_embedding_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("emb_history", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    hist = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    fresh = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    DD.dedup_incremental_embedding(spark, path, hist)  # bootstrap
+    return DD.dedup_incremental_embedding(spark, path, copies.unionByName(fresh))
