@@ -3515,72 +3515,77 @@ _DRIVER_CHECKED: set[str] = {
     "text_quality_score", "text_stats_by_lang", "text_token_count",
     "try_cast_error_safe", "union_schema_evolution",
     "window_first_last_nth",
+    # round 6 (CORRECTNESS_r06.json) — 49 hash-green + 1 clean
+    # rows-only (embedding_pca_project, declared no-oracle).
+    "approx_aggregates", "array_hof_order_quantities",
+    "bpe_merge_pairs", "contamination_matrix", "curriculum_assignment",
+    "decontaminate_ngram_overlap", "dedup_exact_substring",
+    "dedup_incremental_exact", "dedup_simhash_md5",
+    "distinct_users_rolling_hll", "domain_mixture_resample",
+    "dpp_partitioned_agg", "embedding_pca_project",
+    "fluency_bigram_deciles", "heavy_hitters_2pass",
+    "hist_percentiles_mergeable", "incremental_agg_refresh",
+    "interval_overlap_sessions", "kv_write_pyds", "mix_sources_counts",
+    "multimodal_bytes_meta", "multimodal_image_decode",
+    "pagerank_dup_graph", "pii_redact_stats", "quality_gopher_rules",
+    "quality_percentile_filter", "runtime_bloom_join",
+    "sample_fixed_100", "sample_hash_10pct", "sample_k_per_group",
+    "scd2_customer_segments", "sequence_packing",
+    "sink_compaction_roundtrip", "sink_idempotent_retry",
+    "sink_merge_upsert", "sink_retention_vacuum",
+    "sink_sorted_skipping_roundtrip", "sink_zorder_skipping_roundtrip",
+    "snapshot_diff_orders", "streaming_kv_sink",
+    "streaming_pattern_view_purchase", "streaming_pyds_resume",
+    "streaming_rolling_extremes", "train_val_test_split",
+    "trend_slope_by_type", "triangle_count_copurchase",
+    "udaf_sum_squares_by_flag", "variant_extract_props",
+    "vocab_coverage_cutoff", "wordcount_top100",
 }
 
 
-# ROUND-7 ROTATION PLAN (mechanical): after CORRECTNESS_r06.json lands,
+# ROUND-8 ROTATION PLAN (mechanical): after CORRECTNESS_r07.json lands,
 # run scripts/update_rotation.py on it, append its green names to
-# _DRIVER_CHECKED, and point _NEWEST at (a) any r06 failures, (b) the 7
-# spillover names (lateral_topk_per_customer, ab_welch_t_by_type,
-# streaming_merge_apply, table_audit_hash, dedup_keep_best — judge-green
-# r5 — plus train_pipeline_e2e and reachability_recursive_cte, displaced
-# from the round-6 window by the code-changed sequence_packing/
-# pagerank_dup_graph re-gates), and (c) the round-6 additions
-# doc_chunking_overlap, dataset_epoch_shuffle, token_budget_file_splits,
-# dedup_incremental_minhash, leakage_safe_split,
-# streaming_incremental_dedup, time_decayed_user_score and
-# dedup_incremental_embedding. That is ~15 names; every other inventory name
-# then has a round-3+ driver row, the freeze lifts fully, and the rest
-# of the 50-slot window backfills with the OLDEST _DRIVER_CHECKED rows
-# (round-3 era) for continuous re-proof.
+# _DRIVER_CHECKED, and point _NEWEST at (a) any r07 failures, (b) the
+# round-7 additions (exported after position 50 this round, so they
+# gate in round 8), and (c) backfill to 50 slots with the next-oldest
+# _DRIVER_CHECKED rows (the remaining round-3-era names not re-proved
+# this round, then round-4 era).
 #
-# Round-6 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Round 5 went 49/50 (the one red was a harness
-# canonicalization crash on embedding_pca_project's array<double>
-# column, fixed this round by emitting scalar p1..p4 components).
-# This round gates: (a) the repaired embedding_pca_project; (b) the
-# last 14 names whose newest driver row is round 2; (c) 35 of the 40
-# round-4/5 additions that sat just past round 5's window (all
-# judge-green in VERDICT r5).  The remaining 5 additions
-# (lateral_topk_per_customer, ab_welch_t_by_type,
-# streaming_merge_apply, table_audit_hash, dedup_keep_best — all
-# judge-green r5) spill to round 7's first positions, after which
-# every name has a round-3+ driver row and new-query additions
-# unfreeze fully.
+# Round-7 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 6 went 50/50 (49 hash + 1 clean
+# rows-only).  This round gates: (a) the 15 names that have never had
+# a driver row — the 8 round-6 additions plus 7 spillover, all
+# judge-green in VERDICT r6; (b) 35 round-3-era names whose newest
+# driver row is round 3, for continuous re-proof on current data.
+# After this window lands, EVERY inventory name has a round-3+ driver
+# row and the new-query freeze lifts fully.
 _NEWEST = [
-    # (a) round-5 red, repaired this round, plus the two names whose
-    # CODE/ORACLE changed in round 6 (sequence_packing's composite
-    # fold key + output schema; pagerank_dup_graph's brand-new
-    # unrolled-CTE oracle) — changed queries always re-gate, per the
-    # rotation rule. train_pipeline_e2e + reachability_recursive_cte
-    # moved to round-7 spillover to keep the window at exactly 50.
-    "embedding_pca_project",
-    "sequence_packing",
-    "pagerank_dup_graph",
-    # (b) last round-2-era rows — re-proof on current data (14)
-    "approx_aggregates", "wordcount_top100", "sample_hash_10pct",
-    "sample_fixed_100", "train_val_test_split",
-    "quality_percentile_filter", "quality_gopher_rules",
-    "pii_redact_stats", "decontaminate_ngram_overlap",
-    "mix_sources_counts", "multimodal_bytes_meta",
-    "multimodal_image_decode", "array_hof_order_quantities",
-    "udaf_sum_squares_by_flag",
-    # (c) round-4/5 additions, export order (33 of 40; rest round 7)
-    "vocab_coverage_cutoff", "sample_k_per_group",
-    "dedup_exact_substring", "domain_mixture_resample",
-    "bpe_merge_pairs", "fluency_bigram_deciles", "sink_merge_upsert",
-    "streaming_rolling_extremes", "sink_compaction_roundtrip",
-    "sink_sorted_skipping_roundtrip", "incremental_agg_refresh",
-    "heavy_hitters_2pass", "hist_percentiles_mergeable",
-    "interval_overlap_sessions", "triangle_count_copurchase",
-    "scd2_customer_segments", "sink_zorder_skipping_roundtrip",
-    "sink_idempotent_retry", "dpp_partitioned_agg",
-    "streaming_pattern_view_purchase", "distinct_users_rolling_hll",
-    "sink_retention_vacuum", "contamination_matrix",
-    "curriculum_assignment", "runtime_bloom_join",
-    "trend_slope_by_type", "snapshot_diff_orders", "kv_write_pyds",
-    "streaming_pyds_resume", "dedup_simhash_md5", "streaming_kv_sink",
-    "variant_extract_props", "dedup_incremental_exact",
+    # (a) never driver-gated: round-6 additions (8), export order
+    "doc_chunking_overlap", "dataset_epoch_shuffle",
+    "token_budget_file_splits", "dedup_incremental_minhash",
+    "leakage_safe_split", "streaming_incremental_dedup",
+    "time_decayed_user_score", "dedup_incremental_embedding",
+    # (a) never driver-gated: round-5/6 spillover (7)
+    "train_pipeline_e2e", "reachability_recursive_cte",
+    "lateral_topk_per_customer", "ab_welch_t_by_type",
+    "streaming_merge_apply", "table_audit_hash", "dedup_keep_best",
+    # (b) oldest re-proof — newest driver row is round 3 (35)
+    "json_extract_events", "tumbling_window_events",
+    "sliding_window_events", "events_minmax_norm",
+    "streaming_tumbling_window", "streaming_sliding_window",
+    "sessionize_events", "streaming_stateful_sessions",
+    "asof_join_events", "asof_join_events_forward",
+    "asof_join_events_nearest", "dedup_ngram_jaccard",
+    "dedup_clusters", "retention_cohorts", "rolling_7d_active_users",
+    "event_funnel", "streaming_dedup_pairs",
+    "streaming_stream_stream_join", "stats_moments_by_type",
+    "median_by_type", "text_bpe_token_count",
+    "text_winnowing_fingerprints", "multimodal_frame_sample",
+    "value_histogram", "multimodal_resize", "q21_last_shippers",
+    "dedup_winnowing", "table_profile_orders", "zscore_outlier_events",
+    "window_percent_rank_cume", "sink_partitioned_roundtrip",
+    "sink_orc_roundtrip", "sink_csv_roundtrip",
+    "text_repetition_stats", "text_unigram_logprob",
 ]
 
 
