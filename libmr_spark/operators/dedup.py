@@ -21,6 +21,198 @@ from ..functions.text import fingerprint, word_shingles
 from ..functions.vector import cosine_similarity
 
 
+# --- incremental-store batch manifest ---------------------------------
+# Shared by dedup_incremental_minhash / dedup_incremental_embedding /
+# compact_incremental_store. The manifest (`_BATCHES`) is the store's
+# single source of truth: readers load ONLY manifest-listed
+# ``batch=<tag>`` directories, and a batch becomes visible in one
+# atomic ``os.replace`` — so a crash anywhere before the swap leaves
+# the old snapshot intact.
+#
+# Concurrency contract: PUBLICATION is lost-update-free — the
+# read-modify-write of the tag list happens under an O_EXCL lock file
+# and re-reads the manifest inside the critical section, so two
+# concurrent committers serialize and neither orphans the other's
+# batch. ADMISSION, however, reads the store before its batch commits:
+# two batches admitted concurrently each check the PRE-batch history
+# and can both admit near-twins of each other. That is the same
+# semantic as near-dups arriving inside one batch (documented on each
+# store), so the supported deployment is one logical ingest pipeline
+# per store; the lock only guarantees the store never LOSES a batch.
+# At warehouse scale the same two properties come from the table
+# format's commit protocol (optimistic CAS on the metadata pointer).
+
+
+def _manifest_read(manifest_path: str, params: dict | None) -> list:
+    """Committed batch tags; validates ``params`` against the store's
+    recorded signature parameters (a mismatched call would band over
+    different signature slices, find zero candidates, and silently
+    admit every near-dup of history — refused loudly instead)."""
+    import json
+    import os
+
+    if not os.path.exists(manifest_path):
+        return []
+    with open(manifest_path) as f:
+        m = json.load(f)
+    stored = m.get("params")
+    if params is not None and stored is not None and stored != params:
+        raise ValueError(
+            f"signature-store parameter mismatch at "
+            f"{os.path.dirname(manifest_path)}: store was built with "
+            f"{stored}, call uses {params}"
+        )
+    return m["batches"]
+
+
+class _manifest_lock:
+    """O_EXCL lock file guarding the manifest read-modify-write window.
+    A lock left behind by a crashed committer is broken after
+    ``stale_s`` seconds (mtime-based); acquisition past ``timeout_s``
+    raises rather than deadlocking silently."""
+
+    def __init__(self, manifest_path: str, timeout_s: float = 30.0, stale_s: float = 300.0):
+        self.path = manifest_path + ".lock"
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        import os
+        import time
+
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                    if age > self.stale_s:
+                        os.unlink(self.path)  # break a crashed committer's lock
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire store manifest lock {self.path} "
+                        f"within {self.timeout_s}s (concurrent committer "
+                        "stuck, or raise stale_s if it crashed)"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def _manifest_publish(
+    manifest_path: str,
+    params: dict | None,
+    add_tags=(),
+    drop_tags=(),
+    timeout_s: float = 30.0,
+) -> list:
+    """Atomically publish a manifest update: under the lock, RE-READ the
+    current tag list (so a tag committed concurrently since the caller's
+    admission snapshot survives), drop ``drop_tags``, append
+    ``add_tags``, and swap the file in with ``os.replace``. A ``None``
+    ``params`` (compaction, which is parameter-agnostic) preserves the
+    store's recorded params verbatim. Returns the published tag list."""
+    import json
+    import os
+
+    with _manifest_lock(manifest_path, timeout_s=timeout_s):
+        current = _manifest_read(manifest_path, params)
+        if params is None and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                params = json.load(f).get("params")
+        drop = set(drop_tags)
+        new_tags = [t for t in current if t not in drop] + [
+            t for t in add_tags if t not in current
+        ]
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": new_tags, "params": params}, f)
+        os.replace(tmp, manifest_path)
+    return new_tags
+
+
+def compact_incremental_store(
+    spark, store_path: str, tables: tuple = ("index", "payload")
+) -> int:
+    """Compact an incremental dedup store's manifest-listed
+    ``batch=<tag>`` directories into ONE directory per table and
+    republish a single-entry manifest — the maintenance operation an
+    append-only signature store needs at 100 TB: after N ingest
+    batches every admission join opens N directories per table
+    (N file-listings, N footer reads, no row-group locality); the
+    reference's in-memory keyspace never faces this, a persisted store
+    cannot live without it.
+
+    Protocol (same crash story as batch commit):
+
+    1. snapshot the manifest's tag list;
+    2. read each table's snapshot directories and write their union to
+       a fresh ``batch=<compact-tag>`` directory (at warehouse scale
+       this write is bucketed by the join key — (band, bucket) for the
+       index — restoring co-location that per-batch appends eroded);
+    3. under the manifest lock, republish: the compact tag REPLACES
+       exactly the snapshot tags, while tags committed concurrently
+       since the snapshot are preserved verbatim;
+    4. only after the swap, delete the superseded snapshot directories.
+
+    A crash before step 3 leaves the old manifest readable and the
+    half-written compact directory invisible (orphaned, swept by the
+    next successful compaction's step 4a); a crash between 3 and 4
+    leaves stale-but-unlisted directories that readers never open.
+    Admission results are IDENTICAL before and after compaction: the
+    row multiset per table is unchanged, only its directory layout.
+    Returns the number of batch directories compacted away."""
+    import os
+    import shutil
+    import uuid
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    snapshot = _manifest_read(manifest_path, None)
+    if len(snapshot) <= 1:
+        return 0
+    compact_tag = "compact-" + uuid.uuid4().hex
+    present = [
+        t for t in tables if os.path.isdir(os.path.join(store_path, t))
+    ]
+    for table in present:
+        src = [
+            os.path.join(store_path, table, f"batch={t}") for t in snapshot
+        ]
+        spark.read.parquet(*src).write.mode("overwrite").parquet(
+            os.path.join(store_path, table, f"batch={compact_tag}")
+        )
+    _manifest_publish(
+        manifest_path, None, add_tags=[compact_tag], drop_tags=snapshot
+    )
+    # 4a: sweep the superseded directories, plus any orphans left by
+    # earlier crashed compactions (unlisted compact-* dirs only — an
+    # in-flight ingest batch's unpublished dir must not be touched, and
+    # its tag is never compact-prefixed)
+    listed = set(_manifest_read(manifest_path, None))
+    for table in present:
+        tdir = os.path.join(store_path, table)
+        for t in snapshot:
+            shutil.rmtree(os.path.join(tdir, f"batch={t}"), ignore_errors=True)
+        for entry in os.listdir(tdir):
+            tag = entry.removeprefix("batch=")
+            if tag.startswith("compact-") and tag not in listed:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+    return len(snapshot)
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-text fingerprint: one hash-aggregate,
     keeps the smallest id per duplicate group (deterministic survivor).
@@ -487,6 +679,16 @@ def simhash_pairs(
     base_w = bits // n_bands
     widths = [base_w + (1 if c < bits % n_bands else 0) for c in range(n_bands)]
     offsets = [sum(widths[:c]) for c in range(n_bands)]
+
+    def _band_val(c: int):
+        shifted = F.shiftright(F.col("simhash64"), offsets[c])
+        if widths[c] >= 64:
+            # full-width band (max_hamming=0, bits=64): the mask would be
+            # (1<<64)-1, which overflows LongType — but it's the identity
+            # anyway, so use the raw packed hash.
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[c]) - 1))
+
     chunks = sh.select(
         id_col,
         "simhash64",
@@ -495,9 +697,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash64"), offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-                        .alias("val"),
+                        _band_val(c).alias("val"),
                     )
                     for c in range(n_bands)
                 ]
@@ -814,9 +1014,11 @@ def dedup_incremental_minhash(
     as the LAST step. History readers load only manifest-listed batch
     directories, so a crash anywhere before the swap leaves orphan
     directories that are invisible — the retry re-runs admission
-    against exactly the pre-batch history.
+    against exactly the pre-batch history. Publication serializes via
+    the manifest lock (concurrent committers never lose each other's
+    batches); ADMISSION concurrency is the caller's contract — see the
+    manifest section comment at the top of this module.
     """
-    import json
     import os
     import uuid
 
@@ -828,23 +1030,6 @@ def dedup_incremental_minhash(
 
     manifest_path = os.path.join(store_path, "_BATCHES")
     params = {"num_hashes": num_hashes, "bands": bands, "n": n, "threshold": threshold}
-
-    def _committed_tags() -> list:
-        if not os.path.exists(manifest_path):
-            return []
-        with open(manifest_path) as f:
-            m = json.load(f)
-        # signature parameters are STORE properties: a mismatched later
-        # call would band over different signature slices, find zero
-        # index candidates, and silently admit every near-dup of
-        # history — refuse loudly instead
-        stored = m.get("params")
-        if stored is not None and stored != params:
-            raise ValueError(
-                f"signature-store parameter mismatch at {store_path}: "
-                f"store was built with {stored}, call uses {params}"
-            )
-        return m["batches"]
 
     def _band_keys(sdf):
         rows = num_hashes // bands
@@ -869,7 +1054,7 @@ def dedup_incremental_minhash(
     banded = _band_keys(sigs)
     idx_path = os.path.join(store_path, "index")
     pay_path = os.path.join(store_path, "payload")
-    tags = _committed_tags()
+    tags = _manifest_read(manifest_path, params)
     if tags:
         hist_idx = spark.read.parquet(
             *[os.path.join(idx_path, f"batch={t}") for t in tags]
@@ -913,10 +1098,7 @@ def dedup_incremental_minhash(
     admitted.select(id_col, "shingles").write.mode("overwrite").parquet(
         os.path.join(pay_path, f"batch={tag}")
     )
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batches": [*tags, tag], "params": params}, f)
-    os.replace(tmp, manifest_path)
+    _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted.select(id_col, F.size("shingles").cast("bigint").alias("sz"))
 
 
@@ -947,7 +1129,6 @@ def dedup_incremental_embedding(
 
     Returns the admitted (id) rows; first call bootstraps the store.
     """
-    import json
     import os
     import uuid
 
@@ -959,25 +1140,12 @@ def dedup_incremental_embedding(
         "threshold": threshold,
     }
 
-    def _committed_tags() -> list:
-        if not os.path.exists(manifest_path):
-            return []
-        with open(manifest_path) as f:
-            m = json.load(f)
-        stored = m.get("params")
-        if stored is not None and stored != params:
-            raise ValueError(
-                f"signature-store parameter mismatch at {store_path}: "
-                f"store was built with {stored}, call uses {params}"
-            )
-        return m["batches"]
-
     band_hashes = _sign_band_hashes(planes_per_band, bands, seed)
     sig = batch.select(id_col, vec_col).withColumn("__bh__", band_hashes(F.col(vec_col)))
     banded = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
     idx_path = os.path.join(store_path, "index")
     pay_path = os.path.join(store_path, "payload")
-    tags = _committed_tags()
+    tags = _manifest_read(manifest_path, params)
     if tags:
         hist_idx = spark.read.parquet(
             *[os.path.join(idx_path, f"batch={t}") for t in tags]
@@ -1018,8 +1186,5 @@ def dedup_incremental_embedding(
     admitted.select(id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(pay_path, f"batch={tag}")
     )
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batches": [*tags, tag], "params": params}, f)
-    os.replace(tmp, manifest_path)
+    _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted.select(id_col)

@@ -47,10 +47,22 @@ def prefix_sum(
     subtotals and the fold are plain integer adds, so the distributed
     result is bit-identical to a sequential scan); ``order_cols`` must
     be a total order (include a unique tie-break column).
+
+    ``value_col`` must be non-null: the driver offsets use a
+    null-skipping ``F.sum`` while the pandas fold cumsums NaN, so nulls
+    would silently diverge — rejected up front with a clear error
+    instead (callers wanting null-as-zero should ``fillna`` first,
+    making the convention explicit in THEIR code).
     """
     import pandas as pd  # noqa: F401 — resolved by mapInPandas type hints
 
     spark = df.sparkSession
+    if df.filter(F.col(value_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"prefix_sum: value_col {value_col!r} contains NULLs; "
+            "fill or filter them first (e.g. fillna(0)) so the "
+            "null-as-zero convention is explicit at the call site"
+        )
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *order_cols)

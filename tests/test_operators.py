@@ -1109,3 +1109,208 @@ def test_cluster_aware_split_no_leakage(spark, docs):
         assert split_of[r.doc_id] == split_of[r.doc_id + 700000]
     # all three splits are populated at this corpus size
     assert {"train", "val", "test"} <= set(split_of.values())
+
+
+def test_simhash_pairs_max_hamming_zero(spark, docs):
+    # round-7 advice fix: max_hamming=0 means ONE full-width (64-bit)
+    # band, whose mask literal would overflow LongType — special-cased
+    # to the raw packed hash. Result must equal brute-force hamming==0.
+    corpus = docs.limit(150).select("doc_id", "text")
+    dup = corpus.select((F.col("doc_id") + 800000).alias("doc_id"), "text")
+    both = corpus.unionByName(dup)
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_pairs(both, max_hamming=0).collect()
+    }
+    sig = DD.simhash(both)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.simhash64") == F.col("b.simhash64"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    }
+    assert got == brute
+    assert len(got) >= 150  # every planted identical twin matches
+
+
+def test_prefix_sum_rejects_null_values(spark):
+    from libmr_spark.operators.prefix import prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k int, v int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        prefix_sum(df, ["k"], "v")
+    # fillna at the call site makes the convention explicit and works
+    out = prefix_sum(df.fillna(0, subset=["v"]), ["k"], "v").collect()
+    assert [r.cum for r in sorted(out, key=lambda r: r.k)] == [10, 10, 15]
+
+
+def test_manifest_publish_is_lost_update_free(tmp_path):
+    # the round-6 race: committer A snapshots the tag list, committer B
+    # publishes, then A publishes — with a blind os.replace A would
+    # orphan B's batch. _manifest_publish re-reads under the lock, so
+    # both survive regardless of snapshot staleness.
+    import json
+
+    mp = str(tmp_path / "_BATCHES")
+    DD._manifest_publish(mp, {"p": 1}, add_tags=["a"])
+    DD._manifest_publish(mp, {"p": 1}, add_tags=["b"])  # B lands mid-window
+    DD._manifest_publish(mp, {"p": 1}, add_tags=["c"])  # A's stale-snapshot commit
+    assert json.load(open(mp))["batches"] == ["a", "b", "c"]
+
+    # hammer it from 8 threads — every tag must survive
+    import threading
+
+    tags = [f"t{i}" for i in range(8)]
+    threads = [
+        threading.Thread(target=DD._manifest_publish, args=(mp, {"p": 1}, [t]))
+        for t in tags
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = json.load(open(mp))["batches"]
+    assert set(tags) <= set(final) and len(final) == len(set(final))
+
+
+def test_manifest_lock_timeout_and_stale_break(tmp_path):
+    import os
+    import time
+
+    mp = str(tmp_path / "_BATCHES")
+    lock = mp + ".lock"
+    open(lock, "w").close()
+    with pytest.raises(TimeoutError, match="manifest lock"):
+        with DD._manifest_lock(mp, timeout_s=0.3, stale_s=300.0):
+            pass
+    # a crashed committer's stale lock (old mtime) is broken, not waited on
+    old = time.time() - 1000
+    os.utime(lock, (old, old))
+    with DD._manifest_lock(mp, timeout_s=0.3, stale_s=60.0):
+        pass
+    assert not os.path.exists(lock)  # released cleanly after the break
+
+
+def test_compaction_preserves_admission(spark, docs, tmp_path):
+    # three committed batches -> compact -> ONE manifest entry, one
+    # directory per table, and a probe batch admits IDENTICALLY against
+    # the compacted and uncompacted stores.
+    import json
+    import os
+    import shutil
+
+    store = str(tmp_path / "mh_store_c")
+    for lo in (0, 40, 80):
+        DD.dedup_incremental_minhash(
+            spark,
+            store,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)).select(
+                "doc_id", "text"
+            ),
+        )
+    twin = str(tmp_path / "mh_store_twin")
+    shutil.copytree(store, twin)
+
+    n = DD.compact_incremental_store(spark, store)
+    assert n == 3
+    m = json.load(open(os.path.join(store, "_BATCHES")))
+    assert len(m["batches"]) == 1 and m["batches"][0].startswith("compact-")
+    assert m["params"] is not None  # compaction preserves store params
+    for table in ("index", "payload"):
+        assert len(os.listdir(os.path.join(store, table))) == 1
+
+    # probe: near-dups of history rejected, fresh docs admitted — same
+    # decision set on both stores
+    probe = docs.limit(10).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 160)).select(
+            "doc_id", "text"
+        )
+    )
+    got_c = {r.doc_id for r in DD.dedup_incremental_minhash(spark, store, probe).collect()}
+    got_u = {r.doc_id for r in DD.dedup_incremental_minhash(spark, twin, probe).collect()}
+    assert got_c == got_u
+    # most fresh docs admitted (the corpus plants some dup twins, so a
+    # stray rejection is legitimate), mangled twins of history rejected
+    assert len({150 + i for i in range(10)} & got_c) >= 8
+    assert len({600000 + i for i in range(10)} & got_c) <= 2
+
+    # idempotent: compacting a single-batch... store with the probe's
+    # batch appended compacts 2 -> 1 again
+    assert DD.compact_incremental_store(spark, store) == 2
+
+
+def test_compaction_crash_leaves_store_readable(spark, docs, tmp_path):
+    # crash BEFORE the manifest swap: the compact directory exists but
+    # is unlisted -> invisible; the store answers identically, and the
+    # next successful compaction sweeps the orphan.
+    import json
+    import os
+
+    store = str(tmp_path / "mh_store_crash")
+    for lo in (0, 40):
+        DD.dedup_incremental_minhash(
+            spark,
+            store,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)).select(
+                "doc_id", "text"
+            ),
+        )
+    manifest = os.path.join(store, "_BATCHES")
+    before = json.load(open(manifest))
+
+    # simulate the crash: run steps 1-2 of the protocol only
+    tags = DD._manifest_read(manifest, None)
+    for table in ("index", "payload"):
+        spark.read.parquet(
+            *[os.path.join(store, table, f"batch={t}") for t in tags]
+        ).write.mode("overwrite").parquet(
+            os.path.join(store, table, "batch=compact-deadbeef")
+        )
+    assert json.load(open(manifest)) == before  # old manifest intact
+
+    # replaying an already-committed batch is still fully rejected
+    # (history visible, orphan invisible)
+    replay = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    assert DD.dedup_incremental_minhash(spark, store, replay).count() == 0
+
+    # recovery: a successful compaction replaces the snapshot AND
+    # sweeps the orphaned compact dir
+    assert DD.compact_incremental_store(spark, store) >= 2
+    for table in ("index", "payload"):
+        entries = os.listdir(os.path.join(store, table))
+        assert len(entries) == 1
+        assert "batch=compact-deadbeef" not in entries
+
+
+def test_compaction_embedding_store(spark, emb, tmp_path):
+    # same contract on the vector store: admission decisions unchanged
+    import os
+
+    store = str(tmp_path / "emb_store_c")
+    base = emb.limit(60).select("vec_id", "embedding")
+    DD.dedup_incremental_embedding(spark, store, base)
+    DD.dedup_incremental_embedding(
+        spark,
+        store,
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140)).select(
+            "vec_id", "embedding"
+        ),
+    )
+    assert DD.compact_incremental_store(spark, store) == 2
+    assert len(os.listdir(os.path.join(store, "index"))) == 1
+    # replaying history (same vectors, new ids) is rejected post-compaction
+    # (the replay itself appends one further — empty — committed batch)
+    replay = base.select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    assert DD.dedup_incremental_embedding(spark, store, replay).count() == 0
