@@ -1112,6 +1112,7 @@ def dedup_incremental_embedding(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    payload_int8: bool = False,
 ) -> DataFrame:
     """Incremental embedding-cosine near-dup admission — the vector
     analog of :func:`dedup_incremental_minhash`, same store contract:
@@ -1123,9 +1124,21 @@ def dedup_incremental_embedding(
     invisible, replay idempotent, parameter mismatch refused — all the
     properties the minhash docstring details). Recall follows the
     banding curve (r=10, B=48: a 0.9-boundary pair is missed w.p.
-    ~5e-5; a true near-dup at cos 0.99 essentially never). At 100 TB
-    the payload table stores int8-quantized vectors (see
-    embedding_quantize_int8) to cut verify-fetch bytes 4x.
+    ~5e-5; a true near-dup at cos 0.99 essentially never).
+
+    ``payload_int8=True`` is the 100 TB variant: the payload table
+    stores each vector symmetric-quantized to int8 (q_i =
+    round(v_i * 127/max|v|) — per-VECTOR scale, so quantization needs
+    no store-level range state and batches stay independent), cutting
+    verify-fetch bytes 4x (plus the 8-byte scale for dequantization by
+    other readers). Verification computes cosine against the RAW int8
+    codes: cosine is scale-invariant in each argument, so
+    cos(q, v_batch) == cos(q/scale, v_batch) — no dequantization on
+    the hot path. The quantization perturbs cosine by O(1/127) of the
+    vector's direction (~1e-3 on unit-ish vectors), so decisions match
+    the float store except for pairs sitting within that distance of
+    ``threshold``; the store records the mode in its params (mixed
+    float/int8 usage is refused like any parameter mismatch).
 
     Returns the admitted (id) rows; first call bootstraps the store.
     """
@@ -1138,6 +1151,7 @@ def dedup_incremental_embedding(
         "bands": bands,
         "seed": seed,
         "threshold": threshold,
+        "payload_int8": payload_int8,
     }
 
     band_hashes = _sign_band_hashes(planes_per_band, bands, seed)
@@ -1159,6 +1173,8 @@ def dedup_incremental_embedding(
         hist_pay = spark.read.parquet(
             *[os.path.join(pay_path, f"batch={t}") for t in tags]
         )
+        # int8 payload: compare against the raw codes (scale-invariant)
+        hvec = F.col("qvec").cast("array<double>") if payload_int8 else F.col(vec_col)
         cos = F.round(
             cosine_similarity(F.col("__vb__"), F.col("__vh__")), 6
         )
@@ -1168,7 +1184,7 @@ def dedup_incremental_embedding(
                 "bid",
             )
             .join(
-                hist_pay.select(F.col(id_col).alias("hid"), F.col(vec_col).alias("__vh__")),
+                hist_pay.select(F.col(id_col).alias("hid"), hvec.alias("__vh__")),
                 "hid",
             )
             .filter(cos >= threshold)
@@ -1183,8 +1199,19 @@ def dedup_incremental_embedding(
     admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket")).write.mode(
         "overwrite"
     ).parquet(os.path.join(idx_path, f"batch={tag}"))
-    admitted.select(id_col, vec_col).write.mode("overwrite").parquet(
-        os.path.join(pay_path, f"batch={tag}")
-    )
+    if payload_int8:
+        v = F.col(vec_col).cast("array<double>")
+        absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+        payload = admitted.select(
+            id_col,
+            F.transform(v, lambda x: F.round(x * scale, 0))
+            .cast("array<tinyint>")
+            .alias("qvec"),
+            scale.alias("scale"),
+        )
+    else:
+        payload = admitted.select(id_col, vec_col)
+    payload.write.mode("overwrite").parquet(os.path.join(pay_path, f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted.select(id_col)

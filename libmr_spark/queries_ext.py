@@ -1808,3 +1808,100 @@ def sample_k_per_group_q(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return sample_k_per_group(d, 10, "doc_id", ["source"]).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------
+# Round 7: tokenizer-aware sequence packing
+# --------------------------------------------------------------------
+
+#: Subword cost of one BPE-ish pre-token: a trained BPE merges ~4
+#: characters per subword on natural text, so ceil(len/4) per token-run
+#: — integer arithmetic only ((len+3) div 4), identical in both engines.
+_SUBWORD_CHARS = 4
+
+
+@defquery(
+    "sequence_packing_subword",
+    f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id // {_PACK_BUCKET_SPAN} AS bucket, doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0),
+                   t -> (len(t) + 3) // {_SUBWORD_CHARS})), 0) AS INT) AS n_tokens,
+               row_number() OVER (PARTITION BY source, doc_id // {_PACK_BUCKET_SPAN}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT source, bucket, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.bucket, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM pack p JOIN docs d
+          ON d.source = p.source AND d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket, doc_id, n_tokens, pack_id
+    FROM pack
+    """,
+    "TOKENIZER-AWARE sequence packing: the same greedy next-fit fold "
+    "as sequence_packing, but budgeted on estimated SUBWORD counts — "
+    "BPE-ish pre-tokens (letter/digit/symbol runs, the split GPT-style "
+    "tokenizers apply before merges) at ceil(len/4) subwords per run — "
+    "instead of whitespace words. Whitespace counts under-bill long "
+    "words, URLs and punctuation runs, so whitespace-packed batches "
+    "overflow the real context window after tokenization; subword "
+    "budgeting is what packing looks like against training reality. "
+    "Pure integer arithmetic ((len+3) div 4 per pre-token, summed by a "
+    "JVM fold), same composite (source, doc_id div 128) group key "
+    "bounding every pandas fold group at 128 rows; oracle replays the "
+    "identical greedy fold over the identical subword counts as a "
+    "recursive CTE. Swapping the estimate for exact counts from a "
+    "merges table is a join on the pre-token — the plan shape is "
+    "unchanged.",
+)
+def sequence_packing_subword_q(spark, sf_dir):
+    import pandas as pd
+
+    from .functions.text import bpe_ish_tokens
+
+    toks = bpe_ish_tokens(F.col("text"))
+    n_sub = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.floor((F.length(t) + 3) / _SUBWORD_CHARS).cast("int"),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"doc_id div {_PACK_BUCKET_SPAN}").alias("bucket"),
+        "doc_id",
+        n_sub.alias("n_tokens"),
+    )
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack, fill = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > _PACK_BUDGET:
+                pack += 1
+                fill = 0
+            fill += int(t)
+            pack_ids.append(pack)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["source", "bucket", "doc_id", "n_tokens", "pack_id"]]
+
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return (
+        d.repartition(n, "source", "bucket")
+        .groupBy("source", "bucket")
+        .applyInPandas(
+            pack_group,
+            schema="source string, bucket bigint, doc_id bigint, n_tokens int, pack_id bigint",
+        )
+    )

@@ -1153,3 +1153,164 @@ def dedup_incremental_embedding_q(spark, sf_dir):
     fresh = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     DD.dedup_incremental_embedding(spark, path, hist)  # bootstrap
     return DD.dedup_incremental_embedding(spark, path, copies.unionByName(fresh))
+
+
+@defquery(
+    "dedup_incremental_embedding_int8",
+    """
+    WITH hq AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(emb, x -> 0.0)
+                  ELSE list_transform(emb, x -> round(x * (127.0 / m))) END AS q
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        FROM embeddings WHERE vec_id % 5 <> 0)),
+    b AS (
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 1
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    rej AS (
+      SELECT DISTINCT b.vec_id FROM b JOIN hq h
+      ON round(list_cosine_similarity(
+           b.embedding::DOUBLE[], h.q), 6) >= 0.9)
+    SELECT CAST(b.vec_id AS BIGINT) AS vec_id FROM b
+    WHERE b.vec_id NOT IN (SELECT vec_id FROM rej)
+    """,
+    "the 100 TB variant of dedup_incremental_embedding: the persisted "
+    "payload stores each history vector symmetric-quantized to int8 "
+    "(q_i = round(v_i * 127/max|v|), per-vector scale so batches need "
+    "no shared range state), cutting verify-fetch bytes 4x; "
+    "verification computes cosine against the RAW codes — cosine is "
+    "scale-invariant per argument, so no dequantization on the hot "
+    "path. Same banded sign-LSH candidates, same atomic _BATCHES "
+    "manifest commit, and the store refuses mixed float/int8 usage as "
+    "a parameter mismatch. The oracle replays the identical "
+    "quantization (both engines round half-away-from-zero on doubles, "
+    "and the quantized cosine's sums are integer-exact in IEEE "
+    "doubles, so order cannot perturb the rounded compare). Admission "
+    "parity with the float store is pytest-pinned at the same data "
+    "(no 0.9-boundary pairs within quantization error).",
+)
+def dedup_incremental_embedding_int8_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("emb_history_int8", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    hist = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    fresh = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    DD.dedup_incremental_embedding(spark, path, hist, payload_int8=True)
+    return DD.dedup_incremental_embedding(
+        spark, path, copies.unionByName(fresh), payload_int8=True
+    )
+
+
+# ------------------------------------------------------------------
+# Round 7: oracle-checkable ANN candidate generation
+# ------------------------------------------------------------------
+
+_KNN_CAND_PLANES = 6
+
+
+def _md5_plane_coefs(planes: int, dim: int) -> list:
+    """Deterministic sign-LSH hyperplanes shared bit-for-bit with the
+    SQL oracle: coefficient (p, d) = md5(f"{p}:{d}") first 8 hex chars
+    as an int, mod 255, minus 127 — an integer in [-127, 127]. hashlib
+    md5 here computes the IDENTICAL value DuckDB's md5() computes in
+    the oracle, the same trick dedup_simhash_md5 uses for tokens."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 255 - 127
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+@defquery(
+    "knn_lsh_candidates",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(embedding)::DOUBLE AS val,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, d,
+             CASE WHEN m = 0 THEN 0
+                  ELSE CAST(round(val * (127.0 / m)) AS BIGINT) END AS qv
+      FROM dims),
+    planes AS (
+      SELECT p.p, d.d,
+             CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 8)) AS BIGINT)
+               % 255 - 127 AS c
+      FROM (SELECT unnest(range(0, {_KNN_CAND_PLANES})) AS p) p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.qv * pl.c) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM q8 q JOIN planes pl ON q.d = pl.d
+      GROUP BY q.vec_id, pl.p),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit << p) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id)
+    SELECT q.vec_id AS query_id, c.vec_id, q.bucket
+    FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+    WHERE q.vec_id < 5
+    """,
+    "ANN candidate generation in the cross-engine-VERIFIABLE form "
+    "(the knn_lsh analog of dedup_simhash_md5): sign-LSH buckets "
+    "whose hyperplanes are md5-derived INTEGER coefficients in "
+    "[-127,127] applied to int8-quantized vectors, so every "
+    "plane dot product is integer-exact in IEEE doubles — the sign, "
+    "hence the bucket, hence the CANDIDATE SET is bit-deterministic "
+    "regardless of summation order, which float hyperplanes can never "
+    "guarantee at the 0-boundary. The oracle rebuilds the identical "
+    "construction (DuckDB md5 = hashlib md5) from scratch. This "
+    "upgrades the ANN family's gate story: knn_lsh's random float "
+    "planes stay the production default (numpy-vectorized, "
+    "recall-pinned in pytest), while THIS query proves the "
+    "bucketing machinery end-to-end against an independent engine; "
+    "distances within a bucket are already proven by knn_bruteforce. "
+    "Ref parity: candidate-then-verify is the same two-phase shape as "
+    "every LSH family member; 5 query vectors broadcast against the "
+    "bucketed corpus — at 100 TB the corpus side is written bucketed "
+    "so query batches join co-located.",
+)
+def knn_lsh_candidates_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    qv = F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
+    coefs = _md5_plane_coefs(_KNN_CAND_PLANES, 64)
+    q8 = e.select("vec_id", qv.alias("qv"))
+    bucket = None
+    for p, row in enumerate(coefs):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(c).cast("long") for c in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    b = q8.select("vec_id", bucket.alias("bucket"))
+    qb = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    return qb.hint("broadcast").join(b, "bucket").select("query_id", "vec_id", "bucket")

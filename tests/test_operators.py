@@ -1314,3 +1314,36 @@ def test_compaction_embedding_store(spark, emb, tmp_path):
     # (the replay itself appends one further — empty — committed batch)
     replay = base.select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
     assert DD.dedup_incremental_embedding(spark, store, replay).count() == 0
+
+
+def test_int8_store_admission_parity(spark, emb, tmp_path):
+    # VERDICT r6 ask: the int8-quantized payload must make the SAME
+    # admission decisions as the float store at threshold 0.9 (this
+    # table has no pair within quantization error of the boundary),
+    # and mixed float/int8 usage of one store is a parameter mismatch.
+    hist = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    probe = (
+        emb.filter(F.col("vec_id") % 10 == 1)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+        )
+    )
+    got = {}
+    for mode in (False, True):
+        store = str(tmp_path / f"emb_{mode}")
+        DD.dedup_incremental_embedding(spark, store, hist, payload_int8=mode)
+        got[mode] = {
+            r.vec_id
+            for r in DD.dedup_incremental_embedding(
+                spark, store, probe, payload_int8=mode
+            ).collect()
+        }
+    assert got[False] == got[True]
+    # every exact copy rejected, every held-out vector admitted
+    assert all(v < 1000000 for v in got[True])
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        DD.dedup_incremental_embedding(
+            spark, str(tmp_path / "emb_True"), probe, payload_int8=False
+        )
