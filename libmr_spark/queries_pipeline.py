@@ -1314,3 +1314,45 @@ def knn_lsh_candidates_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "bucket"
     )
     return qb.hint("broadcast").join(b, "bucket").select("query_id", "vec_id", "bucket")
+
+
+@defquery(
+    "dedup_incremental_minhash_compacted",
+    _incr_minhash_sql(),
+    "compaction-invariance proof at the gate: the SAME admission "
+    "scenario as dedup_incremental_minhash, but the history store "
+    "accumulates THREE committed batches (the full history, then two "
+    "replays whose docs are all rejected — committed as EMPTY batch "
+    "directories, the shape an idle ingest cadence really produces) "
+    "and is then compacted (compact_incremental_store: N batch=<tag> "
+    "dirs -> 1 per table, atomic manifest republish, superseded dirs "
+    "swept) BEFORE the ingest batch runs. Replay batches keep the "
+    "store's CONTENT exactly equal to the single-batch store on ANY "
+    "corpus (no reliance on near-dup transitivity across bootstrap "
+    "splits), so the oracle is character-identical to the uncompacted "
+    "query's — a hash match proves compaction changed the store's "
+    "layout and NOTHING else. This is the maintenance operation a "
+    "100 TB signature store needs on a cadence: without it every "
+    "admission join opens one directory per ingest batch ever "
+    "committed. (Cross-split bootstrap + compaction equivalence is "
+    "separately pytest-pinned against an uncompacted twin store in "
+    "test_compaction_preserves_admission.)",
+)
+def dedup_incremental_minhash_compacted_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("minhash_history_compacted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    hist = d.filter(src_num < 15)
+    DD.dedup_incremental_minhash(spark, path, hist)
+    for parity in (0, 1):
+        DD.dedup_incremental_minhash(
+            spark, path, hist.filter(src_num % 2 == parity)
+        )
+    assert DD.compact_incremental_store(spark, path) == 3
+    return DD.dedup_incremental_minhash(spark, path, d.filter(src_num >= 15))

@@ -338,3 +338,79 @@ def test_streaming_merge_apply_across_batches_updates_moved_keys(spark, tmp_path
     # user 8 keeps the batch-1 (newer) row despite the late replay of
     # its older event; user 7 moved days and has exactly one row
     assert got == {(7, 21, 99.0), (8, 3, 50.0), (9, 21, 30.0)}
+
+
+def test_streaming_minhash_with_compaction_cadence(spark, sf_dir, tmp_path):
+    # the full continuous-ingest maintenance loop: foreachBatch admits
+    # each micro-batch against the persisted MinHash store AND compacts
+    # the store every 2 committed batches; the admitted set must equal
+    # the same chunk-sequenced admission with NO compaction — i.e.
+    # compaction on a live cadence never changes a decision.
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from libmr_spark.operators import dedup as DD
+    from libmr_spark.sources.readers import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(160)
+    chunks = [
+        d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40))
+        for lo in (0, 40, 80, 120)
+    ]
+
+    # reference run: sequential admission, no compaction
+    ref_store = str(tmp_path / "ref_store")
+    expected = set()
+    for c in chunks:
+        expected |= {
+            r.doc_id
+            for r in DD.dedup_incremental_minhash(spark, ref_store, c).collect()
+        }
+
+    # streaming run with compaction cadence
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + 60 * k,) * 2)  # oldest-first
+
+    store = str(tmp_path / "live_store")
+    results = str(tmp_path / "admitted")
+    state = {"batches": 0, "compactions": 0}
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        admitted = DD.dedup_incremental_minhash(bdf.sparkSession, store, bdf)
+        admitted.select("doc_id").write.mode("append").parquet(results)
+        state["batches"] += 1
+        if state["batches"] % 2 == 0:
+            if DD.compact_incremental_store(bdf.sparkSession, store) > 0:
+                state["compactions"] += 1
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_cmp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(results).collect()}
+    assert got == expected
+    assert state["compactions"] >= 2  # the cadence actually ran
+    # and the store ends compact: ≤ 2 live dirs per table (1 compact + ≤1 since)
+    for table in ("index", "payload"):
+        assert len(os.listdir(os.path.join(store, table))) <= 2
