@@ -175,32 +175,85 @@ def compact_incremental_store(
     Admission results are IDENTICAL before and after compaction: the
     row multiset per table is unchanged, only its directory layout.
     Returns the number of batch directories compacted away."""
+    manifest_path = _os_path_join(store_path, "_BATCHES")
+    snapshot = _manifest_read(manifest_path, None)
+    if len(snapshot) <= 1:
+        return 0
+    _rewrite_store(spark, store_path, snapshot, lambda df, table: df, tables)
+    return len(snapshot)
+
+
+def delete_from_incremental_store(
+    spark,
+    store_path: str,
+    ids,
+    id_col: str = "doc_id",
+    tables: tuple = ("index", "payload"),
+) -> int:
+    """Targeted delete from an incremental dedup store — the
+    right-to-be-forgotten / takedown path an append-only 100 TB
+    signature store must support: remove every index and payload row
+    for the given ids so the docs (a) stop blocking admission of
+    future near-twins and (b) leave no retained signature bytes.
+
+    Runs as a store REWRITE through the same crash-safe protocol as
+    :func:`compact_incremental_store` (and compacts as a side effect):
+    the manifest-listed directories are read, anti-joined against
+    ``ids``, written to one fresh directory per table, and atomically
+    republished — a crash mid-rewrite leaves the old store intact (the
+    docs then remain until the retry, matching every log-structured
+    table format's delete semantics). Batches committed concurrently
+    during the rewrite survive the swap untouched (they cannot contain
+    the target ids unless re-ingested, which is the caller's ordering
+    responsibility).
+
+    ``ids``: a DataFrame with ``id_col``, or an iterable of id values.
+    Returns the number of store documents deleted (payload rows)."""
+    from pyspark.sql import DataFrame as _DF
+
+    manifest_path = _os_path_join(store_path, "_BATCHES")
+    snapshot = _manifest_read(manifest_path, None)
+    if not snapshot:
+        return 0
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    ids = ids.select(id_col).distinct()
+
+    deleted = {"n": 0}
+
+    def drop_ids(df, table):
+        if table == "payload":
+            deleted["n"] = (
+                df.join(F.broadcast(ids), id_col, "left_semi").count()
+            )
+        return df.join(F.broadcast(ids), id_col, "left_anti")
+
+    _rewrite_store(spark, store_path, snapshot, drop_ids, tables)
+    return deleted["n"]
+
+
+def _rewrite_store(spark, store_path: str, snapshot: list, transform, tables: tuple) -> None:
+    """Shared crash-safe store rewrite: read the snapshot directories of
+    each table, apply ``transform(df, table)``, write ONE fresh
+    ``batch=compact-<uuid>`` directory, republish atomically (dropping
+    exactly the snapshot tags — concurrent commits survive), then sweep
+    superseded and crash-orphaned rewrite directories. Rewrite tags all
+    share the ``compact-`` prefix so the orphan sweep can distinguish
+    them from in-flight ingest batches (whose unpublished directories
+    must never be touched)."""
     import os
     import shutil
     import uuid
 
     manifest_path = os.path.join(store_path, "_BATCHES")
-    snapshot = _manifest_read(manifest_path, None)
-    if len(snapshot) <= 1:
-        return 0
-    compact_tag = "compact-" + uuid.uuid4().hex
-    present = [
-        t for t in tables if os.path.isdir(os.path.join(store_path, t))
-    ]
+    new_tag = "compact-" + uuid.uuid4().hex
+    present = [t for t in tables if os.path.isdir(os.path.join(store_path, t))]
     for table in present:
-        src = [
-            os.path.join(store_path, table, f"batch={t}") for t in snapshot
-        ]
-        spark.read.parquet(*src).write.mode("overwrite").parquet(
-            os.path.join(store_path, table, f"batch={compact_tag}")
+        src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
+        transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
+            os.path.join(store_path, table, f"batch={new_tag}")
         )
-    _manifest_publish(
-        manifest_path, None, add_tags=[compact_tag], drop_tags=snapshot
-    )
-    # 4a: sweep the superseded directories, plus any orphans left by
-    # earlier crashed compactions (unlisted compact-* dirs only — an
-    # in-flight ingest batch's unpublished dir must not be touched, and
-    # its tag is never compact-prefixed)
+    _manifest_publish(manifest_path, None, add_tags=[new_tag], drop_tags=snapshot)
     listed = set(_manifest_read(manifest_path, None))
     for table in present:
         tdir = os.path.join(store_path, table)
@@ -210,7 +263,12 @@ def compact_incremental_store(
             tag = entry.removeprefix("batch=")
             if tag.startswith("compact-") and tag not in listed:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
-    return len(snapshot)
+
+
+def _os_path_join(*parts: str) -> str:
+    import os
+
+    return os.path.join(*parts)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

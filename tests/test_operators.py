@@ -1347,3 +1347,69 @@ def test_int8_store_admission_parity(spark, emb, tmp_path):
         DD.dedup_incremental_embedding(
             spark, str(tmp_path / "emb_True"), probe, payload_int8=False
         )
+
+
+def test_delete_from_store_unblocks_readmission(spark, docs, tmp_path):
+    # right-to-be-forgotten: after deleting a doc's signatures from the
+    # store, its near-twin (previously rejected) is admitted on retry,
+    # other history keeps rejecting, and the deleted rows are GONE from
+    # every manifest-listed directory.
+    import os
+
+    store = str(tmp_path / "mh_del")
+    base = docs.limit(40).select("doc_id", "text")
+    DD.dedup_incremental_minhash(spark, store, base)
+
+    twin = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    first = {r.doc_id for r in DD.dedup_incremental_minhash(spark, store, twin).collect()}
+    rejected = {400000 + i for i in range(10)} - first
+    assert len(rejected) >= 8  # twins of history blocked
+
+    # delete EVERY history partner of the rejected twins (a twin can
+    # have several — the corpus plants duplicate groups), computed
+    # independently via exact cross-set Jaccard
+    pairs = DD.ngram_jaccard_pairs(
+        base.unionByName(twin), threshold=0.8
+    ).collect()
+    partners = sorted(
+        {
+            p.id_a if p.id_a < 400000 else p.id_b
+            for p in pairs
+            if (p.id_a >= 400000) != (p.id_b >= 400000)
+            and max(p.id_a, p.id_b) in rejected
+        }
+    )
+    assert partners
+    n = DD.delete_from_incremental_store(spark, store, partners)
+    assert n == len(partners)
+
+    # with every partner gone, all previously-rejected twins now clear
+    retry = {r.doc_id for r in DD.dedup_incremental_minhash(spark, store, twin).collect()}
+    assert rejected <= retry
+
+    # no trace of the deleted ids in any live directory
+    tags = DD._manifest_read(os.path.join(store, "_BATCHES"), None)
+    for table in ("index", "payload"):
+        live = spark.read.parquet(
+            *[os.path.join(store, table, f"batch={t}") for t in tags]
+        )
+        assert live.filter(F.col("doc_id").isin(partners)).count() == 0
+
+
+def test_delete_from_store_empty_and_noop(spark, docs, tmp_path):
+    # deleting from an empty store is a no-op; deleting absent ids
+    # deletes nothing but still compacts the store
+    import os
+
+    store = str(tmp_path / "mh_del2")
+    assert DD.delete_from_incremental_store(spark, store, [1, 2, 3]) == 0
+    DD.dedup_incremental_minhash(spark, store, docs.limit(20).select("doc_id", "text"))
+    DD.dedup_incremental_minhash(
+        spark,
+        store,
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select("doc_id", "text"),
+    )
+    assert DD.delete_from_incremental_store(spark, store, [999999]) == 0
+    assert len(os.listdir(os.path.join(store, "payload"))) == 1  # compacted
