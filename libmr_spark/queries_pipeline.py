@@ -1356,3 +1356,135 @@ def dedup_incremental_minhash_compacted_q(spark, sf_dir):
         )
     assert DD.compact_incremental_store(spark, path) == 3
     return DD.dedup_incremental_minhash(spark, path, d.filter(src_num >= 15))
+
+
+# ------------------------------------------------------------------
+# Round 7: tokenize-to-ids shard prep + hashed linear quality scoring
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "token_id_encoding",
+    """
+    WITH tok AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)),
+    vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY n DESC, token ASC) AS id
+        FROM (SELECT token, count(*) AS n FROM tok GROUP BY token
+              HAVING count(*) >= 5)),
+    enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(pos * id) AS BIGINT) AS ids_checksum
+    FROM enc GROUP BY doc_id
+    """,
+    "tokenize-to-ids shard preparation — the step that turns a curated "
+    "corpus into training shards: the vocabulary is frequency-ranked "
+    "(count >= 5 floor, ties broken by token — the same two-knob "
+    "recipe as vocab_coverage_cutoff), each document's token stream "
+    "becomes its id sequence (OOV -> 0), and the gate pins the FULL "
+    "sequence per doc via the order-weighted integer checksum "
+    "sum(pos * id) — any id at any position changing breaks the hash, "
+    "without shipping 60k-wide arrays through the canonicalizer. "
+    "Scale shape: the vocab is Heaps-law bounded and BROADCAST (its "
+    "rank window runs over post-aggregate vocab rows, never corpus "
+    "rows); encoding is a map-side broadcast-hash join + one partial "
+    "agg on doc_id — the whole corpus is touched exactly once, all "
+    "integer arithmetic.",
+)
+def token_id_encoding_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 5)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    vocab = counts.select("token", F.row_number().over(w).alias("id"))
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.sum(F.col("pos") * F.col("id")).cast("bigint").alias("ids_checksum"),
+    )
+
+
+_QC_BUCKETS = 1024
+
+
+@defquery(
+    "quality_classifier_hashed",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('w:' ||
+                 (CAST(('0x' || substr(md5(token), 1, 6)) AS BIGINT) % {_QC_BUCKETS})
+               ), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS w_sum,
+           round(1.0 / (1.0 + exp(-(CAST(SUM(w) AS DOUBLE)
+                 / (1000.0 * count(*))))), 6) AS score
+    FROM feat GROUP BY doc_id
+    """,
+    "hashed linear quality classifier — the fasttext-shaped scorer "
+    "curation pipelines run over every crawl document: each token "
+    "hashes to one of 1024 feature buckets (md5 -> bucket), each "
+    "bucket carries a weight, the doc's logit is the mean bucket "
+    "weight and the score its sigmoid. Weights here are md5-DERIVED "
+    "INTEGERS in [-1000, 1000] (a deterministic stand-in — a trained "
+    "model is just a different 1024-entry broadcast table; the "
+    "architecture is identical), which makes the logit numerator an "
+    "integer SUM — order-free under partial aggregation at any "
+    "cluster size, so only ONE double division + exp + round happens "
+    "per doc, in a fixed op order both engines replay. Whole pipeline "
+    "is JVM expressions (md5 + conv + integer ops): corpus touched "
+    "once, one partial agg, zero Python, zero joins.",
+)
+def quality_classifier_hashed_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    bucket = F.conv(F.substring(F.md5("token"), 1, 6), 16, 10).cast("bigint") % _QC_BUCKETS
+    wgt = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    feat = tok.select("doc_id", wgt.alias("w"))
+    return feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("w_sum"),
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.sum("w").cast("double")
+                        / (F.lit(1000.0) * F.count(F.lit(1)))
+                    )
+                )
+            ),
+            6,
+        ).alias("score"),
+    )
