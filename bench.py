@@ -130,6 +130,13 @@ HEADLINE = [
     "streaming_incremental_dedup",
     "time_decayed_user_score",
     "dedup_incremental_embedding",
+    # round-7 additions (store lifecycle + tokenizer-aware prep)
+    "sequence_packing_subword",
+    "dedup_incremental_embedding_int8",
+    "knn_lsh_candidates",
+    "dedup_incremental_minhash_compacted",
+    "token_id_encoding",
+    "quality_classifier_hashed",
 ]
 
 
