@@ -28,6 +28,23 @@ def norm(a: Column) -> Column:
     )
 
 
+def symmetric_int8(v: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: ``(scale, qvec)`` with
+    ``scale = 127 / max|v_i|`` (0 for the zero vector) and
+    ``qvec_i = round(v_i * scale)`` — integral doubles in [-127, 127],
+    castable exactly to any narrower type. Per-VECTOR scale means no
+    store-level range state; cosine over ``qvec`` equals cosine over
+    the dequantized vector (scale-invariance per argument). Shared by
+    the int8 signature-store payload and the md5-plane ANN bucketing;
+    both engines replay it bit-identically (single division, round
+    half-away-from-zero)."""
+    dv = to_double_array(v)
+    absmax = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    qvec = F.transform(dv, lambda x: F.round(x * scale, 0))
+    return scale, qvec
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

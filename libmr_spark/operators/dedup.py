@@ -69,7 +69,14 @@ class _manifest_lock:
     """O_EXCL lock file guarding the manifest read-modify-write window.
     A lock left behind by a crashed committer is broken after
     ``stale_s`` seconds (mtime-based); acquisition past ``timeout_s``
-    raises rather than deadlocking silently."""
+    raises rather than deadlocking silently.
+
+    Stale-lock breaking is rename-first to close the TOCTOU race: the
+    breaker ``os.replace``-renames the stale lock to a unique name
+    before unlinking it, so when two waiters both decide the lock is
+    stale, exactly one rename succeeds — the loser's replace raises
+    (the source is gone) and it simply retries acquisition. A breaker
+    can therefore never unlink a lock another waiter just re-acquired."""
 
     def __init__(self, manifest_path: str, timeout_s: float = 30.0, stale_s: float = 300.0):
         self.path = manifest_path + ".lock"
@@ -79,6 +86,7 @@ class _manifest_lock:
     def __enter__(self):
         import os
         import time
+        import uuid
 
         deadline = time.monotonic() + self.timeout_s
         while True:
@@ -88,12 +96,13 @@ class _manifest_lock:
                 return self
             except FileExistsError:
                 try:
-                    age = time.time() - os.path.getmtime(self.path)
-                    if age > self.stale_s:
-                        os.unlink(self.path)  # break a crashed committer's lock
-                        continue
+                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                        # claim-then-remove: only one breaker wins the rename
+                        broken = f"{self.path}.broken-{uuid.uuid4().hex}"
+                        os.replace(self.path, broken)
+                        os.unlink(broken)
                 except OSError:
-                    continue  # holder released between exists and stat
+                    pass  # holder released, or another breaker won — retry
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"could not acquire store manifest lock {self.path} "
@@ -170,17 +179,17 @@ def compact_incremental_store(
 
     A crash before step 3 leaves the old manifest readable and the
     half-written compact directory invisible (orphaned, swept by the
-    next successful compaction's step 4a); a crash between 3 and 4
-    leaves stale-but-unlisted directories that readers never open.
+    next successful rewrite's step 4a); a crash between 3 and 4 leaves
+    stale-but-unlisted directories that readers never open and that the
+    next rewrite's grace-aged orphan sweep reclaims. Rewrites serialize
+    on a per-store rewrite lock (ingest commits are NOT blocked — they
+    only take the manifest lock for the milliseconds of the tag swap).
     Admission results are IDENTICAL before and after compaction: the
     row multiset per table is unchanged, only its directory layout.
     Returns the number of batch directories compacted away."""
-    manifest_path = _os_path_join(store_path, "_BATCHES")
-    snapshot = _manifest_read(manifest_path, None)
-    if len(snapshot) <= 1:
-        return 0
-    _rewrite_store(spark, store_path, snapshot, lambda df, table: df, tables)
-    return len(snapshot)
+    return len(
+        _rewrite_store(spark, store_path, lambda df, table: df, tables, min_batches=2)
+    )
 
 
 def delete_from_incremental_store(
@@ -202,18 +211,22 @@ def delete_from_incremental_store(
     ``ids``, written to one fresh directory per table, and atomically
     republished — a crash mid-rewrite leaves the old store intact (the
     docs then remain until the retry, matching every log-structured
-    table format's delete semantics). Batches committed concurrently
-    during the rewrite survive the swap untouched (they cannot contain
-    the target ids unless re-ingested, which is the caller's ordering
-    responsibility).
+    table format's delete semantics; a crash in the narrow window
+    between republish and sweep leaves the superseded — unlisted,
+    never-read — directories on disk until the next rewrite's
+    grace-aged orphan sweep reclaims them, so "no retained bytes"
+    holds once THIS call returns, and eventually after a crash).
+    Batches committed concurrently during the rewrite survive the swap
+    untouched (they cannot contain the target ids unless re-ingested,
+    which is the caller's ordering responsibility).
 
     ``ids``: a DataFrame with ``id_col``, or an iterable of id values.
     Returns the number of store documents deleted (payload rows)."""
+    import os
+
     from pyspark.sql import DataFrame as _DF
 
-    manifest_path = _os_path_join(store_path, "_BATCHES")
-    snapshot = _manifest_read(manifest_path, None)
-    if not snapshot:
+    if not os.path.exists(os.path.join(store_path, "_BATCHES")):
         return 0
     if not isinstance(ids, _DF):
         ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
@@ -228,47 +241,77 @@ def delete_from_incremental_store(
             )
         return df.join(F.broadcast(ids), id_col, "left_anti")
 
-    _rewrite_store(spark, store_path, snapshot, drop_ids, tables)
+    _rewrite_store(spark, store_path, drop_ids, tables, min_batches=1)
     return deleted["n"]
 
 
-def _rewrite_store(spark, store_path: str, snapshot: list, transform, tables: tuple) -> None:
-    """Shared crash-safe store rewrite: read the snapshot directories of
-    each table, apply ``transform(df, table)``, write ONE fresh
-    ``batch=compact-<uuid>`` directory, republish atomically (dropping
-    exactly the snapshot tags — concurrent commits survive), then sweep
-    superseded and crash-orphaned rewrite directories. Rewrite tags all
-    share the ``compact-`` prefix so the orphan sweep can distinguish
-    them from in-flight ingest batches (whose unpublished directories
-    must never be touched)."""
+#: A crashed rewriter's lock is broken — and unlisted non-rewrite
+#: orphan directories become sweepable — after this many seconds.
+#: Must exceed the longest plausible rewrite / ingest-commit window.
+_REWRITE_STALE_S = 3600.0
+
+
+def _rewrite_store(
+    spark, store_path: str, transform, tables: tuple, min_batches: int = 1
+) -> list:
+    """Shared crash-safe store rewrite: under the per-store REWRITE
+    lock (which serializes rewriters against each other — ingest
+    commits are unaffected), snapshot the manifest, read each table's
+    snapshot directories, apply ``transform(df, table)``, write ONE
+    fresh ``batch=compact-<uuid>`` directory, republish atomically
+    (dropping exactly the snapshot tags — concurrent ingest commits
+    survive), then sweep superseded and crash-orphaned directories.
+    Returns the snapshot tag list that was rewritten ([] if the store
+    has fewer than ``min_batches`` committed batches).
+
+    Sweep rules: (a) the snapshot tags just superseded; (b) unlisted
+    ``compact-``-prefixed dirs — always safe, because rewriters
+    serialize on the lock, so an unlisted rewrite dir can only be a
+    CRASHED rewriter's leftover, never a live one's in-flight write;
+    (c) unlisted non-rewrite dirs older than ``_REWRITE_STALE_S`` —
+    crash leftovers from an ingest commit or a prior rewrite's
+    interrupted sweep; younger ones are left alone since they may be
+    an in-flight ingest batch awaiting its manifest publish."""
     import os
     import shutil
+    import time
     import uuid
 
     manifest_path = os.path.join(store_path, "_BATCHES")
-    new_tag = "compact-" + uuid.uuid4().hex
-    present = [t for t in tables if os.path.isdir(os.path.join(store_path, t))]
-    for table in present:
-        src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
-        transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
-            os.path.join(store_path, table, f"batch={new_tag}")
-        )
-    _manifest_publish(manifest_path, None, add_tags=[new_tag], drop_tags=snapshot)
-    listed = set(_manifest_read(manifest_path, None))
-    for table in present:
-        tdir = os.path.join(store_path, table)
-        for t in snapshot:
-            shutil.rmtree(os.path.join(tdir, f"batch={t}"), ignore_errors=True)
-        for entry in os.listdir(tdir):
-            tag = entry.removeprefix("batch=")
-            if tag.startswith("compact-") and tag not in listed:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
-
-
-def _os_path_join(*parts: str) -> str:
-    import os
-
-    return os.path.join(*parts)
+    with _manifest_lock(
+        os.path.join(store_path, "_REWRITE"),
+        timeout_s=60.0,
+        stale_s=_REWRITE_STALE_S,
+    ):
+        snapshot = _manifest_read(manifest_path, None)
+        if len(snapshot) < min_batches:
+            return []
+        new_tag = "compact-" + uuid.uuid4().hex
+        present = [t for t in tables if os.path.isdir(os.path.join(store_path, t))]
+        for table in present:
+            src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
+            transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
+                os.path.join(store_path, table, f"batch={new_tag}")
+            )
+        _manifest_publish(manifest_path, None, add_tags=[new_tag], drop_tags=snapshot)
+        listed = set(_manifest_read(manifest_path, None))
+        now = time.time()
+        for table in present:
+            tdir = os.path.join(store_path, table)
+            for t in snapshot:
+                shutil.rmtree(os.path.join(tdir, f"batch={t}"), ignore_errors=True)
+            for entry in os.listdir(tdir):
+                tag = entry.removeprefix("batch=")
+                if tag in listed:
+                    continue
+                path = os.path.join(tdir, entry)
+                try:
+                    aged = now - os.path.getmtime(path) > _REWRITE_STALE_S
+                except OSError:
+                    continue
+                if tag.startswith("compact-") or aged:
+                    shutil.rmtree(path, ignore_errors=True)
+    return snapshot
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1258,14 +1301,12 @@ def dedup_incremental_embedding(
         "overwrite"
     ).parquet(os.path.join(idx_path, f"batch={tag}"))
     if payload_int8:
-        v = F.col(vec_col).cast("array<double>")
-        absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-        scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+        from ..functions.vector import symmetric_int8
+
+        scale, qvec = symmetric_int8(F.col(vec_col))
         payload = admitted.select(
             id_col,
-            F.transform(v, lambda x: F.round(x * scale, 0))
-            .cast("array<tinyint>")
-            .alias("qvec"),
+            qvec.cast("array<tinyint>").alias("qvec"),
             scale.alias("scale"),
         )
     else:

@@ -57,12 +57,6 @@ def prefix_sum(
     import pandas as pd  # noqa: F401 — resolved by mapInPandas type hints
 
     spark = df.sparkSession
-    if df.filter(F.col(value_col).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"prefix_sum: value_col {value_col!r} contains NULLs; "
-            "fill or filter them first (e.g. fillna(0)) so the "
-            "null-as-zero convention is explicit at the call site"
-        )
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *order_cols)
@@ -70,8 +64,19 @@ def prefix_sum(
         .withColumn("__pid__", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # pass 2: P subtotal rows -> P starting offsets (driver-bounded)
-    subtotals = d.groupBy("__pid__").agg(F.sum(value_col).alias("__st__")).collect()
+    # pass 2: P subtotal rows -> P starting offsets (driver-bounded).
+    # The null guard piggybacks on this aggregate (count(value) vs
+    # count(*)) — zero extra passes over the data.
+    subtotals = d.groupBy("__pid__").agg(
+        F.sum(value_col).alias("__st__"),
+        (F.count(F.lit(1)) - F.count(value_col)).alias("__nulls__"),
+    ).collect()
+    if any(r["__nulls__"] for r in subtotals):
+        raise ValueError(
+            f"prefix_sum: value_col {value_col!r} contains NULLs; "
+            "fill or filter them first (e.g. fillna(0)) so the "
+            "null-as-zero convention is explicit at the call site"
+        )
     offsets: dict[int, int] = {}
     running = 0
     for r in sorted(subtotals, key=lambda r: r["__pid__"]):

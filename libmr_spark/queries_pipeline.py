@@ -1288,13 +1288,12 @@ def _md5_plane_coefs(planes: int, dim: int) -> list:
     "so query batches join co-located.",
 )
 def knn_lsh_candidates_q(spark, sf_dir):
+    from .functions.vector import symmetric_int8
+
     e = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
-    qv = F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
+    _, qvec = symmetric_int8(F.col("embedding"))
     coefs = _md5_plane_coefs(_KNN_CAND_PLANES, 64)
-    q8 = e.select("vec_id", qv.alias("qv"))
+    q8 = e.select("vec_id", qvec.cast("array<bigint>").alias("qv"))
     bucket = None
     for p, row in enumerate(coefs):
         dot = F.aggregate(

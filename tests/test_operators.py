@@ -1413,3 +1413,34 @@ def test_delete_from_store_empty_and_noop(spark, docs, tmp_path):
     )
     assert DD.delete_from_incremental_store(spark, store, [999999]) == 0
     assert len(os.listdir(os.path.join(store, "payload"))) == 1  # compacted
+
+
+def test_rewrite_sweep_grace_rules(spark, docs, tmp_path):
+    # sweep rules after a rewrite: a YOUNG unlisted non-compact dir (a
+    # possibly in-flight ingest batch) survives; an AGED one (crash
+    # leftover) and any unlisted compact- dir are reclaimed.
+    import os
+    import time
+
+    store = str(tmp_path / "mh_sweep")
+    for lo in (0, 40):
+        DD.dedup_incremental_minhash(
+            spark,
+            store,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)).select(
+                "doc_id", "text"
+            ),
+        )
+    idx = os.path.join(store, "index")
+    young = os.path.join(idx, "batch=inflight01")
+    aged = os.path.join(idx, "batch=crashed02")
+    os.makedirs(young)
+    os.makedirs(aged)
+    old = time.time() - 2 * DD._REWRITE_STALE_S
+    os.utime(aged, (old, old))
+
+    assert DD.compact_incremental_store(spark, store) == 2
+    entries = set(os.listdir(idx))
+    assert "batch=inflight01" in entries  # young unlisted: untouched
+    assert "batch=crashed02" not in entries  # aged unlisted: reclaimed
+    assert len(entries) == 2  # compact dir + the in-flight survivor
