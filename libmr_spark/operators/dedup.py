@@ -233,9 +233,12 @@ def delete_from_incremental_store(
     ids = ids.select(id_col).distinct()
 
     deleted = {"n": 0}
+    # the doc-count table: one row per stored doc ("payload" in the
+    # near-dup stores, the only table in the exact-fp store)
+    count_table = "payload" if "payload" in tables else tables[0]
 
     def drop_ids(df, table):
-        if table == "payload":
+        if table == count_table:
             deleted["n"] = (
                 df.join(F.broadcast(ids), id_col, "left_semi").count()
             )
@@ -1034,25 +1037,43 @@ def dedup_incremental_exact(
     history table is O(|corpus|) fingerprints (16-byte hashes, not
     text), each ingest batch costs one agg over the batch plus one
     anti-join against the history — never a recompute over the
-    accumulated corpus text — and the history grows append-only (the
-    append is the only write; at warehouse scale it is bucketed by
-    fingerprint prefix so the anti-join is co-located). The same
-    incremental shape applies to MinHash/SimHash histories: persist
-    signatures instead of fingerprints and swap the anti-join for the
-    banding join; the admission logic is identical.
+    accumulated corpus text — and the history grows append-only (at
+    warehouse scale it is bucketed by fingerprint prefix so the
+    anti-join is co-located). The same incremental shape applies to
+    MinHash/SimHash histories: persist signatures instead of
+    fingerprints and swap the anti-join for the banding join; the
+    admission logic is identical.
+
+    The history commits through the SAME atomic ``_BATCHES`` manifest
+    as the minhash/embedding stores (``fps/batch=<tag>`` directories,
+    tag published last): a raw ``mode("append")`` parquet write would
+    make a crashed append VISIBLE — its partial part-files land in the
+    listing immediately, so the retry would self-reject the batch's
+    docs against fingerprints that were never acknowledged as
+    admitted, silently LOSING those docs. With the manifest, a torn
+    batch is invisible and replay re-admits identically; it also makes
+    :func:`compact_incremental_store` and
+    :func:`delete_from_incremental_store` work on this store
+    unchanged (``tables=("fps",)``, ``id_col`` for takedown).
 
     Returns the admitted rows (id, fp). First call bootstraps an empty
     history.
     """
     import os
+    import uuid
 
+    manifest_path = os.path.join(fp_table_path, "_BATCHES")
+    params = {"kind": "exact-fp"}
     batch_fp = (
         batch.withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    if os.path.exists(os.path.join(fp_table_path, "_SUCCESS")):
-        history = spark.read.parquet(fp_table_path)
+    tags = _manifest_read(manifest_path, params)
+    if tags:
+        history = spark.read.parquet(
+            *[os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
+        )
         admitted = batch_fp.join(history.select("fp"), "fp", "left_anti")
     else:
         admitted = batch_fp
@@ -1061,7 +1082,11 @@ def dedup_incremental_exact(
     # fingerprints (self-rejection), and the caller's action should not
     # recompute the admission work a second time
     admitted = admitted.localCheckpoint(eager=True)
-    admitted.select("fp").write.mode("append").parquet(fp_table_path)
+    tag = uuid.uuid4().hex
+    admitted.select("fp", id_col).write.mode("overwrite").parquet(
+        os.path.join(fp_table_path, "fps", f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted
 
 

@@ -3585,7 +3585,11 @@ _NEWEST = [
     "dedup_winnowing", "table_profile_orders", "zscore_outlier_events",
     "window_percent_rank_cume", "sink_partitioned_roundtrip",
     "sink_orc_roundtrip", "sink_csv_roundtrip",
-    "text_repetition_stats", "text_unigram_logprob",
+    "text_repetition_stats",
+    # code-changed this round (exact store moved onto the _BATCHES
+    # manifest protocol) — re-gates per the rotation rule, displacing
+    # the last backfill slot (text_unigram_logprob, r3-green, next round)
+    "dedup_incremental_exact",
 ]
 
 

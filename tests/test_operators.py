@@ -1444,3 +1444,39 @@ def test_rewrite_sweep_grace_rules(spark, docs, tmp_path):
     assert "batch=inflight01" in entries  # young unlisted: untouched
     assert "batch=crashed02" not in entries  # aged unlisted: reclaimed
     assert len(entries) == 2  # compact dir + the in-flight survivor
+
+
+def test_exact_store_torn_batch_invisible_and_maintainable(spark, docs, tmp_path):
+    # the exact-fp store now shares the manifest protocol: a torn batch
+    # (dirs written, tag never published) is invisible and replay
+    # re-admits; compaction and takedown work on it unchanged.
+    import json
+    import os
+
+    store = str(tmp_path / "fp_store")
+    base = docs.limit(30).select("doc_id", "text")
+    assert DD.dedup_incremental_exact(spark, store, base).count() == 30
+
+    batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
+        "doc_id", "text"
+    )
+    assert DD.dedup_incremental_exact(spark, store, batch).count() == 10
+    manifest = os.path.join(store, "_BATCHES")
+    m = json.load(open(manifest))
+    assert len(m["batches"]) == 2
+    # simulate the crash: un-publish the second batch's tag
+    with open(manifest, "w") as f:
+        json.dump({"batches": m["batches"][:1], "params": m["params"]}, f)
+    assert DD.dedup_incremental_exact(spark, store, batch).count() == 10  # re-admitted
+
+    # maintenance on the exact store: compact 2 live batches -> 1
+    # (the young orphaned torn dir is left for grace-aged sweep)
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
+    assert len(json.load(open(manifest))["batches"]) == 1
+    # takedown by doc_id, then the SAME text under a new id is admitted
+    n = DD.delete_from_incremental_store(
+        spark, store, [batch.first().doc_id], tables=("fps",)
+    )
+    assert n == 1
+    replay_one = batch.limit(1).select((F.col("doc_id") + 777000).alias("doc_id"), "text")
+    assert DD.dedup_incremental_exact(spark, store, replay_one).count() == 1
