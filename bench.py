@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_incremental_minhash_compacted",
     "token_id_encoding",
     "quality_classifier_hashed",
+    "streaming_incremental_embedding",
 ]
 
 

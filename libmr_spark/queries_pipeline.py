@@ -1487,3 +1487,85 @@ def quality_classifier_hashed_q(spark, sf_dir):
             6,
         ).alias("score"),
     )
+
+
+@defquery(
+    "streaming_incremental_embedding",
+    """
+    WITH n AS (SELECT (max(vec_id) + 4) // 4 AS span FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id
+    FROM embeddings, n WHERE vec_id % 10 = 1 AND vec_id >= 3 * span
+    """,
+    "the continuous-ingest loop for the VECTOR leg, end-to-end through "
+    "Structured Streaming: the embedding table arrives as four "
+    "id-ordered chunks (ascending mtimes, deterministic oldest-first "
+    "source order), each micro-batch drains through foreachBatch into "
+    "dedup_incremental_embedding against the persisted sign-LSH "
+    "store. EXACT COPIES of every vec_id%10==1 vector ride along in "
+    "the LAST chunk under shifted ids: copies whose original streamed "
+    "in an earlier chunk are rejected (original is history — every "
+    "banding bucket matches, cosine 1.0, certain rejection); copies "
+    "whose original shares the last chunk are ADMITTED (admission is "
+    "vs HISTORY only — the documented same-batch semantic, proved "
+    "here at the gate rather than just documented). Originals all "
+    "admit (max natural cross-cosine 0.49 on this table, no "
+    "0.9-boundary pairs). The oracle is the closed-form admitted set; "
+    "nothing in it depends on float summation or LSH luck, so the "
+    "hash match pins the streaming loop's history semantics exactly.",
+)
+def streaming_incremental_embedding_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_emb_in", sf_dir)
+    store = _sink_dir("stream_emb_store", sf_dir)
+    results = _sink_dir("stream_emb_admitted", sf_dir)
+    for p in (srcdir, store, results):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = e.agg(F.max("vec_id")).first()[0]  # 1-row driver scalar
+    span = (max_id + 4) // 4
+    copies = e.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    base_t = 1_700_000_000
+    for k in range(4):
+        chunk = e.filter(
+            (F.col("vec_id") >= k * span) & (F.col("vec_id") < (k + 1) * span)
+        )
+        if k == 3:
+            chunk = chunk.unionByName(copies)
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        admitted = DD.dedup_incremental_embedding(bdf.sparkSession, store, bdf)
+        admitted.write.mode("append").parquet(results)
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_sie_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results).select("vec_id")
