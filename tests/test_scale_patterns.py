@@ -421,3 +421,72 @@ def test_mg_bound_randomized_zipf(spark):
         guaranteed = {k for k, c in counts.items() if c > n / (cap + 1)}
         assert guaranteed <= cand, f"seed={seed}: missing {guaranteed - cand}"
         assert len(cand) <= cap * parts
+
+
+def test_store_lifecycle_random_interleaving_matches_model(spark, tmp_path):
+    # seeded randomized cross-check of the exact-fp store lifecycle:
+    # a random interleaving of ingest / compact / delete is replayed
+    # against a pure-python model (dict fp -> doc_id, with hashlib
+    # computing the SAME fingerprint as the Spark-side md5 pipeline);
+    # after every operation the store's live content must equal the
+    # model exactly.
+    import hashlib
+    import json
+    import os
+    import random
+    import re
+
+    from libmr_spark.operators import dedup as DD
+
+    def py_fp(text: str) -> str:
+        return hashlib.md5(re.sub(r"\s+", " ", text.strip().lower()).encode()).hexdigest()
+
+    docs = {i: f"Unique Text {i} payload {i * 7} tail{i % 13}" for i in range(120)}
+    store = str(tmp_path / "fp_model_store")
+    model: dict = {}  # fp -> admitted doc_id
+    rng = random.Random(42)
+
+    def live_rows():
+        tags = DD._manifest_read(os.path.join(store, "_BATCHES"), None)
+        if not tags:
+            return set()
+        df = spark.read.parquet(
+            *[os.path.join(store, "fps", f"batch={t}") for t in tags]
+        )
+        return {(r.fp, r.doc_id) for r in df.collect()}
+
+    ops = []
+    for step in range(12):
+        op = rng.choice(["ingest", "ingest", "ingest", "compact", "delete"])
+        ops.append(op)
+        if op == "ingest":
+            ids = rng.sample(sorted(docs), rng.randint(1, 30))
+            batch = spark.createDataFrame(
+                [(i, docs[i]) for i in ids], "doc_id long, text string"
+            )
+            admitted = {
+                r.doc_id
+                for r in DD.dedup_incremental_exact(spark, store, batch).collect()
+            }
+            expect = {i for i in ids if py_fp(docs[i]) not in model}
+            assert admitted == expect, (step, op)
+            for i in expect:
+                model[py_fp(docs[i])] = i
+        elif op == "compact":
+            DD.compact_incremental_store(spark, store, tables=("fps",))
+        else:  # delete
+            stored_ids = sorted(model.values())
+            if not stored_ids:
+                continue
+            victims = rng.sample(stored_ids, rng.randint(1, min(10, len(stored_ids))))
+            n = DD.delete_from_incremental_store(
+                spark, store, victims, tables=("fps",)
+            )
+            assert n == len(victims), (step, op)
+            model = {fp: i for fp, i in model.items() if i not in victims}
+        assert live_rows() == {(fp, i) for fp, i in model.items()}, (step, op)
+
+    assert "delete" in ops and "compact" in ops  # the schedule exercised all ops
+    # manifest stays parseable and params survive every rewrite
+    m = json.load(open(os.path.join(store, "_BATCHES")))
+    assert m["params"] == {"kind": "exact-fp"}
