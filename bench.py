@@ -138,6 +138,7 @@ HEADLINE = [
     "token_id_encoding",
     "quality_classifier_hashed",
     "streaming_incremental_embedding",
+    "boilerplate_ngram_coverage",
 ]
 
 

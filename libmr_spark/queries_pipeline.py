@@ -1569,3 +1569,85 @@ def streaming_incremental_embedding_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(results).select("vec_id")
+
+
+@defquery(
+    "boilerplate_ngram_coverage",
+    """
+    WITH base AS (
+      SELECT doc_id, t, len(t) AS n FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents)),
+    sh AS (
+      SELECT doc_id, n, u['pos'] AS pos, u['sh'] AS sh FROM (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+                 i -> struct_pack(pos := i,
+                                  sh := array_to_string(t[i:i+7], ' ')))) AS u
+        FROM base)),
+    hot AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 3),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + ofs.o AS cp
+      FROM sh s JOIN hot USING (sh)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS o) ofs),
+    per_doc AS (
+      SELECT doc_id, count(*) AS ncov FROM cov GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.ncov, 0) AS BIGINT) AS n_boilerplate_tokens,
+           round(CAST(coalesce(p.ncov, 0) AS DOUBLE) / b.n, 6) AS boilerplate_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "corpus-level boilerplate coverage — the C4/Gopher repeated-"
+    "substring filter at 8-gram granularity: an 8-gram appearing in "
+    ">= 3 DISTINCT documents is boilerplate (navigation chrome, "
+    "license headers, templated text); each document reports how many "
+    "of its token positions any hot 8-gram covers (interval union "
+    "computed as distinct covered positions — exact, no double-count "
+    "of overlapping occurrences) and the coverage fraction curation "
+    "thresholds on. Plan: one shingle explode (corpus-linear), a hash "
+    "agg for the hot set (bounded by true repetition volume, "
+    "broadcast), one semi join + bounded 8x position explode + "
+    "distinct — no all-pairs anywhere, the same df-cap shape as "
+    "ngram_jaccard's index. Integer positions end-to-end; the single "
+    "double division is the last op before round.",
+)
+def boilerplate_ngram_coverage_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).withColumn("n", F.size("t"))
+    sh = base.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(n - 7, 0)), "
+                "i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("pos0", "sh"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh")
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("sh")
+    )
+    cov = (
+        sh.join(F.broadcast(hot), "sh")
+        .select("doc_id", F.explode(F.expr("sequence(pos, pos + 7)")).alias("cp"))
+        .distinct()
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ncov"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce("ncov", F.lit(0)).cast("bigint").alias("n_boilerplate_tokens"),
+            F.round(
+                F.coalesce("ncov", F.lit(0)).cast("double") / F.col("n"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
