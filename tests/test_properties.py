@@ -145,3 +145,31 @@ def test_slot_col_expr_spark_parity(spark):
         .first()
     )
     assert null_row.u is None and null_row.e is None
+
+
+def test_manifest_publish_cross_process_no_lost_update(tmp_path):
+    # the manifest lock is a FILESYSTEM contract (O_EXCL), so prove it
+    # across real processes, not just threads: 6 processes each publish
+    # 5 tags concurrently; every tag must survive and the manifest must
+    # remain parseable. No SparkSession needed — publication is pure
+    # file I/O.
+    import json
+    import multiprocessing as mp
+
+    from libmr_spark.operators.dedup import _manifest_publish
+
+    mp_ctx = mp.get_context("fork")
+    manifest = str(tmp_path / "_BATCHES")
+
+    def worker(wid):
+        for j in range(5):
+            _manifest_publish(manifest, {"p": 1}, add_tags=[f"w{wid}-{j}"])
+
+    procs = [mp_ctx.Process(target=worker, args=(w,)) for w in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    tags = json.load(open(manifest))["batches"]
+    assert sorted(tags) == sorted(f"w{w}-{j}" for w in range(6) for j in range(5))
