@@ -139,6 +139,7 @@ HEADLINE = [
     "quality_classifier_hashed",
     "streaming_incremental_embedding",
     "boilerplate_ngram_coverage",
+    "incremental_agg_retract",
 ]
 
 

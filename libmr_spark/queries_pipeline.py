@@ -1651,3 +1651,85 @@ def boilerplate_ngram_coverage_q(spark, sf_dir):
             ).alias("boilerplate_frac"),
         )
     )
+
+
+@defquery(
+    "incremental_agg_retract",
+    """
+    WITH final_events AS (
+      SELECT event_type, value FROM events
+      WHERE user_id % 20 < 15 AND NOT (user_id % 5 = 2)
+      UNION ALL
+      SELECT event_type, value FROM events WHERE user_id % 20 >= 15)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM final_events GROUP BY event_type
+    """,
+    "DELETION-AWARE incremental aggregate maintenance — the "
+    "retraction half of CDC that incremental_agg_refresh (append-only) "
+    "deliberately left out: a stored per-group partial-aggregate table "
+    "(n, DECIMAL sum) absorbs a delta batch carrying BOTH inserts "
+    "(+1) and retractions (-1, e.g. GDPR deletes or upstream "
+    "corrections) as one signed merge — n' = n + Σsign, "
+    "sum' = sum + Σ(sign·value) — with groups reaching n'=0 dropped. "
+    "Because count and DECIMAL sum are abelian-group aggregates "
+    "(invertible), the merge costs O(|delta| groups), never a base "
+    "rescan; derived measures (avg) recompute from the maintained "
+    "moments at read time. Retractions must be rows previously "
+    "inserted — the caller's CDC contract. The oracle aggregates the "
+    "final event multiset from scratch: maintained state must equal "
+    "recomputation exactly, which DECIMAL's associativity guarantees "
+    "under any partial-agg order. Non-invertible aggregates (MIN/MAX, "
+    "distinct) need the 2-pass or sketch forms instead — see "
+    "heavy_hitters_2pass / distinct_users_rolling_hll.",
+)
+def incremental_agg_retract_q(spark, sf_dir):
+    import shutil
+
+    from .queries_ext import _sink_dir
+
+    dec = "decimal(18,6)"
+    path = _sink_dir("agg_retract_state", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+
+    base = e.filter(F.col("user_id") % 20 < 15)
+    stored = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("sum_value"),
+    )
+    stored.write.mode("overwrite").parquet(path)
+
+    retract = base.filter(F.col("user_id") % 5 == 2).select(
+        "event_type", F.lit(-1).alias("sign"), "value"
+    )
+    insert = e.filter(F.col("user_id") % 20 >= 15).select(
+        "event_type", F.lit(1).alias("sign"), "value"
+    )
+    delta = retract.unionByName(insert).groupBy("event_type").agg(
+        F.sum("sign").cast("bigint").alias("dn"),
+        F.sum(F.col("sign").cast(dec) * F.col("value").cast(dec)).alias("dsum"),
+    )
+
+    st = spark.read.parquet(path)
+    merged = (
+        st.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("sum_value"), F.lit(0).cast(dec))
+                + F.coalesce(F.col("dsum"), F.lit(0).cast(dec))
+            ).cast(dec).alias("sum_raw"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("sum_raw").cast("double").alias("sum_value"),
+        F.round(F.col("sum_raw").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
