@@ -140,6 +140,7 @@ HEADLINE = [
     "streaming_incremental_embedding",
     "boilerplate_ngram_coverage",
     "incremental_agg_retract",
+    "dedup_incremental_minhash_deleted",
 ]
 
 

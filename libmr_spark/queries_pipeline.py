@@ -848,15 +848,15 @@ def token_budget_file_splits_q(spark, sf_dir):
 # ------------------------------------------------------------------
 
 
-def _incr_minhash_sql() -> str:
+def _incr_minhash_sql(hist_extra_pred: str = "") -> str:
     from .queries import _SHINGLE_SQL
 
-    return _SHINGLE_SQL + """,
+    return _SHINGLE_SQL + f""",
 ex AS MATERIALIZED (
   SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn,
          len(shingles) AS sz, unnest(shingles) AS shingle
   FROM sh JOIN documents USING (doc_id)),
-hist AS (SELECT * FROM ex WHERE srcn < 15),
+hist AS (SELECT * FROM ex WHERE srcn < 15{hist_extra_pred}),
 batch AS (SELECT * FROM ex WHERE srcn >= 15),
 pairs AS (
   SELECT b.doc_id AS bid,
@@ -1733,3 +1733,59 @@ def incremental_agg_retract_q(spark, sf_dir):
         F.col("sum_raw").cast("double").alias("sum_value"),
         F.round(F.col("sum_raw").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@defquery(
+    "dedup_incremental_minhash_deleted",
+    _incr_minhash_sql().split(",\nex AS MATERIALIZED")[0] + """
+    SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS sz
+    FROM sh s JOIN documents d USING (doc_id)
+    WHERE CAST(substr(d.source, 4) AS INT) >= 15
+    """,
+    "takedown-invariance proof at the gate: the dedup_incremental_"
+    "minhash scenario with a DELETE between bootstrap and ingest — "
+    "delete_from_incremental_store removes EVERY history doc holding a "
+    "cross-set near-dup partner (exact Jaccard >= 0.8, computed "
+    "independently by ngram_jaccard_pairs) from index AND payload via "
+    "the crash-safe rewrite, then the ingest batch admits against the "
+    "reduced store. With every blocker gone the admitted set is "
+    "closed-form — ALL batch docs — which the base query provably is "
+    "NOT (it rejects the batch's near-dups of history), so a hash "
+    "match proves deletion removed exactly the targeted docs\' "
+    "blocking power. Banding recall cannot blur the compare: deleting "
+    "all exact-threshold blockers leaves no qualifying pair for LSH "
+    "to find or miss. Together with dedup_incremental_minhash_"
+    "compacted this puts the full store lifecycle — append, compact, "
+    "delete — under cross-engine oracle proof, not just pytest.",
+)
+def dedup_incremental_minhash_deleted_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("minhash_history_deleted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    hist = d.filter(src_num < 15)
+    batch = d.filter(src_num >= 15)
+    DD.dedup_incremental_minhash(spark, path, hist)
+    # every history-side member of a cross-set near-dup pair (pairs are
+    # id-ordered, so the history doc can sit on either side)
+    pairs = DD.ngram_jaccard_pairs(d.select("doc_id", "text"), threshold=0.8)
+    hid = hist.select(F.col("doc_id").alias("h"))
+    bid = batch.select(F.col("doc_id").alias("b"))
+    via_a = (
+        pairs.join(hid, pairs.id_a == hid.h, "left_semi")
+        .join(bid, pairs.id_b == bid.b, "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+    )
+    via_b = (
+        pairs.join(hid, pairs.id_b == hid.h, "left_semi")
+        .join(bid, pairs.id_a == bid.b, "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+    )
+    victims = via_a.unionByName(via_b).distinct()
+    DD.delete_from_incremental_store(spark, path, victims)
+    return DD.dedup_incremental_minhash(spark, path, batch)
