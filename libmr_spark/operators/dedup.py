@@ -66,58 +66,55 @@ def _manifest_read(manifest_path: str, params: dict | None) -> list:
 
 
 class _manifest_lock:
-    """O_EXCL lock file guarding the manifest read-modify-write window.
-    A lock left behind by a crashed committer is broken after
-    ``stale_s`` seconds (mtime-based); acquisition past ``timeout_s``
-    raises rather than deadlocking silently.
+    """``flock``-based lock guarding the manifest read-modify-write
+    window (and, on a separate path, serializing store rewrites). The
+    kernel owns the lock state and releases it when the holder's fd
+    closes — including on process crash — so there is NO stale-lock
+    problem and no mtime-based breaking at all. Earlier revisions used
+    an O_EXCL lock file with staleness breaking; every variant of
+    "stat, decide stale, remove" has a TOCTOU window in which a
+    breaker can remove a lock a new holder just acquired, and flock
+    eliminates the whole class. The lock FILE persists on disk after
+    release (harmless — only the kernel lock matters); local-fs
+    semantics are all this deployment needs, and the warehouse-scale
+    swap (a table format's optimistic metadata CAS) is documented on
+    the manifest section comment. Acquisition past ``timeout_s``
+    raises rather than deadlocking silently."""
 
-    Stale-lock breaking is rename-first to close the TOCTOU race: the
-    breaker ``os.replace``-renames the stale lock to a unique name
-    before unlinking it, so when two waiters both decide the lock is
-    stale, exactly one rename succeeds — the loser's replace raises
-    (the source is gone) and it simply retries acquisition. A breaker
-    can therefore never unlink a lock another waiter just re-acquired."""
-
-    def __init__(self, manifest_path: str, timeout_s: float = 30.0, stale_s: float = 300.0):
+    def __init__(self, manifest_path: str, timeout_s: float = 30.0):
         self.path = manifest_path + ".lock"
         self.timeout_s = timeout_s
-        self.stale_s = stale_s
+        self._fd = None
 
     def __enter__(self):
+        import fcntl
         import os
         import time
-        import uuid
 
+        self._fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + self.timeout_s
         while True:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return self
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
-                        # claim-then-remove: only one breaker wins the rename
-                        broken = f"{self.path}.broken-{uuid.uuid4().hex}"
-                        os.replace(self.path, broken)
-                        os.unlink(broken)
-                except OSError:
-                    pass  # holder released, or another breaker won — retry
+            except (BlockingIOError, InterruptedError):
                 if time.monotonic() > deadline:
+                    os.close(self._fd)
+                    self._fd = None
                     raise TimeoutError(
                         f"could not acquire store manifest lock {self.path} "
-                        f"within {self.timeout_s}s (concurrent committer "
-                        "stuck, or raise stale_s if it crashed)"
+                        f"within {self.timeout_s}s (a concurrent holder is "
+                        "live — a crashed holder's lock is released by the "
+                        "kernel automatically)"
                     )
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
         import os
 
-        try:
-            os.unlink(self.path)
-        except OSError:
-            pass
+        if self._fd is not None:
+            os.close(self._fd)  # closing the fd releases the flock
+            self._fd = None
         return False
 
 
@@ -248,9 +245,10 @@ def delete_from_incremental_store(
     return deleted["n"]
 
 
-#: A crashed rewriter's lock is broken — and unlisted non-rewrite
-#: orphan directories become sweepable — after this many seconds.
-#: Must exceed the longest plausible rewrite / ingest-commit window.
+#: Unlisted non-rewrite orphan directories (crash leftovers from an
+#: ingest commit or an interrupted sweep) become sweepable after this
+#: many seconds. Must exceed the longest plausible ingest-commit
+#: window (write dirs → publish tag).
 _REWRITE_STALE_S = 3600.0
 
 
@@ -258,39 +256,54 @@ def _rewrite_store(
     spark, store_path: str, transform, tables: tuple, min_batches: int = 1
 ) -> list:
     """Shared crash-safe store rewrite: under the per-store REWRITE
-    lock (which serializes rewriters against each other — ingest
-    commits are unaffected), snapshot the manifest, read each table's
-    snapshot directories, apply ``transform(df, table)``, write ONE
-    fresh ``batch=compact-<uuid>`` directory, republish atomically
-    (dropping exactly the snapshot tags — concurrent ingest commits
-    survive), then sweep superseded and crash-orphaned directories.
-    Returns the snapshot tag list that was rewritten ([] if the store
-    has fewer than ``min_batches`` committed batches).
+    lock (a kernel-held flock serializing rewriters against each other
+    — a crashed rewriter's lock auto-releases; ingest commits are
+    unaffected), snapshot the manifest, read each table's snapshot
+    directories, apply ``transform(df, table)``, write ONE fresh
+    ``batch=compact-<uuid>`` directory, republish atomically (dropping
+    exactly the snapshot tags — concurrent ingest commits survive),
+    then sweep superseded and crash-orphaned directories. Returns the
+    snapshot tag list that was rewritten ([] if the store has fewer
+    than ``min_batches`` committed batches).
 
-    Sweep rules: (a) the snapshot tags just superseded; (b) unlisted
-    ``compact-``-prefixed dirs — always safe, because rewriters
-    serialize on the lock, so an unlisted rewrite dir can only be a
-    CRASHED rewriter's leftover, never a live one's in-flight write;
-    (c) unlisted non-rewrite dirs older than ``_REWRITE_STALE_S`` —
-    crash leftovers from an ingest commit or a prior rewrite's
-    interrupted sweep; younger ones are left alone since they may be
-    an in-flight ingest batch awaiting its manifest publish."""
+    Sweep rules: (a) the snapshot tags just superseded — removed
+    IMMEDIATELY, because takedown deletion must not retain bytes for a
+    grace period; the accepted consequence is that an admission READ
+    that straddles the rewrite can hit a vanished file and must retry
+    (the retry sees the rewritten store; a warehouse table format's
+    snapshot isolation removes even that window — this is the same
+    tradeoff as a VACUUM with zero retention); (b) unlisted
+    ``compact-``-prefixed dirs — safe, because rewriters serialize on
+    the kernel lock, so an unlisted rewrite dir can only be a CRASHED
+    rewriter's leftover, never a live one's in-flight write; (c)
+    unlisted non-rewrite dirs older than ``_REWRITE_STALE_S`` — crash
+    leftovers from an ingest commit or a prior rewrite's interrupted
+    sweep; younger ones are left alone since they may be an in-flight
+    ingest batch awaiting its manifest publish.
+
+    Raises if a non-empty store has NONE of the requested tables on
+    disk — publishing a data-less compact tag there would silently
+    unlink the whole history (e.g. calling compaction on an exact-fp
+    store with the near-dup stores' default ``tables``)."""
     import os
     import shutil
     import time
     import uuid
 
     manifest_path = os.path.join(store_path, "_BATCHES")
-    with _manifest_lock(
-        os.path.join(store_path, "_REWRITE"),
-        timeout_s=60.0,
-        stale_s=_REWRITE_STALE_S,
-    ):
+    with _manifest_lock(os.path.join(store_path, "_REWRITE"), timeout_s=300.0):
         snapshot = _manifest_read(manifest_path, None)
         if len(snapshot) < min_batches:
             return []
         new_tag = "compact-" + uuid.uuid4().hex
         present = [t for t in tables if os.path.isdir(os.path.join(store_path, t))]
+        if not present:
+            raise ValueError(
+                f"store rewrite at {store_path}: none of the requested "
+                f"tables {tables} exists on disk — wrong `tables` for "
+                "this store's layout (rewriting anyway would publish a "
+                "data-less manifest and orphan the entire history)"
+            )
         for table in present:
             src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
             transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
@@ -1064,6 +1077,19 @@ def dedup_incremental_exact(
 
     manifest_path = os.path.join(fp_table_path, "_BATCHES")
     params = {"kind": "exact-fp"}
+    if not os.path.exists(manifest_path) and os.path.exists(
+        os.path.join(fp_table_path, "_SUCCESS")
+    ):
+        # pre-manifest layout (flat parquet + _SUCCESS): reading it as
+        # an empty store would silently re-admit every historical dup —
+        # refuse and name the migration instead
+        raise ValueError(
+            f"legacy exact-fp store layout at {fp_table_path} (flat "
+            "parquet, no _BATCHES manifest): migrate by moving the "
+            "parquet files into fps/batch=<tag>/ and writing "
+            '{"batches": ["<tag>"], "params": {"kind": "exact-fp"}} '
+            "to _BATCHES"
+        )
     batch_fp = (
         batch.withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")

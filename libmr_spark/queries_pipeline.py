@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import QUERIES, _t, defquery  # noqa: F401
+from .queries import QUERIES, _SHINGLE_SQL, _t, defquery  # noqa: F401
 
 # ------------------------------------------------------------------
 # 1. Exact-substring dedup (span-level cross-doc repetition)
@@ -848,15 +848,15 @@ def token_budget_file_splits_q(spark, sf_dir):
 # ------------------------------------------------------------------
 
 
-def _incr_minhash_sql(hist_extra_pred: str = "") -> str:
+def _incr_minhash_sql() -> str:
     from .queries import _SHINGLE_SQL
 
-    return _SHINGLE_SQL + f""",
+    return _SHINGLE_SQL + """,
 ex AS MATERIALIZED (
   SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn,
          len(shingles) AS sz, unnest(shingles) AS shingle
   FROM sh JOIN documents USING (doc_id)),
-hist AS (SELECT * FROM ex WHERE srcn < 15{hist_extra_pred}),
+hist AS (SELECT * FROM ex WHERE srcn < 15),
 batch AS (SELECT * FROM ex WHERE srcn >= 15),
 pairs AS (
   SELECT b.doc_id AS bid,
@@ -1618,13 +1618,17 @@ def boilerplate_ngram_coverage_q(spark, sf_dir):
     base = d.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).withColumn("n", F.size("t"))
+    # n < 8 must yield NO shingles: sequence(1, 0) would produce the
+    # DESCENDING [1, 0] (and slice(t, 0, 8) throws), so gate on n >= 8
+    # explicitly — matching the oracle's empty range()
     sh = base.select(
         "doc_id",
         "n",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(n - 7, 0)), "
-                "i -> concat_ws(' ', slice(t, i, 8)))"
+                "CASE WHEN n >= 8 THEN transform(sequence(1, n - 7), "
+                "i -> concat_ws(' ', slice(t, i, 8))) "
+                "ELSE array() END"
             )
         ).alias("pos0", "sh"),
     ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh")
@@ -1737,7 +1741,7 @@ def incremental_agg_retract_q(spark, sf_dir):
 
 @defquery(
     "dedup_incremental_minhash_deleted",
-    _incr_minhash_sql().split(",\nex AS MATERIALIZED")[0] + """
+    _SHINGLE_SQL + """
     SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS sz
     FROM sh s JOIN documents d USING (doc_id)
     WHERE CAST(substr(d.source, 4) AS INT) >= 15
@@ -1773,7 +1777,9 @@ def dedup_incremental_minhash_deleted_q(spark, sf_dir):
     DD.dedup_incremental_minhash(spark, path, hist)
     # every history-side member of a cross-set near-dup pair (pairs are
     # id-ordered, so the history doc can sit on either side)
-    pairs = DD.ngram_jaccard_pairs(d.select("doc_id", "text"), threshold=0.8)
+    # max_df=None: the victim set must be EXACT — the default hot-shingle
+    # cap could hide a blocker pair whose shared shingles are all hot
+    pairs = DD.ngram_jaccard_pairs(d.select("doc_id", "text"), threshold=0.8, max_df=None)
     hid = hist.select(F.col("doc_id").alias("h"))
     bid = batch.select(F.col("doc_id").alias("b"))
     via_a = (

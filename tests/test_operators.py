@@ -1180,22 +1180,25 @@ def test_manifest_publish_is_lost_update_free(tmp_path):
     assert set(tags) <= set(final) and len(final) == len(set(final))
 
 
-def test_manifest_lock_timeout_and_stale_break(tmp_path):
+def test_manifest_lock_timeout_and_crash_release(tmp_path):
+    import fcntl
     import os
-    import time
 
     mp = str(tmp_path / "_BATCHES")
     lock = mp + ".lock"
-    open(lock, "w").close()
+    # a LIVE holder (kernel flock held on another fd) blocks until timeout
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     with pytest.raises(TimeoutError, match="manifest lock"):
-        with DD._manifest_lock(mp, timeout_s=0.3, stale_s=300.0):
+        with DD._manifest_lock(mp, timeout_s=0.3):
             pass
-    # a crashed committer's stale lock (old mtime) is broken, not waited on
-    old = time.time() - 1000
-    os.utime(lock, (old, old))
-    with DD._manifest_lock(mp, timeout_s=0.3, stale_s=60.0):
+    # a CRASHED holder's lock releases with its fd — closing here stands
+    # in for process death; acquisition then succeeds instantly, and a
+    # mere leftover lock FILE (no kernel lock) never blocks at all
+    os.close(fd)
+    with DD._manifest_lock(mp, timeout_s=0.3):
         pass
-    assert not os.path.exists(lock)  # released cleanly after the break
+    assert os.path.exists(lock)  # the file persists; only the flock matters
 
 
 def test_compaction_preserves_admission(spark, docs, tmp_path):
@@ -1480,3 +1483,27 @@ def test_exact_store_torn_batch_invisible_and_maintainable(spark, docs, tmp_path
     assert n == 1
     replay_one = batch.limit(1).select((F.col("doc_id") + 777000).alias("doc_id"), "text")
     assert DD.dedup_incremental_exact(spark, store, replay_one).count() == 1
+
+
+def test_rewrite_refuses_wrong_tables_and_legacy_layout(spark, docs, tmp_path):
+    # wrong `tables` for a store's layout must refuse loudly — silently
+    # publishing a data-less compact tag would orphan the whole history
+    store = str(tmp_path / "fp_guard")
+    DD.dedup_incremental_exact(spark, store, docs.limit(10).select("doc_id", "text"))
+    DD.dedup_incremental_exact(
+        spark,
+        store,
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 60)).select("doc_id", "text"),
+    )
+    with pytest.raises(ValueError, match="none of the requested tables"):
+        DD.compact_incremental_store(spark, store)  # default near-dup tables
+    # the correct tables still work afterwards (store unharmed)
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
+
+    # a pre-manifest flat-parquet store is refused, not read as empty
+    legacy = str(tmp_path / "fp_legacy")
+    docs.limit(5).select("doc_id").write.parquet(legacy)
+    with pytest.raises(ValueError, match="legacy exact-fp store layout"):
+        DD.dedup_incremental_exact(
+            spark, legacy, docs.limit(5).select("doc_id", "text")
+        )
