@@ -330,6 +330,46 @@ def _rewrite_store(
     return snapshot
 
 
+def incremental_store_stats(spark, store_path: str) -> dict:
+    """Operational introspection for an incremental store — the numbers
+    an ops dashboard watches to schedule compaction and audit growth:
+    committed batch count, and per manifest-listed table its live
+    directory count, row count, and on-disk bytes (live directories
+    only — crash orphans awaiting the aged sweep are excluded, so the
+    stats describe what readers actually open). Driver-side file-
+    listing is proportional to live directories, never rows."""
+    import os
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    stats: dict = {"n_batches": len(tags), "tables": {}}
+    if not tags:
+        return stats
+    for entry in sorted(os.listdir(store_path)):
+        tdir = os.path.join(store_path, entry)
+        if not os.path.isdir(tdir):
+            continue
+        live = [
+            os.path.join(tdir, f"batch={t}")
+            for t in tags
+            if os.path.isdir(os.path.join(tdir, f"batch={t}"))
+        ]
+        if not live:
+            continue
+        nbytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for d in live
+            for root, _, files in os.walk(d)
+            for f in files
+        )
+        stats["tables"][entry] = {
+            "n_dirs": len(live),
+            "n_rows": spark.read.parquet(*live).count(),
+            "bytes": nbytes,
+        }
+    return stats
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-text fingerprint: one hash-aggregate,
     keeps the smallest id per duplicate group (deterministic survivor).

@@ -1507,3 +1507,32 @@ def test_rewrite_refuses_wrong_tables_and_legacy_layout(spark, docs, tmp_path):
         DD.dedup_incremental_exact(
             spark, legacy, docs.limit(5).select("doc_id", "text")
         )
+
+
+def test_incremental_store_stats_tracks_lifecycle(spark, docs, tmp_path):
+    store = str(tmp_path / "mh_stats")
+    assert DD.incremental_store_stats(spark, store) == {"n_batches": 0, "tables": {}}
+    for lo in (0, 40):
+        DD.dedup_incremental_minhash(
+            spark,
+            store,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)).select(
+                "doc_id", "text"
+            ),
+        )
+    s1 = DD.incremental_store_stats(spark, store)
+    assert s1["n_batches"] == 2
+    assert s1["tables"]["payload"]["n_dirs"] == 2
+    n_docs = s1["tables"]["payload"]["n_rows"]
+    assert n_docs > 0 and s1["tables"]["index"]["n_rows"] == 16 * n_docs
+    assert s1["tables"]["payload"]["bytes"] > 0
+
+    DD.compact_incremental_store(spark, store)
+    s2 = DD.incremental_store_stats(spark, store)
+    assert s2["n_batches"] == 1 and s2["tables"]["payload"]["n_dirs"] == 1
+    assert s2["tables"]["payload"]["n_rows"] == n_docs  # content unchanged
+
+    victims = [r.doc_id for r in docs.limit(5).collect()]
+    DD.delete_from_incremental_store(spark, store, victims)
+    s3 = DD.incremental_store_stats(spark, store)
+    assert s3["tables"]["payload"]["n_rows"] == n_docs - 5
