@@ -151,7 +151,11 @@ def _manifest_publish(
 
 
 def compact_incremental_store(
-    spark, store_path: str, tables: tuple = ("index", "payload")
+    spark,
+    store_path: str,
+    tables: tuple = ("index", "payload"),
+    cluster_by: dict | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Compact an incremental dedup store's manifest-listed
     ``batch=<tag>`` directories into ONE directory per table and
@@ -183,9 +187,23 @@ def compact_incremental_store(
     only take the manifest lock for the milliseconds of the tag swap).
     Admission results are IDENTICAL before and after compaction: the
     row multiset per table is unchanged, only its directory layout.
+
+    ``cluster_by`` (e.g. ``{"index": ["band", "bucket"]}``) hash-
+    repartitions a table on its join key during the rewrite, so every
+    key group lands wholly in ONE output file — restoring the
+    co-location that per-batch appends eroded, which is what makes the
+    admission join partition-local at 100 TB. ``n_files`` bounds the
+    clustered file count (defaults to the session's parallelism).
     Returns the number of batch directories compacted away."""
+    cluster_by = cluster_by or {}
+    n = n_files or spark.sparkContext.defaultParallelism
+
+    def xform(df, table):
+        cols = cluster_by.get(table)
+        return df.repartition(n, *cols) if cols else df
+
     return len(
-        _rewrite_store(spark, store_path, lambda df, table: df, tables, min_batches=2)
+        _rewrite_store(spark, store_path, xform, tables, min_batches=2)
     )
 
 

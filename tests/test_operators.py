@@ -1536,3 +1536,36 @@ def test_incremental_store_stats_tracks_lifecycle(spark, docs, tmp_path):
     DD.delete_from_incremental_store(spark, store, victims)
     s3 = DD.incremental_store_stats(spark, store)
     assert s3["tables"]["payload"]["n_rows"] == n_docs - 5
+
+
+def test_compaction_cluster_by_colocates_join_key(spark, docs, tmp_path):
+    # cluster_by restores the co-location per-batch appends eroded:
+    # after a clustered compaction every (band, bucket) group lives
+    # wholly in ONE file, and the content is unchanged.
+    import os
+
+    store = str(tmp_path / "mh_cluster")
+    for lo in (0, 40, 80):
+        DD.dedup_incremental_minhash(
+            spark,
+            store,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)).select(
+                "doc_id", "text"
+            ),
+        )
+    before = DD.incremental_store_stats(spark, store)
+    assert DD.compact_incremental_store(
+        spark, store, cluster_by={"index": ["band", "bucket"]}, n_files=4
+    ) == 3
+    after = DD.incremental_store_stats(spark, store)
+    assert after["tables"]["index"]["n_rows"] == before["tables"]["index"]["n_rows"]
+
+    tags = DD._manifest_read(os.path.join(store, "_BATCHES"), None)
+    idx = spark.read.parquet(os.path.join(store, "index", f"batch={tags[0]}"))
+    per_key_files = (
+        idx.select("band", "bucket", F.input_file_name().alias("f"))
+        .groupBy("band", "bucket")
+        .agg(F.countDistinct("f").alias("nf"))
+    )
+    assert per_key_files.filter(F.col("nf") > 1).count() == 0  # one file per key
+    assert idx.select(F.input_file_name()).distinct().count() <= 4
