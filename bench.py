@@ -141,6 +141,7 @@ HEADLINE = [
     "boilerplate_ngram_coverage",
     "incremental_agg_retract",
     "dedup_incremental_minhash_deleted",
+    "streaming_agg_retract",
 ]
 
 

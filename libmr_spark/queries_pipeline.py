@@ -1795,3 +1795,120 @@ def dedup_incremental_minhash_deleted_q(spark, sf_dir):
     victims = via_a.unionByName(via_b).distinct()
     DD.delete_from_incremental_store(spark, path, victims)
     return DD.dedup_incremental_minhash(spark, path, batch)
+
+
+@defquery(
+    "streaming_agg_retract",
+    """
+    WITH final_events AS (
+      SELECT event_type, value FROM events
+      WHERE user_id % 20 < 15 AND NOT (user_id % 5 = 2)
+      UNION ALL
+      SELECT event_type, value FROM events WHERE user_id % 20 >= 15)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM final_events GROUP BY event_type
+    """,
+    "the STREAMING leg of deletion-aware aggregate maintenance: a CDC "
+    "stream of three chunks — base inserts, late inserts, then "
+    "RETRACTIONS of a base subset — drains through foreachBatch, each "
+    "micro-batch folding its signed delta (Σsign, Σsign·value in "
+    "DECIMAL) into a persisted per-group partial table "
+    "(read-merge-checkpoint-overwrite per batch; the eager checkpoint "
+    "makes the overwrite safe against its own input). Same abelian-"
+    "group algebra as incremental_agg_retract, same closed-form "
+    "oracle: maintained state after the full stream must equal the "
+    "from-scratch aggregate of the final multiset regardless of how "
+    "CDC batches sliced it. Groups retracted to zero drop out. This "
+    "plus streaming_merge_apply (row-level CDC) covers both halves of "
+    "warehouse CDC consumption: MERGE the rows, maintain the "
+    "aggregates.",
+)
+def streaming_agg_retract_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .queries_ext import _sink_dir
+
+    dec = "decimal(18,6)"
+    srcdir = _sink_dir("agg_retract_in", sf_dir)
+    state = _sink_dir("agg_retract_stream_state", sf_dir)
+    for p in (srcdir, state):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    chunks = [
+        e.filter(F.col("user_id") % 20 < 15).select(
+            "event_type", "value", F.lit(1).alias("sign")
+        ),
+        e.filter(F.col("user_id") % 20 >= 15).select(
+            "event_type", "value", F.lit(1).alias("sign")
+        ),
+        e.filter((F.col("user_id") % 20 < 15) & (F.col("user_id") % 5 == 2)).select(
+            "event_type", "value", F.lit(-1).alias("sign")
+        ),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        delta = bdf.groupBy("event_type").agg(
+            F.sum("sign").cast("bigint").alias("dn"),
+            F.sum(F.col("sign").cast(dec) * F.col("value").cast(dec)).alias("dsum"),
+        )
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            st = s.read.parquet(state)
+            merged = (
+                st.join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                    (
+                        F.coalesce(F.col("sum_value"), F.lit(0).cast(dec))
+                        + F.coalesce(F.col("dsum"), F.lit(0).cast(dec))
+                    ).cast(dec).alias("sum_value"),
+                )
+                .filter(F.col("n") > 0)
+            )
+        else:
+            merged = delta.select(
+                "event_type",
+                F.col("dn").alias("n"),
+                F.col("dsum").cast(dec).alias("sum_value"),
+            ).filter(F.col("n") > 0)
+        # materialize before overwriting the directory we just read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state)
+
+    q = (
+        spark.readStream.schema("event_type string, value double, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_sar_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.parquet(state)
+    return st.select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
