@@ -3544,12 +3544,20 @@ _DRIVER_CHECKED: set[str] = {
 
 
 # ROUND-8 ROTATION PLAN (mechanical): after CORRECTNESS_r07.json lands,
-# run scripts/update_rotation.py on it, append its green names to
-# _DRIVER_CHECKED, and point _NEWEST at (a) any r07 failures, (b) the
-# round-7 additions (exported after position 50 this round, so they
-# gate in round 8), and (c) backfill to 50 slots with the next-oldest
-# _DRIVER_CHECKED rows (the remaining round-3-era names not re-proved
-# this round, then round-4 era).
+# run `scripts/update_rotation.py CORRECTNESS_r07.json [older ones...]`
+# — it prints the names to append to _DRIVER_CHECKED AND the exact
+# next 50-slot _NEWEST window, ready to paste: (a) any r07 failures,
+# (b) the 11 round-7 additions (exported after position 50 this round,
+# so they gate in round 8: sequence_packing_subword,
+# dedup_incremental_embedding_int8, knn_lsh_candidates,
+# dedup_incremental_minhash_compacted, token_id_encoding,
+# quality_classifier_hashed, streaming_incremental_embedding,
+# boilerplate_ngram_coverage, incremental_agg_retract,
+# dedup_incremental_minhash_deleted, streaming_agg_retract — all
+# builder-verified at sf0.01 AND at SPARK_GRAFT_SHUFFLE=7 in round 7),
+# and (c) backfill to 50 with the next-oldest _DRIVER_CHECKED rows
+# (text_unigram_logprob + the remaining round-3-era names, then
+# round-4 era).
 #
 # Round-7 priority window (the driver gate checks exactly the FIRST 50
 # queries() entries).  Round 6 went 50/50 (49 hash + 1 clean
