@@ -388,6 +388,52 @@ def incremental_store_stats(spark, store_path: str) -> dict:
     return stats
 
 
+def read_incremental_store_asof(
+    spark,
+    store_path: str,
+    table: str,
+    as_of_batches: int | None = None,
+) -> DataFrame:
+    """Snapshot (time-travel) read of an incremental store table: load
+    only the FIRST ``as_of_batches`` entries of the ``_BATCHES``
+    manifest — reproducing exactly the table state any reader saw after
+    that many commits, because the manifest's tag list IS the store's
+    ordered commit log and every commit appends its tag at the end
+    (:func:`_manifest_publish`). ``None`` reads the full current
+    snapshot (what admission itself reads).
+
+    This is what an audit/debug/repro workflow needs against a 100 TB
+    signature store: "re-run this admission decision against the store
+    state as of last Tuesday's batch" without restoring backups. Cost
+    is identical to a normal read of the same prefix — the pinning
+    happens entirely in the driver-side directory list; no data is
+    copied.
+
+    Granularity contract: time travel is batch-granular and reaches
+    back only to the last store REWRITE — compaction/takedown collapse
+    the rewritten prefix into one ``compact-*`` entry (reading that
+    entry yields the collapsed union), exactly the trade-off a lakehouse
+    table format makes when VACUUM trims its version history. Raises if
+    ``as_of_batches`` exceeds the committed batch count rather than
+    silently returning the full store."""
+    import os
+
+    tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
+    if as_of_batches is None:
+        as_of_batches = len(tags)
+    if not 0 < as_of_batches <= len(tags):
+        raise ValueError(
+            f"as_of_batches={as_of_batches} out of range for store "
+            f"{store_path} with {len(tags)} committed batches"
+        )
+    return spark.read.parquet(
+        *[
+            os.path.join(store_path, table, f"batch={t}")
+            for t in tags[:as_of_batches]
+        ]
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-text fingerprint: one hash-aggregate,
     keeps the smallest id per duplicate group (deterministic survivor).

@@ -163,3 +163,44 @@ def cluster_aware_split(
         "cluster_id",
         split_column(F.col("cluster_id"), weights, seed=seed),
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame, group_col: str = "source", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled mixture weights: ``w_g ∝ n_g^alpha`` over the
+    groups of ``group_col`` — the exponentiated-count smoothing
+    multi-domain LM training uses to up-weight small domains
+    (``alpha=1`` reproduces raw proportions, ``alpha=0`` is uniform).
+    Emits per group: ``n_docs``, ``raw_frac``, ``weight``, ``boost``
+    (weight/raw_frac) and the integer ``target_docs`` quota for a
+    resampler (:func:`mix_sources` / ``domain_mixture_resample``).
+
+    Determinism contract (cross-engine, any partition count): the only
+    libm call (``pow``) is quantized to 6 decimals per group, the
+    normalizer sums those exact DECIMALs, and every ratio is one
+    double/double IEEE division on bit-identical inputs. One hash agg
+    over the corpus + arithmetic on |groups| rows; the 1-row
+    normalizer is a broadcast scalar."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    q = counts.select(
+        group_col,
+        "n",
+        F.round(F.pow(F.col("n"), F.lit(alpha)), 6).cast("decimal(18,6)").alias("qd"),
+    )
+    tot = q.agg(
+        F.sum("qd").cast("decimal(38,6)").alias("s"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    w = F.round(F.col("qd").cast("double") / F.col("s").cast("double"), 6)
+    raw = F.round(F.col("n") / F.col("nt").cast("double"), 6)
+    return q.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n_docs"),
+        raw.alias("raw_frac"),
+        w.alias("weight"),
+        F.round(w / raw, 6).alias("boost"),
+        F.floor(
+            F.col("qd").cast("double") / F.col("s").cast("double") * F.col("nt")
+        ).cast("bigint").alias("target_docs"),
+    )

@@ -375,3 +375,160 @@ def pca_project(
         return pd.Series(list(scores))
 
     return df.select(id_col, project(F.col(vec_col)).alias("pc_scores"))
+
+
+def kmeans_exact(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant_digits: int = 6,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lloyd k-means whose every round is CROSS-ENGINE EXACT — the
+    provable twin of :func:`train_ivf_centroids`'s float path (the same
+    relationship ``dedup_simhash_md5`` has to ``dedup_simhash``): an
+    independent engine replaying the same arithmetic must produce the
+    IDENTICAL assignment, so the whole iteration can sit under a SQL
+    oracle instead of a recall pin.
+
+    How exactness survives floating point: vectors are quantized once
+    to scaled integers (``round(x * 10^quant_digits)``, half-away-from-
+    zero in both engines); a centroid is represented as its EXACT
+    integer component-sum vector ``s`` plus member count ``n`` (never
+    the mean ``s/n`` — division would reintroduce rounding); and the
+    argmin of ``|x - s_c/n_c|^2`` is taken over the integer-exact
+    rational cost ``(n_c^2·x·x - 2·n_c·x·s_c + s_c·s_c) / n_c^2`` —
+    numerator and denominator are arbitrary-precision ints, the ONE
+    float op per candidate is their final IEEE division (bit-identical
+    inputs ⇒ bit-identical quotient; ties break on cid). Partial-agg
+    order cannot matter anywhere: integer sums are associative.
+
+    Spark shape per round: one Arrow-batched assignment pass (k
+    centroid sums live as plain Python ints in the UDF closure — the
+    same bounded driver traffic as the IVF loop), one
+    ``posexplode``/``groupBy (cid, pos)`` integer-sum (k·dim rows
+    collected), one count. Empty clusters keep their previous (s, n),
+    matching the float path's empty-cell rule. ``rounds`` centroid
+    updates, final output = assignment under the last centroids.
+
+    At 100 TB the production path stays :func:`train_ivf_centroids` +
+    :func:`assign_ivf` (JVM-side float argmin, no per-row Python); this
+    operator is the correctness anchor you run on samples/CI to prove
+    the clustering arithmetic, and the shared design rule — k scales
+    with corpus so cluster occupancy stays bounded — is what keeps the
+    downstream within-cluster work (SemDeDup) quadratic-free.
+
+    Returns (id_col, v LONG-array quantized, cid INT). ``stats``
+    receives ``{"centroids": [(s, n), ...]}`` for introspection.
+    """
+    scale = float(10 ** quant_digits)
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    ).localCheckpoint()  # reused every round: freeze lineage once
+
+    init = q.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_exact: need >= {k} rows, got {len(init)}")
+    cents = [([int(x) for x in r.v], 1) for r in init]
+
+    def assign_udf(cents):
+        sums = [s for s, _ in cents]
+        ns = [int(n) for _, n in cents]
+        sss = [sum(a * a for a in s) for s in sums]
+
+        @F.pandas_udf("int")
+        def best(vs: pd.Series) -> pd.Series:
+            out = []
+            for v in vs:
+                vi = [int(x) for x in v]
+                xx = sum(a * a for a in vi)
+                bk = None
+                bc = 0
+                for cid in range(len(sums)):
+                    n = ns[cid]
+                    xs = sum(a * b for a, b in zip(vi, sums[cid]))
+                    cost = n * n * xx - 2 * n * xs + sss[cid]
+                    key = float(cost) / float(n * n)
+                    if bk is None or key < bk:
+                        bk, bc = key, cid
+                out.append(bc)
+            return pd.Series(out, dtype="int32")
+
+        return best
+
+    for _ in range(rounds):
+        a = q.withColumn("cid", assign_udf(cents)(F.col("v")))
+        srows = (
+            a.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        nrows = {r["cid"]: r["count"] for r in a.groupBy("cid").count().collect()}
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in srows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
+        cents = [
+            (
+                [by_cid[cid][p] for p in range(len(cents[cid][0]))],
+                int(nrows[cid]),
+            )
+            if cid in nrows
+            else cents[cid]
+            for cid in range(k)
+        ]
+    if stats is not None:
+        stats["centroids"] = cents
+    return q.withColumn("cid", assign_udf(cents)(F.col("v")))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then remove near-duplicates WITHIN each cluster —
+    the clustering is what removes the all-pairs term from semantic
+    dedup: candidate pairs are bounded by cluster occupancy, and k
+    grows with the corpus to hold occupancy constant (the same
+    bounded-bucket argument as banded LSH, but with data-adaptive
+    cells). Pairs are exact cosine (round 6) >= threshold over the
+    ORIGINAL float vectors; within a qualifying pair the smaller id
+    survives (keep-min, the family's standard rule).
+
+    Built on :func:`kmeans_exact`, so the WHOLE pipeline — quantize,
+    iterate, assign, pair, keep — replays identically in an
+    independent engine. Returns (id, cid BIGINT, keep BOOLEAN).
+    """
+    a = kmeans_exact(df, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col)
+    a = a.select(id_col, "cid").localCheckpoint()  # one pass; reused 3x below
+    withv = a.join(df.select(id_col, vec_col), id_col)
+    L = withv.select(
+        F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"), F.col(vec_col).alias("va")
+    )
+    R = withv.select(
+        F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"), F.col(vec_col).alias("vb")
+    )
+    drops = (
+        L.join(R, (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        a.join(drops.withColumn("__dropped__", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cid").cast("bigint").alias("cid"),
+            F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
+        )
+    )

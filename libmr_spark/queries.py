@@ -3547,13 +3547,15 @@ _DRIVER_CHECKED: set[str] = {
 # run `scripts/update_rotation.py CORRECTNESS_r07.json [older ones...]`
 # — it prints the names to append to _DRIVER_CHECKED AND the exact
 # next 50-slot _NEWEST window, ready to paste: (a) any r07 failures,
-# (b) the 11 round-7 additions (exported after position 50 this round,
+# (b) the round-7 additions (exported after position 50 this round,
 # so they gate in round 8: sequence_packing_subword,
 # dedup_incremental_embedding_int8, knn_lsh_candidates,
 # dedup_incremental_minhash_compacted, token_id_encoding,
 # quality_classifier_hashed, streaming_incremental_embedding,
 # boilerplate_ngram_coverage, incremental_agg_retract,
-# dedup_incremental_minhash_deleted, streaming_agg_retract — all
+# dedup_incremental_minhash_deleted, streaming_agg_retract,
+# incremental_store_time_travel, mixture_temperature_weights,
+# semantic_dedup_kmeans — all
 # builder-verified at sf0.01 AND at SPARK_GRAFT_SHUFFLE=7 in round 7),
 # and (c) backfill to 50 with the next-oldest _DRIVER_CHECKED rows
 # (text_unigram_logprob + the remaining round-3-era names, then

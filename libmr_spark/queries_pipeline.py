@@ -1912,3 +1912,182 @@ def streaming_agg_retract_q(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"),
         F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@defquery(
+    "incremental_store_time_travel",
+    """
+    WITH fp AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) // 5 AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+        WHERE CAST(substr(source, 4) AS INT) < 10),
+    firstb AS (SELECT fp, min(b) AS fb FROM fp GROUP BY fp)
+    SELECT f.fp, CAST(min(f.doc_id) AS BIGINT) AS doc_id
+    FROM fp f JOIN firstb o ON f.fp = o.fp AND f.b = o.fb
+    GROUP BY f.fp
+    """,
+    "snapshot (time-travel) read of an incremental store: four ingest "
+    "batches (src0-4, src5-9, src10-14, src15-19) commit sequentially "
+    "through the _BATCHES manifest, then read_incremental_store_asof "
+    "pins the read to the FIRST TWO commit-log entries — reproducing "
+    "exactly the fingerprint table any reader saw after batch 2, "
+    "without restoring backups. The oracle replays the first two "
+    "batches' admission arithmetic from scratch (per fingerprint: "
+    "min-id within the EARLIEST batch containing it), so a hash match "
+    "proves manifest order is a faithful commit log, not just a "
+    "directory list. The pinning is driver-side directory selection "
+    "only — zero extra data read at 100 TB; granularity contract "
+    "(rewrites collapse history, like VACUUM trimming table-format "
+    "versions) is documented on the operator.",
+)
+def incremental_store_time_travel_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("fp_history_tt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    for lo in (0, 5, 10, 15):
+        DD.dedup_incremental_exact(
+            spark, path, d.filter((src_num >= lo) & (src_num < lo + 5))
+        )
+    return DD.read_incremental_store_asof(spark, path, "fps", as_of_batches=2).select(
+        "fp", "doc_id"
+    )
+
+
+@defquery(
+    "mixture_temperature_weights",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    q AS (SELECT source, n,
+                 CAST(round(pow(n, 0.3), 6) AS DECIMAL(18,6)) AS qd
+          FROM counts),
+    tot AS (SELECT CAST(SUM(qd) AS DECIMAL(38,6)) AS s,
+                   CAST(SUM(n) AS BIGINT) AS nt FROM q)
+    SELECT q.source, CAST(q.n AS BIGINT) AS n_docs,
+           round(q.n / CAST(t.nt AS DOUBLE), 6) AS raw_frac,
+           round(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS weight,
+           round(round(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
+                 / round(q.n / CAST(t.nt AS DOUBLE), 6), 6) AS boost,
+           CAST(floor(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE) * t.nt)
+                AS BIGINT) AS target_docs
+    FROM q CROSS JOIN tot t
+    """,
+    "temperature-scaled domain mixture DERIVATION (the upstream of "
+    "domain_mixture_resample, which takes weights as GIVEN): sampling "
+    "weight w_i ∝ n_i^α at α=0.3 — the exponentiated-count smoothing "
+    "multilingual/multi-domain LM training uses to up-weight small "
+    "domains without letting any single domain dominate (α=1 is raw "
+    "proportions, α=0 is uniform). Emits per source: raw corpus "
+    "fraction, temperature weight, the boost ratio the temperature "
+    "applies, and the integer target-doc quota to feed the resampler. "
+    "Determinism is the quantize-then-DECIMAL-sum pattern: pow() is "
+    "quantized to 6 decimals per source, the normalizer sums those "
+    "EXACT decimals (order-free at any partition count), and each "
+    "division runs double/double on bit-identical inputs — one IEEE op "
+    "each, so no partial-agg order anywhere can move a ratio. Cost is "
+    "one hash agg over the corpus + arithmetic over |sources| rows; "
+    "the 1-row normalizer broadcast is the whitelisted scalar-NLJ "
+    "shape. At 100 TB this is the cheapest query in the pipeline — "
+    "and the one whose output steers every token the trainer sees.",
+)
+def mixture_temperature_weights_q(spark, sf_dir):
+    from .operators.sampling import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"), group_col="source", alpha=0.3
+    )
+
+
+def _semantic_dedup_sql(k: int = 8, rounds: int = 2, thr: float = 0.9, dim: int = 64) -> str:
+    """DuckDB replay of the EXACT k-means + SemDeDup pipeline: the same
+    scaled-integer quantization, the same rational-cost argmin (one
+    IEEE division per candidate on integer-exact operands), the same
+    empty-cluster carry, unrolled one CTE block per round — the
+    pagerank_dup_graph technique applied to clustering."""
+
+    def assign(aname: str, cname: str) -> str:
+        return f"""{aname} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT q.vec_id, q.v, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(CAST(c.n AS HUGEINT)*c.n*list_sum(list_transform(q.v, x -> CAST(x AS HUGEINT)*x))
+                  - 2*CAST(c.n AS HUGEINT)*list_sum(list_transform(list_zip(q.v, c.s), p -> CAST(p[1] AS HUGEINT)*p[2]))
+                  + list_sum(list_transform(c.s, x -> CAST(x AS HUGEINT)*x)) AS DOUBLE)
+             / CAST(CAST(c.n AS HUGEINT)*c.n AS DOUBLE) ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {cname} c) WHERE rn = 1)"""
+
+    ctes = [
+        """q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS s, CAST(1 AS BIGINT) AS n
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}))""",
+        assign("a0", "c0"),
+    ]
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""s{r} AS (
+  SELECT a.cid, t.dim, SUM(a.v[t.dim]) AS sm
+  FROM a{r - 1} a CROSS JOIN range(1, {dim + 1}) t(dim) GROUP BY a.cid, t.dim)""",
+            f"n{r} AS (SELECT cid, COUNT(*) AS n FROM a{r - 1} GROUP BY cid)",
+            f"""c{r} AS (
+  SELECT c.cid,
+         COALESCE((SELECT list(sm ORDER BY dim) FROM s{r} WHERE s{r}.cid = c.cid), c.s) AS s,
+         COALESCE(n{r}.n, c.n) AS n
+  FROM c{r - 1} c LEFT JOIN n{r} ON c.cid = n{r}.cid)""",
+            assign(f"a{r}", f"c{r}"),
+        ]
+    last = f"a{rounds}"
+    ctes.append(
+        f"""pairs AS (
+  SELECT y.vec_id AS id_b
+  FROM {last} x JOIN {last} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {thr})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       (a.vec_id NOT IN (SELECT id_b FROM pairs)) AS keep
+FROM {last} a"""
+    )
+
+
+@defquery(
+    "semantic_dedup_kmeans",
+    _semantic_dedup_sql(),
+    "SemDeDup (published: Abbas et al. 2023): k-means the embedding "
+    "space, then drop within-cluster cosine near-dups (keep-min id) — "
+    "clustering removes the all-pairs term; k grows with the corpus "
+    "so cluster occupancy (and the pair join) stays bounded. The "
+    "headline is HOW the k-means sits under an exact oracle: Lloyd "
+    "iteration is floating-point and order-sensitive in every normal "
+    "implementation, so ANN-style clustering is usually a rows-only "
+    "check — here vectors quantize once to scaled ints, centroids are "
+    "EXACT (component-sum, count) pairs (never divided), assignment "
+    "argmin runs on integer-exact rational costs with ONE IEEE "
+    "division per candidate (bit-identical in any engine; cid breaks "
+    "ties), and empty clusters carry forward — so the DuckDB oracle "
+    "replays two full Lloyd rounds CTE-by-CTE (the pagerank unroll "
+    "technique applied to clustering) and the final (vec_id, cid, "
+    "keep) must hash-match. Production at 100 TB keeps the JVM float "
+    "path (train_ivf_centroids + assign_ivf); this exact twin is the "
+    "CI anchor proving the clustering arithmetic, the same role "
+    "dedup_simhash_md5 plays for the simhash family.",
+)
+def semantic_dedup_kmeans_q(spark, sf_dir):
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, rounds=2, threshold=0.9
+    )

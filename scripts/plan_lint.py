@@ -74,6 +74,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "leakage_safe_split": {
         "nested_loop": "crossJoin against the broadcast 1-row leakage-audit count (groups spanning >1 split, structurally 0) — single-row side by construction",
     },
+    "mixture_temperature_weights": {
+        "nested_loop": "crossJoin against the broadcast 1-row normalizer (DECIMAL sum over |sources| quantized weights) — single-row side by construction",
+    },
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },

@@ -1569,3 +1569,81 @@ def test_compaction_cluster_by_colocates_join_key(spark, docs, tmp_path):
     )
     assert per_key_files.filter(F.col("nf") > 1).count() == 0  # one file per key
     assert idx.select(F.input_file_name()).distinct().count() <= 4
+
+
+def test_store_time_travel_pins_commit_log_prefix(spark, docs, tmp_path):
+    # the manifest is an ordered commit log: an as-of read of the first
+    # k entries reproduces exactly the state after commit k — and a
+    # rewrite collapses history to rewrite-granularity (documented
+    # VACUUM-style trade-off).
+    store = str(tmp_path / "fp_tt")
+    slices = [(0, 30), (30, 60), (60, 90)]
+    admitted = []
+    for lo, hi in slices:
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+            "doc_id", "text"
+        )
+        admitted.append(
+            {(r.fp, r.doc_id) for r in DD.dedup_incremental_exact(spark, store, b).collect()}
+        )
+
+    def asof(k=None):
+        return {
+            (r.fp, r.doc_id)
+            for r in DD.read_incremental_store_asof(spark, store, "fps", k).collect()
+        }
+
+    assert asof(1) == admitted[0]
+    assert asof(2) == admitted[0] | admitted[1]
+    assert asof(3) == asof(None) == admitted[0] | admitted[1] | admitted[2]
+    assert asof(2) != asof(3)  # the pin is real, not a full-store read
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_store_asof(spark, store, "fps", 4)
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_store_asof(spark, store, "fps", 0)
+
+    # compaction collapses the three commits into one: fine-grained
+    # time travel is gone, the single remaining entry is the full union
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 3
+    assert asof(1) == asof(None) == admitted[0] | admitted[1] | admitted[2]
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_store_asof(spark, store, "fps", 2)
+
+
+def test_kmeans_exact_partition_invariant_and_semantic_dedup_sound(spark, emb):
+    from libmr_spark.operators.similarity import kmeans_exact, semantic_dedup
+    from libmr_spark.functions.vector import cosine_similarity
+
+    sub = emb.limit(200)
+    a = {r.vec_id: r.cid for r in kmeans_exact(sub, k=4, rounds=2).collect()}
+    b = {
+        r.vec_id: r.cid
+        for r in kmeans_exact(sub.repartition(13), k=4, rounds=2).collect()
+    }
+    assert a == b  # integer-exact iteration: layout cannot move a point
+
+    out = semantic_dedup(sub, k=4, rounds=2, threshold=0.9)
+    rows = out.collect()
+    assert {r.vec_id for r in rows} == set(a)
+    dropped = {r.vec_id for r in rows if not r.keep}
+    if dropped:
+        # every dropped doc must have a SMALLER kept near-dup partner in
+        # its own cluster (keep-min soundness)
+        cid = {r.vec_id: r.cid for r in rows}
+        pairs = (
+            sub.alias("x")
+            .join(sub.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+            .filter(
+                F.round(
+                    cosine_similarity(F.col("x.embedding"), F.col("y.embedding")), 6
+                )
+                >= 0.9
+            )
+            .select(F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"))
+            .collect()
+        )
+        sim = {(p.ia, p.ib) for p in pairs}
+        for d in dropped:
+            assert any(
+                (s, d) in sim and cid[s] == cid[d] for s in range(min(a), d)
+            ), d

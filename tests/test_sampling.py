@@ -108,3 +108,34 @@ def test_sample_k_per_group_exact_and_stable(docs):
         for r in sample_k_per_group(docs.repartition(11), 7, "doc_id", ["source"]).collect()
     )
     assert a == b
+
+
+def test_temperature_mixture_weights_alpha_limits(spark):
+    from libmr_spark.operators.sampling import temperature_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(160)]
+        + [("b", i) for i in range(40)]
+        + [("c", i) for i in range(10)],
+        "source string, doc_id long",
+    )
+    # alpha=1 reproduces raw proportions; alpha=0 is uniform
+    for alpha, expect in [
+        (1.0, {"a": 160 / 210, "b": 40 / 210, "c": 10 / 210}),
+        (0.0, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}),
+    ]:
+        got = {r.source: r.weight for r in temperature_mixture_weights(df, alpha=alpha).collect()}
+        assert got == {s: pytest.approx(w, abs=2e-6) for s, w in expect.items()}
+
+    # alpha=0.3 compresses: small domains boosted, large damped, order kept
+    rows = {r.source: r for r in temperature_mixture_weights(df, alpha=0.3).collect()}
+    assert rows["a"].boost < 1 < rows["c"].boost
+    assert rows["a"].weight > rows["b"].weight > rows["c"].weight
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5
+    assert sum(r.target_docs for r in rows.values()) <= 210
+    # partitioning invariance (DECIMAL normalizer): same bits at any layout
+    again = {
+        r.source: r.weight
+        for r in temperature_mixture_weights(df.repartition(13), alpha=0.3).collect()
+    }
+    assert again == {s: r.weight for s, r in rows.items()}
