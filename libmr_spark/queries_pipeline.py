@@ -2091,3 +2091,125 @@ def semantic_dedup_kmeans_q(spark, sf_dir):
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"), k=8, rounds=2, threshold=0.9
     )
+
+
+@defquery(
+    "streaming_late_data_accounting",
+    """
+    WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS ms, user_id FROM events),
+    cfg AS (SELECT ((min(ms) // 3600000) + 48) * 3600000 AS t1,
+                   ((min(ms) // 3600000) + 96) * 3600000 AS t2 FROM e),
+    cls AS (SELECT ms,
+                   CASE WHEN ms < t1 - 86400000 AND user_id % 5 = 2 THEN 'held'
+                        WHEN ms < t1 THEN 'b0'
+                        WHEN ms < t2 THEN 'b1' ELSE 'b2' END AS c
+            FROM e CROSS JOIN cfg),
+    m0 AS (SELECT max(ms) AS m FROM cls WHERE c = 'b0'),
+    m1 AS (SELECT max(ms) AS m FROM cls WHERE c IN ('b0', 'b1')),
+    kept AS (SELECT ms FROM cls CROSS JOIN m0
+             WHERE c <> 'held'
+                OR ((ms // 3600000) + 1) * 3600000 > m0.m - 3600000),
+    win AS (SELECT (ms // 3600000) * 3600000 AS w, count(*) AS ns
+            FROM kept GROUP BY 1),
+    tot AS (SELECT (ms // 3600000) * 3600000 AS w, count(*) AS nt
+            FROM cls GROUP BY 1)
+    SELECT t.w AS window_start_ms,
+           CAST(COALESCE(win.ns, 0) AS BIGINT) AS n_streamed,
+           CAST(t.nt AS BIGINT) AS n_total,
+           CAST(t.nt - COALESCE(win.ns, 0) AS BIGINT) AS n_late_dropped
+    FROM tot t LEFT JOIN win ON t.w = win.w CROSS JOIN m1
+    WHERE t.w + 3600000 <= m1.m - 3600000
+    """,
+    "watermark late-data ACCOUNTING — the ops question every streaming "
+    "pipeline must answer (how many events did the watermark drop, "
+    "where): a real Structured Streaming run over three ordered "
+    "micro-batches — two on-time chunks, then a chunk carrying "
+    "HELD-BACK day-old events (user_id%5=2, >24 h older than the "
+    "chunk-0 horizon) — with a 1-hour watermark and 1-hour tumbling "
+    "windows in append mode; the streamed per-window counts are then "
+    "joined against the from-scratch batch counts so n_late_dropped "
+    "is explicit per window. Every row is UNAMBIGUOUS by "
+    "construction: Spark's micro-batch watermark trails the data by "
+    "one-to-two committed batches (empirically pinned in "
+    "test_streaming.py), so held rows sit >23 h below the LOWEST "
+    "possible watermark at their arrival batch (dropped under any "
+    "lag), on-time rows sit above the highest (kept under any lag), "
+    "and the comparison is restricted to windows closed under the "
+    "most conservative final watermark — the oracle computes the "
+    "same horizons (max-through-chunk arithmetic, pure epoch-ms "
+    "integers) without running a stream. At 100 TB the same append-"
+    "mode plan holds: state is one row per open window, the "
+    "watermark bounds it, and the accounting join runs over the "
+    "emitted aggregate, never raw events.",
+)
+def streaming_late_data_accounting_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("late_acct_in", sf_dir)
+    shutil.rmtree(srcdir, ignore_errors=True)
+    os.makedirs(srcdir)
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "user_id", F.unix_millis("ts").alias("ms")
+    )
+    mn = e.agg(F.min("ms").alias("m")).first()["m"]  # 1-row bounded collect
+    t1 = (mn // 3600000 + 48) * 3600000
+    t2 = (mn // 3600000 + 96) * 3600000
+    held = (F.col("ms") < t1 - 86400000) & (F.col("user_id") % 5 == 2)
+    chunks = [
+        e.filter((F.col("ms") < t1) & ~held),
+        e.filter((F.col("ms") >= t1) & (F.col("ms") < t2)),
+        e.filter((F.col("ms") >= t2) | held),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.select("ts", "user_id").coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    agg = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_late_acct")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_late_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("q_late_acct").select(
+        F.unix_millis(F.col("w.start")).alias("w"), "ns"
+    )
+    m1 = (
+        e.filter(F.col("ms") < t2).agg(F.max("ms").alias("m")).first()["m"]
+    )  # conservative final watermark horizon (1-row bounded collect)
+    tot = e.groupBy(
+        (F.expr("ms div 3600000") * 3600000).alias("w")
+    ).agg(F.count(F.lit(1)).alias("nt"))
+    return (
+        tot.join(streamed, "w", "left")
+        .filter(F.col("w") + 3600000 <= m1 - 3600000)
+        .select(
+            F.col("w").alias("window_start_ms"),
+            F.coalesce("ns", F.lit(0)).cast("bigint").alias("n_streamed"),
+            F.col("nt").cast("bigint").alias("n_total"),
+            (F.col("nt") - F.coalesce("ns", F.lit(0)))
+            .cast("bigint")
+            .alias("n_late_dropped"),
+        )
+    )

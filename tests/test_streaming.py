@@ -414,3 +414,75 @@ def test_streaming_minhash_with_compaction_cadence(spark, sf_dir, tmp_path):
     # and the store ends compact: ≤ 2 live dirs per table (1 compact + ≤1 since)
     for table in ("index", "payload"):
         assert len(os.listdir(os.path.join(store, table))) <= 2
+
+
+def test_watermark_lag_and_late_drop_semantics(spark, tmp_path):
+    # Pins the micro-batch watermark behavior streaming_late_data_
+    # accounting's unambiguity argument depends on: the effective
+    # watermark at batch N trails the data by one-to-two committed
+    # batches (this Spark: two — batch N filters against max event time
+    # through batch N-2), and the availableNow final no-data flush
+    # advances it through the LAST data batch. If a Spark upgrade
+    # tightens the lag to one batch, the gate query stays correct (its
+    # rows are unambiguous under either lag); this test documents which
+    # lag is live and must be updated deliberately.
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "wmsrc")
+    os.makedirs(d)
+    base = (1_700_000_000_000 // 3_600_000) * 3_600_000
+
+    def t(mins):
+        return (base + mins * 60_000) // 1000
+
+    # chunk0: h0 row + 02:30 (through-0 wm = 01:30)
+    # chunk1: 00:20 late-for-h0 (kept: batch1 wm is 0 under lag>=1 two-
+    #         batch rule it's 0; under lag-1 it'd be 01:30 and dropped —
+    #         the assertion below pins TWO-batch lag), 03:30
+    # chunk2: 00:25 (dropped under either lag), 01:50 (kept under lag-2
+    #         wm=01:30, dropped under lag-1 wm=02:30 — pins lag-2), 04:30
+    chunks = [
+        [(t(10),), (t(150),)],
+        [(t(20),), (t(210),)],
+        [(t(25),), (t(110),), (t(270),)],
+    ]
+    for k, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, "sec long").select(
+            F.timestamp_seconds("sec").alias("ts")
+        )
+        stage = os.path.join(d, f"_s{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"chunk_{k}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + 60 * k,) * 2)
+    agg = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wm_lag")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_lag_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        int((r.s - base) // 60_000): r.n
+        for r in spark.table("t_wm_lag")
+        .select(F.unix_millis("w.start").alias("s"), "n")
+        .collect()
+    }
+    # h0: 00:10 + 00:20 (batch1 wm still 0) but NOT 00:25 (batch2 wm
+    # 01:30 >= its window end); h1: 01:50 kept (end 02:00 > 01:30);
+    # h2: 02:30; h3 (03:30) withheld: end 04:00 > final wm 03:30.
+    assert got == {0: 2, 60: 1, 120: 1}
