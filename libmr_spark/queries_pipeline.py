@@ -2213,3 +2213,252 @@ def streaming_late_data_accounting_q(spark, sf_dir):
             .alias("n_late_dropped"),
         )
     )
+
+
+@defquery(
+    "feature_pit_assembly",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+      FROM orders),
+    seg AS (
+      SELECT o.o_orderkey,
+             CASE WHEN c.c_custkey % 10 = 0 AND o.d >= 10227
+                  THEN 'PROMO' ELSE c.c_mktsegment END AS seg
+      FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+    prior AS (
+      SELECT o_orderkey,
+             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS np
+      FROM o)
+    SELECT o.yr, s.seg,
+           CAST(least(COALESCE(p.np, 0), 5) AS BIGINT) AS prior_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM o JOIN seg s ON o.o_orderkey = s.o_orderkey
+           JOIN prior p ON o.o_orderkey = p.o_orderkey
+    GROUP BY o.yr, s.seg, 3
+    """,
+    "point-in-time feature assembly — the leakage-free training-data "
+    "join a feature store must get right: each order (the training "
+    "example) is joined to (1) the customer segment VALID AT the order "
+    "date from an SCD2-style validity-interval table (customers "
+    "c_custkey%10=0 switch to PROMO effective epoch-day 10227 = "
+    "1998-01-01, mid-span so both validity intervals carry data; the Spark side runs a real interval join — equi-join "
+    "on the key plus [valid_from, valid_to) containment — while the "
+    "oracle expresses the same history as CASE logic), and (2) a "
+    "STRICTLY-PAST rolling feature (count of the customer's orders on "
+    "earlier days, RANGE frame ending at 1 PRECEDING — same-day "
+    "orders excluded on both sides, the classic leakage boundary). "
+    "Grouped to (year, segment, prior-order bucket) for the gate. At "
+    "100 TB: the validity table is O(|dim| x versions) and joins "
+    "co-partitioned on the key (broadcast here); the rolling feature "
+    "is one window over data already shuffled by customer — no second "
+    "exchange; nothing reads a row later than the example's own "
+    "timestamp, which is the entire point.",
+)
+def feature_pit_assembly_q(spark, sf_dir):
+    SWITCH_DAY = 10227  # 1998-01-01 as epoch day (mid order-date span)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big = F.lit(2_000_000_000)
+    validity = (
+        c.filter(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(0).cast("bigint").alias("vf"),
+            big.cast("bigint").alias("vt"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("seg"),
+                F.lit(0).cast("bigint").alias("vf"),
+                F.lit(SWITCH_DAY).cast("bigint").alias("vt"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                F.lit("PROMO").alias("seg"),
+                F.lit(SWITCH_DAY).cast("bigint").alias("vf"),
+                big.cast("bigint").alias("vt"),
+            )
+        )
+    )
+    seg = o.join(
+        F.broadcast(validity),
+        (o.o_custkey == validity.c_custkey)
+        & (o.d >= validity.vf)
+        & (o.d < validity.vt),
+    ).select("o_orderkey", "seg")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prior = o.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("np")
+    )
+    return (
+        o.join(seg, "o_orderkey")
+        .join(prior, "o_orderkey")
+        .groupBy(
+            "yr",
+            "seg",
+            F.least(F.coalesce("np", F.lit(0)), F.lit(5))
+            .cast("bigint")
+            .alias("prior_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# cascade rule constants shared by both engines (one expression tree)
+_CASC_WC_MIN, _CASC_WC_MAX = 20, 1000
+_CASC_MWL_MIN, _CASC_MWL_MAX = 2.0, 8.0
+_CASC_DIGIT_MAX = 0.3
+
+
+@defquery(
+    "filter_cascade_audit",
+    f"""
+    WITH m AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS wc,
+             CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\\s+')) AS mwl,
+             contains(concat(' ', lower(text), ' '), ' the ')
+               OR contains(concat(' ', lower(text), ' '), ' a ') AS has_stop,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_ratio
+      FROM documents),
+    r AS (
+      SELECT source,
+             wc < {_CASC_WC_MIN} AS r_too_short,
+             wc > {_CASC_WC_MAX} AS r_too_long,
+             mwl < {_CASC_MWL_MIN} OR mwl > {_CASC_MWL_MAX} AS r_word_len,
+             NOT has_stop AS r_no_stopword,
+             digit_ratio > {_CASC_DIGIT_MAX} AS r_digit_heavy
+      FROM m),
+    att AS (
+      SELECT source,
+             CASE WHEN r_too_short THEN 'too_short'
+                  WHEN r_too_long THEN 'too_long'
+                  WHEN r_word_len THEN 'word_len'
+                  WHEN r_no_stopword THEN 'no_stopword'
+                  WHEN r_digit_heavy THEN 'digit_heavy'
+                  ELSE 'pass' END AS verdict,
+             r_too_short, r_too_long, r_word_len, r_no_stopword,
+             r_digit_heavy,
+             NOT (r_too_short OR r_too_long OR r_word_len
+                  OR r_no_stopword OR r_digit_heavy) AS clean
+      FROM r),
+    marg AS (
+      SELECT source, v.verdict,
+             CASE v.verdict
+                  WHEN 'too_short' THEN SUM(CASE WHEN r_too_short THEN 1 ELSE 0 END)
+                  WHEN 'too_long' THEN SUM(CASE WHEN r_too_long THEN 1 ELSE 0 END)
+                  WHEN 'word_len' THEN SUM(CASE WHEN r_word_len THEN 1 ELSE 0 END)
+                  WHEN 'no_stopword' THEN SUM(CASE WHEN r_no_stopword THEN 1 ELSE 0 END)
+                  WHEN 'digit_heavy' THEN SUM(CASE WHEN r_digit_heavy THEN 1 ELSE 0 END)
+                  ELSE SUM(CASE WHEN clean THEN 1 ELSE 0 END) END AS n_marginal
+      FROM att CROSS JOIN (
+        SELECT unnest(['too_short', 'too_long', 'word_len',
+                       'no_stopword', 'digit_heavy', 'pass']) AS verdict) v
+      GROUP BY source, v.verdict),
+    firstf AS (
+      SELECT source, verdict, count(*) AS n_attributed FROM att
+      GROUP BY source, verdict)
+    SELECT m.source, m.verdict,
+           CAST(COALESCE(f.n_attributed, 0) AS BIGINT) AS n_attributed,
+           CAST(m.n_marginal AS BIGINT) AS n_marginal
+    FROM marg m LEFT JOIN firstf f
+      ON m.source = f.source AND m.verdict = f.verdict
+    WHERE m.n_marginal > 0 OR f.n_attributed IS NOT NULL
+    """,
+    "quality filter-cascade AUDIT — the numbers a pipeline owner needs "
+    "before reordering or tuning a rule chain: five ordered rules "
+    "(Gopher word-count/word-length/stopword family + digit-density), "
+    "each doc attributed to its FIRST failing rule, reported per "
+    "source next to each rule's MARGINAL failure count (how many docs "
+    "fail it regardless of order) — attributed << marginal reveals "
+    "shadowed rules, attributed ~ marginal means the rule carries "
+    "unique signal; 'pass' rows carry the clean count in both "
+    "columns. One scan, every rule a codegen'd JVM expression "
+    "generated from the same constants as the oracle SQL, one "
+    "(source x 6)-row aggregate — at 100 TB this costs exactly one "
+    "pass over text plus a tiny shuffle, which is why the audit "
+    "should ship with every filter run rather than be a special "
+    "occasion.",
+)
+def filter_cascade_audit_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    low = F.trim(F.lower(F.col("text")))
+    wc = F.size(F.split(low, r"\s+"))
+    mwl = F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / wc
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    has_stop = padded.contains(" the ") | padded.contains(" a ")
+    digit_ratio = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast(
+        "double"
+    ) / F.length(F.col("text"))
+    rules = [
+        ("too_short", wc < _CASC_WC_MIN),
+        ("too_long", wc > _CASC_WC_MAX),
+        ("word_len", (mwl < _CASC_MWL_MIN) | (mwl > _CASC_MWL_MAX)),
+        ("no_stopword", ~has_stop),
+        ("digit_heavy", digit_ratio > _CASC_DIGIT_MAX),
+    ]
+    verdict = F.lit("pass")
+    for name, cond in reversed(rules):
+        verdict = F.when(cond, F.lit(name)).otherwise(verdict)
+    clean = ~rules[0][1]
+    for _, cond in rules[1:]:
+        clean = clean & ~cond
+    r = d.select(
+        "source",
+        verdict.alias("verdict"),
+        *[cond.cast("int").alias(f"r_{name}") for name, cond in rules],
+        clean.cast("int").alias("r_pass"),
+    )
+    marg = r.groupBy("source").agg(
+        *[F.sum(f"r_{name}").alias(name) for name, _ in rules],
+        F.sum("r_pass").alias("pass"),
+    )
+    marg_long = marg.unpivot(
+        ["source"],
+        [name for name, _ in rules] + ["pass"],
+        "verdict",
+        "n_marginal",
+    )
+    firstf = r.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_attributed")
+    )
+    return (
+        marg_long.join(firstf, ["source", "verdict"], "left")
+        .filter((F.col("n_marginal") > 0) | F.col("n_attributed").isNotNull())
+        .select(
+            "source",
+            "verdict",
+            F.coalesce("n_attributed", F.lit(0)).cast("bigint").alias("n_attributed"),
+            F.col("n_marginal").cast("bigint").alias("n_marginal"),
+        )
+    )
