@@ -142,6 +142,17 @@ HEADLINE = [
     "incremental_agg_retract",
     "dedup_incremental_minhash_deleted",
     "streaming_agg_retract",
+    # round-7 second tranche (store time travel, mixture derivation,
+    # exact-kmeans SemDeDup, watermark accounting, PIT features,
+    # cascade audit, dataset card)
+    "incremental_store_time_travel",
+    "mixture_temperature_weights",
+    "semantic_dedup_kmeans",
+    "streaming_late_data_accounting",
+    "feature_pit_assembly",
+    "filter_cascade_audit",
+    "dataset_card_stats",
+    "knn_pq_adc",
 ]
 
 

@@ -532,3 +532,145 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def pq_codebook(
+    df: DataFrame,
+    M: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant_digits: int = 6,
+) -> list:
+    """Deterministic product-quantization codebook: the ``ksub``
+    lowest-id vectors' quantized subvectors, one codebook per subspace
+    (``cb[m][j]`` = subspace-m slice of the j-th seed vector). Sampled,
+    not Lloyd-trained — the same deterministic-seed choice the IVF
+    family starts from, which is what lets the WHOLE encode+ADC path
+    sit under an integer-exact SQL oracle; production swaps in
+    :func:`kmeans_exact`/:func:`train_ivf_centroids` per subspace
+    (the clustering arithmetic is proved by `semantic_dedup_kmeans`).
+    """
+    scale = float(10 ** quant_digits)
+    rows = (
+        df.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"pq_codebook: need >= {ksub} rows, got {len(rows)}")
+    dim = len(rows[0].v)
+    if dim % M:
+        raise ValueError(f"pq_codebook: dim {dim} not divisible by M={M}")
+    d = dim // M
+    return [
+        [[int(x) for x in r.v[m * d : (m + 1) * d]] for r in rows]
+        for m in range(M)
+    ]
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    M: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    quant_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound regime's answer at 100 TB, where raw
+    vectors (256 B/vec at dim 64) cannot stay hot but PQ codes (M
+    bytes) can: each vector is encoded once as M sub-codes (argmin
+    over the subspace codebook, exact integer arithmetic over
+    quantized components), and query scoring touches ONLY the codes —
+    per query one (M x ksub) integer distance table is built
+    driver-side and each corpus row costs M table lookups + adds.
+    Everything is integer-exact by construction (codebook entries are
+    data points, never means — no division anywhere), so encode, ADC
+    scoring, and the top-k are all replayed verbatim by the SQL
+    oracle; recall vs the exact scan is pinned separately in pytest
+    (the usual ANN contract, but here the MECHANICS are oracle-proved,
+    not just the recall).
+
+    Plan shape: codes via one Arrow-batched numpy pass (argmin over a
+    broadcast ksub x dim int array); scoring via one Arrow-batched
+    gather-sum per partition emitting an nq-length dist array,
+    exploded and window-ranked per query — the corpus is scanned
+    once, never shuffled except the final k·nq·partition-bounded
+    top-k window. Returns (query_id, id, pq_dist BIGINT, rank).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cb = pq_codebook(corpus, M, ksub, vec_col, id_col, quant_digits)
+    scale = float(10 ** quant_digits)
+    d = len(cb[0][0])
+    cbarr = np.array(cb, dtype=np.int64)  # (M, ksub, d)
+
+    qv = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    )
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        arr = np.stack([np.asarray(v, dtype=np.int64) for v in vs])
+        codes = np.empty((arr.shape[0], M), dtype=np.int32)
+        for m in range(M):
+            sub = arr[:, m * d : (m + 1) * d]
+            diff = sub[:, None, :] - cbarr[m][None, :, :]
+            codes[:, m] = (diff * diff).sum(-1).argmin(1)
+        return pd.Series(list(codes))
+
+    # bounded collect: the query set is small by contract (same as
+    # knn_bruteforce); each query becomes an (M x ksub) int table
+    qrows = queries.select(
+        F.col(query_id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    ).collect()
+    qids = [r[query_id_col] for r in qrows]
+    tables = []
+    for r in qrows:
+        qarr = np.asarray(r.v, dtype=np.int64)
+        t = np.empty((M, ksub), dtype=np.int64)
+        for m in range(M):
+            diff = cbarr[m] - qarr[m * d : (m + 1) * d][None, :]
+            t[m] = (diff * diff).sum(-1)
+        tables.append(t)
+    tbl = np.stack(tables)  # (nq, M, ksub)
+
+    @pandas_udf("array<long>")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.stack([np.asarray(x, dtype=np.int64) for x in codes])  # (n, M)
+        # gather: dists[q, row] = sum_m tbl[q, m, c[row, m]]
+        out = np.zeros((c.shape[0], len(qids)), dtype=np.int64)
+        for m in range(M):
+            out += tbl[:, m, :][:, c[:, m]].T  # (n, nq)
+        return pd.Series(list(out))
+
+    scored = qv.select(id_col, adc(encode(F.col("v"))).alias("ds")).select(
+        id_col, F.posexplode("ds").alias("qpos", "pq_dist")
+    )
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+    scored = scored.select(
+        F.element_at(qid_lit, F.col("qpos") + 1).alias(query_id_col),
+        F.col(id_col),
+        "pq_dist",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "pq_dist", "rank")
+    )

@@ -3556,7 +3556,8 @@ _DRIVER_CHECKED: set[str] = {
 # dedup_incremental_minhash_deleted, streaming_agg_retract,
 # incremental_store_time_travel, mixture_temperature_weights,
 # semantic_dedup_kmeans, streaming_late_data_accounting,
-# feature_pit_assembly, filter_cascade_audit — all
+# feature_pit_assembly, filter_cascade_audit, dataset_card_stats,
+# knn_pq_adc — all
 # builder-verified at sf0.01 AND at SPARK_GRAFT_SHUFFLE=7 in round 7),
 # and (c) backfill to 50 with the next-oldest _DRIVER_CHECKED rows
 # (text_unigram_logprob + the remaining round-3-era names, then

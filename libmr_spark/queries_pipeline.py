@@ -2462,3 +2462,139 @@ def filter_cascade_audit_q(spark, sf_dir):
             F.col("n_marginal").cast("bigint").alias("n_marginal"),
         )
     )
+
+
+@defquery(
+    "dataset_card_stats",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS wc,
+             length(text) AS chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+'))
+                       BETWEEN {_CASC_WC_MIN} AND {_CASC_WC_MAX}
+                   AND CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(trim(lower(text)), '\\s+'))
+                       BETWEEN {_CASC_MWL_MIN} AND {_CASC_MWL_MAX}
+                   AND (contains(concat(' ', lower(text), ' '), ' the ')
+                        OR contains(concat(' ', lower(text), ' '), ' a '))
+                  THEN 1 ELSE 0 END AS gopher_ok
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(wc) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(MIN(wc) AS BIGINT) AS min_tokens,
+           CAST(MAX(wc) AS BIGINT) AS max_tokens,
+           round(SUM(wc) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+           round((count(*) - count(DISTINCT fp)) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_rate,
+           round(SUM(gopher_ok) / CAST(count(*) AS DOUBLE), 6) AS gopher_pass_rate
+    FROM m
+    """,
+    "dataset card / datasheet in ONE query — the summary block every "
+    "released training corpus ships (size, source diversity, token "
+    "budget, length range, exact-dup rate, quality pass rate): a "
+    "single scan computing per-doc metrics from the SAME shared "
+    "expression constants as the quality/dedup queries, folded into "
+    "one global aggregate row. Ratios divide exact integers as "
+    "double/double (one IEEE op, identical cross-engine). At 100 TB "
+    "this is one pass + a 1-row reduce — cheap enough to regenerate "
+    "on every corpus revision and diff as part of the release gate.",
+)
+def dataset_card_stats_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    low = F.trim(F.lower(F.col("text")))
+    wc = F.size(F.split(low, r"\s+"))
+    mwl = F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / wc
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    gopher_ok = (
+        wc.between(_CASC_WC_MIN, _CASC_WC_MAX)
+        & mwl.between(_CASC_MWL_MIN, _CASC_MWL_MAX)
+        & (padded.contains(" the ") | padded.contains(" a "))
+    ).cast("int")
+    fp = F.md5(F.regexp_replace(low, r"\s+", " "))
+    m = d.select(
+        "source",
+        wc.alias("wc"),
+        F.length("text").alias("chars"),
+        fp.alias("fp"),
+        gopher_ok.alias("gopher_ok"),
+    )
+    cnt = F.count(F.lit(1))
+    ndup = cnt - F.count_distinct(F.col("fp"))
+    return m.agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.sum("wc").cast("bigint").alias("total_tokens"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.min("wc").cast("bigint").alias("min_tokens"),
+        F.max("wc").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("wc") / cnt.cast("double"), 6).alias("mean_tokens"),
+        ndup.cast("bigint").alias("n_exact_dup_docs"),
+        F.round(ndup / cnt.cast("double"), 6).alias("dup_rate"),
+        F.round(F.sum("gopher_ok") / cnt.cast("double"), 6).alias("gopher_pass_rate"),
+    )
+
+
+@defquery(
+    "knn_pq_adc",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+               FROM embeddings),
+    cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS j, v
+           FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 16)),
+    enc AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT q.vec_id, s.m, cb.j,
+               row_number() OVER (PARTITION BY q.vec_id, s.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (q.v[s.m*8+i] - cb.v[s.m*8+i])
+                        * (q.v[s.m*8+i] - cb.v[s.m*8+i]))) ASC,
+                 cb.j ASC) AS rn
+        FROM q CROSS JOIN range(0, 8) s(m) CROSS JOIN cb) t
+      WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < 5),
+    adc AS (
+      SELECT qs.query_id, e.vec_id,
+             SUM(list_sum(list_transform(range(1, 9),
+               i -> (qs.v[e.m*8+i] - cb.v[e.m*8+i])
+                    * (qs.v[e.m*8+i] - cb.v[e.m*8+i])))) AS pq_dist
+      FROM enc e JOIN cb ON cb.j = e.code CROSS JOIN qs
+      GROUP BY qs.query_id, e.vec_id)
+    SELECT query_id, vec_id, CAST(pq_dist AS BIGINT) AS pq_dist, rank FROM (
+      SELECT query_id, vec_id, pq_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM adc) r
+    WHERE rank <= 5
+    """,
+    "product-quantization ANN with asymmetric distance computation — "
+    "the ANN family's memory-bound leg: vectors compress to M=8 "
+    "sub-codes (argmin over a 16-entry per-subspace codebook), query "
+    "scoring touches ONLY codes via a per-query (M x ksub) distance "
+    "table (M lookups + adds per row, corpus scanned once, never "
+    "shuffled before the bounded top-k window). Unlike the LSH/IVF "
+    "legs (recall-pinned, rows-only), the ENTIRE PQ path is under a "
+    "SQL oracle: the codebook is the 16 lowest-id vectors' quantized "
+    "subvectors (data points, never means — no division anywhere), so "
+    "encode, ADC scoring and the top-k are pure integer arithmetic "
+    "both engines replay bit-for-bit. Recall vs the exact scan is "
+    "pinned in pytest; production trains the codebooks per subspace "
+    "with kmeans_exact/train_ivf_centroids (arithmetic proved by "
+    "semantic_dedup_kmeans). At 100 TB: 8-byte codes vs 256-byte "
+    "vectors is the difference between codes-in-memory rescoring and "
+    "a disk-bound scan; the codebook and distance tables broadcast.",
+)
+def knn_pq_adc_q(spark, sf_dir):
+    from .operators.similarity import knn_pq_adc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_pq_adc(emb, queries, M=8, ksub=16, k=5)

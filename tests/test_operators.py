@@ -1647,3 +1647,61 @@ def test_kmeans_exact_partition_invariant_and_semantic_dedup_sound(spark, emb):
             assert any(
                 (s, d) in sim and cid[s] == cid[d] for s in range(min(a), d)
             ), d
+
+
+def test_knn_pq_adc_exact_arithmetic_and_shortlist_recall(spark, emb):
+    import numpy as np
+
+    from libmr_spark.operators.similarity import knn_pq_adc, pq_codebook
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_pq_adc(emb, queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append(r)
+
+    # (a) ADC distances are EXACT integers: recompute one query's rows
+    # in pure Python from the same codebook definition
+    cb = np.array(pq_codebook(emb), dtype=np.int64)  # (M, ksub, d)
+    V = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    M, ksub, d = cb.shape
+    def code(v):
+        return [
+            int(((v[m * d : (m + 1) * d] - cb[m]) ** 2).sum(-1).argmin())
+            for m in range(M)
+        ]
+    q0 = min(got)
+    qv = V[q0]
+    for r in got[q0]:
+        c = code(V[r.vec_id])
+        expect = sum(
+            int(((qv[m * d : (m + 1) * d] - cb[m][c[m]]) ** 2).sum())
+            for m in range(M)
+        )
+        assert r.pq_dist == expect
+
+    # (b) mean recall@5 vs the exact L2 scan clears the floor for a
+    # 16-entry sample codebook on decorrelated vectors (measured 0.36)
+    Vf = {i: v.astype(np.float64) for i, v in V.items()}
+    recall = []
+    for q, rows in got.items():
+        exact = sorted(Vf, key=lambda i: (float(((Vf[i] - Vf[q]) ** 2).sum()), i))[:5]
+        recall.append(len({r.vec_id for r in rows} & set(exact)) / 5)
+    assert sum(recall) / len(recall) >= 0.2
+
+    # (c) the production contract: PQ is the SHORTLIST stage — every
+    # query's exact nearest neighbor must survive into the top-50
+    # candidates that exact re-ranking would then rescore
+    short = {}
+    for r in knn_pq_adc(emb, queries, k=50).collect():
+        short.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in short:
+        nn1 = min(Vf, key=lambda i: (float(((Vf[i] - Vf[q]) ** 2).sum()), i))
+        assert nn1 in short[q]
