@@ -153,6 +153,7 @@ HEADLINE = [
     "filter_cascade_audit",
     "dataset_card_stats",
     "knn_pq_adc",
+    "quality_weighted_sample",
 ]
 
 

@@ -2598,3 +2598,60 @@ def knn_pq_adc_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_pq_adc(emb, queries, M=8, ksub=16, k=5)
+
+
+from .queries import _quality_sql  # noqa: E402  (shared expression tree)
+
+_ES_DENOM = 16 ** 12 + 1  # hex12 uniform: u = (hv + 1) / _ES_DENOM in (0, 1]
+
+
+@defquery(
+    "quality_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_quality_sql()} AS quality,
+             CAST(concat('0x', substr(md5(concat('esq:', CAST(doc_id AS VARCHAR))), 1, 12))
+                  AS BIGINT) AS hv
+      FROM documents)
+    SELECT doc_id, quality, skey FROM (
+      SELECT doc_id, quality,
+             round(ln((hv + 1) / {_ES_DENOM}.0) / (quality + 0.1), 6) AS skey
+      FROM s) t
+    ORDER BY skey DESC, doc_id ASC LIMIT 100
+    """,
+    "deterministic weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis A-Res, published 2006): each doc draws a content-hash "
+    "uniform u = (hex12(md5) + 1)/16^12+1 and ranks by ln(u)/w with "
+    "w = quality + 0.1 (the shared quality expression tree) — the "
+    "top-k by that key IS an exact weighted sample without "
+    "replacement, so corpus selection can favor high-quality docs "
+    "with a provable distribution instead of ad-hoc thresholding. "
+    "No RNG state anywhere: membership survives re-runs, "
+    "repartitioning and AQE (the sample_k_per_group contract, "
+    "weighted). Cross-engine exactness: the uniform is an exact "
+    "rational both engines derive from the same md5 hex, ln is the "
+    "one libm call (washed at 6 decimals like every log in the "
+    "inventory), and the divisions are single IEEE ops on identical "
+    "inputs; doc_id breaks rank ties. The global top-k compiles to "
+    "TakeOrderedAndProject — per-partition heaps, k rows to the "
+    "driver, NO global sort at any scale.",
+)
+def quality_weighted_sample_q(spark, sf_dir):
+    from .functions import text as TXf
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("esq:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    quality = TXf.quality_score(F.col("text"))
+    u = (hv + F.lit(1)) / F.lit(float(_ES_DENOM))
+    skey = F.round(F.log(u) / (quality + F.lit(0.1)), 6)
+    return (
+        d.select("doc_id", quality.alias("quality"), skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )

@@ -139,3 +139,25 @@ def test_temperature_mixture_weights_alpha_limits(spark):
         for r in temperature_mixture_weights(df.repartition(13), alpha=0.3).collect()
     }
     assert again == {s: r.weight for s, r in rows.items()}
+
+
+def test_quality_weighted_sample_props(spark, sf_dir):
+    from libmr_spark.queries_pipeline import quality_weighted_sample_q
+
+    out = quality_weighted_sample_q(spark, sf_dir).collect()
+    assert len(out) == 100 and len({r.doc_id for r in out}) == 100
+    # weighting must bias the sample toward quality: sampled mean
+    # quality clears the corpus mean (deterministic given fixed hashes)
+    from libmr_spark.functions.text import quality_score
+    from libmr_spark.sources.readers import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus_mean = (
+        docs.select(quality_score(F.col("text")).alias("q")).agg(F.avg("q")).first()[0]
+    )
+    sample_mean = sum(r.quality for r in out) / len(out)
+    assert sample_mean > corpus_mean
+    # determinism: a re-run returns the same members (content-hash
+    # uniforms, no RNG state)
+    again = {r.doc_id for r in quality_weighted_sample_q(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in out}
