@@ -154,6 +154,7 @@ HEADLINE = [
     "dataset_card_stats",
     "knn_pq_adc",
     "quality_weighted_sample",
+    "fuzzy_match_parts_blocked",
 ]
 
 

@@ -2655,3 +2655,65 @@ def quality_weighted_sample_q(spark, sf_dir):
         .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+@defquery(
+    "fuzzy_match_parts_blocked",
+    """
+    WITH p AS (SELECT p_partkey, p_name,
+                      string_split(p_name, ' ')[1] AS blk FROM part),
+    cand AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS m, a.p_name AS name_a,
+             b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3)
+    SELECT k AS p_partkey, m AS match_key, name_a, name_b,
+           CAST(d AS INT) AS dist
+    FROM (SELECT k, m, name_a, name_b, d,
+                 row_number() OVER (PARTITION BY k ORDER BY d ASC, m ASC) AS rn
+          FROM cand) t
+    WHERE rn = 1
+    """,
+    "entity resolution by BLOCKED fuzzy match — the dedup shape for "
+    "dirty entity tables (names, addresses, merchants) rather than "
+    "documents: block on a cheap key (first name token) so the "
+    "Levenshtein candidate join is bounded by block occupancy instead "
+    "of n², cap edit distance at 3, and keep each entity's single "
+    "best match (min distance, key tie-break) via the standard "
+    "window-top-1. Levenshtein is a JVM builtin on both engines — "
+    "identical integer distances, no Python anywhere. At 100 TB the "
+    "block key is the partitioning key (co-located self-join), "
+    "block-size skew gets the same hot-key cap as the shingle "
+    "index, and recall is explicitly bounded by the blocking choice "
+    "— candidates in different blocks are unseen, the documented ER "
+    "trade-off (multi-pass blocking on a second key is the standard "
+    "recall repair and composes as a UNION of the same shape).",
+)
+def fuzzy_match_parts_blocked_q(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("m"), F.col("p_name").alias("name_b"), "blk"
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(F.col("k") != F.col("m"))
+        .withColumn("d", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("d") <= 3)
+    )
+    w = Window.partitionBy("k").orderBy(F.col("d").asc(), F.col("m").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("p_partkey"),
+            F.col("m").alias("match_key"),
+            "name_a",
+            "name_b",
+            F.col("d").cast("int").alias("dist"),
+        )
+    )
