@@ -639,6 +639,8 @@ def knn_pq_adc(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
         ).alias("v"),
     ).collect()
+    if not qrows:
+        raise ValueError("knn_pq_adc: empty query set")
     qids = [r[query_id_col] for r in qrows]
     tables = []
     for r in qrows:
