@@ -676,3 +676,97 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "pq_dist", "rank")
     )
+
+
+def knn_ivf_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    quant_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN whose ENTIRE path — coarse quantizer training, cell
+    assignment, probe selection, candidate distances, top-k — is
+    cross-engine exact, so the usual rows-only/recall-pin ANN contract
+    upgrades to a full value-hash oracle (the same promotion
+    ``dedup_simhash_md5`` gave simhash and ``kmeans_exact`` gave
+    clustering, now applied to the retrieval step itself).
+
+    The quantizer is :func:`kmeans_exact` (integer (sum, count)
+    centroids, rational-cost argmin, one IEEE division per candidate).
+    Probe selection replays the SAME rational cost per (query,
+    centroid) — computed driver-side over the collected query batch,
+    exactly as :func:`knn_pq_adc` builds its distance tables: query
+    batches are small by contract; the corpus never leaves the
+    cluster. Candidate scoring is a pure-integer squared L2 between
+    quantized vectors (components <= 10^quant_digits, so dim 64 sums
+    stay far inside LONG), evaluated JVM-side via
+    ``aggregate(zip_with(...))`` on the assignment join — broadcast
+    probes, no shuffle beyond the per-query top-k window over
+    candidates.
+
+    At 100 TB this IS the production IVF shape (cell-restricted scan +
+    per-query top-k); the float twin :func:`knn_ivf` trades the exact
+    quantizer for JVM float cosine. Recall vs the exhaustive scan is
+    pinned in pytest as usual — but unlike `knn_ivf`, the MECHANICS
+    here are oracle-proved, not just the recall.
+
+    Returns (query_id, rank INT, vec_id, dist LONG), rank 1..k by
+    (dist asc, id asc).
+    """
+    stats: dict = {}
+    assigned = kmeans_exact(
+        corpus, k=k_cells, rounds=rounds, vec_col=vec_col, id_col=id_col,
+        quant_digits=quant_digits, stats=stats,
+    )
+    cents = stats["centroids"]
+    scale = float(10 ** quant_digits)
+    qrows = queries.select(
+        query_id_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    ).collect()
+    if not qrows:
+        raise ValueError("knn_ivf_exact: empty query set")
+
+    sss = [sum(a * a for a in s) for s, _ in cents]
+    probe_rows = []
+    qv_rows = []
+    for r in qrows:
+        vi = [int(x) for x in r.v]
+        qv_rows.append((r[query_id_col], vi))
+        xx = sum(a * a for a in vi)
+        keyed = []
+        for cid, (s, n) in enumerate(cents):
+            xs = sum(a * b for a, b in zip(vi, s))
+            cost = n * n * xx - 2 * n * xs + sss[cid]
+            keyed.append((float(cost) / float(n * n), cid))
+        keyed.sort()
+        for _, cid in keyed[:nprobe]:
+            probe_rows.append((r[query_id_col], cid))
+
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, f"{query_id_col} bigint, cid int")
+    qv = spark.createDataFrame(qv_rows, f"{query_id_col} bigint, qv array<bigint>")
+    dist = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(qv), query_id_col)
+        .select(F.col(query_id_col), F.col(id_col), dist.alias("dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "dist")
+    )

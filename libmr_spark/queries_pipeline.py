@@ -2004,22 +2004,33 @@ def mixture_temperature_weights_q(spark, sf_dir):
     )
 
 
-def _semantic_dedup_sql(k: int = 8, rounds: int = 2, thr: float = 0.9, dim: int = 64) -> str:
-    """DuckDB replay of the EXACT k-means + SemDeDup pipeline: the same
-    scaled-integer quantization, the same rational-cost argmin (one
-    IEEE division per candidate on integer-exact operands), the same
-    empty-cluster carry, unrolled one CTE block per round — the
-    pagerank_dup_graph technique applied to clustering."""
+def _kmeans_cost_key_sql(vexpr: str, calias: str) -> str:
+    """The exact-k-means rational cost as a DOUBLE sort key: integer-
+    exact numerator/denominator, ONE IEEE division (bit-identical
+    operands ⇒ bit-identical quotient in any engine)."""
+    return (
+        f"CAST(CAST({calias}.n AS HUGEINT)*{calias}.n*"
+        f"list_sum(list_transform({vexpr}, x -> CAST(x AS HUGEINT)*x))\n"
+        f"                  - 2*CAST({calias}.n AS HUGEINT)*"
+        f"list_sum(list_transform(list_zip({vexpr}, {calias}.s), p -> CAST(p[1] AS HUGEINT)*p[2]))\n"
+        f"                  + list_sum(list_transform({calias}.s, x -> CAST(x AS HUGEINT)*x)) AS DOUBLE)\n"
+        f"             / CAST(CAST({calias}.n AS HUGEINT)*{calias}.n AS DOUBLE)"
+    )
+
+
+def _kmeans_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> list[str]:
+    """DuckDB replay of :func:`operators.similarity.kmeans_exact`,
+    unrolled one CTE block per Lloyd round (the pagerank technique
+    applied to clustering): ``q`` = quantized vectors, ``c{r}`` =
+    (sum, count) centroids, ``a{r}`` = assignment under ``c{r}``.
+    Shared by the SemDeDup and IVF-exact oracles."""
 
     def assign(aname: str, cname: str) -> str:
         return f"""{aname} AS (
   SELECT vec_id, v, cid FROM (
     SELECT q.vec_id, q.v, c.cid,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             CAST(CAST(c.n AS HUGEINT)*c.n*list_sum(list_transform(q.v, x -> CAST(x AS HUGEINT)*x))
-                  - 2*CAST(c.n AS HUGEINT)*list_sum(list_transform(list_zip(q.v, c.s), p -> CAST(p[1] AS HUGEINT)*p[2]))
-                  + list_sum(list_transform(c.s, x -> CAST(x AS HUGEINT)*x)) AS DOUBLE)
-             / CAST(CAST(c.n AS HUGEINT)*c.n AS DOUBLE) ASC, c.cid ASC) AS rn
+             {_kmeans_cost_key_sql("q.v", "c")} ASC, c.cid ASC) AS rn
     FROM q CROSS JOIN {cname} c) WHERE rn = 1)"""
 
     ctes = [
@@ -2044,6 +2055,16 @@ def _semantic_dedup_sql(k: int = 8, rounds: int = 2, thr: float = 0.9, dim: int 
   FROM c{r - 1} c LEFT JOIN n{r} ON c.cid = n{r}.cid)""",
             assign(f"a{r}", f"c{r}"),
         ]
+    return ctes
+
+
+def _semantic_dedup_sql(k: int = 8, rounds: int = 2, thr: float = 0.9, dim: int = 64) -> str:
+    """DuckDB replay of the EXACT k-means + SemDeDup pipeline: the same
+    scaled-integer quantization, the same rational-cost argmin (one
+    IEEE division per candidate on integer-exact operands), the same
+    empty-cluster carry, unrolled one CTE block per round — the
+    pagerank_dup_graph technique applied to clustering."""
+    ctes = _kmeans_ctes(k=k, rounds=rounds, dim=dim)
     last = f"a{rounds}"
     ctes.append(
         f"""pairs AS (
@@ -2717,3 +2738,75 @@ def fuzzy_match_parts_blocked_q(spark, sf_dir):
             F.col("d").cast("int").alias("dist"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 13. Oracle-exact IVF retrieval (rows-only family shrinks again)
+# ------------------------------------------------------------------
+
+
+def _knn_ivf_exact_sql(
+    k_cells: int = 8, rounds: int = 2, nprobe: int = 2, k: int = 5,
+    nq: int = 5, dim: int = 64,
+) -> str:
+    """DuckDB replay of :func:`operators.similarity.knn_ivf_exact`:
+    the shared k-means unroll, then probe selection by the SAME
+    rational cost key (row_number <= nprobe per query), then pure-
+    HUGEINT squared-L2 over the probed cells and the per-query top-k."""
+    ctes = _kmeans_ctes(k=k_cells, rounds=rounds, dim=dim)
+    last = f"a{rounds}"
+    cent = f"c{rounds}"
+    ctes += [
+        f"qv AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < {nq})",
+        f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT qv.query_id, c.cid,
+           row_number() OVER (PARTITION BY qv.query_id ORDER BY
+             {_kmeans_cost_key_sql("qv.v", "c")} ASC, c.cid ASC) AS rn
+    FROM qv CROSS JOIN {cent} c) WHERE rn <= {nprobe})""",
+        f"""cand AS (
+  SELECT probe.query_id, a.vec_id,
+         CAST(list_sum(list_transform(list_zip(a.v, qv.v),
+              p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS BIGINT) AS dist
+  FROM probe JOIN {last} a ON a.cid = probe.cid
+  JOIN qv ON qv.query_id = probe.query_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+    )
+
+
+@defquery(
+    "knn_ivf_exact",
+    _knn_ivf_exact_sql(),
+    "IVF ANN under a FULL value-hash oracle — quantizer training, "
+    "cell assignment, probe selection, distances, and top-k all "
+    "replay identically in DuckDB. ANN operators normally get only a "
+    "recall pin because Lloyd + float cosine are order- and "
+    "engine-sensitive; here the coarse quantizer is kmeans_exact "
+    "(integer (sum,count) centroids, rational-cost argmin), probe "
+    "ranking reuses the identical cost key, and candidate scoring is "
+    "pure-integer squared L2 over the quantized vectors — so the "
+    "oracle unrolls the whole pipeline CTE-by-CTE and the retrieved "
+    "lists must hash-match, leaving only IVF-float/PCA in the "
+    "recall-pinned family. Spark shape: broadcast (query,cid) probe "
+    "pairs onto the assignment (no shuffle), JVM aggregate/zip_with "
+    "distances, one per-query top-k window — the production IVF plan "
+    "at 100 TB, where assignment is persisted once and each query "
+    "batch scans only nprobe/nlist of the corpus.",
+)
+def knn_ivf_exact_q(spark, sf_dir):
+    from .operators.similarity import knn_ivf_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_exact(emb, queries, k_cells=8, rounds=2, nprobe=2, k=5)

@@ -1705,3 +1705,72 @@ def test_knn_pq_adc_exact_arithmetic_and_shortlist_recall(spark, emb):
     for q in short:
         nn1 = min(Vf, key=lambda i: (float(((Vf[i] - Vf[q]) ** 2).sum()), i))
         assert nn1 in short[q]
+
+
+def test_knn_ivf_exact_integer_distances_and_recall(spark, emb):
+    import numpy as np
+
+    from libmr_spark.operators.similarity import kmeans_exact, knn_ivf_exact
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivf_exact(emb, queries, k_cells=8, rounds=2, nprobe=2, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append(r)
+    assert set(got) == {0, 1, 2, 3, 4}
+
+    V = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+
+    for q, rows in got.items():
+        rows.sort(key=lambda r: r.rank)
+        # ranks contiguous, distances non-decreasing, id tie-break
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            (a.dist, a.vec_id) < (b.dist, b.vec_id) for a, b in zip(rows, rows[1:])
+        )
+        # distances are the exact integer squared L2 on quantized vecs
+        for r in rows:
+            assert r.dist == int(((V[q] - V[r.vec_id]) ** 2).sum())
+        # a query that IS a corpus vector must retrieve itself first
+        assert rows[0].vec_id == q and rows[0].dist == 0
+
+    # candidates only come from probed cells: every hit's cell is one
+    # of the query's nprobe nearest cells under the same rational cost
+    stats = {}
+    assigned = {
+        r.vec_id: r.cid
+        for r in kmeans_exact(emb, k=8, rounds=2, stats=stats).collect()
+    }
+    cents = stats["centroids"]
+    sss = [sum(a * a for a in s) for s, _ in cents]
+    for q, rows in got.items():
+        vi = [int(x) for x in V[q]]
+        xx = sum(a * a for a in vi)
+        keyed = sorted(
+            (
+                float(n * n * xx - 2 * n * sum(a * b for a, b in zip(vi, s)) + sss[c])
+                / float(n * n),
+                c,
+            )
+            for c, (s, n) in enumerate(cents)
+        )
+        probed = {c for _, c in keyed[:2]}
+        for r in rows:
+            assert assigned[r.vec_id] in probed
+
+    # recall@5 vs the exhaustive integer scan (nprobe=2 of 8 cells)
+    recall = []
+    for q, rows in got.items():
+        exact = sorted(V, key=lambda i: (int(((V[i] - V[q]) ** 2).sum()), i))[:5]
+        recall.append(len({r.vec_id for r in rows} & set(exact)) / 5)
+    assert sum(recall) / len(recall) >= 0.4
+
+    with pytest.raises(ValueError, match="empty query set"):
+        knn_ivf_exact(emb, queries.filter(F.lit(False)))
