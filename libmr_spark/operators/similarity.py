@@ -770,3 +770,117 @@ def knn_ivf_exact(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "dist")
     )
+
+
+def pca_power_exact(
+    df: DataFrame,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant_digits: int = 6,
+    stats: dict | None = None,
+) -> DataFrame:
+    """First principal component by power iteration, made CROSS-ENGINE
+    EXACT — the promotion :func:`kmeans_exact` gave clustering, applied
+    to the eigendecomposition that kept ``embedding_pca_project`` in
+    the rows-only family: every iterate is re-quantized to integers,
+    so an independent engine replaying the same arithmetic produces
+    the IDENTICAL projection and the whole iteration sits under a SQL
+    oracle (unrolled one CTE block per iteration, the pagerank
+    technique).
+
+    Arithmetic contract per iteration (w the current integer direction,
+    |w_j| <= 10^6):
+      * vectors quantize once (``round(x*10^6)``), then center on the
+        ROUNDED integer mean ``m_j = round_half_away(S_j / n)`` — the
+        one deliberate approximation (<= half a quantum per component,
+        PCA-invisible) that keeps centered components ~2x the quantum
+        instead of n·x - S's n-fold blowup;
+      * ``dot = c·w`` is pure LONG (dim 64, components <= ~1.2e6 →
+        <= ~8e13, far inside LONG);
+      * the matrix-vector product ``s_j = Σ_rows dot·c_j`` accumulates
+        in DECIMAL(38,0)/HUGEINT (order-free: integer sums are
+        associative — AQE can slice partials any way it likes);
+      * renormalize ``w_j = round_half_away(double(s_j)·10^6 /
+        double(max|s|))`` — int→double conversions are correctly
+        rounded in every engine, ONE multiply + ONE divide in IEEE,
+        half-away rounding matches Spark's ROUND, DuckDB's round(),
+        and Python's Decimal ROUND_HALF_UP.
+
+    Spark shape per iteration: one JVM ``aggregate(zip_with)`` dot
+    pass + one ``posexplode``/``groupBy pos`` DECIMAL sum collecting
+    exactly dim rows to the driver — the classic collect-the-centroid
+    loop; the corpus never moves. ``iters`` is fixed; convergence is
+    pinned in pytest vs numpy's eigendecomposition (|cos| >= 0.99) on
+    data with a PLANTED spectral gap — on near-isotropic corpora
+    (lambda2/lambda1 -> 1, as in the synthetic test embeddings) no
+    power method isolates a direction, but the result is still
+    deterministic and the oracle still replays it exactly. The sign
+    is whatever the all-ones start converges to.
+
+    Returns (id_col, p1 LONG): each row's centered projection onto the
+    final integer direction. ``stats`` receives ``{"w": [...],
+    "mean": [...]}``. At 100 TB the float path (Arrow-batched numpy,
+    :func:`pca_project`) is the throughput twin; this exact twin is
+    its CI anchor, the same role kmeans_exact plays for IVF.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_away(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    scale = float(10 ** quant_digits)
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    )
+    srows = (
+        q.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    n = q.count()
+    if n == 0:
+        raise ValueError("pca_power_exact: empty input")
+    S = {r.pos: int(r.s) for r in srows}
+    dim = len(S)
+    mean = [half_away(float(S[p]) / float(n)) for p in range(dim)]
+
+    m_lit = F.array(*[F.lit(int(m)).cast("long") for m in mean])
+    c = q.select(
+        id_col, F.zip_with("v", m_lit, lambda a, b: a - b).alias("c")
+    ).localCheckpoint()  # reused every iteration: freeze lineage once
+
+    w = [10 ** quant_digits] * dim
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        dot = F.aggregate(
+            F.zip_with("c", w_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            c.select(dot.alias("dot"), F.posexplode("c").alias("pos", "cv"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("dot").cast("decimal(38,0)") * F.col("cv")).alias("s"))
+            .collect()
+        )
+        s = [int(r.s) for r in sorted(rows, key=lambda r: r.pos)]
+        mx = max(abs(x) for x in s)
+        if mx == 0:
+            raise ValueError("pca_power_exact: zero matrix-vector product (degenerate input)")
+        w = [half_away(float(x) * scale / float(mx)) for x in s]
+
+    if stats is not None:
+        stats["w"] = list(w)
+        stats["mean"] = mean
+    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    proj = F.aggregate(
+        F.zip_with("c", w_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return c.select(id_col, proj.alias("p1"))

@@ -2810,3 +2810,83 @@ def knn_ivf_exact_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_ivf_exact(emb, queries, k_cells=8, rounds=2, nprobe=2, k=5)
+
+
+# ------------------------------------------------------------------
+# 14. Oracle-exact PCA power iteration (the last rows-only *family*
+#     member that could be promoted — IVF-float stays recall-pinned)
+# ------------------------------------------------------------------
+
+
+def _pca_power_sql(iters: int = 5, dim: int = 64) -> str:
+    """DuckDB replay of :func:`operators.similarity.pca_power_exact`,
+    unrolled one CTE block per power iteration: quantize, center on
+    the rounded integer mean, then per iteration one HUGEINT
+    matrix-vector product and one round-half-away renormalization —
+    the identical arithmetic, so the projections hash-match."""
+    ctes = [
+        """q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings)""",
+        f"""mean AS (
+  SELECT list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY pos) AS m
+  FROM (SELECT t.pos, SUM(CAST(q.v[t.pos] AS HUGEINT)) AS s, MAX(cnt.n) AS n
+        FROM q CROSS JOIN range(1, {dim + 1}) t(pos)
+        CROSS JOIN (SELECT COUNT(*) AS n FROM q) cnt
+        GROUP BY t.pos))""",
+        """c AS (
+  SELECT vec_id, list_transform(list_zip(v, m), p -> p[1] - p[2]) AS c
+  FROM q CROSS JOIN mean)""",
+        f"""w0 AS (
+  SELECT list_transform(range(1, {dim + 1}), x -> CAST(1000000 AS BIGINT)) AS w)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes += [
+            f"""s{r} AS (
+  SELECT t.pos,
+         SUM(CAST(list_sum(list_transform(list_zip(c.c, w.w), p -> CAST(p[1] AS HUGEINT)*p[2])) AS HUGEINT)
+             * c.c[t.pos]) AS s
+  FROM c CROSS JOIN w{r - 1} w CROSS JOIN range(1, {dim + 1}) t(pos)
+  GROUP BY t.pos)""",
+            f"""w{r} AS (
+  SELECT list(CAST(round(CAST(s AS DOUBLE) * 1000000.0 / CAST(mx AS DOUBLE)) AS BIGINT) ORDER BY pos) AS w
+  FROM s{r} CROSS JOIN (SELECT MAX(ABS(s)) AS mx FROM s{r}) m)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT c.vec_id,
+       CAST(list_sum(list_transform(list_zip(c.c, w.w), p -> CAST(p[1] AS HUGEINT)*p[2])) AS BIGINT) AS p1
+FROM c CROSS JOIN w{iters} w"""
+    )
+
+
+@defquery(
+    "embedding_pca_power",
+    _pca_power_sql(),
+    "first principal component under a FULL value-hash oracle — the "
+    "promotion kmeans_exact gave clustering, applied to the "
+    "eigendecomposition that kept PCA rows-only: each power iterate "
+    "re-quantizes to integers (round-half-away matches Spark ROUND, "
+    "DuckDB round(), Python Decimal HALF_UP), centering uses the "
+    "rounded integer mean (<= half a quantum per component), the "
+    "matrix-vector product accumulates HUGEINT/DECIMAL (order-free "
+    "under any AQE slicing), and renormalization is one IEEE multiply "
+    "+ divide on correctly-rounded int->double operands — so DuckDB "
+    "unrolls all 5 iterations CTE-by-CTE and the per-row projections "
+    "hash-match. Spark shape per iteration: one JVM aggregate/"
+    "zip_with dot pass + one posexplode/groupBy-pos DECIMAL sum "
+    "collecting exactly dim rows — the corpus never shuffles, driver "
+    "traffic is dim rows x iters. Convergence vs numpy's "
+    "eigendecomposition is pytest-pinned (|cos| >= 0.99) on "
+    "planted-spectral-gap data — the near-isotropic test corpus "
+    "(lambda2/lambda1 ~ 0.93+) defeats ANY power method, where this "
+    "stays deterministic and oracle-exact anyway; production keeps "
+    "the Arrow-batched float path (pca_project) for throughput, with "
+    "this exact twin as its CI anchor.",
+)
+def embedding_pca_power_q(spark, sf_dir):
+    from .operators.similarity import pca_power_exact
+
+    return pca_power_exact(_t(spark, sf_dir, "embeddings"), iters=5)

@@ -1774,3 +1774,61 @@ def test_knn_ivf_exact_integer_distances_and_recall(spark, emb):
 
     with pytest.raises(ValueError, match="empty query set"):
         knn_ivf_exact(emb, queries.filter(F.lit(False)))
+
+
+def test_pca_power_exact_convergence_and_replay(spark, emb):
+    import numpy as np
+
+    from libmr_spark.operators.similarity import pca_power_exact
+
+    # (a) convergence, pinned where convergence is DEFINED: data with a
+    # planted spectral gap (the corpus embeddings are near-isotropic —
+    # lambda2/lambda1 ~ 0.93+ — where NO power method isolates a top
+    # direction; the oracle still proves exactness there)
+    rng = np.random.RandomState(7)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    X = rng.randn(300, 1) * 3.0 @ u[None, :] + rng.randn(300, 64) * 0.1
+    X = np.clip(X, -0.99, 0.99)
+    planted = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    )
+    stats = {}
+    outp = {r.vec_id: r.p1 for r in pca_power_exact(planted, iters=5, stats=stats).collect()}
+    Xq = np.round(np.array(
+        [np.array(r.embedding, dtype=np.float64) for r in planted.collect()]
+    ) * 1e6)
+    Xc = Xq - Xq.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top = evecs[:, -1]
+    w = np.array(stats["w"], dtype=np.float64)
+    cos = abs(w @ top) / (np.linalg.norm(w) * np.linalg.norm(top))
+    assert cos >= 0.99, cos
+
+    # (b) projections replay exactly from the returned direction and
+    # rounded integer mean (pure integer arithmetic)
+    m = np.array(stats["mean"], dtype=np.int64)
+    wi = np.array(stats["w"], dtype=np.int64)
+    for i in range(len(Xq)):
+        c = Xq[i].astype(np.int64) - m
+        assert outp[i] == int((c * wi).sum())
+
+    # (c) on the real near-isotropic corpus the exact path still runs,
+    # is deterministic, and its direction captures at least an average
+    # eigenvalue's worth of variance (all any method guarantees there)
+    stats2 = {}
+    out2 = {r.vec_id: r.p1 for r in pca_power_exact(emb, iters=5, stats=stats2).collect()}
+    out2b = {r.vec_id: r.p1 for r in pca_power_exact(emb, iters=5).collect()}
+    assert out2 == out2b
+    E = np.round(np.array(
+        [np.array(r.embedding, dtype=np.float64) for r in emb.orderBy("vec_id").collect()]
+    ) * 1e6)
+    Ec = E - E.mean(axis=0)
+    w2 = np.array(stats2["w"], dtype=np.float64)
+    w2 /= np.linalg.norm(w2)
+    ev2 = np.linalg.eigvalsh(Ec.T @ Ec)
+    assert (Ec @ w2 @ (Ec @ w2)) >= ev2.mean()
+
+    with pytest.raises(ValueError, match="empty input"):
+        pca_power_exact(emb.filter(F.lit(False)))
