@@ -2890,3 +2890,118 @@ def embedding_pca_power_q(spark, sf_dir):
     from .operators.similarity import pca_power_exact
 
     return pca_power_exact(_t(spark, sf_dir, "embeddings"), iters=5)
+
+
+# ------------------------------------------------------------------
+# 15. BM25 retrieval (the RAG-serving query shape)
+# ------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "vector"), (2, "scan"), (2, "filter"),
+    (3, "stream"), (3, "window"),
+]
+_BM25_K = 10  # results per query (k1=1.2, b=0.75 inside the formulas)
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    qt AS (SELECT * FROM (VALUES {vals}) v(query_id, token)),
+    cand AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(round(ln(((CAST(stats.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                             / (CAST(dfreq.df AS DOUBLE) + 0.5)) + 1.0), 6)
+                   * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * stats.n AS DOUBLE)
+                                                 / CAST(stats.s AS DOUBLE))))), 6) AS c
+      FROM qt
+      JOIN tf ON tf.token = qt.token
+      JOIN dfreq ON dfreq.token = qt.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    scores AS (
+      SELECT query_id, doc_id, SUM(CAST(c AS DECIMAL(38,6))) AS score
+      FROM cand GROUP BY query_id, doc_id)
+    SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank, doc_id,
+           CAST(score AS DOUBLE) AS score
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scores) t
+    WHERE rank <= {_BM25_K}
+    """
+
+
+@defquery(
+    "bm25_topk",
+    _bm25_sql(),
+    "BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's +1 idf "
+    "form, k1=1.2, b=0.75) — the lexical-retrieval query a RAG "
+    "serving layer runs against the same corpus the pipeline curates. "
+    "Cross-engine exactness follows the repo's two standing rules: "
+    "the ONE libm call (ln of the idf odds, on exact integer-derived "
+    "operands) is washed at 6dp, per-(query,doc) term contributions "
+    "are rounded then DECIMAL(38,6)-summed so accumulation order "
+    "cannot matter, and every float expression is written with the "
+    "identical IEEE op order in both engines (dl*N stays integer "
+    "until the single divide by the integer token total). Spark "
+    "shape: tf/dl/df are three hash aggregates over one tokenize "
+    "pass, query terms broadcast onto the postings (candidates = "
+    "docs containing >= 1 query term, never the full corpus), "
+    "corpus scalars ride a 1-row broadcast — at 100 TB tf IS the "
+    "inverted index (token-partitioned, built once, incrementally "
+    "maintainable like the dedup stores), and the per-query top-k "
+    "window is bounded by posting-list size.",
+)
+def bm25_topk_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qt = d.sparkSession.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+
+    cand = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfreq.join(F.broadcast(qt.select("token")), "token")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.round(F.log(((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))) + F.lit(1.0)), 6)
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * F.lit(2.2)) / (
+        tfd + F.lit(1.2) * (
+            F.lit(0.25)
+            + F.lit(0.75) * ((F.col("dl") * F.col("n")).cast("double") / F.col("s").cast("double"))
+        )
+    )
+    contrib = F.round(idf * tfn, 6).cast("decimal(38,6)")
+    scores = (
+        cand.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+        )
+    )

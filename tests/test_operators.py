@@ -1832,3 +1832,52 @@ def test_pca_power_exact_convergence_and_replay(spark, emb):
 
     with pytest.raises(ValueError, match="empty input"):
         pca_power_exact(emb.filter(F.lit(False)))
+
+
+def test_bm25_topk_ranking_semantics(spark, sf_dir):
+    from libmr_spark.queries_pipeline import _BM25_K, _BM25_QUERIES, bm25_topk_q
+
+    rows = bm25_topk_q(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q, _ in _BM25_QUERIES}
+
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # k results, contiguous ranks, scores strictly ordered by
+        # (score desc, doc_id asc)
+        assert len(rs) == _BM25_K
+        assert [r.rank for r in rs] == list(range(1, _BM25_K + 1))
+        assert all(
+            (a.score, -a.doc_id) >= (b.score, -b.doc_id) and a.score >= b.score
+            for a, b in zip(rs, rs[1:])
+        )
+        assert all(r.score > 0 for r in rs)
+
+    # BM25 semantics: every returned doc actually contains a query term
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for q, rs in by_q.items():
+        terms = [t for qq, t in _BM25_QUERIES if qq == q]
+        lst = ", ".join(f"'{t}'" for t in terms)
+        hit_docs = {
+            r[0]
+            for r in con.sql(
+                "SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(string_split_regex("
+                f"trim(lower(text)), '\\s+')) AS tok FROM documents) WHERE tok IN ({lst})"
+            ).fetchall()
+        }
+        assert {r.doc_id for r in rs} <= hit_docs
+
+    # determinism across plans: same result at a different partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {(r.query_id, r.rank, r.doc_id, r.score) for r in bm25_topk_q(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert again == {(r.query_id, r.rank, r.doc_id, r.score) for r in rows}
