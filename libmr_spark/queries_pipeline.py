@@ -3005,3 +3005,145 @@ def bm25_topk_q(spark, sf_dir):
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 16. Multi-round BPE training (the tokenizer-training LOOP, not just
+#     its first iteration)
+# ------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of the full BPE training loop, unrolled one CTE
+    block per merge: ``v{r}`` = the vocabulary re-segmented after r
+    merges (seg = space-delimited symbols with sentinel spaces, so a
+    plain-substring ``position()`` match aligns to symbol boundaries
+    — no regex, no metacharacter hazards), ``p{r}`` = round r's
+    winning pair, ``rec{r}`` = a recursive CTE that merges the FIRST
+    remaining occurrence until none is left. First-occurrence
+    iteration equals the one-pass left-to-right greedy merge Spark
+    applies (merging (l, r) -> lr can never create a new occurrence
+    adjacent to the merge site: lr = l or lr = r would need an empty
+    side), and each merge shortens seg by exactly one character, so
+    "min length per word" selects the fixed point."""
+    pat = "(' '||l||' '||r||' ')"
+    ctes = [
+        r"""tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) AS word
+  FROM documents)""",
+        """v0 AS (
+  SELECT word, count(*) AS freq,
+         ' ' || list_aggregate(list_transform(range(1, len(word)+1), i -> word[CAST(i AS INT)]), 'string_agg', ' ') || ' ' AS seg
+  FROM tok GROUP BY word)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""p{r} AS (
+  SELECT l, r, SUM(freq) AS n FROM (
+    SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r, freq
+    FROM (SELECT freq, list_filter(string_split(seg, ' '), s -> s <> '') AS syms FROM v{r - 1}) t,
+         unnest(range(1, greatest(len(syms)-1, 0)+1)) u(i))
+  GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1)""",
+            f"""rec{r} AS (
+  SELECT word, freq, seg FROM v{r - 1}
+  UNION ALL
+  SELECT word, freq,
+         substr(seg, 1, position({pat} IN seg) - 1) || ' ' || l || r || ' ' ||
+         substr(seg, position({pat} IN seg) + len({pat}))
+  FROM rec{r}, p{r}
+  WHERE position({pat} IN seg) > 0)""",
+            f"""v{r} AS (
+  SELECT word, freq, seg FROM (
+    SELECT word, freq, seg, row_number() OVER (PARTITION BY word ORDER BY len(seg) ASC) AS rn
+    FROM rec{r}) WHERE rn = 1)""",
+        ]
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rnd, l AS merge_left, r AS merge_right, CAST(n AS BIGINT) AS n FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"\n{finals}"
+
+
+@defquery(
+    "bpe_train_merges",
+    _bpe_train_sql(),
+    "the COMPLETE BPE tokenizer-training loop (Sennrich et al. 2016) "
+    "— not just the first iteration bpe_merge_pairs counts: learn 5 "
+    "merges, re-segmenting the vocabulary after each, exactly as a "
+    "tokenizer trainer does. Spark per round: pair counts explode "
+    "over the VOCABULARY (Heaps-bounded — the corpus is touched once, "
+    "by the word-count aggregate), the winning (pair, count) is one "
+    "collected row, and the merge applies as a JVM aggregate() fold "
+    "over each word's symbol array — one-pass left-to-right greedy, "
+    "provably equal to the oracle's iterate-first-occurrence "
+    "recursive CTE because a merge can never create a new occurrence "
+    "adjacent to its own site. Integer counts + (n DESC, l, r) "
+    "tie-break keep every round's winner engine-exact, so the learned "
+    "merge table hash-matches. At 100 TB: state is vocab-sized, "
+    "rounds localCheckpoint between iterations (flat plans), and the "
+    "real trainer runs thousands of rounds of the SAME shape.",
+)
+def bpe_train_merges_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            raise ValueError(f"bpe_train_merges: vocabulary exhausted at round {rnd}")
+        l, r, n = pairs[0].l, pairs[0].r, int(pairs[0].n)
+        merges.append((rnd, l, r, n))
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("word", "freq", merged.alias("syms")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rnd int, merge_left string, merge_right string, n bigint"
+    )

@@ -1881,3 +1881,63 @@ def test_bm25_topk_ranking_semantics(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert again == {(r.query_id, r.rank, r.doc_id, r.score) for r in rows}
+
+
+def test_bpe_train_merges_loop_invariants(spark, sf_dir):
+    from libmr_spark.queries_pipeline import (
+        _BPE_ROUNDS,
+        bpe_merge_pairs_q,
+        bpe_train_merges_q,
+    )
+
+    rows = sorted(bpe_train_merges_q(spark, sf_dir).collect(), key=lambda r: r.rnd)
+    assert [r.rnd for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+
+    # round 1's winner IS bpe_merge_pairs' top pair (the single-step
+    # query and the loop must agree on their shared prefix)
+    top = bpe_merge_pairs_q(spark, sf_dir).collect()[0]
+    assert rows[0].merge_left + rows[0].merge_right == top.pair
+    assert rows[0].n == top.n
+
+    # merged symbols never re-split: each round's pair is built from
+    # symbols producible by earlier merges (chars or prior merge outputs)
+    known = None
+    for r in rows:
+        for side in (r.merge_left, r.merge_right):
+            if len(side) > 1:
+                assert known is not None and side in known, side
+        known = (known or set()) | {r.merge_left + r.merge_right}
+
+    # counts are positive and the sequence is the greedy argmax: a
+    # later round's count can exceed an earlier one only if the earlier
+    # merge CREATED the pair — for disjoint pairs greedy order holds
+    assert all(r.n > 0 for r in rows)
+
+    # pure-python replay of the whole loop (independent third engine)
+    import collections
+    from pyspark.sql import functions as F  # noqa: F401
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = collections.Counter()
+    for d in docs:
+        for w in d.text.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    for r in rows:
+        counts = collections.Counter()
+        for w, f_ in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f_
+        ((bl, br), bn) = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (bl, br, bn) == (r.merge_left, r.merge_right, r.n), (r.rnd, bl, br, bn)
+        for w in segs:
+            s = segs[w]
+            out = []
+            for x in s:
+                if out and out[-1] == bl and x == br:
+                    out[-1] = bl + br
+                else:
+                    out.append(x)
+            segs[w] = out
