@@ -3147,3 +3147,59 @@ def bpe_train_merges_q(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rnd int, merge_left string, merge_right string, n bigint"
     )
+
+
+# ------------------------------------------------------------------
+# 17. OHLC downsampling (time-series rollup)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "events_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT event_type, (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS window_start_ms,
+             CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id, value
+      FROM events),
+    ranked AS (
+      SELECT event_type, window_start_ms, value,
+             row_number() OVER (PARTITION BY event_type, window_start_ms ORDER BY ms ASC, event_id ASC) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, window_start_ms ORDER BY ms DESC, event_id DESC) AS rn_close
+      FROM e)
+    SELECT event_type, window_start_ms,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY event_type, window_start_ms
+    """,
+    "OHLC downsampling — the financial/telemetry rollup shape: per "
+    "(series, hour) the first/max/min/last value plus count. Spark "
+    "computes open/close with min_by/max_by over a (ts, event_id) "
+    "struct — ONE hash aggregate, no window, no second shuffle "
+    "(the oracle uses the equivalent row_number formulation; the "
+    "(ts, event_id) tie-break makes first/last total-ordered so both "
+    "agree exactly — values are untouched parquet doubles, no "
+    "arithmetic anywhere). At 100 TB this is the map-side-combinable "
+    "rollup: min_by/max_by/min/max/count all have partial aggregates, "
+    "so the exchange carries one row per (series, hour) per partition "
+    "— the downsample that turns a raw 100 TB tick table into the "
+    "dashboard-sized hypertable, at scan cost.",
+)
+def events_ohlc_hourly_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.floor(F.unix_millis(F.col("ts")) / 3600000)) * 3600000).cast("bigint").alias("window_start_ms"),
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "event_id",
+        "value",
+    )
+    ordk = F.struct(F.col("ms"), F.col("event_id"))
+    return e.groupBy("event_type", "window_start_ms").agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

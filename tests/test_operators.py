@@ -1941,3 +1941,17 @@ def test_bpe_train_merges_loop_invariants(spark, sf_dir):
                 else:
                     out.append(x)
             segs[w] = out
+
+
+def test_events_ohlc_hourly_invariants(spark, sf_dir):
+    from libmr_spark.queries_pipeline import events_ohlc_hourly_q
+
+    rows = events_ohlc_hourly_q(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.window_start_ms % 3600000 == 0
+        assert r.n >= 1
