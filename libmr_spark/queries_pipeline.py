@@ -2962,49 +2962,14 @@ def _bm25_sql() -> str:
     "window is bounded by posting-list size.",
 )
 def bm25_topk_q(spark, sf_dir):
+    from .operators.retrieval import bm25_rank, tokenize_ws
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    )
+    toks = tokenize_ws(d)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qt = d.sparkSession.createDataFrame(_BM25_QUERIES, "query_id int, token string")
-
-    cand = (
-        tf.join(F.broadcast(qt), "token")
-        .join(F.broadcast(dfreq.join(F.broadcast(qt.select("token")), "token")), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    nd = F.col("n").cast("double")
-    dfd = F.col("df").cast("double")
-    idf = F.round(F.log(((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))) + F.lit(1.0)), 6)
-    tfd = F.col("tf").cast("double")
-    tfn = (tfd * F.lit(2.2)) / (
-        tfd + F.lit(1.2) * (
-            F.lit(0.25)
-            + F.lit(0.75) * ((F.col("dl") * F.col("n")).cast("double") / F.col("s").cast("double"))
-        )
-    )
-    contrib = F.round(idf * tfn, 6).cast("decimal(38,6)")
-    scores = (
-        cand.select("query_id", "doc_id", contrib.alias("c"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("c").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
-        .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "doc_id",
-            F.col("score").cast("double").alias("score"),
-        )
-    )
+    return bm25_rank(tf, dl, qt, k=_BM25_K)
 
 
 # ------------------------------------------------------------------
@@ -3203,3 +3168,39 @@ def events_ohlc_hourly_q(spark, sf_dir):
         F.max_by("value", ordk).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@defquery(
+    "bm25_index_incremental",
+    _bm25_sql(),
+    "BM25 served from the PERSISTED incrementally-built inverted "
+    "index — bm25_topk's production form: three ingest batches "
+    "(sources 0-9, 10-14, 15-19) commit postings/doclen through the "
+    "same atomic _BATCHES manifest as the dedup stores (two-phase "
+    "commit, flock'd swap, idempotent replay via doc_id anti-join), "
+    "then the top-k is ranked from the store, NOT the corpus. The "
+    "oracle is bm25_topk's from-scratch SQL verbatim: documents never "
+    "split across batches, so the store's union tables equal the "
+    "batch-built ones under ANY slicing — batch placement provably "
+    "irrelevant, the streaming_incremental_dedup argument applied to "
+    "retrieval. The whole store lifecycle applies unchanged: "
+    "compact_incremental_store(cluster_by={'postings': ['token']}) "
+    "restores token co-location, delete_from_incremental_store "
+    "serves takedown, read_incremental_store_asof time travel — "
+    "pinned in tests/test_operators.py.",
+)
+def bm25_index_incremental_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import bm25_index_ingest, bm25_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("bm25_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    bm25_index_ingest(spark, path, d.filter(src_num < 10))
+    bm25_index_ingest(spark, path, d.filter((src_num >= 10) & (src_num < 15)))
+    bm25_index_ingest(spark, path, d.filter(src_num >= 15))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    return bm25_index_topk(spark, path, qt, k=_BM25_K)

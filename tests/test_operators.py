@@ -1955,3 +1955,79 @@ def test_events_ohlc_hourly_invariants(spark, sf_dir):
         assert r.low <= r.close <= r.high
         assert r.window_start_ms % 3600000 == 0
         assert r.n >= 1
+
+
+def test_bm25_index_store_lifecycle(spark, sf_dir, tmp_path):
+    from libmr_spark.operators.dedup import (
+        compact_incremental_store,
+        delete_from_incremental_store,
+        read_incremental_store_asof,
+    )
+    from libmr_spark.operators.retrieval import (
+        bm25_index_ingest,
+        bm25_index_topk,
+        bm25_rank,
+        tokenize_ws,
+    )
+    from libmr_spark.queries_pipeline import _BM25_K, _BM25_QUERIES
+
+    path = str(tmp_path / "bm25_index")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    a1 = bm25_index_ingest(spark, path, d.filter(src_num < 10))
+    a2 = bm25_index_ingest(spark, path, d.filter(src_num >= 10))
+    assert a1.count() + a2.count() == d.count()
+
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    baseline = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, qt, k=_BM25_K).collect()
+    }
+
+    # store-served == from-scratch (batch placement irrelevant)
+    toks = tokenize_ws(d)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scratch = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_rank(tf, dl, qt, k=_BM25_K).collect()
+    }
+    assert baseline == scratch
+
+    # idempotent replay: re-ingesting an already-committed batch admits 0
+    replay = bm25_index_ingest(spark, path, d.filter(src_num < 10))
+    assert replay.count() == 0
+
+    # time travel: the 2-batch prefix is exactly batch-1's doclen
+    asof = read_incremental_store_asof(spark, path, "doclen", as_of_batches=1)
+    assert asof.count() == a1.count()
+
+    # compaction invariance: same top-k from one clustered directory
+    ncomp = compact_incremental_store(
+        spark, path, tables=("postings", "doclen"),
+        cluster_by={"postings": ["token"]},
+    )
+    assert ncomp >= 2
+    after = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, qt, k=_BM25_K).collect()
+    }
+    assert after == baseline
+
+    # takedown: deleting the rank-1 docs removes them from results and
+    # re-ranks the remainder from the surviving index rows
+    victims = sorted({doc for (_, rank, doc, _) in baseline if rank == 1})
+    ndel = delete_from_incremental_store(
+        # doclen first: it is the one-row-per-doc table the deletion
+        # count reports (the "payload" analogue in the dedup stores)
+        spark, path, victims, id_col="doc_id", tables=("doclen", "postings")
+    )
+    assert ndel == len(victims)
+    post = bm25_index_topk(spark, path, qt, k=_BM25_K).collect()
+    assert not ({r.doc_id for r in post} & set(victims))
+
+    # empty-store read fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty bm25 index"):
+        bm25_index_topk(spark, str(tmp_path / "nope"), qt)
