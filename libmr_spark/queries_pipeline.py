@@ -3204,3 +3204,71 @@ def bm25_index_incremental_q(spark, sf_dir):
     bm25_index_ingest(spark, path, d.filter(src_num >= 15))
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
     return bm25_index_topk(spark, path, qt, k=_BM25_K)
+
+
+@defquery(
+    "streaming_bm25_index",
+    _bm25_sql(),
+    "continuous indexing: the corpus arrives as a file stream (4 "
+    "chunks, maxFilesPerTrigger=1) and every micro-batch runs "
+    "bm25_index_ingest inside foreachBatch — postings/doclen commit "
+    "through the same atomic _BATCHES manifest, so a crashed "
+    "micro-batch is invisible and Structured Streaming's replay "
+    "re-admits identically (the doc_id anti-join absorbs the "
+    "overlap). After the stream drains, the top-k is served FROM THE "
+    "STORE and must hash-match bm25_topk's from-scratch oracle: "
+    "micro-batch slicing provably cannot change the index contents. "
+    "This is streaming_incremental_dedup's argument applied to the "
+    "serving index — the continuous-ingest loop a 100 TB retrieval "
+    "deployment actually runs (stream in, index incrementally, "
+    "compact on cadence, serve forever).",
+)
+def streaming_bm25_index_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import bm25_index_ingest, bm25_index_topk
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_bm25_in", sf_dir)
+    store = _sink_dir("stream_bm25_index", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]  # 1-row driver scalar
+    n_chunks = 4
+    span = (max_id + n_chunks) // n_chunks
+    base_t = 1_700_000_000
+    for k in range(n_chunks):
+        chunk = d.filter(
+            (F.col("doc_id") >= k * span) & (F.col("doc_id") < (k + 1) * span)
+        )
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))  # oldest-first order
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        bm25_index_ingest(bdf.sparkSession, store, bdf)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_sbi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    return bm25_index_topk(spark, store, qt, k=_BM25_K)
