@@ -153,3 +153,149 @@ def bm25_index_topk(spark, index_path: str, queries: DataFrame, k: int = 10) -> 
         *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
     )
     return bm25_rank(tf, dl, queries, k=k)
+
+
+# ------------------------------------------------------------------
+# Persisted ANN (IVF) index — the vector-side counterpart of the BM25
+# store: bootstrap-train the exact quantizer once, freeze it, then
+# ingest every later batch as cell assignments under the frozen
+# centroids and serve integer-exact kNN from the store.
+# ------------------------------------------------------------------
+
+def _ann_params(k_cells: int, rounds: int, quant_digits: int) -> dict:
+    return {
+        "kind": "ann-ivf",
+        "k_cells": str(k_cells),
+        "rounds": str(rounds),
+        "quant_digits": str(quant_digits),
+    }
+
+
+def _centroids_path(index_path: str) -> str:
+    return os.path.join(index_path, "_CENTROIDS")
+
+
+def _centroids_read(index_path: str) -> list:
+    import json
+
+    with open(_centroids_path(index_path)) as f:
+        return [(list(map(int, s)), int(n)) for s, n in json.load(f)["centroids"]]
+
+
+def ann_index_ingest(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    k_cells: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant_digits: int = 6,
+) -> DataFrame:
+    """Add a batch of vectors to the persisted IVF index. The FIRST
+    batch bootstraps the coarse quantizer (:func:`kmeans_exact` on that
+    batch alone) and freezes its integer (sum, count) centroids in
+    ``_CENTROIDS`` (tmp + ``os.replace``, written BEFORE the first
+    manifest publish so any reader that sees a committed batch sees
+    the centroids); every batch — including the bootstrap — then
+    commits its cell assignment (id, v, cid) under ``cells/batch=<tag>``
+    through the same atomic ``_BATCHES`` manifest as the dedup and BM25
+    stores. Already-ingested ids are anti-joined out, so crashed or
+    duplicated ingests replay idempotently. FROZEN centroids are what
+    make the index consistent (a vector's cell never depends on when it
+    arrived) and are the production IVF contract — FAISS-style indexes
+    train once and add forever; re-training is a store REWRITE
+    (compaction with a new quantizer), not an ingest. Returns the
+    admitted (id, cid) rows."""
+    import json
+
+    from .similarity import assign_exact, kmeans_exact
+
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    params = _ann_params(k_cells, rounds, quant_digits)
+    tags = _manifest_read(manifest_path, params)
+    uniq = batch.dropDuplicates([id_col])
+    if tags:
+        hist_ids = spark.read.parquet(
+            *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
+        ).select(id_col)
+        uniq = uniq.join(hist_ids, id_col, "left_anti")
+        cents = _centroids_read(index_path)
+        assigned = assign_exact(
+            uniq, cents, vec_col=vec_col, id_col=id_col, quant_digits=quant_digits
+        )
+    else:
+        stats: dict = {}
+        assigned = kmeans_exact(
+            uniq, k=k_cells, rounds=rounds, vec_col=vec_col, id_col=id_col,
+            quant_digits=quant_digits, stats=stats,
+        )
+        os.makedirs(index_path, exist_ok=True)
+        tmp = _centroids_path(index_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"centroids": [[list(map(str, s)), str(n)] for s, n in stats["centroids"]]},
+                f,
+            )
+        os.replace(tmp, _centroids_path(index_path))
+    assigned = assigned.localCheckpoint(eager=True)
+    tag = uuid.uuid4().hex
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(index_path, "cells", f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, params, add_tags=[tag])
+    return assigned.select(id_col, "cid")
+
+
+def ann_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    quant_digits: int = 6,
+) -> DataFrame:
+    """Serve integer-exact IVF kNN from the persisted index: load the
+    frozen centroids, probe ``nprobe`` cells per query with the same
+    rational-cost ranking the assignment used, scan only the probed
+    cells across the manifest-listed batch directories, and take the
+    per-query top-k — :func:`knn_ivf_exact`'s serving stage with the
+    train+assign passes amortized into the store. At 100 TB the cells
+    table is cid-clustered by compaction so a probe touches one file
+    group per cell. ``quant_digits`` must match the ingest setting
+    (validated against the manifest params)."""
+    from .similarity import ivf_rank_exact
+
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    if not tags:
+        raise ValueError(f"empty ann index at {index_path} (no committed batches)")
+    import json
+
+    with open(manifest_path) as f:
+        stored = json.load(f)["params"]
+    if stored.get("quant_digits") != str(quant_digits):
+        raise ValueError(
+            f"ann index at {index_path} was built with quant_digits="
+            f"{stored.get('quant_digits')}, call uses {quant_digits}"
+        )
+    cents = _centroids_read(index_path)
+    assigned = spark.read.parquet(
+        *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
+    )
+    scale = float(10 ** quant_digits)
+    qrows = queries.select(
+        query_id_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    ).collect()
+    if not qrows:
+        raise ValueError("ann_index_topk: empty query set")
+    return ivf_rank_exact(
+        assigned, qrows, cents, nprobe=nprobe, k=k,
+        id_col=id_col, query_id_col=query_id_col,
+    )

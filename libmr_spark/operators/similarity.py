@@ -435,8 +435,77 @@ def kmeans_exact(
     if len(init) < k:
         raise ValueError(f"kmeans_exact: need >= {k} rows, got {len(init)}")
     cents = [([int(x) for x in r.v], 1) for r in init]
+    assign_udf = _kmeans_assign_udf
 
-    def assign_udf(cents):
+    for _ in range(rounds):
+        a = q.withColumn("cid", assign_udf(cents)(F.col("v")))
+        srows = (
+            a.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        nrows = {r["cid"]: r["count"] for r in a.groupBy("cid").count().collect()}
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in srows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
+        cents = [
+            (
+                [by_cid[cid][p] for p in range(len(cents[cid][0]))],
+                int(nrows[cid]),
+            )
+            if cid in nrows
+            else cents[cid]
+            for cid in range(k)
+        ]
+    if stats is not None:
+        stats["centroids"] = cents
+    return q.withColumn("cid", assign_udf(cents)(F.col("v")))
+
+
+def assign_exact(
+    df: DataFrame,
+    cents: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant_digits: int = 6,
+) -> DataFrame:
+    """Assign vectors to FROZEN exact-k-means centroids (``cents`` =
+    the (sum, count) pairs :func:`kmeans_exact` publishes via
+    ``stats``) — the serving-time half of the exact quantizer: a store
+    ingests later batches under the bootstrap-trained centroids, and
+    because the argmin replays the identical rational-cost arithmetic,
+    the assignment is engine-exact regardless of which batch a vector
+    arrived in. Returns (id_col, v LONG-array quantized, cid INT)."""
+    scale = float(10 ** quant_digits)
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("v"),
+    )
+    return q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
+
+
+def probe_cells_exact(vi: list, cents: list, nprobe: int) -> list:
+    """Rank frozen centroids for one quantized query vector by the
+    SAME rational cost key the assignment uses (one IEEE division per
+    candidate on exact-int operands; cid tie-break) and return the
+    ``nprobe`` nearest cell ids — the driver-side probe-selection
+    shared by :func:`knn_ivf_exact` and the persisted ANN index."""
+    vi = [int(x) for x in vi]
+    xx = sum(a * a for a in vi)
+    keyed = []
+    for cid, (s, n) in enumerate(cents):
+        xs = sum(a * b for a, b in zip(vi, s))
+        ss = sum(a * a for a in s)
+        cost = n * n * xx - 2 * n * xs + ss
+        keyed.append((float(cost) / float(n * n), cid))
+    keyed.sort()
+    return [cid for _, cid in keyed[:nprobe]]
+
+
+def _kmeans_assign_udf(cents):
         sums = [s for s, _ in cents]
         ns = [int(n) for _, n in cents]
         sss = [sum(a * a for a in s) for s in sums]
@@ -489,31 +558,6 @@ def kmeans_exact(
             return pd.Series(out, dtype="int32")
 
         return best
-
-    for _ in range(rounds):
-        a = q.withColumn("cid", assign_udf(cents)(F.col("v")))
-        srows = (
-            a.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
-            .collect()
-        )
-        nrows = {r["cid"]: r["count"] for r in a.groupBy("cid").count().collect()}
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in srows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
-        cents = [
-            (
-                [by_cid[cid][p] for p in range(len(cents[cid][0]))],
-                int(nrows[cid]),
-            )
-            if cid in nrows
-            else cents[cid]
-            for cid in range(k)
-        ]
-    if stats is not None:
-        stats["centroids"] = cents
-    return q.withColumn("cid", assign_udf(cents)(F.col("v")))
 
 
 def semantic_dedup(
@@ -764,23 +808,36 @@ def knn_ivf_exact(
     if not qrows:
         raise ValueError("knn_ivf_exact: empty query set")
 
-    sss = [sum(a * a for a in s) for s, _ in cents]
+    return ivf_rank_exact(
+        assigned, qrows, cents, nprobe=nprobe, k=k,
+        id_col=id_col, query_id_col=query_id_col,
+    )
+
+
+def ivf_rank_exact(
+    assigned: DataFrame,
+    qrows: list,
+    cents: list,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The IVF serving stage shared by :func:`knn_ivf_exact` and the
+    persisted ANN index: given the cell assignment (id, v, cid), the
+    collected quantized query rows, and the frozen centroids, probe
+    ``nprobe`` cells per query (:func:`probe_cells_exact`), score
+    candidates with pure-integer squared L2 JVM-side, and take the
+    per-query top-k with the (dist, id) total order."""
     probe_rows = []
     qv_rows = []
     for r in qrows:
         vi = [int(x) for x in r.v]
         qv_rows.append((r[query_id_col], vi))
-        xx = sum(a * a for a in vi)
-        keyed = []
-        for cid, (s, n) in enumerate(cents):
-            xs = sum(a * b for a, b in zip(vi, s))
-            cost = n * n * xx - 2 * n * xs + sss[cid]
-            keyed.append((float(cost) / float(n * n), cid))
-        keyed.sort()
-        for _, cid in keyed[:nprobe]:
+        for cid in probe_cells_exact(vi, cents, nprobe):
             probe_rows.append((r[query_id_col], cid))
 
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     probes = spark.createDataFrame(probe_rows, f"{query_id_col} bigint, cid int")
     qv = spark.createDataFrame(qv_rows, f"{query_id_col} bigint, qv array<bigint>")
     dist = F.aggregate(

@@ -2018,29 +2018,38 @@ def _kmeans_cost_key_sql(vexpr: str, calias: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> list[str]:
-    """DuckDB replay of :func:`operators.similarity.kmeans_exact`,
-    unrolled one CTE block per Lloyd round (the pagerank technique
-    applied to clustering): ``q`` = quantized vectors, ``c{r}`` =
-    (sum, count) centroids, ``a{r}`` = assignment under ``c{r}``.
-    Shared by the SemDeDup and IVF-exact oracles."""
-
-    def assign(aname: str, cname: str) -> str:
-        return f"""{aname} AS (
+def _kmeans_assign_cte(aname: str, cname: str, source: str = "q") -> str:
+    """One assignment CTE: every ``source`` row to its argmin centroid
+    in ``cname`` under the exact rational cost."""
+    return f"""{aname} AS (
   SELECT vec_id, v, cid FROM (
     SELECT q.vec_id, q.v, c.cid,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
              {_kmeans_cost_key_sql("q.v", "c")} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN {cname} c) WHERE rn = 1)"""
+    FROM {source} q CROSS JOIN {cname} c) WHERE rn = 1)"""
 
+
+def _kmeans_ctes(
+    k: int = 8, rounds: int = 2, dim: int = 64, train_where: str | None = None
+) -> list[str]:
+    """DuckDB replay of :func:`operators.similarity.kmeans_exact`,
+    unrolled one CTE block per Lloyd round (the pagerank technique
+    applied to clustering): ``q`` = quantized vectors, ``qtrain`` =
+    the training subset (all of ``q`` unless ``train_where`` pins a
+    bootstrap batch, as the frozen-quantizer ANN store does),
+    ``c{r}`` = (sum, count) centroids, ``a{r}`` = training-set
+    assignment under ``c{r}``. Shared by the SemDeDup, IVF-exact and
+    ANN-store oracles."""
+    where = f" WHERE {train_where}" if train_where else ""
     ctes = [
         """q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
   FROM embeddings)""",
+        f"qtrain AS (SELECT * FROM q{where})",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v AS s, CAST(1 AS BIGINT) AS n
-  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}))""",
-        assign("a0", "c0"),
+  FROM (SELECT vec_id, v FROM qtrain ORDER BY vec_id LIMIT {k}))""",
+        _kmeans_assign_cte("a0", "c0", "qtrain"),
     ]
     for r in range(1, rounds + 1):
         ctes += [
@@ -2053,7 +2062,7 @@ def _kmeans_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> list[str]:
          COALESCE((SELECT list(sm ORDER BY dim) FROM s{r} WHERE s{r}.cid = c.cid), c.s) AS s,
          COALESCE(n{r}.n, c.n) AS n
   FROM c{r - 1} c LEFT JOIN n{r} ON c.cid = n{r}.cid)""",
-            assign(f"a{r}", f"c{r}"),
+            _kmeans_assign_cte(f"a{r}", f"c{r}", "qtrain"),
         ]
     return ctes
 
@@ -3272,3 +3281,92 @@ def streaming_bm25_index_q(spark, sf_dir):
     q.awaitTermination()
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
     return bm25_index_topk(spark, store, qt, k=_BM25_K)
+
+
+# ------------------------------------------------------------------
+# 18. Persisted ANN (IVF) index — vector retrieval's serving store
+# ------------------------------------------------------------------
+
+
+def _ann_index_sql(
+    k_cells: int = 8, rounds: int = 2, nprobe: int = 2, k: int = 5,
+    nq: int = 5, dim: int = 64,
+) -> str:
+    """DuckDB replay of the frozen-quantizer ANN store: train
+    kmeans_exact on the BOOTSTRAP batch only (vec_id < max//2), then
+    assign EVERY vector under the frozen final centroids — exactly
+    what ingest-under-frozen-centroids accumulates in the store, for
+    any slicing of the non-bootstrap batches — then probe/score/top-k
+    as in the knn_ivf_exact oracle."""
+    ctes = _kmeans_ctes(
+        k=k_cells, rounds=rounds, dim=dim,
+        train_where="vec_id < (SELECT max(vec_id) // 2 FROM q)",
+    )
+    cent = f"c{rounds}"
+    ctes += [
+        _kmeans_assign_cte("afull", cent, "q"),
+        f"qv AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < {nq})",
+        f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT qv.query_id, c.cid,
+           row_number() OVER (PARTITION BY qv.query_id ORDER BY
+             {_kmeans_cost_key_sql("qv.v", "c")} ASC, c.cid ASC) AS rn
+    FROM qv CROSS JOIN {cent} c) WHERE rn <= {nprobe})""",
+        """cand AS (
+  SELECT probe.query_id, a.vec_id,
+         CAST(list_sum(list_transform(list_zip(a.v, qv.v),
+              p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS BIGINT) AS dist
+  FROM probe JOIN afull a ON a.cid = probe.cid
+  JOIN qv ON qv.query_id = probe.query_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+    )
+
+
+@defquery(
+    "ann_index_incremental",
+    _ann_index_sql(),
+    "integer-exact IVF kNN served from a PERSISTED, incrementally-"
+    "built vector index — the FAISS deployment contract (train once, "
+    "add forever) under a full value-hash oracle: the first ingest "
+    "batch bootstraps kmeans_exact and freezes its integer (sum, "
+    "count) centroids in _CENTROIDS (tmp + os.replace, before the "
+    "first manifest publish); every batch commits its cell assignment "
+    "through the same atomic _BATCHES manifest as the dedup/BM25 "
+    "stores (idempotent replay via vec_id anti-join); serving probes "
+    "nprobe cells with the identical rational-cost ranking and scans "
+    "only probed cells. Frozen centroids make a vector's cell "
+    "independent of WHEN it arrived, so the oracle needs only the "
+    "bootstrap predicate — assign everything under the bootstrap-"
+    "trained centroids — and any slicing of later batches "
+    "hash-matches. Store lifecycle (cid-clustered compaction, "
+    "takedown, time travel) applies unchanged; re-training the "
+    "quantizer is a store rewrite, not an ingest. Pinned further in "
+    "test_ann_index_store_lifecycle.",
+)
+def ann_index_incremental_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import ann_index_ingest, ann_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    rest = emb.filter(F.col("vec_id") >= half)
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 0))
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(spark, path, queries, nprobe=2, k=5)

@@ -2031,3 +2031,76 @@ def test_bm25_index_store_lifecycle(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="empty bm25 index"):
         bm25_index_topk(spark, str(tmp_path / "nope"), qt)
+
+
+def test_ann_index_store_lifecycle(spark, emb, tmp_path):
+    from libmr_spark.operators.dedup import (
+        compact_incremental_store,
+        delete_from_incremental_store,
+    )
+    from libmr_spark.operators.retrieval import (
+        _centroids_read,
+        ann_index_ingest,
+        ann_index_topk,
+    )
+    from libmr_spark.operators.similarity import assign_exact, ivf_rank_exact
+
+    path = str(tmp_path / "ann_index")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint")).first()[0]
+    a1 = ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    a2 = ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    assert a1.count() + a2.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    baseline = {
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ann_index_topk(spark, path, queries, nprobe=2, k=5).collect()
+    }
+
+    # store-served == direct compute under the SAME frozen centroids
+    cents = _centroids_read(path)
+    assigned = assign_exact(emb, cents)
+    qrows = queries.select(
+        "query_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6, 0).cast("long")
+        ).alias("v"),
+    ).collect()
+    direct = {
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ivf_rank_exact(assigned, qrows, cents, nprobe=2, k=5).collect()
+    }
+    assert baseline == direct
+
+    # frozen-quantizer invariant: a vector's cell never depends on the
+    # ingest batch — re-ingest replay admits nothing
+    assert ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half)).count() == 0
+
+    # param mismatch refused at serve time
+    with pytest.raises(ValueError, match="quant_digits"):
+        ann_index_topk(spark, path, queries, quant_digits=4)
+
+    # cid-clustered compaction leaves results identical
+    ncomp = compact_incremental_store(
+        spark, path, tables=("cells",), cluster_by={"cells": ["cid"]}
+    )
+    assert ncomp >= 2
+    after = {
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ann_index_topk(spark, path, queries, nprobe=2, k=5).collect()
+    }
+    assert after == baseline
+
+    # takedown: rank-1 hits (the queries themselves) leave the index
+    victims = sorted({v for (_, rank, v, _) in baseline if rank == 1})
+    ndel = delete_from_incremental_store(
+        spark, path, victims, id_col="vec_id", tables=("cells",)
+    )
+    assert ndel == len(victims)
+    post = ann_index_topk(spark, path, queries, nprobe=2, k=5).collect()
+    assert not ({r.vec_id for r in post} & set(victims))
+
+    with pytest.raises(ValueError, match="empty ann index"):
+        ann_index_topk(spark, str(tmp_path / "nope"), queries)
