@@ -155,6 +155,17 @@ HEADLINE = [
     "knn_pq_adc",
     "quality_weighted_sample",
     "fuzzy_match_parts_blocked",
+    # round-7 third tranche (retrieval exact twins + serving stores,
+    # BPE training loop, OHLC downsample)
+    "knn_ivf_exact",
+    "embedding_pca_power",
+    "bm25_topk",
+    "bm25_index_incremental",
+    "streaming_bm25_index",
+    "ann_index_incremental",
+    "bm25_cosine_rerank",
+    "bpe_train_merges",
+    "events_ohlc_hourly",
 ]
 
 

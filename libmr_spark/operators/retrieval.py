@@ -206,7 +206,15 @@ def ann_index_ingest(
     arrived) and are the production IVF contract — FAISS-style indexes
     train once and add forever; re-training is a store REWRITE
     (compaction with a new quantizer), not an ingest. Returns the
-    admitted (id, cid) rows."""
+    admitted (id, cid) rows.
+
+    Concurrency: ingests into an ESTABLISHED store serialize on the
+    manifest flock like every other store. The bootstrap itself is
+    single-writer by contract (the store does not exist yet — the same
+    contract as creating any table); if two callers race it anyway,
+    the loser detects a no-longer-empty manifest before publishing and
+    retries as a normal ingest under the winner's frozen centroids, so
+    the store never mixes assignments from two quantizers."""
     import json
 
     from .similarity import assign_exact, kmeans_exact
@@ -230,14 +238,47 @@ def ann_index_ingest(
             uniq, k=k_cells, rounds=rounds, vec_col=vec_col, id_col=id_col,
             quant_digits=quant_digits, stats=stats,
         )
-        os.makedirs(index_path, exist_ok=True)
-        tmp = _centroids_path(index_path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"centroids": [[list(map(str, s)), str(n)] for s, n in stats["centroids"]]},
-                f,
+        # Bootstrap commit: cells are written while still invisible,
+        # then [race re-check, centroid swap, manifest publish] happen
+        # as ONE critical section under the manifest flock — a losing
+        # racer's cells directory is an unlisted orphan (reclaimed by
+        # the next rewrite's sweep) and it retries under the winner's
+        # centroids; the winner's _CENTROIDS can never be clobbered
+        # after a batch referencing it is published.
+        assigned = assigned.localCheckpoint(eager=True)
+        tag = uuid.uuid4().hex
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(index_path, "cells", f"batch={tag}")
+        )
+        from .dedup import _manifest_lock
+
+        with _manifest_lock(manifest_path):
+            if _manifest_read(manifest_path, params):
+                lost = True
+            else:
+                lost = False
+                tmp = _centroids_path(index_path) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "centroids": [
+                                [list(map(str, s)), str(n)]
+                                for s, n in stats["centroids"]
+                            ]
+                        },
+                        f,
+                    )
+                os.replace(tmp, _centroids_path(index_path))
+                mtmp = manifest_path + ".tmp"
+                with open(mtmp, "w") as f:
+                    json.dump({"batches": [tag], "params": params}, f)
+                os.replace(mtmp, manifest_path)
+        if lost:
+            return ann_index_ingest(
+                spark, index_path, batch, k_cells=k_cells, rounds=rounds,
+                vec_col=vec_col, id_col=id_col, quant_digits=quant_digits,
             )
-        os.replace(tmp, _centroids_path(index_path))
+        return assigned.select(id_col, "cid")
     assigned = assigned.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
     assigned.write.mode("overwrite").parquet(
