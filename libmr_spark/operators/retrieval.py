@@ -123,9 +123,12 @@ def bm25_index_ingest(
             *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
         ).select(id_col)
         uniq = uniq.join(hist_ids, id_col, "left_anti")
-    toks = tokenize_ws(uniq, text_col, id_col)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = tokenize_ws(uniq, text_col, id_col).groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # doc length == sum of its term frequencies: derive dl from tf so
+    # the batch is tokenized once
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # materialize before the append (no lazy re-run of the anti-join
     # after the store gains this batch's own doc_ids)
     dl = dl.localCheckpoint(eager=True)

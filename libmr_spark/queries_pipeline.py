@@ -2974,9 +2974,10 @@ def bm25_topk_q(spark, sf_dir):
     from .operators.retrieval import bm25_rank, tokenize_ws
 
     d = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(d)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # doc length == sum of its term frequencies: dl derives from tf, so
+    # the corpus is tokenized ONCE (the scan+explode is the 100 TB cost)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     qt = d.sparkSession.createDataFrame(_BM25_QUERIES, "query_id int, token string")
     return bm25_rank(tf, dl, qt, k=_BM25_K)
 
@@ -3421,9 +3422,8 @@ def bm25_cosine_rerank_q(spark, sf_dir):
     from .operators.retrieval import bm25_rank, tokenize_ws
 
     d = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(d)
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
     short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select(
         "query_id", F.col("rank").alias("bm25_rank"), "doc_id"

@@ -80,6 +80,18 @@ WHITELIST: dict[str, dict[str, str]] = {
     "quality_percentile_filter": {
         "global_window": "oracle-exact global percent_rank; the documented 100 TB swap is approx_percentile(quality, 0.9) broadcast as a scalar threshold (see query description)",
     },
+    "bm25_topk": {
+        "nested_loop": "crossJoin against the broadcast 1-row corpus-scalar aggregate (N docs, total tokens) — single-row side by construction (bm25_rank in operators/retrieval.py)",
+    },
+    "bm25_index_incremental": {
+        "nested_loop": "same bm25_rank 1-row corpus-scalar broadcast, fed from the persisted doclen table instead of the corpus",
+    },
+    "streaming_bm25_index": {
+        "nested_loop": "same bm25_rank 1-row corpus-scalar broadcast (store-served after the stream drains)",
+    },
+    "bm25_cosine_rerank": {
+        "nested_loop": "the lexical stage is bm25_rank — same 1-row corpus-scalar broadcast; the rerank stage joins by key only",
+    },
 }
 
 
