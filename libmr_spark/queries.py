@@ -3560,7 +3560,7 @@ _DRIVER_CHECKED: set[str] = {
 # knn_pq_adc, quality_weighted_sample, fuzzy_match_parts_blocked,
 # knn_ivf_exact, embedding_pca_power, bm25_topk, bpe_train_merges,
 # events_ohlc_hourly, bm25_index_incremental, streaming_bm25_index,
-# ann_index_incremental, bm25_cosine_rerank — all
+# ann_index_incremental, bm25_cosine_rerank, collocation_pmi_top — all
 # builder-verified at sf0.01 AND at SPARK_GRAFT_SHUFFLE=7 in round 7),
 # and (c) backfill to 50 with the next-oldest _DRIVER_CHECKED rows
 # (text_unigram_logprob + the remaining round-3-era names, then

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import QUERIES, _SHINGLE_SQL, _t, defquery  # noqa: F401
+from .queries import QUERIES, _SHINGLE_SQL, _t, defquery, top_k  # noqa: F401
 
 # ------------------------------------------------------------------
 # 1. Exact-substring dedup (span-level cross-doc repetition)
@@ -3478,3 +3478,98 @@ def bm25_cosine_rerank_q(spark, sf_dir):
             F.col("bm25_rank").cast("int").alias("bm25_rank"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 20. PMI collocations (phrase mining for tokenizer/vocab prep)
+# ------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 40
+
+
+@defquery(
+    "collocation_pmi_top",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS ws
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+    bi AS (
+      SELECT a, b, count(*) AS c FROM (
+        SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b
+        FROM toks, unnest(range(1, greatest(len(ws)-1, 0)+1)) u(i))
+      GROUP BY a, b),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS t, (SELECT SUM(c) FROM bi) AS bt)
+    SELECT bi.a AS a, bi.b AS b, CAST(bi.c AS BIGINT) AS n,
+           round(ln(CAST(bi.c * t * t AS DOUBLE) / CAST(bt * ca.c * cb.c AS DOUBLE)), 6) AS pmi
+    FROM (SELECT * FROM bi WHERE c >= {_PMI_MIN_COUNT}) bi
+    JOIN uni ca ON ca.w = bi.a
+    JOIN uni cb ON cb.w = bi.b
+    CROSS JOIN tot
+    ORDER BY pmi DESC, a ASC, b ASC
+    LIMIT {_PMI_TOPK}
+    """,
+    "pointwise-mutual-information collocation mining (Church & Hanks "
+    "1990) — the phrase-extraction pass a tokenizer/vocab pipeline "
+    "runs to promote multi-word units: PMI = ln(c_ab·T² / (B·c_a·c_b)) "
+    "stays an INTEGER ratio until one double division feeds the single "
+    "washed ln — both engines see bit-identical operands, so the "
+    "ranking is exact despite the transcendental. Min-support c_ab >= "
+    "5 prunes the noise PMI famously amplifies; (pmi DESC, a, b) is a "
+    "total order. Spark shape: one tokenize pass feeds the unigram "
+    "and bigram hash aggregates (map-side combinable), corpus totals "
+    "ride a 1-row broadcast, unigram counts broadcast-join onto the "
+    "supported bigrams — at 100 TB both tables are Heaps-bounded "
+    "vocabulary artifacts, built once and reused by the BPE/packing "
+    "stages.",
+)
+def collocation_pmi_top_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+        ).alias("ws")
+    )
+    uni = ws.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi_all = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("a"),
+                        F.element_at("ws", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = bi_all.filter(F.col("c") >= _PMI_MIN_COUNT)
+    # normalizers over the UNFILTERED distributions (min-support prunes
+    # candidates, not probability mass)
+    tot = uni.agg(F.sum("c").alias("t")).crossJoin(
+        bi_all.agg(F.sum("c").alias("bt"))
+    )
+    ca = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c") * F.col("t") * F.col("t")).cast("double")
+            / (F.col("bt") * F.col("ca") * F.col("cb")).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        bi.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", F.col("c").cast("bigint").alias("n"), pmi.alias("pmi"))
+    )
+    return top_k(scored, [F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()], _PMI_TOPK)
