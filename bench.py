@@ -166,6 +166,7 @@ HEADLINE = [
     "bm25_cosine_rerank",
     "bpe_train_merges",
     "events_ohlc_hourly",
+    "collocation_pmi_top",
 ]
 
 
