@@ -506,58 +506,58 @@ def probe_cells_exact(vi: list, cents: list, nprobe: int) -> list:
 
 
 def _kmeans_assign_udf(cents):
-        sums = [s for s, _ in cents]
-        ns = [int(n) for _, n in cents]
-        sss = [sum(a * a for a in s) for s in sums]
-        # The dot products x·x and x·s_c stay inside int64 whenever
-        # n·scale·sqrt(dim) does (|s_c| <= n·scale per component →
-        # |x·s_c| <= dim·scale·n·scale); vectorize them through numpy
-        # matmul and do only the WIDE combine (n²·xx - 2n·xs + ss, which
-        # overflows int64 at n² · xx) in exact Python bigints — the int
-        # values, hence the one IEEE division and the argmin, are
-        # IDENTICAL to the scalar path. Guard the bound; fall back to
-        # the all-bigint loop if a corpus ever exceeds it.
-        dim = len(sums[0])
-        smax = max((max(abs(a) for a in s) if s else 0) for s in sums)
+    sums = [s for s, _ in cents]
+    ns = [int(n) for _, n in cents]
+    sss = [sum(a * a for a in s) for s in sums]
+    # The dot products x·x and x·s_c stay inside int64 whenever
+    # n·scale·sqrt(dim) does (|s_c| <= n·scale per component →
+    # |x·s_c| <= dim·scale·n·scale); vectorize them through numpy
+    # matmul and do only the WIDE combine (n²·xx - 2n·xs + ss, which
+    # overflows int64 at n² · xx) in exact Python bigints — the int
+    # values, hence the one IEEE division and the argmin, are
+    # IDENTICAL to the scalar path. Guard the bound; fall back to
+    # the all-bigint loop if a corpus ever exceeds it.
+    dim = len(sums[0])
+    smax = max((max(abs(a) for a in s) if s else 0) for s in sums)
 
-        @F.pandas_udf("int")
-        def best(vs: pd.Series) -> pd.Series:
-            V = np.stack([np.asarray(v, dtype=np.int64) for v in vs]) if len(vs) else np.zeros((0, dim), np.int64)
-            vmax = int(np.abs(V).max()) if len(V) else 0
-            if vmax * max(smax, vmax) * dim < 2 ** 62:
-                XX = (V * V).sum(axis=1)  # dim·scale² < 2^62 at dim 64
-                S = np.array(sums, dtype=np.int64)  # (k, dim)
-                XS = V @ S.T  # (n, k), bounded by the guard above
-                out = []
-                for i in range(len(V)):
-                    xx = int(XX[i])
-                    bk = None
-                    bc = 0
-                    for cid in range(len(sums)):
-                        n = ns[cid]
-                        cost = n * n * xx - 2 * n * int(XS[i, cid]) + sss[cid]
-                        key = float(cost) / float(n * n)
-                        if bk is None or key < bk:
-                            bk, bc = key, cid
-                    out.append(bc)
-                return pd.Series(out, dtype="int32")
+    @F.pandas_udf("int")
+    def best(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in vs]) if len(vs) else np.zeros((0, dim), np.int64)
+        vmax = int(np.abs(V).max()) if len(V) else 0
+        if vmax * max(smax, vmax) * dim < 2 ** 62:
+            XX = (V * V).sum(axis=1)  # dim·scale² < 2^62 at dim 64
+            S = np.array(sums, dtype=np.int64)  # (k, dim)
+            XS = V @ S.T  # (n, k), bounded by the guard above
             out = []
-            for v in vs:
-                vi = [int(x) for x in v]
-                xx = sum(a * a for a in vi)
+            for i in range(len(V)):
+                xx = int(XX[i])
                 bk = None
                 bc = 0
                 for cid in range(len(sums)):
                     n = ns[cid]
-                    xs = sum(a * b for a, b in zip(vi, sums[cid]))
-                    cost = n * n * xx - 2 * n * xs + sss[cid]
+                    cost = n * n * xx - 2 * n * int(XS[i, cid]) + sss[cid]
                     key = float(cost) / float(n * n)
                     if bk is None or key < bk:
                         bk, bc = key, cid
                 out.append(bc)
             return pd.Series(out, dtype="int32")
+        out = []
+        for v in vs:
+            vi = [int(x) for x in v]
+            xx = sum(a * a for a in vi)
+            bk = None
+            bc = 0
+            for cid in range(len(sums)):
+                n = ns[cid]
+                xs = sum(a * b for a, b in zip(vi, sums[cid]))
+                cost = n * n * xx - 2 * n * xs + sss[cid]
+                key = float(cost) / float(n * n)
+                if bk is None or key < bk:
+                    bk, bc = key, cid
+            out.append(bc)
+        return pd.Series(out, dtype="int32")
 
-        return best
+    return best
 
 
 def semantic_dedup(
