@@ -342,4 +342,5 @@ def ann_index_topk(
     return ivf_rank_exact(
         assigned, qrows, cents, nprobe=nprobe, k=k,
         id_col=id_col, query_id_col=query_id_col,
+        query_id_type=queries.schema[query_id_col].dataType.simpleString(),
     )

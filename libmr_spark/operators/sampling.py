@@ -173,8 +173,10 @@ def temperature_mixture_weights(
     multi-domain LM training uses to up-weight small domains
     (``alpha=1`` reproduces raw proportions, ``alpha=0`` is uniform).
     Emits per group: ``n_docs``, ``raw_frac``, ``weight``, ``boost``
-    (weight/raw_frac) and the integer ``target_docs`` quota for a
-    resampler (:func:`mix_sources` / ``domain_mixture_resample``).
+    (the unrounded ratio (qd/s)/(n/nt), well-defined even when the
+    6-decimal ``raw_frac`` rounds to 0.0) and the integer
+    ``target_docs`` quota for a resampler (:func:`mix_sources` /
+    ``domain_mixture_resample``).
 
     Determinism contract (cross-engine, any partition count): the only
     libm call (``pow``) is quantized to 6 decimals per group, the
@@ -194,12 +196,21 @@ def temperature_mixture_weights(
     )
     w = F.round(F.col("qd").cast("double") / F.col("s").cast("double"), 6)
     raw = F.round(F.col("n") / F.col("nt").cast("double"), 6)
+    # boost from the UNROUNDED ratios — (qd/s)/(n/nt) rearranged to
+    # (qd*nt)/(s*n) so a domain whose rounded raw_frac is 0.0 (share
+    # below 5e-7) can't divide by zero; n >= 1 and s > 0 always, and
+    # the three IEEE ops run on bit-identical operands in both engines.
+    boost = F.round(
+        (F.col("qd").cast("double") * F.col("nt").cast("double"))
+        / (F.col("s").cast("double") * F.col("n").cast("double")),
+        6,
+    )
     return q.crossJoin(F.broadcast(tot)).select(
         group_col,
         F.col("n").cast("bigint").alias("n_docs"),
         raw.alias("raw_frac"),
         w.alias("weight"),
-        F.round(w / raw, 6).alias("boost"),
+        boost.alias("boost"),
         F.floor(
             F.col("qd").cast("double") / F.col("s").cast("double") * F.col("nt")
         ).cast("bigint").alias("target_docs"),

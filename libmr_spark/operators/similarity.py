@@ -405,11 +405,13 @@ def kmeans_exact(
     inputs ⇒ bit-identical quotient; ties break on cid). Partial-agg
     order cannot matter anywhere: integer sums are associative.
 
-    Spark shape per round: one Arrow-batched assignment pass (k
-    centroid sums live as plain Python ints in the UDF closure — the
-    same bounded driver traffic as the IVF loop), one
-    ``posexplode``/``groupBy (cid, pos)`` integer-sum (k·dim rows
-    collected), one count. Empty clusters keep their previous (s, n),
+    Spark shape per round: ONE Arrow-batched assignment pass feeding
+    one ``posexplode``/``groupBy (cid, pos)`` aggregate that carries
+    both the integer component sums AND the member counts (k·dim rows
+    collected — count per (cid, pos) is the cluster size, so no second
+    action re-runs the assignment UDF). k centroid sums live as plain
+    Python ints in the UDF closure — the same bounded driver traffic
+    as the IVF loop. Empty clusters keep their previous (s, n),
     matching the float path's empty-cell rule. ``rounds`` centroid
     updates, final output = assignment under the last centroids.
 
@@ -439,13 +441,21 @@ def kmeans_exact(
 
     for _ in range(rounds):
         a = q.withColumn("cid", assign_udf(cents)(F.col("v")))
+        # ONE action per round: the member count rides the same
+        # (cid, pos) aggregate (every pos of a cluster has exactly one
+        # row per member), so the Arrow assignment UDF executes once —
+        # the separate groupBy-count re-ran it over the full dataset
+        # (ADVICE r7).
         srows = (
             a.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        nrows = {r["cid"]: r["count"] for r in a.groupBy("cid").count().collect()}
+        nrows = {r["cid"]: int(r["n"]) for r in srows}
         by_cid: dict[int, dict[int, int]] = {}
         for r in srows:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["s"])
@@ -811,6 +821,7 @@ def knn_ivf_exact(
     return ivf_rank_exact(
         assigned, qrows, cents, nprobe=nprobe, k=k,
         id_col=id_col, query_id_col=query_id_col,
+        query_id_type=queries.schema[query_id_col].dataType.simpleString(),
     )
 
 
@@ -822,13 +833,16 @@ def ivf_rank_exact(
     k: int = 5,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    query_id_type: str = "bigint",
 ) -> DataFrame:
     """The IVF serving stage shared by :func:`knn_ivf_exact` and the
     persisted ANN index: given the cell assignment (id, v, cid), the
     collected quantized query rows, and the frozen centroids, probe
     ``nprobe`` cells per query (:func:`probe_cells_exact`), score
     candidates with pure-integer squared L2 JVM-side, and take the
-    per-query top-k with the (dist, id) total order."""
+    per-query top-k with the (dist, id) total order. ``query_id_type``
+    is the query-id column's Spark type string (callers pass the real
+    type from the queries schema, so string/int ids work too)."""
     probe_rows = []
     qv_rows = []
     for r in qrows:
@@ -838,8 +852,8 @@ def ivf_rank_exact(
             probe_rows.append((r[query_id_col], cid))
 
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"{query_id_col} bigint, cid int")
-    qv = spark.createDataFrame(qv_rows, f"{query_id_col} bigint, qv array<bigint>")
+    probes = spark.createDataFrame(probe_rows, f"{query_id_col} {query_id_type}, cid int")
+    qv = spark.createDataFrame(qv_rows, f"{query_id_col} {query_id_type}, qv array<bigint>")
     dist = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

@@ -3540,71 +3540,63 @@ _DRIVER_CHECKED: set[str] = {
     "trend_slope_by_type", "triangle_count_copurchase",
     "udaf_sum_squares_by_flag", "variant_extract_props",
     "vocab_coverage_cutoff", "wordcount_top100",
+    # round 7 (CORRECTNESS_r07.json) — 50/50 hash-green (the 15
+    # previously-ungated names + 35 round-3-era re-proof rows).
+    "ab_welch_t_by_type", "dataset_epoch_shuffle",
+    "dedup_incremental_embedding", "dedup_incremental_minhash",
+    "dedup_keep_best", "doc_chunking_overlap",
+    "lateral_topk_per_customer", "leakage_safe_split",
+    "reachability_recursive_cte", "streaming_incremental_dedup",
+    "streaming_merge_apply", "table_audit_hash",
+    "time_decayed_user_score", "token_budget_file_splits",
+    "train_pipeline_e2e",
+    # (the other 35 r7 rows — asof_join_events, sessionize_events,
+    # sink_* etc. — were already members from rounds 1-6; their
+    # newest-row bookkeeping lives in scripts/update_rotation.py's
+    # file scan, not here.)
 }
 
 
-# ROUND-8 ROTATION PLAN (mechanical): after CORRECTNESS_r07.json lands,
-# run `scripts/update_rotation.py CORRECTNESS_r07.json [older ones...]`
+# ROUND-9 ROTATION PLAN (mechanical): after CORRECTNESS_r08.json lands,
+# run `scripts/update_rotation.py CORRECTNESS_r08.json [older ones...]`
 # — it prints the names to append to _DRIVER_CHECKED AND the exact
-# next 50-slot _NEWEST window, ready to paste: (a) any r07 failures,
-# (b) the round-7 additions (exported after position 50 this round,
-# so they gate in round 8: sequence_packing_subword,
-# dedup_incremental_embedding_int8, knn_lsh_candidates,
-# dedup_incremental_minhash_compacted, token_id_encoding,
-# quality_classifier_hashed, streaming_incremental_embedding,
-# boilerplate_ngram_coverage, incremental_agg_retract,
-# dedup_incremental_minhash_deleted, streaming_agg_retract,
-# incremental_store_time_travel, mixture_temperature_weights,
-# semantic_dedup_kmeans, streaming_late_data_accounting,
-# feature_pit_assembly, filter_cascade_audit, dataset_card_stats,
-# knn_pq_adc, quality_weighted_sample, fuzzy_match_parts_blocked,
-# knn_ivf_exact, embedding_pca_power, bm25_topk, bpe_train_merges,
-# events_ohlc_hourly, bm25_index_incremental, streaming_bm25_index,
-# ann_index_incremental, bm25_cosine_rerank, collocation_pmi_top — all
-# builder-verified at sf0.01 AND at SPARK_GRAFT_SHUFFLE=7 in round 7),
-# and (c) backfill to 50 with the next-oldest _DRIVER_CHECKED rows
-# (text_unigram_logprob + the remaining round-3-era names, then
-# round-4 era).
+# next 50-slot _NEWEST window, ready to paste: (a) any r08 failures,
+# (b) the round-8 additions (exported after position 50 this round, so
+# they gate in round 9), and (c) backfill to 50 with the next-oldest
+# _DRIVER_CHECKED rows (the remaining round-4-era names).
 #
-# Round-7 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Round 6 went 50/50 (49 hash + 1 clean
-# rows-only).  This round gates: (a) the 15 names that have never had
-# a driver row — the 8 round-6 additions plus 7 spillover, all
-# judge-green in VERDICT r6; (b) 35 round-3-era names whose newest
-# driver row is round 3, for continuous re-proof on current data.
-# After this window lands, EVERY inventory name has a round-3+ driver
-# row and the new-query freeze lifts fully.
+# Round-8 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 7 went 50/50 hash-green.  This round
+# gates: (a) the 31 round-7 additions that have never had a driver row
+# — all 31 judge-verified hash-PASS in VERDICT r7's independent
+# 600s sweep; (b) 19 re-proof slots: the 10 remaining round-3-era
+# names, then the oldest round-4-era rows, in update_rotation.py's
+# deterministic order.
 _NEWEST = [
-    # (a) never driver-gated: round-6 additions (8), export order
-    "doc_chunking_overlap", "dataset_epoch_shuffle",
-    "token_budget_file_splits", "dedup_incremental_minhash",
-    "leakage_safe_split", "streaming_incremental_dedup",
-    "time_decayed_user_score", "dedup_incremental_embedding",
-    # (a) never driver-gated: round-5/6 spillover (7)
-    "train_pipeline_e2e", "reachability_recursive_cte",
-    "lateral_topk_per_customer", "ab_welch_t_by_type",
-    "streaming_merge_apply", "table_audit_hash", "dedup_keep_best",
-    # (b) oldest re-proof — newest driver row is round 3 (35)
-    "json_extract_events", "tumbling_window_events",
-    "sliding_window_events", "events_minmax_norm",
-    "streaming_tumbling_window", "streaming_sliding_window",
-    "sessionize_events", "streaming_stateful_sessions",
-    "asof_join_events", "asof_join_events_forward",
-    "asof_join_events_nearest", "dedup_ngram_jaccard",
-    "dedup_clusters", "retention_cohorts", "rolling_7d_active_users",
-    "event_funnel", "streaming_dedup_pairs",
-    "streaming_stream_stream_join", "stats_moments_by_type",
-    "median_by_type", "text_bpe_token_count",
-    "text_winnowing_fingerprints", "multimodal_frame_sample",
-    "value_histogram", "multimodal_resize", "q21_last_shippers",
-    "dedup_winnowing", "table_profile_orders", "zscore_outlier_events",
-    "window_percent_rank_cume", "sink_partitioned_roundtrip",
-    "sink_orc_roundtrip", "sink_csv_roundtrip",
-    "text_repetition_stats",
-    # code-changed this round (exact store moved onto the _BATCHES
-    # manifest protocol) — re-gates per the rotation rule, displacing
-    # the last backfill slot (text_unigram_logprob, r3-green, next round)
-    "dedup_incremental_exact",
+    # (a) never driver-gated: round-7 additions (31), export order
+    "sequence_packing_subword", "dedup_incremental_embedding_int8",
+    "knn_lsh_candidates", "dedup_incremental_minhash_compacted",
+    "token_id_encoding", "quality_classifier_hashed",
+    "streaming_incremental_embedding", "boilerplate_ngram_coverage",
+    "incremental_agg_retract", "dedup_incremental_minhash_deleted",
+    "streaming_agg_retract", "incremental_store_time_travel",
+    "mixture_temperature_weights", "semantic_dedup_kmeans",
+    "streaming_late_data_accounting", "feature_pit_assembly",
+    "filter_cascade_audit", "dataset_card_stats", "knn_pq_adc",
+    "quality_weighted_sample", "fuzzy_match_parts_blocked",
+    "knn_ivf_exact", "embedding_pca_power", "bm25_topk",
+    "bpe_train_merges", "events_ohlc_hourly", "bm25_index_incremental",
+    "streaming_bm25_index", "ann_index_incremental",
+    "bm25_cosine_rerank", "collocation_pmi_top",
+    # (b) oldest re-proof — round-3-era rows (10), then round-4 era (9)
+    "text_unigram_logprob", "tfidf_top_terms", "dup_rate_by_source",
+    "embedding_quantize_int8", "embedding_norm_stats",
+    "streaming_topk_event_types", "events_gap_fill_ffill",
+    "streaming_stream_static_join", "percentiles_by_type",
+    "stats_corr_covar",
+    "kv_scan", "kv_map_type", "kv_filter_string", "kv_count",
+    "kv_reshuffle_rmw", "kv_point_lookup", "kv_dbsize_sum",
+    "q1_pricing_summary", "q3_shipping_priority",
 ]
 
 

@@ -1972,8 +1972,8 @@ def incremental_store_time_travel_q(spark, sf_dir):
     SELECT q.source, CAST(q.n AS BIGINT) AS n_docs,
            round(q.n / CAST(t.nt AS DOUBLE), 6) AS raw_frac,
            round(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS weight,
-           round(round(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
-                 / round(q.n / CAST(t.nt AS DOUBLE), 6), 6) AS boost,
+           round((CAST(q.qd AS DOUBLE) * CAST(t.nt AS DOUBLE))
+                 / (CAST(t.s AS DOUBLE) * CAST(q.n AS DOUBLE)), 6) AS boost,
            CAST(floor(CAST(q.qd AS DOUBLE) / CAST(t.s AS DOUBLE) * t.nt)
                 AS BIGINT) AS target_docs
     FROM q CROSS JOIN tot t
@@ -3559,10 +3559,18 @@ def collocation_pmi_top_q(spark, sf_dir):
     )
     ca = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
     cb = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    # c*t*t in BIGINT wraps silently past ~1e19 while DuckDB's
+    # SUM(BIGINT) promotes to HUGEINT and stays exact — multiply in
+    # decimal(38,0) (the same 38-digit headroom as HUGEINT) so both
+    # engines feed bit-identical operands to the one double division
+    # at any corpus size up to 1e38 total tokens.
+    def _dec(col):
+        return col.cast("decimal(38,0)")
+
     pmi = F.round(
         F.log(
-            (F.col("c") * F.col("t") * F.col("t")).cast("double")
-            / (F.col("bt") * F.col("ca") * F.col("cb")).cast("double")
+            (_dec(F.col("c")) * _dec(F.col("t")) * _dec(F.col("t"))).cast("double")
+            / (_dec(F.col("bt")) * _dec(F.col("ca")) * _dec(F.col("cb"))).cast("double")
         ),
         6,
     )

@@ -1776,6 +1776,27 @@ def test_knn_ivf_exact_integer_distances_and_recall(spark, emb):
         knn_ivf_exact(emb, queries.filter(F.lit(False)))
 
 
+def test_knn_ivf_exact_string_query_ids(spark, emb):
+    # the query-id type is derived from the queries schema (ADVICE r7:
+    # the probes/qv frames were hardcoded bigint) — string ids must
+    # work and rank identically to their long twins
+    from libmr_spark.operators.similarity import knn_ivf_exact
+
+    q_long = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_str = q_long.withColumn("query_id", F.concat(F.lit("q"), F.col("query_id")))
+    by_long = {
+        (f"q{r.query_id}", r.rank): (r.vec_id, r.dist)
+        for r in knn_ivf_exact(emb, q_long, k_cells=8, rounds=1, nprobe=2, k=3).collect()
+    }
+    by_str = {
+        (r.query_id, r.rank): (r.vec_id, r.dist)
+        for r in knn_ivf_exact(emb, q_str, k_cells=8, rounds=1, nprobe=2, k=3).collect()
+    }
+    assert by_str == by_long and len(by_str) > 0
+
+
 def test_pca_power_exact_convergence_and_replay(spark, emb):
     import numpy as np
 
