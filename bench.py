@@ -167,6 +167,21 @@ HEADLINE = [
     "bpe_train_merges",
     "events_ohlc_hourly",
     "collocation_pmi_top",
+    # round-8 additions (serve-after-takedown, quantizer re-train,
+    # CDC-retractable OHLC, multi-pass ER, cut-list spans, retrieval
+    # eval, incremental clusters)
+    "bm25_index_deleted",
+    "ann_index_deleted",
+    "ann_index_retrained",
+    "streaming_ohlc_hourly",
+    "fuzzy_match_parts_multipass",
+    "dedup_substring_spans",
+    "retrieval_recall_eval",
+    "dedup_clusters_incremental",
+    "dedup_substring_rewrite",
+    "dedup_clusters_deleted",
+    "cluster_store_time_travel",
+    "bm25_ndcg_eval",
 ]
 
 

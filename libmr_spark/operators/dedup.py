@@ -124,19 +124,26 @@ def _manifest_publish(
     add_tags=(),
     drop_tags=(),
     timeout_s: float = 30.0,
+    set_params: dict | None = None,
 ) -> list:
     """Atomically publish a manifest update: under the lock, RE-READ the
     current tag list (so a tag committed concurrently since the caller's
     admission snapshot survives), drop ``drop_tags``, append
     ``add_tags``, and swap the file in with ``os.replace``. A ``None``
     ``params`` (compaction, which is parameter-agnostic) preserves the
-    store's recorded params verbatim. Returns the published tag list."""
+    store's recorded params verbatim. ``set_params`` REPLACES the
+    recorded params in the same atomic swap (no validation against the
+    old ones) — the re-train path, where new quantizer parameters and
+    the batch list they describe must become visible together or not
+    at all. Returns the published tag list."""
     import json
     import os
 
     with _manifest_lock(manifest_path, timeout_s=timeout_s):
-        current = _manifest_read(manifest_path, params)
-        if params is None and os.path.exists(manifest_path):
+        current = _manifest_read(manifest_path, None if set_params is not None else params)
+        if set_params is not None:
+            params = set_params
+        elif params is None and os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 params = json.load(f).get("params")
         drop = set(drop_tags)
@@ -271,7 +278,12 @@ _REWRITE_STALE_S = 3600.0
 
 
 def _rewrite_store(
-    spark, store_path: str, transform, tables: tuple, min_batches: int = 1
+    spark,
+    store_path: str,
+    transform,
+    tables: tuple,
+    min_batches: int = 1,
+    set_params: dict | None = None,
 ) -> list:
     """Shared crash-safe store rewrite: under the per-store REWRITE
     lock (a kernel-held flock serializing rewriters against each other
@@ -282,7 +294,11 @@ def _rewrite_store(
     exactly the snapshot tags — concurrent ingest commits survive),
     then sweep superseded and crash-orphaned directories. Returns the
     snapshot tag list that was rewritten ([] if the store has fewer
-    than ``min_batches`` committed batches).
+    than ``min_batches`` committed batches). ``set_params`` swaps the
+    store's recorded params in the SAME manifest publish (see
+    :func:`_manifest_publish`) — the ANN re-train path, where the new
+    quantizer's parameters must become visible atomically with the
+    re-assigned cells.
 
     Sweep rules: (a) the snapshot tags just superseded — removed
     IMMEDIATELY, because takedown deletion must not retain bytes for a
@@ -327,7 +343,10 @@ def _rewrite_store(
             transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
                 os.path.join(store_path, table, f"batch={new_tag}")
             )
-        _manifest_publish(manifest_path, None, add_tags=[new_tag], drop_tags=snapshot)
+        _manifest_publish(
+            manifest_path, None, add_tags=[new_tag], drop_tags=snapshot,
+            set_params=set_params,
+        )
         listed = set(_manifest_read(manifest_path, None))
         now = time.time()
         for table in present:
@@ -1469,3 +1488,347 @@ def dedup_incremental_embedding(
     payload.write.mode("overwrite").parquet(os.path.join(pay_path, f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted.select(id_col)
+
+
+# ------------------------------------------------------------------
+# Incremental dedup-CLUSTER maintenance (SURVEY §7.2a round-9 #2):
+# connected components kept current across ingest batches without
+# recomputing history — the frontier-contraction union-find.
+# ------------------------------------------------------------------
+
+
+def _shingle_hash_index(
+    d: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sz, shingle) exploded distinct shingle-hash postings — the
+    same rolling token-hash shingles as :func:`ngram_jaccard_pairs`
+    (counts agree with the oracle's string shingles; collision class
+    documented in functions/text.py)."""
+    from ..functions.text import shingle_hashes_from_tokens, token_hashes
+
+    t = d.withColumn("__th__", token_hashes(F.col(text_col)))
+    sh = t.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes_from_tokens(F.col("__th__"), n)).alias("hs"),
+    )
+    return sh.select(id_col, F.size("hs").alias("sz"), F.explode("hs").alias("shingle"))
+
+
+def _resolve_remap(remap: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Path-compress the cluster-merge forest: (old, new) hop edges →
+    (old, root). Chains only form ACROSS ingests (within one ingest the
+    CC labels are already final), labels strictly decrease along a
+    chain (min-id canonicalization), and pointer-doubling halves chain
+    depth per round — O(log depth) joins over the REMAP table only,
+    never the member table."""
+    r = remap.select("old", "new").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        hop = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.new") == F.col("b.old"), "left")
+            .select(
+                F.col("a.old").alias("old"),
+                F.coalesce(F.col("b.new"), F.col("a.new")).alias("new"),
+                F.col("b.new").isNotNull().alias("moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        r = hop.select("old", "new")
+        if hop.filter(F.col("moved")).isEmpty():
+            return r
+    raise RuntimeError("_resolve_remap: merge-chain compression did not converge")
+
+
+def _apply_remap(members: DataFrame, remap_resolved: DataFrame, id_col: str) -> DataFrame:
+    """(id, cid) -> (id, root cid) in ONE join against the compressed
+    remap (|merges| rows — tiny next to members)."""
+    return (
+        members.join(remap_resolved, members["cid"] == remap_resolved["old"], "left")
+        .select(F.col(id_col), F.coalesce("new", "cid").alias("cid"))
+    )
+
+
+def dedup_incremental_clusters(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Maintain near-duplicate CLUSTERS (connected components of the
+    exact-Jaccard pair graph, min-doc-id canonical labels) across
+    ingest batches — `dedup_clusters` as a continuously-maintained
+    store instead of a batch recompute. The insight that keeps ingest
+    O(frontier): connectivity is invariant under CONTRACTION of
+    already-known components, so each batch runs large-star/small-star
+    only on the graph whose nodes are {new docs} ∪ {touched history
+    cluster ids} — history edges never replay, history docs never
+    rejoin.
+
+    Store tables under the standard atomic ``_BATCHES`` manifest:
+
+    - ``members/`` — (doc_id, cid): the label each doc received AT
+      INGEST TIME; never rewritten by later ingests.
+    - ``remap/`` — (old, new): the cluster-merge forest. A batch that
+      connects two existing clusters appends hop edges; readers
+      path-compress (``_resolve_remap``) and apply in one join.
+      Labels strictly decrease along chains, so the forest is acyclic
+      and each ``old`` appears once. Compaction
+      (:func:`compact_incremental_clusters`) folds the resolution
+      into members and empties the forest.
+    - ``shingles/`` — (doc_id, sz, shingle): the exact posting index
+      cross-batch candidate generation joins against (batch postings
+      × matching history postings — admission cost is O(batch),
+      never O(history²)).
+
+    Exactness contract: candidates verify on EXACT Jaccard (shared
+    distinct shingle-hash count), uncapped — so the maintained
+    partition hash-matches the from-scratch `dedup_clusters` oracle
+    under ANY batch slicing. The production recall/cost dial for
+    corpora that need a hot-shingle cap or banding stays
+    :func:`dedup_incremental_minhash`; THIS store is the
+    oracle-provable exact variant (the same twin relationship as
+    kmeans_exact to the float IVF).
+
+    Returns the admitted (doc_id, cid) rows (already-stored doc_ids
+    replay idempotently to an empty admission)."""
+    import os
+    import uuid
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    params = {"kind": "cc-exact", "n": n, "threshold": threshold}
+    tags = _manifest_read(manifest_path, params)
+    paths = {t: os.path.join(store_path, t) for t in ("members", "remap", "shingles")}
+
+    uniq = batch.dropDuplicates([id_col])
+    touched = None
+    if tags:
+        hist_mem = spark.read.parquet(
+            *[os.path.join(paths["members"], f"batch={t}") for t in tags]
+        )
+        hist_rem = spark.read.parquet(
+            *[os.path.join(paths["remap"], f"batch={t}") for t in tags]
+        )
+        hist_shg = spark.read.parquet(
+            *[os.path.join(paths["shingles"], f"batch={t}") for t in tags]
+        )
+        uniq = uniq.join(hist_mem.select(id_col), id_col, "left_anti")
+    sh_new = _shingle_hash_index(uniq, text_col, id_col, n).localCheckpoint(eager=True)
+
+    a = sh_new.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sza"), "shingle"
+    )
+    b_new = sh_new.withColumn("is_new", F.lit(True))
+    if tags:
+        b_all = b_new.unionByName(hist_shg.withColumn("is_new", F.lit(False)))
+    else:
+        b_all = b_new
+    b = b_all.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("szb"), "shingle", "is_new"
+    )
+    cand = a.join(b, "shingle").filter(
+        (F.col("id_a") != F.col("id_b"))
+        & (~F.col("is_new") | (F.col("id_a") < F.col("id_b")))
+    )
+    pairs = (
+        cand.groupBy("id_a", "id_b", "sza", "szb", "is_new")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(
+            F.col("cnt") / (F.col("sza") + F.col("szb") - F.col("cnt"))
+            >= F.lit(threshold)
+        )
+    )
+    new_new = pairs.filter(F.col("is_new")).select("id_a", "id_b")
+    if tags:
+        mem_res = _apply_remap(hist_mem, _resolve_remap(hist_rem), id_col)
+        new_hist = (
+            pairs.filter(~F.col("is_new"))
+            .join(
+                mem_res.select(F.col(id_col).alias("id_b"), "cid"), "id_b"
+            )
+            .select("id_a", F.col("cid").alias("id_b"))
+            .distinct()
+        )
+        edges = new_new.unionByName(new_hist)
+        touched = new_hist.select(F.col("id_b").alias(id_col)).distinct()
+        nodes = uniq.select(id_col).unionByName(touched).distinct()
+    else:
+        edges = new_new
+        nodes = uniq.select(id_col)
+
+    cc = connected_components(edges, nodes, id_col=id_col).localCheckpoint(eager=True)
+    members_new = (
+        cc.join(uniq.select(id_col), id_col, "left_semi")
+        .select(id_col, F.col("cluster_id").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    if touched is not None:
+        remap_new = (
+            cc.join(touched, id_col, "left_semi")
+            .filter(F.col("cluster_id") != F.col(id_col))
+            .select(F.col(id_col).alias("old"), F.col("cluster_id").alias("new"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        remap_new = spark.createDataFrame([], "old bigint, new bigint")
+
+    tag = uuid.uuid4().hex
+    members_new.write.mode("overwrite").parquet(
+        os.path.join(paths["members"], f"batch={tag}")
+    )
+    remap_new.write.mode("overwrite").parquet(
+        os.path.join(paths["remap"], f"batch={tag}")
+    )
+    sh_new.write.mode("overwrite").parquet(
+        os.path.join(paths["shingles"], f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, params, add_tags=[tag])
+    return members_new
+
+
+def read_incremental_clusters(spark, store_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Serve (doc_id, cluster_id) from the cluster store: one
+    path-compression over the merge forest (O(log depth) joins on the
+    tiny remap table) + ONE join onto members — never a CC recompute."""
+    import os
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    if not tags:
+        raise ValueError(f"empty cluster store at {store_path} (no committed batches)")
+    members = spark.read.parquet(
+        *[os.path.join(store_path, "members", f"batch={t}") for t in tags]
+    )
+    remap = spark.read.parquet(
+        *[os.path.join(store_path, "remap", f"batch={t}") for t in tags]
+    )
+    return _apply_remap(members, _resolve_remap(remap), id_col).select(
+        id_col, F.col("cid").cast("bigint").alias("cluster_id")
+    )
+
+
+def compact_incremental_clusters(spark, store_path: str, id_col: str = "doc_id") -> int:
+    """Fold the merge forest into the member table (path compression
+    made durable): members are rewritten with their ROOT labels, the
+    remap table empties, and shingle postings compact to one directory
+    — all through :func:`_rewrite_store`'s crash-safe swap. Readers
+    before/after see the identical partition; post-compaction reads
+    skip the resolution joins entirely. Returns the number of batch
+    directories compacted."""
+    state: dict = {}
+
+    def fold(df, table):
+        if table == "remap":
+            # materialize the snapshot's resolution BEFORE this table's
+            # superseded directories are swept (tables iterate remap
+            # first, so `members` below sees the captured forest)
+            state["rr"] = _resolve_remap(df)
+            return df.filter(F.lit(False))
+        if table == "members":
+            return _apply_remap(df, state["rr"], id_col)
+        return df
+
+    return len(
+        _rewrite_store(
+            spark, store_path, fold, tables=("remap", "members", "shingles"),
+            min_batches=1,
+        )
+    )
+
+
+def delete_from_cluster_store(
+    spark,
+    store_path: str,
+    ids,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> int:
+    """Takedown for the CLUSTER store — the hardest delete in the
+    store family, because removing a doc can SPLIT a component (the
+    merge forest expresses unions, never splits — the classic
+    decremental-connectivity asymmetry). The honest fix is scoped
+    recompute: drop the doc's member/shingle rows, then re-run
+    connected components ONLY within the deleted docs' clusters from
+    the surviving members' stored postings (edges are only ever
+    REMOVED by a delete, so no surviving doc can join a different
+    untouched cluster — the recompute is bounded by the touched
+    clusters' sizes, never the corpus). Untouched members keep their
+    labels (path-compressed during the same rewrite), the merge
+    forest folds to empty, and everything publishes through
+    :func:`_rewrite_store`'s crash-safe swap. Returns the number of
+    member rows deleted."""
+    import os
+
+    from pyspark.sql import DataFrame as _DF
+
+    if not os.path.exists(os.path.join(store_path, "_BATCHES")):
+        return 0
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    ids = ids.select(id_col).distinct()
+
+    state: dict = {}
+
+    def takedown(df, table):
+        if table == "remap":
+            state["rr"] = _resolve_remap(df)
+            return df.filter(F.lit(False))
+        if table == "shingles":
+            rem = df.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            state["sh"] = rem
+            return rem
+        # members: resolve, drop, recompute within touched clusters
+        res = _apply_remap(df, state["rr"], id_col)
+        hit = res.join(F.broadcast(ids), id_col, "left_semi")
+        state["n"] = hit.count()
+        touched_cids = hit.select("cid").distinct()
+        surv = res.join(F.broadcast(ids), id_col, "left_anti")
+        affected = surv.join(F.broadcast(touched_cids), "cid", "left_semi").select(
+            id_col
+        )
+        untouched = surv.join(F.broadcast(touched_cids), "cid", "left_anti")
+        sh = state["sh"].join(affected, id_col, "left_semi")
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"), "shingle")
+        pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sza", "szb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(
+                F.col("cnt") / (F.col("sza") + F.col("szb") - F.col("cnt"))
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
+        relabeled = connected_components(pairs, affected, id_col=id_col).select(
+            id_col, F.col("cluster_id").alias("cid")
+        )
+        return untouched.unionByName(relabeled).localCheckpoint(eager=True)
+
+    _rewrite_store(
+        spark, store_path, takedown, tables=("remap", "shingles", "members"),
+        min_batches=1,
+    )
+    return state.get("n", 0)
+
+
+def read_incremental_clusters_asof(
+    spark, store_path: str, as_of_batches: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Snapshot (time-travel) read of the CLUSTER store: members AND
+    the merge forest truncate to the first ``as_of_batches`` manifest
+    entries together — remap hops commit with the batch that caused
+    the merge, so the truncated forest resolves to exactly the labels
+    any reader saw after that many commits. Same commit-log semantics
+    (and same post-compaction history-collapse caveat) as
+    :func:`read_incremental_store_asof`."""
+    members = read_incremental_store_asof(spark, store_path, "members", as_of_batches)
+    remap = read_incremental_store_asof(spark, store_path, "remap", as_of_batches)
+    return _apply_remap(members, _resolve_remap(remap), id_col).select(
+        id_col, F.col("cid").cast("bigint").alias("cluster_id")
+    )

@@ -178,10 +178,42 @@ def _centroids_path(index_path: str) -> str:
     return os.path.join(index_path, "_CENTROIDS")
 
 
-def _centroids_read(index_path: str) -> list:
+def _ann_manifest(manifest_path: str) -> tuple:
+    """(tags, stored params) without validation — ANN callers check the
+    SUBSET of params that affects them (quant_digits for ingest/serve),
+    because re-training legitimately changes k_cells/rounds and adds
+    the centroids-file pointer."""
     import json
 
-    with open(_centroids_path(index_path)) as f:
+    if not os.path.exists(manifest_path):
+        return [], {}
+    with open(manifest_path) as f:
+        m = json.load(f)
+    return m["batches"], (m.get("params") or {})
+
+
+def _centroids_write(path: str, cents: list) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"centroids": [[list(map(str, s)), str(n)] for s, n in cents]}, f
+        )
+    os.replace(tmp, path)
+
+
+def _centroids_read(index_path: str) -> list:
+    """Load the frozen quantizer the MANIFEST points at: after a
+    re-train rewrite the params carry ``centroids_file`` (the pointer
+    and the cells assigned under it became visible in one atomic
+    manifest swap); a store that has never been re-trained uses the
+    bootstrap default ``_CENTROIDS``."""
+    import json
+
+    _tags, params = _ann_manifest(os.path.join(index_path, "_BATCHES"))
+    fname = params.get("centroids_file", "_CENTROIDS")
+    with open(os.path.join(index_path, fname)) as f:
         return [(list(map(int, s)), int(n)) for s, n in json.load(f)["centroids"]]
 
 
@@ -224,7 +256,15 @@ def ann_index_ingest(
 
     manifest_path = os.path.join(index_path, "_BATCHES")
     params = _ann_params(k_cells, rounds, quant_digits)
-    tags = _manifest_read(manifest_path, params)
+    tags, stored = _ann_manifest(manifest_path)
+    if tags and stored.get("quant_digits") != str(quant_digits):
+        # quant_digits changes v itself — refused; k_cells/rounds are
+        # bootstrap-training inputs only, irrelevant once the quantizer
+        # is frozen (and legitimately different after a re-train)
+        raise ValueError(
+            f"ann index at {index_path} was built with quant_digits="
+            f"{stored.get('quant_digits')}, ingest uses {quant_digits}"
+        )
     uniq = batch.dropDuplicates([id_col])
     if tags:
         hist_ids = spark.read.parquet(
@@ -256,22 +296,11 @@ def ann_index_ingest(
         from .dedup import _manifest_lock
 
         with _manifest_lock(manifest_path):
-            if _manifest_read(manifest_path, params):
+            if _ann_manifest(manifest_path)[0]:
                 lost = True
             else:
                 lost = False
-                tmp = _centroids_path(index_path) + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(
-                        {
-                            "centroids": [
-                                [list(map(str, s)), str(n)]
-                                for s, n in stats["centroids"]
-                            ]
-                        },
-                        f,
-                    )
-                os.replace(tmp, _centroids_path(index_path))
+                _centroids_write(_centroids_path(index_path), stats["centroids"])
                 mtmp = manifest_path + ".tmp"
                 with open(mtmp, "w") as f:
                     json.dump({"batches": [tag], "params": params}, f)
@@ -287,7 +316,11 @@ def ann_index_ingest(
     assigned.write.mode("overwrite").parquet(
         os.path.join(index_path, "cells", f"batch={tag}")
     )
-    _manifest_publish(manifest_path, params, add_tags=[tag])
+    # params=None preserves the store's recorded params verbatim — an
+    # established store's quantizer params were validated above and may
+    # legitimately differ from this call's bootstrap-only k_cells/rounds
+    # (and carry centroids_file after a re-train)
+    _manifest_publish(manifest_path, None, add_tags=[tag])
     return assigned.select(id_col, "cid")
 
 
@@ -344,3 +377,91 @@ def ann_index_topk(
         id_col=id_col, query_id_col=query_id_col,
         query_id_type=queries.schema[query_id_col].dataType.simpleString(),
     )
+
+
+def ann_index_retrain(
+    spark,
+    index_path: str,
+    k_cells: int | None = None,
+    rounds: int | None = None,
+    id_col: str = "vec_id",
+) -> list:
+    """Re-train the coarse quantizer as a store REWRITE — the
+    "compaction with a new quantizer" the ingest docstring names as the
+    re-training contract (FAISS indexes train once and add forever;
+    when drift or growth makes the frozen cells lopsided, you retrain
+    and MIGRATE, never mix). Runs :func:`lloyd_exact` over the STORED
+    quantized vectors (the cells table keeps v, so no original corpus
+    is re-read), re-assigns every vector under the new centroids, and
+    publishes through :func:`_rewrite_store`'s crash-safe protocol —
+    with one extension: the new centroids live in a fresh
+    ``_CENTROIDS.retrain-<tag>`` file written BEFORE the manifest
+    publish, and the manifest's params gain ``centroids_file`` in the
+    SAME atomic swap that lists the re-assigned cells. A crash
+    anywhere leaves a consistent pair (old cells + old centroids, or
+    new cells + new centroids) — never a mix; superseded centroid
+    files are inert metadata orphans swept by later retrains once
+    aged (same grace rule as crash-orphaned batch directories).
+
+    ``k_cells`` / ``rounds`` default to the store's recorded values
+    (a pure re-train on fresher data); pass new ones to re-shape the
+    index. ``quant_digits`` cannot change — it defines v itself.
+
+    Assignment-migration proof: store-served kNN after retrain must
+    equal a from-scratch index whose quantizer trained on the same
+    vector set — pinned by the ``ann_index_retrained`` gate query's
+    hash oracle and test_ann_index_retrain_* in tests/test_operators.py.
+
+    Returns the new (sum, count) centroid list ([] if the store is
+    empty)."""
+    import time
+
+    from .dedup import _rewrite_store
+    from .similarity import _kmeans_assign_udf, lloyd_exact
+
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    tags, stored = _ann_manifest(manifest_path)
+    if not tags:
+        return []
+    kc = int(stored["k_cells"]) if k_cells is None else int(k_cells)
+    rnd = int(stored["rounds"]) if rounds is None else int(rounds)
+    new_file = f"_CENTROIDS.retrain-{uuid.uuid4().hex}"
+    new_params = dict(stored)
+    new_params.update(
+        {"k_cells": str(kc), "rounds": str(rnd), "centroids_file": new_file}
+    )
+    state: dict = {}
+
+    def retrain(df, _table):
+        q = df.select(id_col, "v").localCheckpoint()
+        cents = lloyd_exact(q, k=kc, rounds=rnd, id_col=id_col)
+        # the pointer target must exist before the manifest (published
+        # right after this transform returns) can reference it
+        _centroids_write(os.path.join(index_path, new_file), cents)
+        state["centroids"] = cents
+        return q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
+
+    snapshot = _rewrite_store(
+        spark, index_path, retrain, tables=("cells",), min_batches=1,
+        set_params=new_params,
+    )
+    if not snapshot:
+        return []
+    # sweep superseded centroid files: unreferenced by the CURRENT
+    # manifest and aged past the ingest-commit grace window (a younger
+    # unreferenced file may be a concurrent retrain's pre-publish write)
+    from .dedup import _REWRITE_STALE_S
+
+    _tags, live = _ann_manifest(manifest_path)
+    keep = live.get("centroids_file", "_CENTROIDS")
+    now = time.time()
+    for entry in os.listdir(index_path):
+        if not entry.startswith("_CENTROIDS") or entry == keep:
+            continue
+        p = os.path.join(index_path, entry)
+        try:
+            if now - os.path.getmtime(p) > _REWRITE_STALE_S:
+                os.remove(p)
+        except OSError:
+            pass
+    return state["centroids"]

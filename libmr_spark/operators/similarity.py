@@ -432,7 +432,20 @@ def kmeans_exact(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
         ).alias("v"),
     ).localCheckpoint()  # reused every round: freeze lineage once
+    cents = lloyd_exact(q, k=k, rounds=rounds, id_col=id_col)
+    if stats is not None:
+        stats["centroids"] = cents
+    return q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
 
+
+def lloyd_exact(q: DataFrame, k: int = 8, rounds: int = 2, id_col: str = "vec_id") -> list:
+    """The exact-Lloyd training loop over ALREADY-QUANTIZED vectors
+    (``q`` = (id_col, v LONG-array)): init = the first ``k`` rows by
+    ``id_col``, then ``rounds`` centroid updates under the rational-
+    cost argmin. Returns the integer (sum, count) centroid list.
+    Shared by :func:`kmeans_exact` (which quantizes floats first) and
+    the ANN store's re-train rewrite (which trains on the stored
+    quantized vectors — no original corpus needed)."""
     init = q.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans_exact: need >= {k} rows, got {len(init)}")
@@ -468,9 +481,7 @@ def kmeans_exact(
             else cents[cid]
             for cid in range(k)
         ]
-    if stats is not None:
-        stats["centroids"] = cents
-    return q.withColumn("cid", assign_udf(cents)(F.col("v")))
+    return cents
 
 
 def assign_exact(

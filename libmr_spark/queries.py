@@ -3561,9 +3561,15 @@ _DRIVER_CHECKED: set[str] = {
 # run `scripts/update_rotation.py CORRECTNESS_r08.json [older ones...]`
 # — it prints the names to append to _DRIVER_CHECKED AND the exact
 # next 50-slot _NEWEST window, ready to paste: (a) any r08 failures,
-# (b) the round-8 additions (exported after position 50 this round, so
-# they gate in round 9), and (c) backfill to 50 with the next-oldest
-# _DRIVER_CHECKED rows (the remaining round-4-era names).
+# (b) the TEN round-8 additions (exported after position 50 this
+# round, so they gate in round 9: bm25_index_deleted,
+# ann_index_deleted, ann_index_retrained, streaming_ohlc_hourly,
+# fuzzy_match_parts_multipass, dedup_substring_spans,
+# dedup_substring_rewrite, retrieval_recall_eval,
+# dedup_clusters_incremental, dedup_clusters_deleted — all
+# oracle-verified at sf0.01 in round 8), and (c) backfill to 50 with
+# the next-oldest _DRIVER_CHECKED rows (the remaining round-4-era
+# names).
 #
 # Round-8 priority window (the driver gate checks exactly the FIRST 50
 # queries() entries).  Round 7 went 50/50 hash-green.  This round

@@ -127,6 +127,206 @@ def dedup_exact_substring_q(spark, sf_dir):
     )
 
 
+@defquery(
+    "dedup_substring_spans",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i FROM win JOIN shared USING (w)),
+    isl AS (
+      SELECT doc_id, i,
+             i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+      FROM dup)
+    SELECT doc_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+           CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "MAXIMAL duplicated spans — the actual cut list of Lee et al. "
+    "2021's exact-substring dedup (dedup_exact_substring flags docs; "
+    "training pipelines CUT the duplicated region and keep the rest, "
+    "which the paper measures as strictly better than doc dropping): "
+    f"overlapping {_SPAN_W}-char windows at stride {_SPAN_S}, a window "
+    "duplicated iff its content appears in >= 2 distinct docs (group "
+    "cardinality — never a doc-pair stage), then per doc the "
+    "consecutive duplicated positions merge into maximal spans via "
+    "gaps-and-islands (i - stride*row_number constant within an "
+    "island; overlapping windows guarantee no cross-doc span of "
+    "length >= width is split). Spark shape: one explode bounded at "
+    "len/stride rows per doc, xxhash64 8-byte keys through the ONE "
+    "content shuffle, whole-frame min!=max flags shared windows "
+    "without a join-back, and the island window partitions by doc_id "
+    "(bounded by a doc's own windows). At 100 TB the output is the "
+    "span table a rewrite pass consumes — rows proportional to "
+    "duplicated text, not corpus size.",
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(t) - (_SPAN_W - 1), F.lit(1)),
+                    F.lit(_SPAN_S),
+                ),
+                lambda i: F.struct(
+                    i.alias("i"), F.xxhash64(F.substring(t, i, _SPAN_W)).alias("h")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").cast("int").alias("i"), F.col("p.h").alias("h"))
+    wh = Window.partitionBy("h")
+    dup = win.select(
+        "doc_id",
+        "i",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
+    ).filter(F.col("dup"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("i").asc())
+    isl = dup.select(
+        "doc_id", "i", (F.col("i") - _SPAN_S * F.row_number().over(wd)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("int").alias("span_start"),
+        (F.max("i") + F.lit(_SPAN_W - 1)).cast("int").alias("span_end"),
+        (F.max("i") + F.lit(_SPAN_W - 1) - F.min("i") + F.lit(1))
+        .cast("bigint")
+        .alias("span_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("grp")
+
+
+@defquery(
+    "dedup_substring_rewrite",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i FROM win JOIN shared USING (w)),
+    isl AS (
+      SELECT doc_id, i,
+             i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+      FROM dup),
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + {_SPAN_W - 1} AS e
+      FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s ASC) + 1, 1) AS st,
+             s - COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s ASC) + 1, 1) AS ln
+      FROM spans
+      UNION ALL
+      SELECT sp.doc_id, max(sp.e) + 1 AS st, greatest(len(n.t) - max(sp.e), 0) AS ln
+      FROM spans sp JOIN norm n USING (doc_id) GROUP BY sp.doc_id, n.t),
+    kept AS (
+      SELECT s.doc_id,
+             string_agg(substr(n.t, CAST(s.st AS INT), CAST(greatest(s.ln, 0) AS INT)),
+                        '' ORDER BY s.st ASC) AS kt
+      FROM segs s JOIN norm n USING (doc_id) GROUP BY s.doc_id),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT n.doc_id,
+           CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_cut_spans,
+           CAST(len(COALESCE(k.kt, n.t)) AS BIGINT) AS kept_chars,
+           CAST(len(n.t) - len(COALESCE(k.kt, n.t)) AS BIGINT) AS cut_chars,
+           md5(COALESCE(k.kt, n.t)) AS kept_fp
+    FROM norm n
+    LEFT JOIN kept k USING (doc_id)
+    LEFT JOIN nsp c USING (doc_id)
+    """,
+    "the REWRITE pass that consumes dedup_substring_spans' cut list — "
+    "closing the Lee et al. loop from detection to output (the paper "
+    "cuts duplicated regions and keeps the rest; dropping whole docs "
+    "measurably hurts): per doc the kept text is the ordered "
+    "concatenation of inter-span segments (lag over the sorted "
+    "maximal spans gives each segment's start; the tail segment "
+    "clamps at doc end — spans are non-overlapping by construction "
+    "because islands break only past one stride). The output carries "
+    "the kept-text md5 FINGERPRINT plus cut/kept char accounting, so "
+    "the hash proves byte-exact surgery, not just counts. Spark "
+    "mirrors the identical window/segment/concat op order; the "
+    "ordered concat is aggregate() over the sort_array'd segment "
+    "structs — deterministic under any partitioning. At 100 TB the "
+    "rewrite touches each doc once, joins only the span table "
+    "(proportional to duplicated text), and emits the training-ready "
+    "corpus revision.",
+)
+def dedup_substring_rewrite_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = d.select("doc_id", t.alias("t")).localCheckpoint(eager=True)
+    spans = dedup_substring_spans_q(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("s").asc())
+    segs_body = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(wd) + 1, F.lit(1)).alias("st"),
+        (F.col("s") - F.coalesce(F.lag("e").over(wd) + 1, F.lit(1))).alias("ln"),
+    )
+    segs_tail = (
+        spans.groupBy("doc_id")
+        .agg(F.max("e").alias("me"))
+        .join(norm.select("doc_id", F.length("t").alias("L")), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("me") + 1).alias("st"),
+            F.greatest(F.col("L") - F.col("me"), F.lit(0)).alias("ln"),
+        )
+    )
+    segs = segs_body.unionByName(segs_tail)
+    seg_txt = segs.join(norm, "doc_id").select(
+        "doc_id",
+        "st",
+        F.substring(
+            F.col("t"), F.col("st"), F.greatest(F.col("ln"), F.lit(0))
+        ).alias("seg"),
+    )
+    kept = seg_txt.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("st", "seg"))),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x["seg"]),
+        ).alias("kt"),
+        F.count(F.lit(1)).alias("n_segs"),
+    )
+    nsp = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    out_t = F.coalesce(F.col("kt"), F.col("t"))
+    return (
+        norm.join(kept, "doc_id", "left")
+        .join(nsp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_cut_spans"),
+            F.length(out_t).cast("bigint").alias("kept_chars"),
+            (F.length("t") - F.length(out_t)).cast("bigint").alias("cut_chars"),
+            F.md5(out_t).alias("kept_fp"),
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # 2. Domain-mixture resampling (target source distribution)
 # ------------------------------------------------------------------
@@ -1915,6 +2115,321 @@ def streaming_agg_retract_q(spark, sf_dir):
 
 
 @defquery(
+    "dedup_clusters_incremental",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """,
+    "near-duplicate clusters MAINTAINED ACROSS INGEST BATCHES — "
+    "dedup_clusters as a store, not a recompute (SURVEY §7.2a #2): "
+    "three batches commit through the atomic manifest; each ingest "
+    "runs large-star/small-star ONLY on the frontier graph whose "
+    "nodes are {new docs} ∪ {touched history cluster ids} — "
+    "connectivity is invariant under contraction of already-known "
+    "components, so history edges never replay and history docs "
+    "never rejoin. Batches that connect two existing clusters append "
+    "hop edges to a merge FOREST (labels strictly decrease along "
+    "chains — min-id canonicalization makes it acyclic); serving "
+    "path-compresses the forest in O(log depth) joins over the tiny "
+    "remap table and applies it in one join; compaction folds the "
+    "resolution into the member table durably (exercised mid-query — "
+    "the hash proves it changes nothing). Oracle = the from-scratch "
+    "dedup_clusters recursive-CTE closure over the full corpus: a "
+    "match proves the maintained partition equals the batch one "
+    "under this slicing, merges included. Candidate generation is "
+    "batch-postings × matching-history-postings (admission O(batch), "
+    "never O(history²)); exact uncapped Jaccard keeps it "
+    "slicing-invariant — the banded/capped recall dial remains "
+    "dedup_incremental_minhash's job.",
+)
+def dedup_clusters_incremental_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(
+        spark, path, d.filter((src_num >= 7) & (src_num < 14))
+    )
+    # fold the merge forest mid-lifecycle: the final hash proves the
+    # compaction is a pure representation change
+    DD.compact_incremental_clusters(spark, path)
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+    return DD.read_incremental_clusters(spark, path)
+
+
+@defquery(
+    "cluster_store_time_travel",
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 14),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  WHERE CAST(substr(source, 4) AS INT) < 14
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """,
+    "time travel for the CLUSTER store — the last lifecycle leg it "
+    "lacked a gate for (SURVEY round-9 #3): after three commits, read "
+    "the store AS OF the first two. Members and the merge forest "
+    "truncate TOGETHER (remap hops commit with the batch that caused "
+    "the merge), so the truncated forest resolves to exactly the "
+    "labels any reader saw after commit 2 — merges caused by batch 3 "
+    "are invisible, merges caused by batch 2 are applied. Oracle = "
+    "the from-scratch closure over batches 1+2's documents; driver-"
+    "side directory selection only, zero data copied (the "
+    "incremental_store_time_travel contract extended to a store "
+    "whose SERVING state is derived from two coupled tables).",
+)
+def cluster_store_time_travel_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_store_asof", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(
+        spark, path, d.filter((src_num >= 7) & (src_num < 14))
+    )
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+    return DD.read_incremental_clusters_asof(spark, path, as_of_batches=2)
+
+
+@defquery(
+    "dedup_clusters_deleted",
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE NOT (doc_id % 9 = 4)),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents WHERE NOT (doc_id % 9 = 4)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """,
+    "takedown for the CLUSTER store — the hardest delete in the store "
+    "family, because removing a doc can SPLIT a component (the merge "
+    "forest expresses unions only; decremental connectivity has no "
+    "cheap inverse). delete_from_cluster_store answers with a SCOPED "
+    "recompute: drop the victims' member/shingle rows, re-run "
+    "connected components only within the touched clusters from the "
+    "survivors' stored postings (edges are only removed, so no "
+    "survivor can join a different untouched cluster — recompute is "
+    "bounded by touched-cluster size, never the corpus), fold the "
+    "forest, publish through the crash-safe rewrite. Oracle = the "
+    "from-scratch closure over the corpus minus the victims: a hash "
+    "match proves splits re-labeled correctly AND no signature bytes "
+    "survive for deleted docs. Completes takedown parity across all "
+    "four store kinds (exact/minhash, BM25, ANN, clusters).",
+)
+def dedup_clusters_deleted_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_store_deleted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(
+        spark, path, d.filter((src_num >= 7) & (src_num < 14))
+    )
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+    victims = d.filter(F.col("doc_id") % 9 == 4).select("doc_id")
+    DD.delete_from_cluster_store(spark, path, victims)
+    return DD.read_incremental_clusters(spark, path)
+
+
+@defquery(
+    "streaming_ohlc_hourly",
+    """
+    WITH final_events AS (
+      SELECT event_type, ts, event_id, value FROM events
+      WHERE user_id % 20 < 15 AND NOT (user_id % 5 = 2)
+      UNION ALL
+      SELECT event_type, ts, event_id, value FROM events WHERE user_id % 20 >= 15),
+    e AS (
+      SELECT event_type, (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS window_start_ms,
+             CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id, value
+      FROM final_events),
+    ranked AS (
+      SELECT event_type, window_start_ms, value,
+             row_number() OVER (PARTITION BY event_type, window_start_ms ORDER BY ms ASC, event_id ASC) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, window_start_ms ORDER BY ms DESC, event_id DESC) AS rn_close
+      FROM e)
+    SELECT event_type, window_start_ms,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY event_type, window_start_ms
+    """,
+    "continuously-maintained OHLC (the continuous-aggregate / "
+    "hypertable-rollup shape) under CDC retractions — the maintenance "
+    "problem sum/count DON'T have: open/high/low/close are NOT "
+    "retractable (deleting the current max cannot be undone from the "
+    "aggregate alone), so the store keeps each (series, hour) "
+    "window's CANDIDATE MULTISET — the signed event keys compacted to "
+    "their net count, exactly the minimal state from which any "
+    "deletion can be absorbed — and serving folds the live candidates "
+    "through the SAME min_by/max_by single-aggregate as the batch "
+    "query. Three CDC chunks (base inserts, late inserts, retractions "
+    "of a base subset) drain through foreachBatch, each micro-batch "
+    "union+re-aggregating its signed keys into the store "
+    "(read-merge-checkpoint-overwrite, rows retracted to zero drop "
+    "out). Oracle = the batch OHLC over the final multiset: batch "
+    "slicing provably irrelevant because per-key signed counts form "
+    "an abelian group and OHLC is a pure function of the live "
+    "multiset. At 100 TB the state is bounded per (series, hour) by "
+    "the window's live-event count and the watermark finalizes old "
+    "windows out of the hot set — candidate retention is the price "
+    "of exact deletion-aware min/max, and it is the floor (any "
+    "smaller state admits a retraction it cannot answer).",
+)
+def streaming_ohlc_hourly_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("ohlc_retract_in", sf_dir)
+    state = _sink_dir("ohlc_stream_state", sf_dir)
+    for p in (srcdir, state):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        ((F.floor(F.unix_millis(F.col("ts")) / 3600000)) * 3600000)
+        .cast("bigint")
+        .alias("window_start_ms"),
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "event_id",
+        "value",
+    )
+    cols = ["event_type", "window_start_ms", "ms", "event_id", "value"]
+    chunks = [
+        e.filter(F.col("user_id") % 20 < 15).select(*cols, F.lit(1).alias("sign")),
+        e.filter(F.col("user_id") % 20 >= 15).select(*cols, F.lit(1).alias("sign")),
+        e.filter((F.col("user_id") % 20 < 15) & (F.col("user_id") % 5 == 2)).select(
+            *cols, F.lit(-1).alias("sign")
+        ),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    key = ["event_type", "window_start_ms", "ms", "event_id", "value"]
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        delta = bdf.groupBy(*key).agg(F.sum("sign").cast("bigint").alias("cnt"))
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            merged = (
+                s.read.parquet(state)
+                .unionByName(delta)
+                .groupBy(*key)
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged = merged.filter(F.col("cnt") > 0)
+        # materialize before overwriting the directory we just read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state)
+
+    q = (
+        spark.readStream.schema(
+            "event_type string, window_start_ms bigint, ms bigint, "
+            "event_id bigint, value double, sign int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_ohlc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    live = spark.read.parquet(state)
+    ordk = F.struct(F.col("ms"), F.col("event_id"))
+    return live.groupBy("event_type", "window_start_ms").agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.sum("cnt").alias("n"),
+    )
+
+
+@defquery(
     "incremental_store_time_travel",
     """
     WITH fp AS (
@@ -2779,6 +3294,122 @@ def fuzzy_match_parts_blocked_q(spark, sf_dir):
     )
 
 
+_SNM_W = 5  # sorted-neighborhood window (positions each side)
+
+
+@defquery(
+    "fuzzy_match_parts_multipass",
+    f"""
+    WITH p AS (SELECT p_partkey, p_name,
+                      string_split(p_name, ' ')[1] AS blk FROM part),
+    c1 AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS m, a.p_name AS name_a,
+             b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    r AS (SELECT p_partkey, p_name,
+                 row_number() OVER (ORDER BY reverse(p_name) ASC, p_partkey ASC) AS rn
+          FROM p),
+    c2 AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS m, a.p_name AS name_a,
+             b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS d
+      FROM r a JOIN r b
+        ON b.rn BETWEEN a.rn - {_SNM_W} AND a.rn + {_SNM_W}
+       AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    SELECT k AS p_partkey, m AS match_key, name_a, name_b,
+           CAST(d AS INT) AS dist
+    FROM (SELECT k, m, name_a, name_b, d,
+                 row_number() OVER (PARTITION BY k ORDER BY d ASC, m ASC) AS rn
+          FROM cand) t
+    WHERE rn = 1
+    """,
+    "multi-pass entity resolution — the Hernandez-Stolfo recall "
+    "repair fuzzy_match_parts_blocked's docstring names: pass 1 is "
+    "the first-token block (bounded by block occupancy), pass 2 is "
+    "the classic SORTED-NEIGHBORHOOD method on an independent key "
+    "(records ranked by reversed name, every pair within 5 positions "
+    "compared — catches matches whose FIRST token differs, exactly "
+    "the pairs pass 1 is blind to), and each entity keeps the single "
+    "best match over the UNION (min over per-pass minima == min over "
+    "the union, so the passes compose without materializing the "
+    "union's candidate multiset). The global rank comes from "
+    "operators/prefix.py's two-pass prefix sum — range partition + "
+    "P-row driver offsets — NOT an unpartitioned window; neighbor "
+    "pairs form by equi-joining width-W rank buckets (each row "
+    "explodes to its 3 adjacent buckets, then the exact |Δrn| <= W "
+    "filter), so the whole pass is shuffle-bounded at ~3W candidates "
+    "per record with no range-join NLJ anywhere. Levenshtein stays "
+    "the banded JVM builtin. At 100 TB sorting is Spark's native "
+    "strength (the range exchange IS the sort) and W fixes the "
+    "comparator budget per record — the standard ER recall/cost dial.",
+)
+def fuzzy_match_parts_multipass_q(spark, sf_dir):
+    from .operators.prefix import prefix_sum
+
+    pass1 = fuzzy_match_parts_blocked_q(spark, sf_dir).select(
+        F.col("p_partkey").alias("k"),
+        F.col("match_key").alias("m"),
+        "name_a",
+        "name_b",
+        F.col("dist").cast("bigint").alias("d"),
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    r = prefix_sum(
+        p.withColumn("rk", F.reverse(F.col("p_name"))).withColumn("one", F.lit(1)),
+        order_cols=["rk", "p_partkey"],
+        value_col="one",
+        out_col="rn",
+    ).select("p_partkey", "p_name", "rn")
+    a = r.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name_a"),
+        F.col("rn").alias("rna"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rn") / _SNM_W) - 1,
+                F.floor(F.col("rn") / _SNM_W),
+                F.floor(F.col("rn") / _SNM_W) + 1,
+            )
+        ).alias("bkt"),
+    )
+    b = r.select(
+        F.col("p_partkey").alias("m"),
+        F.col("p_name").alias("name_b"),
+        F.col("rn").alias("rnb"),
+        F.floor(F.col("rn") / _SNM_W).alias("bkt"),
+    )
+    pass2 = (
+        a.join(b, "bkt")
+        .filter(
+            (F.abs(F.col("rna") - F.col("rnb")) <= _SNM_W)
+            & (F.col("k") != F.col("m"))
+        )
+        .withColumn("d", F.levenshtein("name_a", "name_b", 3).cast("bigint"))
+        .filter((F.col("d") >= 0) & (F.col("d") <= 3))
+        .select("k", "m", "name_a", "name_b", "d")
+    )
+    # per-pass winners suffice: argmin over the union == min of the
+    # two per-pass argmins under the same (d, m) total order
+    w2 = Window.partitionBy("k").orderBy(F.col("d").asc(), F.col("m").asc())
+    best2 = pass2.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    cand = pass1.unionByName(best2.select("k", "m", "name_a", "name_b", "d"))
+    w = Window.partitionBy("k").orderBy(F.col("d").asc(), F.col("m").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("p_partkey"),
+            F.col("m").alias("match_key"),
+            "name_a",
+            "name_b",
+            F.col("d").cast("int").alias("dist"),
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # 13. Oracle-exact IVF retrieval (rows-only family shrinks again)
 # ------------------------------------------------------------------
@@ -2849,6 +3480,166 @@ def knn_ivf_exact_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_ivf_exact(emb, queries, k_cells=8, rounds=2, nprobe=2, k=5)
+
+
+def _retrieval_eval_sql(
+    k_cells: int = 8, rounds: int = 2, nprobe: int = 2, k: int = 5,
+    nq: int = 5, dim: int = 64,
+) -> str:
+    """DuckDB replay of the recall@k / reciprocal-rank eval: hold the
+    first ``nq`` vectors out as queries, train the IVF quantizer on
+    the REMAINING corpus (so the exact NN1 is a genuine neighbor, not
+    the query itself), rank both the IVF list and the exhaustive
+    integer scan, and score the IVF list against the exact one."""
+    ctes = _kmeans_ctes(
+        k=k_cells, rounds=rounds, dim=dim, train_where=f"vec_id >= {nq}"
+    )
+    last = f"a{rounds}"
+    cent = f"c{rounds}"
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(a.v, qv.v), "
+        "p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    ctes += [
+        f"qv AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < {nq})",
+        f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT qv.query_id, c.cid,
+           row_number() OVER (PARTITION BY qv.query_id ORDER BY
+             {_kmeans_cost_key_sql("qv.v", "c")} ASC, c.cid ASC) AS rn
+    FROM qv CROSS JOIN {cent} c) WHERE rn <= {nprobe})""",
+        f"""cand AS (
+  SELECT probe.query_id, a.vec_id, {dist} AS dist
+  FROM probe JOIN {last} a ON a.cid = probe.cid
+  JOIN qv ON qv.query_id = probe.query_id)""",
+        f"""ivfk AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+    FROM cand) t WHERE rank <= {k})""",
+        f"""exactk AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT qv.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY qv.query_id ORDER BY {dist} ASC, a.vec_id ASC) AS rank
+    FROM qv CROSS JOIN qtrain a) t WHERE rank <= {k})""",
+        """hit AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exactk e JOIN ivfk i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  GROUP BY e.query_id)""",
+        "nn1 AS (SELECT query_id, vec_id FROM exactk WHERE rank = 1)",
+        """rr AS (
+  SELECT n.query_id, CAST(1 AS DOUBLE) / CAST(i.rank AS DOUBLE) AS r
+  FROM nn1 n JOIN ivfk i ON i.query_id = n.query_id AND i.vec_id = n.vec_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT qq.query_id,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST({k} AS DOUBLE), 6) AS recall_at_k,
+       round(COALESCE(r.r, CAST(0 AS DOUBLE)), 6) AS rr_nn1
+FROM (SELECT query_id FROM qv) qq
+LEFT JOIN hit h ON h.query_id = qq.query_id
+LEFT JOIN rr r ON r.query_id = qq.query_id"""
+    )
+
+
+@defquery(
+    "retrieval_recall_eval",
+    _retrieval_eval_sql(),
+    "the retrieval QUALITY gate — recall@5 and NN1 reciprocal rank "
+    "for the IVF path against the exhaustive integer scan, as an "
+    "oracle-hashed query instead of a pytest pin (the recall contract "
+    "moves into the driver gate where regressions in quantizer, "
+    "probing or ranking arithmetic become hash mismatches): the first "
+    "5 vectors are HELD OUT as queries and the quantizer trains on "
+    "the remaining corpus, so the exact NN1 is a genuine neighbor "
+    "rather than the query itself and the metrics are non-trivial. "
+    "Both rankings are integer-exact (quantized L2, (dist, id) total "
+    "order), recall = |ivf_top5 ∩ exact_top5|/5 and rr = 1/rank are "
+    "single IEEE divisions on identical integer operands — the whole "
+    "eval replays CTE-by-CTE in DuckDB. Spark shape: the IVF side is "
+    "knn_ivf_exact unchanged (probed-cells-only scan); the exact side "
+    "explodes the 5 query vectors as LITERAL structs onto the corpus "
+    "scan (no join, no NLJ — the hand-rolled broadcast), and each "
+    "per-query ranking is one partitioned window. At 100 TB you run "
+    "this on a held-out sample per index build — the eval cost is one "
+    "corpus scan per query batch, and the output is the dashboard "
+    "row that decides nprobe/k_cells budgets.",
+)
+def retrieval_recall_eval_q(spark, sf_dir):
+    from .operators.similarity import knn_ivf_exact
+
+    nq, k = 5, 5
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= nq)
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivfk = knn_ivf_exact(
+        corpus, queries, k_cells=8, rounds=2, nprobe=2, k=k
+    ).select("query_id", "vec_id", "rank")
+
+    scale = 10 ** 6
+    qrows = queries.select(
+        "query_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ).alias("v"),
+    ).collect()
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.query_id)).alias("query_id"),
+                F.array(*[F.lit(int(x)) for x in r.v]).alias("qv"),
+            )
+            for r in qrows
+        ]
+    )
+    q = corpus.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ).alias("v"),
+    )
+    dist = F.aggregate(
+        F.zip_with("v", F.col("qq.qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.select("vec_id", "v", F.explode(qlit).alias("qq"))
+        .select(F.col("qq.query_id").alias("query_id"), "vec_id", dist.alias("dist"))
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    exactk = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+    hit = exactk.join(ivfk.select("query_id", "vec_id"), ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    nn1 = exactk.filter(F.col("rank") == 1).select("query_id", "vec_id")
+    rr = nn1.join(ivfk, ["query_id", "vec_id"]).select(
+        "query_id", (F.lit(1).cast("double") / F.col("rank").cast("double")).alias("r")
+    )
+    return (
+        queries.select("query_id")
+        .join(hit, "query_id", "left")
+        .join(rr, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(k).cast("double"),
+                6,
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("r"), F.lit(0).cast("double")), 6).alias("rr_nn1"),
+        )
+    )
 
 
 # ------------------------------------------------------------------
@@ -2943,12 +3734,16 @@ _BM25_QUERIES = [
 _BM25_K = 10  # results per query (k1=1.2, b=0.75 inside the formulas)
 
 
-def _bm25_sql(k: int = _BM25_K) -> str:
+def _bm25_sql(k: int = _BM25_K, where: str | None = None) -> str:
+    """BM25 from-scratch oracle; ``where`` restricts the corpus (the
+    serve-after-takedown oracle: index over documents minus deletions —
+    df/N/S all shift, exactly like the store's reduced tables)."""
     vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    wsql = f" WHERE {where}" if where else ""
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-      FROM documents),
+      FROM documents{wsql}),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
@@ -3314,6 +4109,118 @@ def streaming_bm25_index_q(spark, sf_dir):
     return bm25_index_topk(spark, store, qt, k=_BM25_K)
 
 
+def _bm25_ndcg_sql(k: int = 10) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+    WITH ranked AS ({_bm25_sql(k=k)}),
+    toks2 AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    qt2 AS (SELECT DISTINCT * FROM (VALUES {vals}) v(query_id, token)),
+    rel AS (
+      SELECT qt2.query_id, toks2.doc_id, count(DISTINCT qt2.token) AS rel
+      FROM qt2 JOIN toks2 ON toks2.token = qt2.token
+      GROUP BY qt2.query_id, toks2.doc_id),
+    dcg AS (
+      SELECT r.query_id,
+             SUM(CAST(round((pow(2, rel.rel) - 1) / round(log2(r.rank + 1), 6), 6)
+                 AS DECIMAL(38,6))) AS dcg
+      FROM ranked r JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+      GROUP BY r.query_id),
+    ideal AS (
+      SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rank
+      FROM rel),
+    idcg AS (
+      SELECT query_id,
+             SUM(CAST(round((pow(2, rel) - 1) / round(log2(rank + 1), 6), 6)
+                 AS DECIMAL(38,6))) AS idcg
+      FROM ideal WHERE rank <= {k} GROUP BY query_id),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY query_id)
+    SELECT CAST(d.query_id AS INT) AS query_id,
+           round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k,
+           n.n_relevant
+    FROM dcg d
+    JOIN idcg i ON i.query_id = d.query_id
+    JOIN nrel n ON n.query_id = d.query_id
+    """
+
+
+@defquery(
+    "bm25_ndcg_eval",
+    _bm25_ndcg_sql(),
+    "the LEXICAL retrieval quality gate — nDCG@10 for bm25_topk's "
+    "ranking under graded relevance, completing the eval pair with "
+    "retrieval_recall_eval's vector leg (SURVEY round-9 #2): "
+    "relevance of (query, doc) is the count of distinct query terms "
+    "the doc contains — exact integer labels derived from the same "
+    "tokenize both engines replay, no human judgments needed for a "
+    "correctness gate. DCG follows the repo's washed-libm contract: "
+    "log2(rank+1) washes at 6dp, each gain/discount contribution "
+    "rounds then DECIMAL(38,6)-sums (order-free), IDCG comes from the "
+    "ideal (rel DESC, doc_id) ordering of ALL relevant docs, and the "
+    "final ratio is one IEEE division — so a ranking regression "
+    "anywhere in BM25's idf/length arithmetic shifts a 6-decimal "
+    "hash. Spark shape: relevance labels join the broadcast query "
+    "terms onto the token stream (posting-bounded, never "
+    "corpus-bounded), both DCG legs are per-query windows over "
+    "candidate-sized inputs. At 100 TB this is the regression "
+    "dashboard row a serving team watches per index rebuild.",
+)
+def bm25_ndcg_eval_q(spark, sf_dir):
+    from .operators.retrieval import tokenize_ws
+
+    k = _BM25_K
+    dec = "decimal(38,6)"
+    ranked = bm25_topk_q(spark, sf_dir).select("query_id", "doc_id", "rank")
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(d)
+    qt = spark.createDataFrame(
+        sorted(set(_BM25_QUERIES)), "query_id int, token string"
+    )
+    rel = (
+        qt.join(toks, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("rel"))
+    )
+
+    def contrib(rel_col, rank_col):
+        return F.round(
+            (F.pow(F.lit(2), rel_col) - F.lit(1))
+            / F.round(F.log2(rank_col + F.lit(1)), 6),
+            6,
+        ).cast(dec)
+
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(contrib(F.col("rel"), F.col("rank"))).alias("dcg"))
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        rel.withColumn("rank", F.row_number().over(wi))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(contrib(F.col("rel"), F.col("rank"))).alias("idcg"))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(nrel, "query_id")
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ).alias("ndcg_at_k"),
+            "n_relevant",
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # 18. Persisted ANN (IVF) index — vector retrieval's serving store
 # ------------------------------------------------------------------
@@ -3322,18 +4229,26 @@ def streaming_bm25_index_q(spark, sf_dir):
 def _ann_index_sql(
     k_cells: int = 8, rounds: int = 2, nprobe: int = 2, k: int = 5,
     nq: int = 5, dim: int = 64,
+    train_where: str | None = "vec_id < (SELECT max(vec_id) // 2 FROM q)",
+    exclude_where: str | None = None,
 ) -> str:
     """DuckDB replay of the frozen-quantizer ANN store: train
     kmeans_exact on the BOOTSTRAP batch only (vec_id < max//2), then
     assign EVERY vector under the frozen final centroids — exactly
     what ingest-under-frozen-centroids accumulates in the store, for
     any slicing of the non-bootstrap batches — then probe/score/top-k
-    as in the knn_ivf_exact oracle."""
+    as in the knn_ivf_exact oracle. ``train_where=None`` trains on ALL
+    vectors (the re-train-rewrite oracle: the store's Lloyd re-runs
+    over every stored vector). ``exclude_where`` (a predicate over
+    alias ``a``) drops candidates — the takedown oracle: deleted
+    vectors leave the candidate set but the quantizer stays frozen,
+    exactly like the store after delete_from_incremental_store."""
     ctes = _kmeans_ctes(
         k=k_cells, rounds=rounds, dim=dim,
-        train_where="vec_id < (SELECT max(vec_id) // 2 FROM q)",
+        train_where=train_where,
     )
     cent = f"c{rounds}"
+    excl = f"\n  WHERE NOT ({exclude_where})" if exclude_where else ""
     ctes += [
         _kmeans_assign_cte("afull", cent, "q"),
         f"qv AS (SELECT vec_id AS query_id, v FROM q WHERE vec_id < {nq})",
@@ -3343,12 +4258,12 @@ def _ann_index_sql(
            row_number() OVER (PARTITION BY qv.query_id ORDER BY
              {_kmeans_cost_key_sql("qv.v", "c")} ASC, c.cid ASC) AS rn
     FROM qv CROSS JOIN {cent} c) WHERE rn <= {nprobe})""",
-        """cand AS (
+        f"""cand AS (
   SELECT probe.query_id, a.vec_id,
          CAST(list_sum(list_transform(list_zip(a.v, qv.v),
               p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS BIGINT) AS dist
   FROM probe JOIN afull a ON a.cid = probe.cid
-  JOIN qv ON qv.query_id = probe.query_id)""",
+  JOIN qv ON qv.query_id = probe.query_id{excl})""",
     ]
     return (
         "WITH "
@@ -3397,6 +4312,128 @@ def ann_index_incremental_q(spark, sf_dir):
     rest = emb.filter(F.col("vec_id") >= half)
     ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 0))
     ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(spark, path, queries, nprobe=2, k=5)
+
+
+@defquery(
+    "bm25_index_deleted",
+    _bm25_sql(where="NOT (doc_id % 7 = 3)"),
+    "serve-after-takedown for the retrieval store (the claim "
+    "operators/retrieval.py's header makes, promoted to a hash "
+    "proof): the full corpus is indexed in three batches, every "
+    "doc_id % 7 == 3 document is removed via delete_from_"
+    "incremental_store's crash-safe rewrite over (doclen, postings), "
+    "and the top-k is served from the reduced store. The oracle is a "
+    "FROM-SCRATCH index over the corpus minus the deleted docs — so "
+    "the match proves deletion removed the docs' postings AND their "
+    "contribution to every corpus statistic (N, total length, per-"
+    "term df), not merely their ids: a store that kept ghost rows in "
+    "doclen would shift each BM25 idf/length normalizer and miss the "
+    "hash. Mirrors dedup_incremental_minhash_deleted's shape for the "
+    "serving side of the house.",
+)
+def bm25_index_deleted_q(spark, sf_dir):
+    import shutil
+
+    from .operators.dedup import delete_from_incremental_store
+    from .operators.retrieval import bm25_index_ingest, bm25_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("bm25_index_deleted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    bm25_index_ingest(spark, path, d.filter(src_num < 10))
+    bm25_index_ingest(spark, path, d.filter((src_num >= 10) & (src_num < 15)))
+    bm25_index_ingest(spark, path, d.filter(src_num >= 15))
+    victims = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    delete_from_incremental_store(
+        spark, path, victims, id_col="doc_id", tables=("doclen", "postings")
+    )
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    return bm25_index_topk(spark, path, qt, k=_BM25_K)
+
+
+@defquery(
+    "ann_index_deleted",
+    _ann_index_sql(exclude_where="a.vec_id % 7 = 3"),
+    "serve-after-takedown for the vector store: after the standard "
+    "bootstrap + 2 ingests, every vec_id % 7 == 3 vector is removed "
+    "from the cells table via delete_from_incremental_store's "
+    "crash-safe rewrite, then kNN is served from the reduced store. "
+    "The quantizer stays FROZEN through a delete (removing vectors "
+    "never re-trains — the FAISS remove_ids contract), so the oracle "
+    "is the standard bootstrap-trained replay with the deleted ids "
+    "dropped from the candidate set only: probes are unchanged, "
+    "candidates shrink, ranks close up. A hash match proves the "
+    "store retains no signature bytes for the deleted vectors while "
+    "every survivor's distance and rank is untouched.",
+)
+def ann_index_deleted_q(spark, sf_dir):
+    import shutil
+
+    from .operators.dedup import delete_from_incremental_store
+    from .operators.retrieval import ann_index_ingest, ann_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index_deleted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    rest = emb.filter(F.col("vec_id") >= half)
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 0))
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 1))
+    victims = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    delete_from_incremental_store(
+        spark, path, victims, id_col="vec_id", tables=("cells",)
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(spark, path, queries, nprobe=2, k=5)
+
+
+@defquery(
+    "ann_index_retrained",
+    _ann_index_sql(train_where=None),
+    "quantizer re-training as a store REWRITE — the assignment-"
+    "migration proof ann_index_incremental's docstring promises: the "
+    "store is built normally (bootstrap-frozen centroids, two more "
+    "ingests), then ann_index_retrain re-runs exact Lloyd over EVERY "
+    "stored quantized vector (the cells table keeps v — no corpus "
+    "re-read), re-assigns all cells, and publishes the new centroids "
+    "file and the re-assigned cells in ONE atomic manifest swap "
+    "(params gain centroids_file; a crash anywhere leaves old-cells+"
+    "old-centroids or new-cells+new-centroids, never a mix — pinned "
+    "in test_ann_index_retrain_crash_consistency). The oracle is the "
+    "from-scratch index whose kmeans trains on the FULL vector set "
+    "(train_where=None): a hash match proves the migration produced "
+    "exactly the index a fresh build under the new quantizer would — "
+    "serving, probing and ranking all see the retrained geometry.",
+)
+def ann_index_retrained_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import (
+        ann_index_ingest,
+        ann_index_retrain,
+        ann_index_topk,
+    )
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index_retrained", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    rest = emb.filter(F.col("vec_id") >= half)
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 0))
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 1))
+    ann_index_retrain(spark, path)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3460,7 +4497,13 @@ def bm25_cosine_rerank_q(spark, sf_dir):
     )
     emb = _t(spark, sf_dir, "embeddings")
     dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
-    qvec = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    # bound the broadcast side BEFORE hinting: the query-vector table is
+    # the corpus-sized embeddings table until the semi-join pins it to
+    # the |query batch| rows actually queried — broadcasting the full
+    # table was the 100 TB hazard ADVICE r7 flagged
+    qvec = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).join(F.broadcast(qt.select("query_id").distinct()), "query_id", "left_semi")
     scored = (
         short.join(dvec, "doc_id")
         .join(F.broadcast(qvec), "query_id")
@@ -3520,8 +4563,10 @@ _PMI_TOPK = 40
     "5 prunes the noise PMI famously amplifies; (pmi DESC, a, b) is a "
     "total order. Spark shape: one tokenize pass feeds the unigram "
     "and bigram hash aggregates (map-side combinable), corpus totals "
-    "ride a 1-row broadcast, unigram counts broadcast-join onto the "
-    "supported bigrams — at 100 TB both tables are Heaps-bounded "
+    "ride a 1-row broadcast, unigram counts join onto the supported "
+    "bigrams UNHINTED — AQE broadcasts them while they fit and falls "
+    "back to a shuffle join past the Heaps bound (a 100M-term "
+    "vocabulary outgrows executor memory) — at 100 TB both tables are "
     "vocabulary artifacts, built once and reused by the BPE/packing "
     "stages.",
 )
@@ -3574,9 +4619,13 @@ def collocation_pmi_top_q(spark, sf_dir):
         ),
         6,
     )
+    # no broadcast hint on the unigram tables: they are Heaps-bounded
+    # but can outgrow executor memory at a 100M-term vocabulary — let
+    # AQE pick broadcast when the stats say it fits (ADVICE r7); only
+    # the 1-row normalizer keeps its hint.
     scored = (
-        bi.join(F.broadcast(ca), "a")
-        .join(F.broadcast(cb), "b")
+        bi.join(ca, "a")
+        .join(cb, "b")
         .crossJoin(F.broadcast(tot))
         .select("a", "b", F.col("c").cast("bigint").alias("n"), pmi.alias("pmi"))
     )

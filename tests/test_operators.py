@@ -2127,6 +2127,114 @@ def test_ann_index_store_lifecycle(spark, emb, tmp_path):
         ann_index_topk(spark, str(tmp_path / "nope"), queries)
 
 
+def test_ann_index_retrain_migration_and_crash(spark, emb, tmp_path):
+    # re-training as a store rewrite: (a) migrated store == from-scratch
+    # index under the new quantizer; (b) a crash BEFORE the manifest
+    # swap leaves the old (cells, centroids) pair fully consistent;
+    # (c) post-retrain ingest assigns under the NEW centroids.
+    import json
+    import os
+
+    from libmr_spark.operators.retrieval import (
+        _centroids_read,
+        ann_index_ingest,
+        ann_index_retrain,
+        ann_index_topk,
+    )
+    from libmr_spark.operators.similarity import (
+        assign_exact,
+        kmeans_exact,
+        lloyd_exact,
+    )
+
+    path = str(tmp_path / "ann_retrain")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    serve = lambda: {  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ann_index_topk(spark, path, queries, nprobe=2, k=5).collect()
+    }
+    before = serve()
+    manifest = os.path.join(path, "_BATCHES")
+
+    # (b) crash sim: the retrain transform completed (new centroids
+    # file + re-assigned compact dir on disk) but the manifest swap
+    # never ran — the store must answer EXACTLY as before
+    pre = json.load(open(manifest))
+    fake_cents = lloyd_exact(
+        spark.read.parquet(
+            *[os.path.join(path, "cells", f"batch={t}") for t in pre["batches"]]
+        ).select("vec_id", "v"),
+        k=4, rounds=1,
+    )
+    from libmr_spark.operators.retrieval import _centroids_write
+
+    _centroids_write(os.path.join(path, "_CENTROIDS.retrain-deadbeef"), fake_cents)
+    spark.read.parquet(
+        *[os.path.join(path, "cells", f"batch={t}") for t in pre["batches"]]
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "cells", "batch=compact-deadbeef")
+    )
+    assert json.load(open(manifest)) == pre
+    assert serve() == before
+
+    # (a) real retrain over ALL stored vectors, same k: store-served
+    # results equal a from-scratch kmeans_exact-built index
+    cents = ann_index_retrain(spark, path)
+    live = json.load(open(manifest))
+    assert live["params"]["centroids_file"].startswith("_CENTROIDS.retrain-")
+    assert _centroids_read(path) == cents
+    stats: dict = {}
+    fresh_assigned = kmeans_exact(emb, k=8, rounds=2, stats=stats)
+    assert stats["centroids"] == cents  # Lloyd on stored v == on corpus
+    # the crashed rewrite's orphan compact dir was swept by the rewrite
+    assert "batch=compact-deadbeef" not in os.listdir(os.path.join(path, "cells"))
+    got = {
+        (r.vec_id, tuple(r.v), r.cid)
+        for r in spark.read.parquet(
+            *[os.path.join(path, "cells", f"batch={t}") for t in live["batches"]]
+        ).collect()
+    }
+    want = {(r.vec_id, tuple(r.v), r.cid) for r in fresh_assigned.collect()}
+    assert got == want
+
+    # (c) ingest after retrain admits under the NEW centroids (and the
+    # k_cells/rounds call values no longer gate an established store)
+    extra = emb.limit(0)  # empty batch: exercises the path, admits 0
+    assert ann_index_ingest(spark, path, extra, k_cells=4).count() == 0
+    replay = ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < 10))
+    assert replay.count() == 0  # all already stored
+    # a genuinely new vector lands in the cell assign_exact picks
+    nv = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    admitted = {(r.vec_id, r.cid) for r in ann_index_ingest(spark, path, nv).collect()}
+    expect = {
+        (r.vec_id, r.cid) for r in assign_exact(nv, cents).select("vec_id", "cid").collect()
+    }
+    assert admitted == expect and len(admitted) == 1
+
+    # retrain with a different k re-shapes the index
+    cents4 = ann_index_retrain(spark, path, k_cells=4, rounds=1)
+    assert len(cents4) == 4
+    live4 = json.load(open(manifest))
+    assert live4["params"]["k_cells"] == "4"
+    cids = {
+        r.cid
+        for r in spark.read.parquet(
+            *[os.path.join(path, "cells", f"batch={t}") for t in live4["batches"]]
+        ).collect()
+    }
+    assert cids <= {0, 1, 2, 3}
+
+    # empty store: no-op
+    assert ann_index_retrain(spark, str(tmp_path / "nope2")) == []
+
+
 def test_bm25_cosine_rerank_composition(spark, sf_dir):
     from libmr_spark.queries_pipeline import (
         _RERANK_K,
@@ -2154,3 +2262,63 @@ def test_bm25_cosine_rerank_composition(spark, sf_dir):
     lex = {(r.query_id, r.doc_id) for r in bm25_topk_q(spark, sf_dir).collect()}
     pool = {(r.query_id, r.doc_id) for r in rows}
     assert lex and pool  # both stages produced results for all queries
+
+
+def test_incremental_clusters_lifecycle(spark, docs, tmp_path):
+    # the frontier-contraction invariant: maintained clusters across
+    # any batch slicing == batch CC over the full pair graph; merge
+    # forest resolves and compacts without changing the partition
+    import json
+    import os
+
+    store = str(tmp_path / "cc_store")
+    d = docs.select("doc_id", "text")
+    DD.dedup_incremental_clusters(spark, store, d.filter(F.col("doc_id") % 3 == 0))
+    DD.dedup_incremental_clusters(spark, store, d.filter(F.col("doc_id") % 3 == 1))
+    DD.dedup_incremental_clusters(spark, store, d.filter(F.col("doc_id") % 3 == 2))
+
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in DD.read_incremental_clusters(spark, store).collect()
+    }
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6, max_df=None)
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in DD.connected_components(pairs, d.select("doc_id")).collect()
+    }
+    assert got == want and len(got) == d.count()
+
+    # id-interleaved slicing forces cross-batch merges: the forest
+    # must be non-trivial for this test to gate the remap machinery
+    manifest = os.path.join(store, "_BATCHES")
+    tags = json.load(open(manifest))["batches"]
+    remap = spark.read.parquet(
+        *[os.path.join(store, "remap", f"batch={t}") for t in tags]
+    )
+    assert remap.count() > 0
+
+    # replaying a committed batch admits nothing
+    assert (
+        DD.dedup_incremental_clusters(
+            spark, store, d.filter(F.col("doc_id") % 3 == 1)
+        ).count()
+        == 0
+    )
+
+    # compaction folds the forest durably: remap empties, serving
+    # skips resolution, partition identical
+    assert DD.compact_incremental_clusters(spark, store) >= 3
+    tags2 = json.load(open(manifest))["batches"]
+    assert len(tags2) == 1
+    assert (
+        spark.read.parquet(os.path.join(store, "remap", f"batch={tags2[0]}")).count()
+        == 0
+    )
+    after = {
+        (r.doc_id, r.cluster_id)
+        for r in DD.read_incremental_clusters(spark, store).collect()
+    }
+    assert after == got
+
+    with pytest.raises(ValueError, match="empty cluster store"):
+        DD.read_incremental_clusters(spark, str(tmp_path / "nope"))
