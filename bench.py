@@ -182,6 +182,8 @@ HEADLINE = [
     "dedup_clusters_deleted",
     "cluster_store_time_travel",
     "bm25_ndcg_eval",
+    "ann_drift_monitor",
+    "dedup_spans_incremental",
 ]
 
 

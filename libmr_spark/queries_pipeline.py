@@ -210,6 +210,64 @@ def dedup_substring_spans_q(spark, sf_dir):
 
 
 @defquery(
+    "dedup_spans_incremental",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i FROM win JOIN shared USING (w)),
+    isl AS (
+      SELECT doc_id, i,
+             i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+      FROM dup)
+    SELECT doc_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+           CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "the cut list MAINTAINED ACROSS INGEST BATCHES (SURVEY round-9 "
+    "#2) — the incremental difficulty dedup_substring_spans doesn't "
+    "face: duplication is GLOBAL, so a new batch can change the spans "
+    "of already-stored docs (a window unique yesterday becomes "
+    "duplicated when today's doc repeats it). The store answers "
+    "append-only: window postings written once per doc (tokenize-once "
+    "amortization), and each batch recomputes spans for exactly the "
+    "docs holding a hash the batch made shared — bounded by content "
+    "overlap with the batch, never the corpus — appending a fresh "
+    "REVISION; serving takes each doc's latest revision using the "
+    "manifest order as the revision clock, one scan, no window "
+    "recomputation. Spans only grow (shared-status never reverts "
+    "absent deletes), so revisions are monotone. Oracle = the "
+    "from-scratch cut list: the hash proves revision supersession "
+    "serves exactly the batch answer under this three-way slicing.",
+)
+def dedup_spans_incremental_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("span_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_spans(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_spans(spark, path, d.filter((src_num >= 7) & (src_num < 14)))
+    DD.dedup_incremental_spans(spark, path, d.filter(src_num >= 14))
+    return DD.read_incremental_spans(spark, path)
+
+
+@defquery(
     "dedup_substring_rewrite",
     f"""
     WITH norm AS (
@@ -4395,6 +4453,136 @@ def ann_index_deleted_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_index_topk(spark, path, queries, nprobe=2, k=5)
+
+
+def _ann_drift_sql(
+    k_cells: int = 8, rounds: int = 2, dim: int = 64,
+) -> str:
+    """DuckDB replay of the drift monitor: frozen bootstrap centroids
+    (sum s_f, count n_f) vs the CURRENT per-cell member statistics
+    (sum s_now, count n_now) — squared displacement of the two means
+    as the exact integer ratio Σ_p (s_now·n_f − s_f·n_now)² /
+    (n_now·n_f)², one double division per cell."""
+    ctes = _kmeans_ctes(
+        k=k_cells, rounds=rounds, dim=dim,
+        train_where="vec_id < (SELECT max(vec_id) // 2 FROM q)",
+    )
+    cent = f"c{rounds}"
+    ctes += [
+        _kmeans_assign_cte("afull", cent, "q"),
+        "nnow AS (SELECT cid, count(*) AS n FROM afull GROUP BY cid)",
+        f"""snow AS (
+  SELECT a.cid, t.dim, SUM(a.v[t.dim]) AS s
+  FROM afull a CROSS JOIN range(1, {dim + 1}) t(dim) GROUP BY a.cid, t.dim)""",
+        f"""num AS (
+  SELECT snow.cid,
+         SUM((CAST(snow.s AS HUGEINT) * c.n - CAST(c.s[snow.dim] AS HUGEINT) * nnow.n)
+             * (CAST(snow.s AS HUGEINT) * c.n - CAST(c.s[snow.dim] AS HUGEINT) * nnow.n)) AS nm
+  FROM snow JOIN {cent} c ON c.cid = snow.cid JOIN nnow ON nnow.cid = snow.cid
+  GROUP BY snow.cid)""",
+        "tot AS (SELECT SUM(n) AS t FROM nnow)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT num.cid AS cid,
+       CAST(nnow.n AS BIGINT) AS n_members,
+       round(CAST(nnow.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS occupancy_frac,
+       round(CAST(num.nm AS DOUBLE)
+             / CAST(CAST(nnow.n AS HUGEINT) * c.n * nnow.n * c.n AS DOUBLE), 6) AS drift2
+FROM num
+JOIN nnow ON nnow.cid = num.cid
+JOIN {cent} c ON c.cid = num.cid
+CROSS JOIN tot t"""
+    )
+
+
+@defquery(
+    "ann_drift_monitor",
+    _ann_drift_sql(),
+    "the signal that SCHEDULES ann_index_retrain (SURVEY round-9 #4): "
+    "per cell of the frozen quantizer, the live member count, its "
+    "share of the index (occupancy — lopsided cells mean the frozen "
+    "partition no longer fits the data), and the squared displacement "
+    "between the frozen centroid mean and the CURRENT member mean — "
+    "kept EXACT as the integer ratio Σ_p (s_now·n_f − s_f·n_now)² / "
+    "(n_now·n_f)², integer-only until one IEEE division per cell "
+    "(the (sum, count)-never-divided discipline of kmeans_exact "
+    "applied to monitoring). Spark shape: one pass over the store's "
+    "cells table — a count and a posexplode/(cid,pos) DECIMAL sum, "
+    "both map-side combinable — joined against the k-row frozen "
+    "centroid table and a 1-row total; cost is the cheapest scan in "
+    "the serving stack, runnable per ingest batch. At 100 TB this "
+    "row set IS the retrain dashboard: drift2 spikes or occupancy "
+    "skew cross a threshold → schedule the rewrite.",
+)
+def ann_drift_monitor_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import _centroids_read, ann_index_ingest
+    from .queries_ext import _sink_dir
+
+    dec = "decimal(38,0)"
+    path = _sink_dir("ann_drift", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+
+    import json
+    import os
+
+    tags = json.load(open(os.path.join(path, "_BATCHES")))["batches"]
+    cells = spark.read.parquet(
+        *[os.path.join(path, "cells", f"batch={t}") for t in tags]
+    )
+    cents = _centroids_read(path)
+    frozen = spark.createDataFrame(
+        [(cid, [str(x) for x in s], n) for cid, (s, n) in enumerate(cents)],
+        "cid int, sf array<string>, nf bigint",
+    ).select(
+        "cid",
+        F.transform("sf", lambda x: x.cast(dec)).alias("sf"),
+        "nf",
+    )
+    nnow = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    snow = (
+        cells.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum(F.col("val").cast(dec)).alias("s"))
+    )
+    tot = nnow.agg(F.sum("n").alias("t"))
+    diff = F.col("s") * F.col("nf").cast(dec) - F.element_at(
+        "sf", F.col("pos") + 1
+    ) * F.col("n").cast(dec)
+    num = (
+        snow.join(F.broadcast(frozen), "cid")
+        .join(F.broadcast(nnow), "cid")
+        .select("cid", (diff * diff).alias("d2"))
+        .groupBy("cid")
+        .agg(F.sum("d2").alias("nm"))
+    )
+    den = (
+        F.col("n").cast(dec) * F.col("nf").cast(dec)
+        * F.col("n").cast(dec) * F.col("nf").cast(dec)
+    )
+    return (
+        num.join(nnow, "cid")
+        .join(F.broadcast(frozen.select("cid", "nf")), "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            F.col("n").cast("bigint").alias("n_members"),
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+                "occupancy_frac"
+            ),
+            F.round(
+                F.col("nm").cast("double") / den.cast("double"), 6
+            ).alias("drift2"),
+        )
+    )
 
 
 @defquery(

@@ -2322,3 +2322,63 @@ def test_incremental_clusters_lifecycle(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="empty cluster store"):
         DD.read_incremental_clusters(spark, str(tmp_path / "nope"))
+
+
+def test_incremental_spans_revisions(spark, tmp_path):
+    # the global-duplication property: batch 2 repeats text from a
+    # batch-1 doc, so the STORED doc's spans must change — revision
+    # supersession has to serve the fresh rows, and the final store
+    # must equal the from-scratch batch computation over the union
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows1 = [
+        (1, base + " uniquetailone " + "x" * 30),
+        (2, "completely different text " + "y" * 80),
+    ]
+    rows2 = [(3, base + " othertailxyz " + "z" * 30)]  # shares base's prefix with doc 1
+
+    store = str(tmp_path / "span_store")
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+
+    r1 = DD.dedup_incremental_spans(spark, store, b1)
+    assert r1.count() == 0  # nothing duplicated yet
+
+    r2 = DD.dedup_incremental_spans(spark, store, b2)
+    # the shared prefix must surface spans for BOTH doc 1 (revised) and doc 3
+    assert {r.doc_id for r in r2.collect()} == {1, 3}
+
+    served = {
+        (r.doc_id, r.span_start, r.span_end, r.span_chars, r.n_windows)
+        for r in DD.read_incremental_spans(spark, store).collect()
+    }
+    # from-scratch over the union must agree
+    allb = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    from pyspark.sql import Window
+
+    from libmr_spark.operators.dedup import _span_windows, _spans_from_dup_windows
+
+    win = _span_windows(allb, "doc_id", "text")
+    wh = Window.partitionBy("h")
+    dup = win.select(
+        "doc_id",
+        "i",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
+    ).filter(F.col("dup"))
+    want = {
+        (r.doc_id, r.span_start, r.span_end, r.span_chars, r.n_windows)
+        for r in _spans_from_dup_windows(dup.select("doc_id", "i"), "doc_id").collect()
+    }
+    assert served == want and {d for (d, *_rest) in served} == {1, 3}
+
+    # replay of a committed batch admits nothing and changes nothing
+    assert DD.dedup_incremental_spans(spark, store, b2).count() == 0
+    assert {
+        (r.doc_id, r.span_start, r.span_end, r.span_chars, r.n_windows)
+        for r in DD.read_incremental_spans(spark, store).collect()
+    } == want
+
+    with pytest.raises(ValueError, match="empty span store"):
+        DD.read_incremental_spans(spark, str(tmp_path / "nope"))

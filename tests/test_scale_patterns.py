@@ -490,3 +490,154 @@ def test_store_lifecycle_random_interleaving_matches_model(spark, tmp_path):
     # manifest stays parseable and params survive every rewrite
     m = json.load(open(os.path.join(store, "_BATCHES")))
     assert m["params"] == {"kind": "exact-fp"}
+
+
+def test_ann_store_random_interleaving_matches_model(spark, tmp_path):
+    # seeded randomized cross-check of the ANN store's FULL lifecycle —
+    # ingest / retrain / delete / compact interleaved, the store served
+    # after every op — against a pure-python model. The model replays
+    # exact Lloyd with driver-side integer arithmetic (probe_cells_exact
+    # is the shared rational-cost ranking; the store's assignment runs
+    # through the numpy UDF — two independent code paths must agree),
+    # so a retrain racing the serving contract, a stale centroids
+    # pointer, or a delete leaking into a probe would all diverge.
+    import json
+    import os
+    import random
+
+    from libmr_spark.operators.dedup import (
+        compact_incremental_store,
+        delete_from_incremental_store,
+    )
+    from libmr_spark.operators.retrieval import (
+        _centroids_read,
+        ann_index_ingest,
+        ann_index_retrain,
+        ann_index_topk,
+    )
+    from libmr_spark.operators.similarity import probe_cells_exact
+    from libmr_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    # quantize ONCE through the same Spark expression the store uses;
+    # the model then works in pure ints (quantization parity is pinned
+    # elsewhere — this test targets the lifecycle protocol)
+    V = {
+        r.vec_id: [int(x) for x in r.v]
+        for r in emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+            ).alias("v"),
+        ).collect()
+    }
+    all_ids = sorted(V)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qv = {i: V[i] for i in range(3)}
+
+    def py_assign(vi, cents):
+        return probe_cells_exact(vi, cents, 1)[0]
+
+    def py_lloyd(ids, k, rounds):
+        init = sorted(ids)[:k]
+        assert len(init) == k
+        cents = [(list(V[i]), 1) for i in init]
+        for _ in range(rounds):
+            sums = {}
+            counts = {}
+            for i in ids:
+                c = py_assign(V[i], cents)
+                counts[c] = counts.get(c, 0) + 1
+                s = sums.setdefault(c, [0] * len(V[i]))
+                for p, x in enumerate(V[i]):
+                    s[p] += x
+            cents = [
+                (sums[c], counts[c]) if c in counts else cents[c]
+                for c in range(k)
+            ]
+        return cents
+
+    store = str(tmp_path / "ann_model_store")
+    model: dict = {}  # vec_id -> cid
+    cents: list = []
+    k_now = 8
+    rng = random.Random(7)
+
+    def check(step, op):
+        manifest = os.path.join(store, "_BATCHES")
+        tags = json.load(open(manifest))["batches"]
+        assert _centroids_read(store) == cents, (step, op)
+        live = {
+            (r.vec_id, tuple(r.v), r.cid)
+            for r in spark.read.parquet(
+                *[os.path.join(store, "cells", f"batch={t}") for t in tags]
+            ).collect()
+        }
+        want = {(i, tuple(V[i]), model[i]) for i in model}
+        assert live == want, (step, op)
+        if not model:
+            return
+        got = {
+            (r.query_id, r.rank, r.vec_id, r.dist)
+            for r in ann_index_topk(spark, store, queries, nprobe=2, k=5).collect()
+        }
+        expect = set()
+        for q, qvec in qv.items():
+            probed = set(probe_cells_exact(qvec, cents, 2))
+            cand = sorted(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(V[i], qvec)),
+                    i,
+                )
+                for i in model
+                if model[i] in probed
+            )
+            for rank, (dist, i) in enumerate(cand[:5], start=1):
+                expect.add((q, rank, i, dist))
+        assert got == expect, (step, op)
+
+    ops = []
+    for step in range(10):
+        op = rng.choice(["ingest", "ingest", "ingest", "retrain", "delete", "compact"])
+        if not model and op != "ingest":
+            op = "ingest"
+        ops.append(op)
+        if op == "ingest":
+            n = rng.randint(16, 60) if not model else rng.randint(1, 60)
+            ids = rng.sample(all_ids, n)
+            batch = emb.filter(F.col("vec_id").isin(ids))
+            admitted = {
+                r.vec_id
+                for r in ann_index_ingest(spark, store, batch, k_cells=8).collect()
+            }
+            new = {i for i in ids if i not in model}
+            assert admitted == new, (step, op)
+            if not cents:  # bootstrap trained on this batch
+                cents = py_lloyd(ids, 8, 2)
+                k_now = 8
+            for i in new:
+                model[i] = py_assign(V[i], cents)
+        elif op == "retrain":
+            k_now = rng.choice([4, 8])
+            got_cents = ann_index_retrain(spark, store, k_cells=k_now)
+            cents = py_lloyd(sorted(model), k_now, 2)
+            assert got_cents == cents, (step, op)
+            model = {i: py_assign(V[i], cents) for i in model}
+        elif op == "delete":
+            victims = rng.sample(sorted(model), rng.randint(1, min(20, len(model))))
+            ndel = delete_from_incremental_store(
+                spark, store, victims, id_col="vec_id", tables=("cells",)
+            )
+            assert ndel == len(victims), (step, op)
+            for i in victims:
+                del model[i]
+        else:  # compact
+            compact_incremental_store(
+                spark, store, tables=("cells",), cluster_by={"cells": ["cid"]}
+            )
+        check(step, op)
+
+    assert "retrain" in ops and "delete" in ops  # schedule exercised the hard ops
