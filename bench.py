@@ -184,6 +184,10 @@ HEADLINE = [
     "bm25_ndcg_eval",
     "ann_drift_monitor",
     "dedup_spans_incremental",
+    "dedup_spans_deleted",
+    "streaming_drift_retrain",
+    "streaming_snm_er",
+    "crossencoder_rerank",
 ]
 
 

@@ -2012,3 +2012,132 @@ def read_incremental_spans(spark, store_path: str, id_col: str = "doc_id") -> Da
     rev = tagged("revdocs").groupBy(id_col).agg(F.max("__p__").alias("__p__"))
     spans = tagged("revspans")
     return spans.join(rev, [id_col, "__p__"], "left_semi").drop("__p__")
+
+
+def _rewrite_span_store(spark, store_path: str, drop_ids=None, id_col: str = "doc_id") -> dict:
+    """Shared rewrite for the span store: windows minus any dropped
+    docs, spans recomputed FROM SCRATCH over the surviving postings
+    (one hash-group + per-doc-island pass — the same O(store) cost
+    class as the rewrite's own read+write, so a scoped
+    affected-docs-only recompute would not change the complexity),
+    and the revision history folded to a single batch (every
+    surviving doc's latest revision is the fresh one). Runs through
+    :func:`_rewrite_store`'s crash-safe swap. Returns
+    {"n_deleted": member docs dropped, "n_batches": dirs folded}."""
+    state: dict = {"n": 0}
+
+    def fold(df, table):
+        if table == "windows":
+            win = df
+            if drop_ids is not None:
+                state["n"] = (
+                    win.select(id_col).distinct()
+                    .join(F.broadcast(drop_ids), id_col, "left_semi")
+                    .count()
+                )
+                win = win.join(F.broadcast(drop_ids), id_col, "left_anti")
+            win = win.persist()
+            state["win"] = win
+            return win
+        if table == "revspans":
+            win = state["win"]
+            from pyspark.sql import Window as _W
+
+            wh = _W.partitionBy("h")
+            dup = win.select(
+                id_col,
+                "i",
+                (F.min(id_col).over(wh) != F.max(id_col).over(wh)).alias("dup"),
+            ).filter(F.col("dup"))
+            return _spans_from_dup_windows(dup.select(id_col, "i"), id_col)
+        # revdocs: every surviving doc's latest revision is this one
+        return state["win"].select(id_col).distinct()
+
+    n_b = len(
+        _rewrite_store(
+            spark, store_path, fold,
+            tables=("windows", "revspans", "revdocs"), min_batches=1,
+        )
+    )
+    return {"n_deleted": state["n"], "n_batches": n_b}
+
+
+def delete_from_span_store(spark, store_path: str, ids, id_col: str = "doc_id") -> int:
+    """Takedown for the span store — the DECREMENTAL case the
+    append-only revisions cannot express: deleting a doc can UN-share
+    windows, so OTHER docs' spans must SHRINK (the doc whose only dup
+    partner is taken down goes back to clean). Answered like the
+    cluster store's delete: drop the victims' postings and revision
+    rows, recompute the cut list over the survivors, fold the
+    revision history — all in one crash-safe rewrite. Returns the
+    number of store docs deleted."""
+    import os
+
+    from pyspark.sql import DataFrame as _DF
+
+    if not os.path.exists(os.path.join(store_path, "_BATCHES")):
+        return 0
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    return _rewrite_span_store(
+        spark, store_path, drop_ids=ids.select(id_col).distinct(), id_col=id_col
+    )["n_deleted"]
+
+
+def compact_incremental_spans(spark, store_path: str, id_col: str = "doc_id") -> int:
+    """Fold the span store's revision history: one windows dir, one
+    fresh full-recompute revision per doc, superseded revision rows
+    gone. Serving before/after is identical (latest-revision
+    semantics); post-compaction reads touch one directory per table.
+    Returns the number of batch directories folded."""
+    return _rewrite_span_store(spark, store_path, drop_ids=None, id_col=id_col)["n_batches"]
+
+
+def table_store_ingest(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    id_col: str,
+    params: dict,
+    table: str = "rows",
+) -> DataFrame:
+    """Minimal keyed-append store — the manifest contract applied to a
+    plain table: admit the batch rows whose key is NEW (anti-join the
+    store — crashed/duplicated ingests replay idempotently), write one
+    ``batch=<tag>`` directory, publish atomically. The accumulation
+    half of stream-accumulate/serve queries whose SERVE step is
+    rank-global (sorted-neighborhood ER) and therefore runs from the
+    drained store rather than incrementally. The standard lifecycle
+    (compaction / takedown via the generic rewrite, as-of reads)
+    applies unchanged. Returns the admitted rows."""
+    import os
+    import uuid
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, params)
+    uniq = batch.dropDuplicates([id_col])
+    if tags:
+        hist = spark.read.parquet(
+            *[os.path.join(store_path, table, f"batch={t}") for t in tags]
+        ).select(id_col)
+        uniq = uniq.join(hist, id_col, "left_anti")
+    uniq = uniq.localCheckpoint(eager=True)
+    tag = uuid.uuid4().hex
+    uniq.write.mode("overwrite").parquet(
+        os.path.join(store_path, table, f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, params, add_tags=[tag])
+    return uniq
+
+
+def table_store_read(spark, store_path: str, table: str = "rows") -> DataFrame:
+    """Manifest-snapshot read of a keyed-append store table."""
+    import os
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    if not tags:
+        raise ValueError(f"empty table store at {store_path} (no committed batches)")
+    return spark.read.parquet(
+        *[os.path.join(store_path, table, f"batch={t}") for t in tags]
+    )

@@ -465,3 +465,128 @@ def ann_index_retrain(
         except OSError:
             pass
     return state["centroids"]
+
+
+def ann_drift_stats(spark, index_path: str) -> DataFrame:
+    """Per-cell drift of the live index vs its FROZEN quantizer — the
+    monitoring read that schedules :func:`ann_index_retrain`: member
+    count, occupancy share, and the squared displacement between the
+    frozen centroid mean and the current member mean, kept EXACT as
+    the integer ratio Σ_p (s_now·n_f − s_f·n_now)² / (n_now·n_f)²
+    (the (sum, count)-never-divided discipline of kmeans_exact applied
+    to monitoring) with one IEEE division per cell. One
+    map-side-combinable pass over the cells table joined to the k-row
+    centroid table; DECIMAL(38) headroom bounds cells at ~10^7 members
+    for dim-64 / 10^6-quantized inputs. A store whose only commits are
+    the bootstrap shows drift2 == 0 exactly (the frozen stats ARE the
+    final Lloyd stats over the same members)."""
+    dec = "decimal(38,0)"
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    tags, _params = _ann_manifest(manifest_path)
+    if not tags:
+        raise ValueError(f"empty ann index at {index_path} (no committed batches)")
+    cells = spark.read.parquet(
+        *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
+    )
+    cents = _centroids_read(index_path)
+    frozen = spark.createDataFrame(
+        [(cid, [str(x) for x in s], n) for cid, (s, n) in enumerate(cents)],
+        "cid int, sf array<string>, nf bigint",
+    ).select(
+        "cid",
+        F.transform("sf", lambda x: x.cast(dec)).alias("sf"),
+        "nf",
+    )
+    nnow = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    snow = (
+        cells.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum(F.col("val").cast(dec)).alias("s"))
+    )
+    tot = nnow.agg(F.sum("n").alias("t"))
+    diff = F.col("s") * F.col("nf").cast(dec) - F.element_at(
+        "sf", F.col("pos") + 1
+    ) * F.col("n").cast(dec)
+    num = (
+        snow.join(F.broadcast(frozen), "cid")
+        .join(F.broadcast(nnow), "cid")
+        .select("cid", (diff * diff).alias("d2"))
+        .groupBy("cid")
+        .agg(F.sum("d2").alias("nm"))
+    )
+    den = (
+        F.col("n").cast(dec) * F.col("nf").cast(dec)
+        * F.col("n").cast(dec) * F.col("nf").cast(dec)
+    )
+    return (
+        num.join(nnow, "cid")
+        .join(F.broadcast(frozen.select("cid", "nf")), "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            F.col("n").cast("bigint").alias("n_members"),
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+                "occupancy_frac"
+            ),
+            F.round(F.col("nm").cast("double") / den.cast("double"), 6).alias("drift2"),
+        )
+    )
+
+
+#: rows per Arrow batch handed to the cross-encoder scorer — the knob
+#: that bounds per-worker activation memory for a real model.
+CE_BATCH_ROWS = 1024
+
+_CE_DENOM = float(16 ** 12)
+
+
+def crossencoder_score(
+    pairs: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Batch cross-encoder scoring over (query, doc) pairs — the
+    second-stage reranker of a retrieval cascade, with the REAL
+    Spark-side inference plumbing (Arrow-batched ``mapInPandas``,
+    pairs-in/scores-out signature, per-batch row bound via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``-style sizing) and
+    a STUB model: this container ships no inference libraries, so CI
+    scores with a deterministic content-hash pseudo-logit that is
+    SQL-replayable — the whole cascade then sits under the value-hash
+    oracle while the model seam stays one function swap away.
+
+    PRODUCTION SEAM: replace the stub block with a per-worker
+    singleton (load the cross-encoder once per executor process, not
+    per batch) and ``model.predict(list(zip(queries, texts)))`` over
+    the same pandas batch; everything around it — shortlist join,
+    batch shape, top-k — is unchanged. The stub's score is
+    u = (hex12(md5("ce:<qid>:<did>:<prefix>")) + 1) / 16^12 ∈ (0, 1],
+    emitted RAW (one IEEE division on exact ints — bit-identical in
+    any engine, no rounding wash needed)."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = f"{query_id_col} int, {id_col} bigint, ce_score double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # --- STUB standing in for model.predict(...) ---
+            scores = [
+                (int(hashlib.md5(f"ce:{int(q)}:{int(d)}:{p}".encode()).hexdigest()[:12], 16) + 1)
+                / _CE_DENOM
+                for q, d, p in zip(pdf[query_id_col], pdf[id_col], pdf[prefix_col])
+            ]
+            # --- end stub ---
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].astype("int32"),
+                    id_col: pdf[id_col].astype("int64"),
+                    "ce_score": scores,
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=out_schema)

@@ -268,6 +268,65 @@ def dedup_spans_incremental_q(spark, sf_dir):
 
 
 @defquery(
+    "dedup_spans_deleted",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE NOT (doc_id % 6 = 1)),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i FROM win JOIN shared USING (w)),
+    isl AS (
+      SELECT doc_id, i,
+             i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+      FROM dup)
+    SELECT doc_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+           CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "takedown for the SPAN store — the decremental case the "
+    "append-only revisions cannot express: deleting a doc can "
+    "UN-share windows, so surviving docs' spans must SHRINK (a doc "
+    "whose only dup partner is taken down goes back to clean — the "
+    "exact opposite of the monotone-growth invariant ingest relies "
+    "on). delete_from_span_store answers with one crash-safe rewrite: "
+    "drop the victims' postings and revisions, recompute the cut "
+    "list over the survivors (one hash-group + island pass — the "
+    "same O(store) class as the rewrite's own read+write), fold the "
+    "revision history. Oracle = the from-scratch cut list over the "
+    "corpus minus victims: the hash proves the shrinkage is exact "
+    "and no deleted doc's content contributes a single shared "
+    "window. Completes lifecycle parity (ingest / serve / compact / "
+    "delete / time-travel-by-revision) for the fifth store kind.",
+)
+def dedup_spans_deleted_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("span_store_deleted", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_spans(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_spans(spark, path, d.filter((src_num >= 7) & (src_num < 14)))
+    DD.dedup_incremental_spans(spark, path, d.filter(src_num >= 14))
+    victims = d.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    DD.delete_from_span_store(spark, path, victims)
+    return DD.read_incremental_spans(spark, path)
+
+
+@defquery(
     "dedup_substring_rewrite",
     f"""
     WITH norm AS (
@@ -3299,6 +3358,10 @@ def quality_weighted_sample_q(spark, sf_dir):
     "shape).",
 )
 def fuzzy_match_parts_blocked_q(spark, sf_dir):
+    return _blocked_er(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+
+
+def _blocked_er(parts):
     # Canonicalize-then-compare: entity tables repeat values, so the
     # expensive comparator runs over DISTINCT names (Heaps-bounded),
     # never over row pairs — the row-level result is reconstructed
@@ -3308,8 +3371,10 @@ def fuzzy_match_parts_blocked_q(spark, sf_dir):
     # k). The comparator is also thresholded (Spark 3.5+ banded
     # levenshtein returns -1 past the cap — identical kept pairs and
     # distances at O(cap·n) cells per pair). Output is row-for-row the
-    # brute-force block join the oracle replays.
-    p = _t(spark, sf_dir, "part").select(
+    # brute-force block join the oracle replays. ``parts`` carries
+    # (p_partkey, p_name) — the sf table, or a keys store's rows (the
+    # streaming SNM query serves from the store).
+    p = parts.select(
         "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
     )
     m1 = p.groupBy("p_name", "blk").agg(F.min("p_partkey").alias("m1"))
@@ -3353,6 +3418,102 @@ def fuzzy_match_parts_blocked_q(spark, sf_dir):
 
 
 _SNM_W = 5  # sorted-neighborhood window (positions each side)
+
+
+def _multipass_er_sql() -> str:
+    return f"""
+    WITH p AS (SELECT p_partkey, p_name,
+                      string_split(p_name, ' ')[1] AS blk FROM part),
+    c1 AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS m, a.p_name AS name_a,
+             b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS d
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    r AS (SELECT p_partkey, p_name,
+                 row_number() OVER (ORDER BY reverse(p_name) ASC, p_partkey ASC) AS rn
+          FROM p),
+    c2 AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS m, a.p_name AS name_a,
+             b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS d
+      FROM r a JOIN r b
+        ON b.rn BETWEEN a.rn - {_SNM_W} AND a.rn + {_SNM_W}
+       AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    SELECT k AS p_partkey, m AS match_key, name_a, name_b,
+           CAST(d AS INT) AS dist
+    FROM (SELECT k, m, name_a, name_b, d,
+                 row_number() OVER (PARTITION BY k ORDER BY d ASC, m ASC) AS rn
+          FROM cand) t
+    WHERE rn = 1
+    """
+
+
+@defquery(
+    "streaming_snm_er",
+    _multipass_er_sql(),
+    "streaming sorted-neighborhood ER (SURVEY round-9 #1) — the "
+    "stream-accumulate / rank-global-serve split: entity rows arrive "
+    "as a file stream (4 chunks), each micro-batch commits its NEW "
+    "keys into a keyed-append store through the atomic manifest "
+    "(crashed or replayed micro-batches admit nothing twice — "
+    "exactly-once store contents on at-least-once delivery), and "
+    "after the stream drains the multi-pass ER (first-token block "
+    "UNION sorted-neighborhood) runs FROM THE STORE. SNM's window is "
+    "a property of the FINAL sorted order — a mid-stream rank is "
+    "provisional by construction — so the rank-global pass belongs "
+    "at serve time, exactly like streaming_bm25_index serves from "
+    "the drained index rather than re-ranking per batch. Oracle = "
+    "the batch multipass SQL verbatim: micro-batch slicing provably "
+    "cannot change the stored key set, and the serve is a pure "
+    "function of it.",
+)
+def streaming_snm_er_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import table_store_ingest, table_store_read
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("snm_er_in", sf_dir)
+    store = _sink_dir("snm_er_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    chunks = [parts.filter(F.col("p_partkey") % 4 == k) for k in range(4)]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        table_store_ingest(
+            bdf.sparkSession, store, bdf, id_col="p_partkey",
+            params={"kind": "er-keys"},
+        )
+
+    q = (
+        spark.readStream.schema("p_partkey bigint, p_name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_snm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _multipass_er(table_store_read(spark, store))
 
 
 @defquery(
@@ -3404,9 +3565,13 @@ _SNM_W = 5  # sorted-neighborhood window (positions each side)
     "comparator budget per record — the standard ER recall/cost dial.",
 )
 def fuzzy_match_parts_multipass_q(spark, sf_dir):
+    return _multipass_er(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+
+
+def _multipass_er(p):
     from .operators.prefix import prefix_sum
 
-    pass1 = fuzzy_match_parts_blocked_q(spark, sf_dir).select(
+    pass1 = _blocked_er(p).select(
         F.col("p_partkey").alias("k"),
         F.col("match_key").alias("m"),
         "name_a",
@@ -3414,7 +3579,6 @@ def fuzzy_match_parts_multipass_q(spark, sf_dir):
         F.col("dist").cast("bigint").alias("d"),
     )
 
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     r = prefix_sum(
         p.withColumn("rk", F.reverse(F.col("p_name"))).withColumn("one", F.lit(1)),
         order_cols=["rk", "p_partkey"],
@@ -4520,69 +4684,100 @@ CROSS JOIN tot t"""
 def ann_drift_monitor_q(spark, sf_dir):
     import shutil
 
-    from .operators.retrieval import _centroids_read, ann_index_ingest
+    from .operators.retrieval import ann_drift_stats, ann_index_ingest
     from .queries_ext import _sink_dir
 
-    dec = "decimal(38,0)"
     path = _sink_dir("ann_drift", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
     half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
     ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
     ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    return ann_drift_stats(spark, path)
 
-    import json
+
+@defquery(
+    "streaming_drift_retrain",
+    _ann_index_sql(train_where=None),
+    "the AUTONOMOUS maintenance loop, end-to-end: embedding batches "
+    "arrive as a file stream; each foreachBatch ingests into the ANN "
+    "store and reads ann_drift_stats — and when any cell shows "
+    "drift2 > 0 (members moved off the frozen means; the bootstrap "
+    "batch alone shows exactly 0, because the frozen stats ARE its "
+    "final Lloyd stats), the batch triggers ann_index_retrain. The "
+    "final state is DETERMINISTIC despite the conditional: the last "
+    "qualifying batch's retrain re-runs Lloyd over every stored "
+    "vector and re-assigns everything, superseding all earlier "
+    "quantizer epochs — so the oracle is the from-scratch index "
+    "trained on the full vector set (ann_index_retrained's oracle), "
+    "and the hash proves the monitor→retrain→serve loop converges to "
+    "the same index a batch rebuild would. At 100 TB this is the "
+    "operating mode: drift thresholds gate the (expensive) rewrite, "
+    "serving continues off the manifest snapshot throughout, and the "
+    "swap is the same atomic centroids+cells publish the crash-sim "
+    "pins.",
+)
+def streaming_drift_retrain_q(spark, sf_dir):
+    import glob
     import os
+    import shutil
+    import tempfile
 
-    tags = json.load(open(os.path.join(path, "_BATCHES")))["batches"]
-    cells = spark.read.parquet(
-        *[os.path.join(path, "cells", f"batch={t}") for t in tags]
+    from .operators.retrieval import (
+        ann_drift_stats,
+        ann_index_ingest,
+        ann_index_retrain,
+        ann_index_topk,
     )
-    cents = _centroids_read(path)
-    frozen = spark.createDataFrame(
-        [(cid, [str(x) for x in s], n) for cid, (s, n) in enumerate(cents)],
-        "cid int, sf array<string>, nf bigint",
-    ).select(
-        "cid",
-        F.transform("sf", lambda x: x.cast(dec)).alias("sf"),
-        "nf",
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("drift_retrain_in", sf_dir)
+    store = _sink_dir("drift_retrain_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    rest = emb.filter(F.col("vec_id") >= half)
+    chunks = [
+        emb.filter(F.col("vec_id") < half),  # bootstrap
+        rest.filter(F.col("vec_id") % 2 == 0),
+        rest.filter(F.col("vec_id") % 2 == 1),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        ann_index_ingest(s, store, bdf)
+        drift = ann_drift_stats(s, store).agg(F.max("drift2").alias("m")).first()[0]
+        if drift and drift > 0:
+            ann_index_retrain(s, store)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_adr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
     )
-    nnow = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    snow = (
-        cells.select("cid", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg(F.sum(F.col("val").cast(dec)).alias("s"))
+    q.awaitTermination()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    tot = nnow.agg(F.sum("n").alias("t"))
-    diff = F.col("s") * F.col("nf").cast(dec) - F.element_at(
-        "sf", F.col("pos") + 1
-    ) * F.col("n").cast(dec)
-    num = (
-        snow.join(F.broadcast(frozen), "cid")
-        .join(F.broadcast(nnow), "cid")
-        .select("cid", (diff * diff).alias("d2"))
-        .groupBy("cid")
-        .agg(F.sum("d2").alias("nm"))
-    )
-    den = (
-        F.col("n").cast(dec) * F.col("nf").cast(dec)
-        * F.col("n").cast(dec) * F.col("nf").cast(dec)
-    )
-    return (
-        num.join(nnow, "cid")
-        .join(F.broadcast(frozen.select("cid", "nf")), "cid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "cid",
-            F.col("n").cast("bigint").alias("n_members"),
-            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
-                "occupancy_frac"
-            ),
-            F.round(
-                F.col("nm").cast("double") / den.cast("double"), 6
-            ).alias("drift2"),
-        )
-    )
+    return ann_index_topk(spark, store, queries, nprobe=2, k=5)
 
 
 @defquery(
@@ -4708,6 +4903,68 @@ def bm25_cosine_rerank_q(spark, sf_dir):
             "cos",
             F.col("bm25_rank").cast("int").alias("bm25_rank"),
         )
+    )
+
+
+@defquery(
+    "crossencoder_rerank",
+    f"""
+    WITH short AS ({_bm25_sql(k=_RERANK_SHORTLIST)}),
+    prefixes AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64) AS prefix
+      FROM documents),
+    scored AS (
+      SELECT s.query_id, s.doc_id,
+             (CAST(concat('0x', substr(md5(concat('ce:', CAST(s.query_id AS VARCHAR),
+                    ':', CAST(s.doc_id AS VARCHAR), ':', p.prefix)), 1, 12))
+                   AS BIGINT) + 1) / {16 ** 12}.0 AS ce_score
+      FROM short s JOIN prefixes p USING (doc_id))
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ce_score
+    FROM (SELECT query_id, doc_id, ce_score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY ce_score DESC, doc_id ASC) AS rank
+          FROM scored) t
+    WHERE rank <= {_RERANK_K}
+    """,
+    "the third rung of the retrieval cost ladder — cross-encoder "
+    "reranking over the BM25 shortlist, with the REAL batch-inference "
+    "plumbing (Arrow mapInPandas, pairs-in/scores-out, per-batch row "
+    "bound) and a STUB model: the container ships no inference libs, "
+    "so the scorer is a deterministic content-hash pseudo-logit "
+    "(u = (hex12(md5)+1)/16^12, one IEEE division on exact ints, "
+    "emitted raw — no rounding wash needed), which puts the ENTIRE "
+    "cascade under the value-hash oracle while the production model "
+    "is one function swap behind the documented seam in "
+    "operators/retrieval.py::crossencoder_score. Only the shortlist "
+    "ever reaches the scorer — 50 pairs per query regardless of "
+    "corpus size — which is exactly why cross-encoders (quadratic "
+    "attention per pair, unusable corpus-wide) deploy behind a "
+    "cheap lexical stage. At 100 TB the Arrow batch bound is the "
+    "activation-memory knob and the scorer runs once per executor, "
+    "never per row.",
+)
+def crossencoder_rerank_q(spark, sf_dir):
+    from .operators.retrieval import bm25_rank, crossencoder_score, tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select("query_id", "doc_id")
+    prefix = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 64
+    )
+    pairs = short.join(d.select("doc_id", prefix.alias("prefix")), "doc_id").select(
+        "query_id", "doc_id", "prefix"
+    )
+    scored = crossencoder_score(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RERANK_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "ce_score")
     )
 
 

@@ -2382,3 +2382,42 @@ def test_incremental_spans_revisions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty span store"):
         DD.read_incremental_spans(spark, str(tmp_path / "nope"))
+
+
+def test_span_store_delete_unshares_and_compaction(spark, tmp_path):
+    # deleting a doc must SHRINK its partners' spans (un-sharing), and
+    # compaction must fold revisions without changing the serve
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [
+        (1, base + " tailone " + "x" * 40),
+        (2, "totally unrelated words here " + "y" * 80),
+        (3, base + " tailthree " + "z" * 40),
+    ]
+    store = str(tmp_path / "span_store_del")
+    DD.dedup_incremental_spans(
+        spark, store, spark.createDataFrame(rows[:2], "doc_id long, text string")
+    )
+    DD.dedup_incremental_spans(
+        spark, store, spark.createDataFrame(rows[2:], "doc_id long, text string")
+    )
+    assert {r.doc_id for r in DD.read_incremental_spans(spark, store).collect()} == {1, 3}
+
+    # compaction folds the revision history, serve identical
+    before = {tuple(r) for r in DD.read_incremental_spans(spark, store).collect()}
+    assert DD.compact_incremental_spans(spark, store) == 2
+    import json
+    import os
+
+    tags = json.load(open(os.path.join(store, "_BATCHES")))["batches"]
+    assert len(tags) == 1
+    assert {tuple(r) for r in DD.read_incremental_spans(spark, store).collect()} == before
+
+    # takedown of doc 3 un-shares the base prefix: doc 1 goes CLEAN
+    assert DD.delete_from_span_store(spark, store, [3]) == 1
+    assert DD.read_incremental_spans(spark, store).count() == 0
+
+    # no-op delete on a store without the manifest
+    assert DD.delete_from_span_store(spark, str(tmp_path / "nope"), [1]) == 0
