@@ -188,6 +188,18 @@ HEADLINE = [
     "streaming_drift_retrain",
     "streaming_snm_er",
     "crossencoder_rerank",
+    # round-8 second tranche (hybrid fusion, streaming clusters, ops
+    # dashboard, int8 ANN serving twin)
+    "hybrid_rrf_fusion",
+    "streaming_dedup_clusters",
+    "store_ops_dashboard",
+    "ann_index_int8",
+    "hybrid_store_rrf",
+    "hybrid_store_deleted",
+    "mmr_diversity_rerank",
+    "collocation_pmi_incremental",
+    "collocation_pmi_retracted",
+    "cluster_quota_sample",
 ]
 
 

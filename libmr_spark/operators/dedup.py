@@ -407,6 +407,40 @@ def incremental_store_stats(spark, store_path: str) -> dict:
     return stats
 
 
+def store_ops_dashboard(spark, stores: list) -> DataFrame:
+    """The single pane an operator reads across EVERY store kind — one
+    DataFrame unioning :func:`incremental_store_stats` over a fleet of
+    incremental stores (dedup fingerprints/signatures, BM25 postings,
+    ANN cells, span revisions, cluster members — any store under the
+    ``_BATCHES`` manifest contract). ``stores`` is a list of
+    ``(store_kind, store_path)`` pairs; the result has one row per
+    (store, manifest-listed table): committed batch count, live
+    directory count, row count, and on-disk bytes. Live directories
+    only — crash orphans awaiting the aged sweep are excluded, so the
+    dashboard describes what readers actually open (the compaction-
+    scheduling signal: n_dirs growing past the read-amplification
+    budget is the cue to run compact_incremental_store).
+
+    Driver-side cost is proportional to (#stores × #tables × #live
+    dirs) — manifest metadata, never rows; the row counts are one
+    Spark count per table over the store's own parquet. At 100 TB this
+    runs on cadence (it is the monitoring read, not a serving path)
+    and its output IS the ops table retention/compaction policies key
+    off."""
+    rows = []
+    for kind, path in stores:
+        st = incremental_store_stats(spark, path)
+        for table, t in sorted(st["tables"].items()):
+            rows.append(
+                (kind, table, st["n_batches"], t["n_dirs"], t["n_rows"], t["bytes"])
+            )
+    return spark.createDataFrame(
+        rows,
+        "store_kind string, table_name string, n_batches int, "
+        "n_dirs int, n_rows bigint, bytes bigint",
+    )
+
+
 def read_incremental_store_asof(
     spark,
     store_path: str,

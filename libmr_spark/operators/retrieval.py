@@ -165,12 +165,15 @@ def bm25_index_topk(spark, index_path: str, queries: DataFrame, k: int = 10) -> 
 # centroids and serve integer-exact kNN from the store.
 # ------------------------------------------------------------------
 
-def _ann_params(k_cells: int, rounds: int, quant_digits: int) -> dict:
+def _ann_params(
+    k_cells: int, rounds: int, quant_digits: int, store_int8: bool = False
+) -> dict:
     return {
         "kind": "ann-ivf",
         "k_cells": str(k_cells),
         "rounds": str(rounds),
         "quant_digits": str(quant_digits),
+        "cells_int8": str(bool(store_int8)).lower(),
     }
 
 
@@ -226,6 +229,7 @@ def ann_index_ingest(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant_digits: int = 6,
+    store_int8: bool = False,
 ) -> DataFrame:
     """Add a batch of vectors to the persisted IVF index. The FIRST
     batch bootstraps the coarse quantizer (:func:`kmeans_exact` on that
@@ -249,13 +253,26 @@ def ann_index_ingest(
     contract as creating any table); if two callers race it anyway,
     the loser detects a no-longer-empty manifest before publishing and
     retries as a normal ingest under the winner's frozen centroids, so
-    the store never mixes assignments from two quantizers."""
+    the store never mixes assignments from two quantizers.
+
+    ``store_int8=True`` is the FAISS-SQ8-style serving twin: the cells
+    table keeps v as ``array<tinyint>`` instead of ``array<bigint>``
+    (8x smaller codes; pair with ``quant_digits=2`` so a unit-ish
+    vector's codes fit [-128, 127] — the ANSI tinyint cast throws on
+    the first out-of-range component, so a mis-sized scale fails loudly
+    at ingest, never wraps). Quantization is the SAME global scale as
+    the long store — per-vector scales would break L2 comparability —
+    so assignment, probe selection and distances are bit-identical to
+    a long store at the same quant_digits (pinned by
+    test_ann_index_int8_parity); serving widens the codes back to long
+    before the distance math. Mixed int8/long usage of one store is
+    refused like any parameter mismatch."""
     import json
 
     from .similarity import assign_exact, kmeans_exact
 
     manifest_path = os.path.join(index_path, "_BATCHES")
-    params = _ann_params(k_cells, rounds, quant_digits)
+    params = _ann_params(k_cells, rounds, quant_digits, store_int8)
     tags, stored = _ann_manifest(manifest_path)
     if tags and stored.get("quant_digits") != str(quant_digits):
         # quant_digits changes v itself — refused; k_cells/rounds are
@@ -264,6 +281,12 @@ def ann_index_ingest(
         raise ValueError(
             f"ann index at {index_path} was built with quant_digits="
             f"{stored.get('quant_digits')}, ingest uses {quant_digits}"
+        )
+    if tags and stored.get("cells_int8", "false") != params["cells_int8"]:
+        raise ValueError(
+            f"ann index at {index_path} was built with cells_int8="
+            f"{stored.get('cells_int8', 'false')}, ingest uses "
+            f"{params['cells_int8']}"
         )
     uniq = batch.dropDuplicates([id_col])
     if tags:
@@ -288,6 +311,9 @@ def ann_index_ingest(
         # the next rewrite's sweep) and it retries under the winner's
         # centroids; the winner's _CENTROIDS can never be clobbered
         # after a batch referencing it is published.
+        if store_int8:
+            # ANSI cast = the range guard: an out-of-int8 code throws
+            assigned = assigned.withColumn("v", F.col("v").cast("array<tinyint>"))
         assigned = assigned.localCheckpoint(eager=True)
         tag = uuid.uuid4().hex
         assigned.write.mode("overwrite").parquet(
@@ -309,8 +335,11 @@ def ann_index_ingest(
             return ann_index_ingest(
                 spark, index_path, batch, k_cells=k_cells, rounds=rounds,
                 vec_col=vec_col, id_col=id_col, quant_digits=quant_digits,
+                store_int8=store_int8,
             )
         return assigned.select(id_col, "cid")
+    if store_int8:
+        assigned = assigned.withColumn("v", F.col("v").cast("array<tinyint>"))
     assigned = assigned.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
     assigned.write.mode("overwrite").parquet(
@@ -363,6 +392,9 @@ def ann_index_topk(
     assigned = spark.read.parquet(
         *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
     )
+    # widen int8 codes back to long before the distance math (no-op on
+    # long stores); tinyint-tinyint products would overflow in-type
+    assigned = assigned.withColumn("v", F.col("v").cast("array<bigint>"))
     scale = float(10 ** quant_digits)
     qrows = queries.select(
         query_id_col,
@@ -432,14 +464,23 @@ def ann_index_retrain(
     )
     state: dict = {}
 
+    int8_store = stored.get("cells_int8", "false") == "true"
+
     def retrain(df, _table):
-        q = df.select(id_col, "v").localCheckpoint()
+        # widen int8 codes for the Lloyd/assignment math, re-narrow on
+        # the rewrite so the store keeps its declared cell dtype
+        q = df.select(
+            id_col, F.col("v").cast("array<bigint>").alias("v")
+        ).localCheckpoint()
         cents = lloyd_exact(q, k=kc, rounds=rnd, id_col=id_col)
         # the pointer target must exist before the manifest (published
         # right after this transform returns) can reference it
         _centroids_write(os.path.join(index_path, new_file), cents)
         state["centroids"] = cents
-        return q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
+        out = q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
+        if int8_store:
+            out = out.withColumn("v", F.col("v").cast("array<tinyint>"))
+        return out
 
     snapshot = _rewrite_store(
         spark, index_path, retrain, tables=("cells",), min_batches=1,
@@ -590,3 +631,219 @@ def crossencoder_score(
             )
 
     return pairs.mapInPandas(score, schema=out_schema)
+
+
+# ------------------------------------------------------------------
+# Hybrid retrieval: shared RRF fusion + the multi-table hybrid store
+# (one atomic manifest spanning the lexical AND vector tables).
+# ------------------------------------------------------------------
+
+#: the standard RRF constant (Cormack, Clarke & Buettcher 2009)
+RRF_C = 60
+
+
+def rrf_fusion(
+    tf: DataFrame,
+    dl: DataFrame,
+    queries: DataFrame,
+    dvec: DataFrame,
+    qvec: DataFrame,
+    prefixes: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Three-leg hybrid ranking from index tables: a BM25 shortlist
+    (``tf``/``dl`` — the inverted index), an exact-cosine leg over
+    ``dvec`` (doc_id, dvec float array) against the broadcast ``qvec``
+    (query_id, qvec), and a cross-encoder leg over ``prefixes``
+    (doc_id, prefix), fused by reciprocal-rank:
+    rrf(d) = Σ_legs 1/(c + rank_leg(d)). All three leg rankings are
+    computed over the SAME shortlist, so every candidate carries all
+    three ranks (fusion of full rankings — no missing-leg convention).
+
+    Exactness: each 1/(c+rank) term is one IEEE division of exact
+    small ints and the 3-term sum is written in the identical
+    left-to-right order as the SQL oracle, so the fused doubles are
+    bit-identical cross-engine; (rrf DESC, doc_id) is a total order.
+
+    Shape: the shortlist is computed once (localCheckpoint —
+    |queries| × shortlist rows, bounded by contract) and fans out to
+    the three legs, each a per-query window over shortlist-sized
+    input; query vectors broadcast; the corpus pays only the lexical
+    stage. RRF needs only ranks — never comparable scores — which is
+    why it is the standard fusion for heterogeneous retrievers."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    short = (
+        bm25_rank(tf, dl, queries, k=shortlist)
+        .select("query_id", F.col("rank").alias("rb"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    cosleg = (
+        short.join(dvec, "doc_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("dvec"), F.col("qvec")), 6))
+        .withColumn("rc", F.row_number().over(wc))
+        .select("query_id", "doc_id", "rc")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score").desc(), F.col("doc_id").asc()
+    )
+    pairs = short.select("query_id", "doc_id").join(prefixes, "doc_id").select(
+        "query_id", "doc_id", "prefix"
+    )
+    celeg = (
+        crossencoder_score(pairs)
+        .withColumn("rce", F.row_number().over(we))
+        .select("query_id", "doc_id", "rce")
+    )
+    cc = F.lit(float(c))
+    fused = (
+        short.join(cosleg, ["query_id", "doc_id"])
+        .join(celeg, ["query_id", "doc_id"])
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (cc + F.col("rb").cast("double"))
+            + F.lit(1.0) / (cc + F.col("rc").cast("double"))
+            + F.lit(1.0) / (cc + F.col("rce").cast("double")),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("rrf").alias("rrf_score"),
+            F.col("rb").cast("int").alias("bm25_rank"),
+            F.col("rc").cast("int").alias("cos_rank"),
+            F.col("rce").cast("int").alias("ce_rank"),
+        )
+    )
+
+
+_HYBRID_PARAMS = {
+    "kind": "hybrid-retrieval",
+    "tokenizer": "ws-lower",
+    "k1": "1.2",
+    "b": "0.75",
+    "prefix_len": "64",
+}
+
+#: manifest-listed tables of the hybrid store — every ingest commits
+#: ALL of them in one manifest swap; lifecycle ops span all of them.
+HYBRID_TABLES = ("postings", "doclen", "vectors", "prefixes")
+
+
+def hybrid_index_ingest(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SNAPSHOT-ISOLATED MULTI-TABLE commit for hybrid retrieval — the
+    transaction the independent BM25/ANN stores cannot express: a
+    document's postings, length, embedding and rerank prefix land in
+    FOUR tables (``postings``, ``doclen``, ``vectors``, ``prefixes``)
+    under ONE ``_BATCHES`` manifest swap, so a doc and its vector
+    appear together or not at all. A crash after any subset of the
+    four table writes leaves all four invisible (the tag is unlisted);
+    replay re-admits identically via the doc_id anti-join. Serving
+    reads one manifest snapshot, so a hybrid query can never see a doc
+    whose lexical leg exists but whose vector leg doesn't — the
+    torn-read hybrid serving suffers when its legs live in separately-
+    committed stores.
+
+    Batch rows carry (doc_id, text, embedding) — the doc and its
+    vector arrive TOGETHER; within-batch duplicate doc_ids keep the
+    lexicographically-least (text, embedding) pair (deterministic
+    under any partitioning). Cost: O(batch tokens) + one doc_id
+    anti-join, the standard admission contract. Store lifecycle works
+    unchanged with ``tables=HYBRID_TABLES``: takedown removes a doc
+    from all four tables in one crash-safe rewrite, compaction can
+    cluster postings by token while leaving the payload tables id-
+    clustered, time travel truncates all four to the same commit
+    prefix. Returns the admitted (doc_id, dl) rows."""
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    uniq = (
+        batch.groupBy(id_col)
+        .agg(F.min(F.struct(text_col, vec_col)).alias("tv"))
+        .select(
+            id_col,
+            F.col(f"tv.{text_col}").alias(text_col),
+            F.col(f"tv.{vec_col}").alias(vec_col),
+        )
+    )
+    tags = _manifest_read(manifest_path, _HYBRID_PARAMS)
+    if tags:
+        hist_ids = spark.read.parquet(
+            *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
+        ).select(id_col)
+        uniq = uniq.join(hist_ids, id_col, "left_anti")
+    # one materialization of the admitted batch feeds all four tables
+    # (and freezes the anti-join before the store gains these doc_ids)
+    uniq = uniq.localCheckpoint(eager=True)
+    tf = tokenize_ws(uniq, text_col, id_col).groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    prefix = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, 64
+    )
+    tag = uuid.uuid4().hex
+    tf.write.mode("overwrite").parquet(
+        os.path.join(index_path, "postings", f"batch={tag}")
+    )
+    dl.write.mode("overwrite").parquet(
+        os.path.join(index_path, "doclen", f"batch={tag}")
+    )
+    uniq.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(index_path, "vectors", f"batch={tag}")
+    )
+    uniq.select(id_col, prefix.alias("prefix")).write.mode("overwrite").parquet(
+        os.path.join(index_path, "prefixes", f"batch={tag}")
+    )
+    # THE transaction: all four table writes become visible here or never
+    _manifest_publish(manifest_path, _HYBRID_PARAMS, add_tags=[tag])
+    return dl
+
+
+def hybrid_index_rrf(
+    spark,
+    index_path: str,
+    query_terms: DataFrame,
+    query_vecs: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Serve the full three-leg RRF cascade from ONE hybrid-store
+    snapshot: the manifest is read once, all four tables open at that
+    commit point, and :func:`rrf_fusion` runs entirely store-resident
+    (postings/doclen for the lexical leg, vectors for the cosine leg,
+    prefixes for the cross-encoder leg). ``query_terms`` = (query_id,
+    token); ``query_vecs`` = (query_id, embedding)."""
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, _HYBRID_PARAMS)
+    if not tags:
+        raise ValueError(f"empty hybrid index at {index_path} (no committed batches)")
+    t = {
+        name: spark.read.parquet(
+            *[os.path.join(index_path, name, f"batch={b}") for b in tags]
+        )
+        for name in HYBRID_TABLES
+    }
+    dvec = t["vectors"].select(F.col("doc_id"), F.col("embedding").alias("dvec"))
+    qvec = query_vecs.select("query_id", F.col("embedding").alias("qvec"))
+    return rrf_fusion(
+        t["postings"], t["doclen"], query_terms, dvec, qvec, t["prefixes"],
+        shortlist=shortlist, k=k, c=c,
+    )

@@ -1,0 +1,135 @@
+"""Incremental vocabulary-statistics store: unigram + bigram counts
+maintained as SIGNED deltas under the atomic ``_BATCHES`` manifest —
+the retraction contract (``incremental_agg_retract``) applied to
+collocation mining, so the PMI/vocab artifacts a tokenizer pipeline
+keys off are SERVED from a store instead of recomputed corpus-wide.
+
+Tables:
+
+- ``uni``  — (w, c): the batch's signed unigram count deltas.
+- ``bi``   — (a, b, c): the batch's signed bigram count deltas.
+- ``docs`` — (doc_id, sign): the CDC event log that makes admission
+  idempotent at DOC granularity: an insert admits only while the
+  doc's net sign in the store is <= 0 (never seen, or seen and later
+  deleted), a delete only while it is exactly 1. Replaying a crashed
+  or duplicated batch therefore admits nothing twice, and a delete
+  for a doc that was never counted is a no-op — the anti-join
+  discipline of the dedup stores generalized to signed events.
+
+Counts are additive, so serving is one groupBy-SUM over the manifest-
+listed deltas; a doc's deletion subtracts exactly the counts its
+insertion added (the CDC delete carries the old row — standard
+change-stream shape), which is why the served PMI equals the
+from-scratch PMI over the surviving corpus under ANY batch slicing.
+At 100 TB the uni/bi delta tables are vocabulary artifacts
+(Heaps-bounded, far smaller than the corpus); compaction folds the
+deltas into one net-count batch per table with the standard
+``compact_incremental_store(tables=("uni", "bi", "docs"))`` call, and
+zero-count rows vanish from the fold without changing any sum.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _manifest_publish, _manifest_read
+
+_PARAMS = {"kind": "vocab-pmi", "tokenizer": "ws-lower", "ngram": "2"}
+
+VOCAB_TABLES = ("uni", "bi", "docs")
+
+
+def _read_table(spark, store_path: str, table: str, tags: list) -> DataFrame:
+    return spark.read.parquet(
+        *[os.path.join(store_path, table, f"batch={t}") for t in tags]
+    )
+
+
+def pmi_store_ingest(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    sign_col: str = "sign",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a CDC batch of (doc_id, text, sign) events to the vocab
+    store: admit inserts for docs whose net stored sign is <= 0 and
+    deletes for docs whose net is exactly 1, tokenize the admitted
+    events ONCE into signed unigram/bigram deltas, and commit all
+    three tables under one manifest swap. Within a batch, conflicting
+    events for one doc keep the single (sign, text)-least event
+    (deterministic under any partitioning; a well-formed CDC stream
+    never conflicts within a batch). Cost is O(batch tokens) + one
+    doc-net join against the docs log — never a recount of stored
+    text. Returns the admitted (doc_id, sign) rows."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    ev = (
+        batch.groupBy(id_col)
+        .agg(F.min(F.struct(sign_col, text_col)).alias("st"))
+        .select(
+            id_col,
+            F.col(f"st.{sign_col}").cast("int").alias("sign"),
+            F.col(f"st.{text_col}").alias(text_col),
+        )
+    )
+    tags = _manifest_read(manifest_path, _PARAMS)
+    if tags:
+        net = (
+            _read_table(spark, store_path, "docs", tags)
+            .groupBy(id_col)
+            .agg(F.sum("sign").alias("net"))
+        )
+        ev = (
+            ev.join(net, id_col, "left")
+            .filter(
+                ((F.col("sign") > 0) & (F.coalesce("net", F.lit(0)) <= 0))
+                | ((F.col("sign") < 0) & (F.col("net") == 1))
+            )
+            .drop("net")
+        )
+    else:
+        ev = ev.filter(F.col("sign") > 0)  # nothing to delete yet
+    # one materialization feeds all three tables and freezes the
+    # net-sign admission before the store gains this batch's events
+    ev = ev.localCheckpoint(eager=True)
+    from ..queries_pipeline import _pmi_counts
+
+    uni, bi = _pmi_counts(ev, sign_col="sign")
+    tag = uuid.uuid4().hex
+    uni.write.mode("overwrite").parquet(os.path.join(store_path, "uni", f"batch={tag}"))
+    bi.write.mode("overwrite").parquet(os.path.join(store_path, "bi", f"batch={tag}"))
+    ev.select(id_col, "sign").write.mode("overwrite").parquet(
+        os.path.join(store_path, "docs", f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
+    return ev.select(id_col, "sign")
+
+
+def pmi_store_topk(spark, store_path: str) -> DataFrame:
+    """Serve the PMI collocation top-k from the store: net the signed
+    deltas (one groupBy-SUM per table — map-side combinable, vocab-
+    bounded) and rank with the IDENTICAL integer-ratio arithmetic as
+    the batch query, so the served ranking hash-matches the
+    from-scratch oracle over the surviving corpus."""
+    from ..queries_pipeline import _pmi_topk_from_counts
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, _PARAMS)
+    if not tags:
+        raise ValueError(f"empty vocab store at {store_path} (no committed batches)")
+    uni = (
+        _read_table(spark, store_path, "uni", tags)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+    )
+    bi = (
+        _read_table(spark, store_path, "bi", tags)
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    return _pmi_topk_from_counts(uni, bi)

@@ -2662,20 +2662,22 @@ def _kmeans_assign_cte(aname: str, cname: str, source: str = "q") -> str:
 
 
 def _kmeans_ctes(
-    k: int = 8, rounds: int = 2, dim: int = 64, train_where: str | None = None
+    k: int = 8, rounds: int = 2, dim: int = 64, train_where: str | None = None,
+    scale: float = 1000000.0,
 ) -> list[str]:
     """DuckDB replay of :func:`operators.similarity.kmeans_exact`,
     unrolled one CTE block per Lloyd round (the pagerank technique
-    applied to clustering): ``q`` = quantized vectors, ``qtrain`` =
-    the training subset (all of ``q`` unless ``train_where`` pins a
-    bootstrap batch, as the frozen-quantizer ANN store does),
-    ``c{r}`` = (sum, count) centroids, ``a{r}`` = training-set
-    assignment under ``c{r}``. Shared by the SemDeDup, IVF-exact and
-    ANN-store oracles."""
+    applied to clustering): ``q`` = quantized vectors (``scale`` =
+    10^quant_digits — 100.0 reproduces the int8 store's coarse codes),
+    ``qtrain`` = the training subset (all of ``q`` unless
+    ``train_where`` pins a bootstrap batch, as the frozen-quantizer
+    ANN store does), ``c{r}`` = (sum, count) centroids, ``a{r}`` =
+    training-set assignment under ``c{r}``. Shared by the SemDeDup,
+    IVF-exact and ANN-store oracles."""
     where = f" WHERE {train_where}" if train_where else ""
     ctes = [
-        """q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
   FROM embeddings)""",
         f"qtrain AS (SELECT * FROM q{where})",
         f"""c0 AS (
@@ -4453,6 +4455,7 @@ def _ann_index_sql(
     nq: int = 5, dim: int = 64,
     train_where: str | None = "vec_id < (SELECT max(vec_id) // 2 FROM q)",
     exclude_where: str | None = None,
+    scale: float = 1000000.0,
 ) -> str:
     """DuckDB replay of the frozen-quantizer ANN store: train
     kmeans_exact on the BOOTSTRAP batch only (vec_id < max//2), then
@@ -4467,7 +4470,7 @@ def _ann_index_sql(
     exactly like the store after delete_from_incremental_store."""
     ctes = _kmeans_ctes(
         k=k_cells, rounds=rounds, dim=dim,
-        train_where=train_where,
+        train_where=train_where, scale=scale,
     )
     cent = f"c{rounds}"
     excl = f"\n  WHERE NOT ({exclude_where})" if exclude_where else ""
@@ -4976,12 +4979,15 @@ _PMI_MIN_COUNT = 5
 _PMI_TOPK = 40
 
 
-@defquery(
-    "collocation_pmi_top",
-    f"""
+def _pmi_sql(where: str | None = None) -> str:
+    """The PMI top-k oracle; ``where`` restricts the corpus (the
+    incremental store's retraction oracle: counts over documents minus
+    the CDC-deleted docs)."""
+    wsql = f" WHERE {where}" if where else ""
+    return f"""
     WITH toks AS (
       SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS ws
-      FROM documents),
+      FROM documents{wsql}),
     uni AS (
       SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
     bi AS (
@@ -4998,7 +5004,12 @@ _PMI_TOPK = 40
     CROSS JOIN tot
     ORDER BY pmi DESC, a ASC, b ASC
     LIMIT {_PMI_TOPK}
-    """,
+    """
+
+
+@defquery(
+    "collocation_pmi_top",
+    _pmi_sql(),
     "pointwise-mutual-information collocation mining (Church & Hanks "
     "1990) — the phrase-extraction pass a tokenizer/vocab pipeline "
     "runs to promote multi-word units: PMI = ln(c_ab·T² / (B·c_a·c_b)) "
@@ -5016,14 +5027,23 @@ _PMI_TOPK = 40
     "stages.",
 )
 def collocation_pmi_top_q(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    uni, bi_all = _pmi_counts(_t(spark, sf_dir, "documents"))
+    return _pmi_topk_from_counts(uni, bi_all)
+
+
+def _pmi_counts(d, sign_col=None):
+    """One tokenize pass → the unigram and bigram hash aggregates.
+    With ``sign_col``, counts are SIGNED sums (the CDC/retraction form
+    the incremental vocab store appends: inserts +1, deletes -1)."""
+    sgn = F.col(sign_col) if sign_col else F.lit(1)
     ws = d.select(
         F.filter(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
-        ).alias("ws")
+        ).alias("ws"),
+        sgn.cast("bigint").alias("sgn"),
     )
-    uni = ws.select(F.explode("ws").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    uni = ws.select(F.explode("ws").alias("w"), "sgn").groupBy("w").agg(
+        F.sum("sgn").alias("c")
     )
     bi_all = (
         ws.filter(F.size("ws") >= 2)
@@ -5036,11 +5056,16 @@ def collocation_pmi_top_q(spark, sf_dir):
                         F.element_at("ws", i + 1).alias("b"),
                     ),
                 )
-            ).alias("p")
+            ).alias("p"),
+            "sgn",
         )
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("sgn").alias("c"))
     )
+    return uni, bi_all
+
+
+def _pmi_topk_from_counts(uni, bi_all):
     bi = bi_all.filter(F.col("c") >= _PMI_MIN_COUNT)
     # normalizers over the UNFILTERED distributions (min-support prunes
     # candidates, not probability mass)
@@ -5075,3 +5100,788 @@ def collocation_pmi_top_q(spark, sf_dir):
         .select("a", "b", F.col("c").cast("bigint").alias("n"), pmi.alias("pmi"))
     )
     return top_k(scored, [F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()], _PMI_TOPK)
+
+
+# ------------------------------------------------------------------
+# 21. Hybrid retrieval: reciprocal-rank fusion of the three legs
+# ------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack, Clarke & Buettcher 2009)
+
+
+def _rrf_fusion_sql(where: str | None = None) -> str:
+    """DuckDB replay of the three-leg RRF fusion: the BM25 shortlist
+    CTE, a cosine ranking and a cross-encoder ranking over that same
+    shortlist, then rrf = sum of 1/(C + rank) over the legs — each
+    term one IEEE division of exact small integers and the three-term
+    sum written in the identical left-to-right order as the Spark
+    expression, so the fused doubles are bit-identical cross-engine
+    (no rounding wash needed, same argument as crossencoder_rerank's
+    raw pseudo-logit). ``where`` restricts the lexical corpus — the
+    hybrid-store takedown oracle (victims leave the shortlist AND
+    every BM25 corpus statistic; the cosine/prefix joins then never
+    see them because the shortlist drives both legs)."""
+    return f"""
+    WITH short AS ({_bm25_sql(k=_RERANK_SHORTLIST, where=where)}),
+    cosleg AS (
+      SELECT s.query_id, s.doc_id,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(d.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) DESC,
+                        s.doc_id ASC) AS rc
+      FROM short s
+      JOIN embeddings d ON d.vec_id = s.doc_id
+      JOIN embeddings qe ON qe.vec_id = s.query_id),
+    prefixes AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64) AS prefix
+      FROM documents),
+    celeg AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY ce DESC, doc_id ASC) AS rce
+      FROM (
+        SELECT s.query_id, s.doc_id,
+               (CAST(concat('0x', substr(md5(concat('ce:', CAST(s.query_id AS VARCHAR),
+                      ':', CAST(s.doc_id AS VARCHAR), ':', p.prefix)), 1, 12))
+                     AS BIGINT) + 1) / {16 ** 12}.0 AS ce
+        FROM short s JOIN prefixes p USING (doc_id)) t),
+    fused AS (
+      SELECT s.query_id, s.doc_id,
+             s.rank AS rb, c.rc AS rc, e.rce AS rce,
+             1.0 / ({_RRF_C}.0 + CAST(s.rank AS DOUBLE))
+               + 1.0 / ({_RRF_C}.0 + CAST(c.rc AS DOUBLE))
+               + 1.0 / ({_RRF_C}.0 + CAST(e.rce AS DOUBLE)) AS rrf
+      FROM short s
+      JOIN cosleg c ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+      JOIN celeg e ON e.query_id = s.query_id AND e.doc_id = s.doc_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf AS rrf_score,
+           CAST(rb AS INT) AS bm25_rank, CAST(rc AS INT) AS cos_rank,
+           CAST(rce AS INT) AS ce_rank
+    FROM (SELECT query_id, doc_id, rrf, rb, rc, rce,
+                 row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+          FROM fused) t
+    WHERE rank <= {_RERANK_K}
+    """
+
+
+@defquery(
+    "hybrid_rrf_fusion",
+    _rrf_fusion_sql(),
+    "reciprocal-rank fusion (Cormack et al. 2009) of the THREE "
+    "retrieval legs the repo already serves — BM25 lexical rank, "
+    "exact-cosine semantic rank, cross-encoder rank — into the single "
+    "hybrid ranking a multi-retriever deployment actually returns: "
+    f"rrf(d) = sum over legs of 1/({_RRF_C} + rank_leg(d)), ranks "
+    "computed over the SAME BM25 shortlist so every doc carries all "
+    "three (fusion of full rankings, no missing-leg convention "
+    "needed). Each term is one IEEE division of exact small ints and "
+    "the 3-term sum is written in the identical left-to-right order "
+    "in both engines, so the fused doubles are bit-identical and the "
+    "whole cascade hashes without a rounding wash; (rrf DESC, doc_id) "
+    "is a total order. Spark shape: the shortlist is computed ONCE "
+    "(localCheckpoint — 7 queries x 50 rows, bounded by contract) and "
+    "fans out to the three leg rankings, each a per-query window over "
+    "shortlist-sized input; query vectors broadcast; the corpus pays "
+    "only the lexical stage. At 100 TB this is why hybrid serving "
+    "costs no more than its cheapest leg plus O(shortlist) per query "
+    "— RRF needs only ranks, never comparable scores, which is "
+    "exactly why it is the standard fusion for heterogeneous "
+    "retrievers (lexical idf-sums vs cosines vs logits).",
+)
+def hybrid_rrf_fusion_q(spark, sf_dir):
+    from .operators.retrieval import rrf_fusion, tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
+    # semi-join pins the broadcast side to the |query batch| rows
+    # actually queried (the bm25_cosine_rerank discipline)
+    qvec = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).join(F.broadcast(qt.select("query_id").distinct()), "query_id", "left_semi")
+    prefix = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 64
+    )
+    prefixes = d.select("doc_id", prefix.alias("prefix"))
+    return rrf_fusion(
+        tf, dl, qt, dvec, qvec, prefixes,
+        shortlist=_RERANK_SHORTLIST, k=_RERANK_K, c=_RRF_C,
+    )
+
+
+# ------------------------------------------------------------------
+# 22. Streaming cluster maintenance (the continuous-ingest cluster loop)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_dedup_clusters",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+    """,
+    "the continuous-ingest CLUSTER loop end-to-end through Structured "
+    "Streaming (SURVEY round-9 #2 — the cluster analog of "
+    "streaming_incremental_dedup): the corpus arrives as four "
+    "id-ordered parquet chunks (mtimes ascending, maxFilesPerTrigger="
+    "1) and every micro-batch drains through foreachBatch into "
+    "dedup_incremental_clusters — frontier-only large-star/small-star "
+    "per batch, merge-forest hops for cross-batch merges, commits "
+    "through the atomic manifest so a crashed micro-batch is "
+    "invisible and replay admits nothing twice. After the stream "
+    "drains, serving path-compresses the forest and the result must "
+    "hash-match the from-scratch recursive-CTE closure over ALL "
+    "documents: the frontier-contraction math is batch-size-agnostic "
+    "by construction, so micro-batch slicing provably cannot change "
+    "the final partition — merges included. This is the shape a "
+    "100 TB dedup deployment actually runs: stream in, contract the "
+    "frontier, compact the forest on cadence, serve cluster labels "
+    "forever.",
+)
+def streaming_dedup_clusters_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_cc_in", sf_dir)
+    store = _sink_dir("stream_cc_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]  # 1-row driver scalar
+    n_chunks = 4
+    span = (max_id + n_chunks) // n_chunks
+    base_t = 1_700_000_000
+    for k in range(n_chunks):
+        chunk = d.filter(
+            (F.col("doc_id") >= k * span) & (F.col("doc_id") < (k + 1) * span)
+        )
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))  # oldest-first order
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        DD.dedup_incremental_clusters(bdf.sparkSession, store, bdf)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_scc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return DD.read_incremental_clusters(spark, store)
+
+
+# ------------------------------------------------------------------
+# 23. Store-wide ops dashboard (the single pane across store kinds)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "store_ops_dashboard",
+    """
+    SELECT 'ann' AS store_kind, 'cells' AS table_name,
+           2 AS n_batches, 2 AS n_dirs,
+           (SELECT count(*) FROM embeddings) AS n_rows
+    UNION ALL
+    SELECT 'bm25', 'doclen', 2, 2, (SELECT count(*) FROM documents)
+    UNION ALL
+    SELECT 'bm25', 'postings', 2, 2,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents)))
+    UNION ALL
+    SELECT 'exact', 'fps', 2, 2,
+           (SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+            FROM documents)
+    """,
+    "the store-wide ops dashboard (SURVEY round-9 #3) — ONE query an "
+    "operator reads across every store kind: an exact-fingerprint "
+    "dedup store, a BM25 inverted index and a frozen-quantizer ANN "
+    "index are each built in two committed batches, then "
+    "store_ops_dashboard unions incremental_store_stats over the "
+    "fleet into (store_kind, table, n_batches, n_dirs, n_rows) rows — "
+    "the compaction-scheduling / growth-audit signal (n_dirs past the "
+    "read-amplification budget cues compact_incremental_store; n_rows "
+    "deltas audit admission). The oracle recomputes every row count "
+    "from the corpus — distinct fingerprints for fps, docs for "
+    "doclen, distinct (doc, token) for postings, all vectors for "
+    "cells — so a hash match proves the stores' contents are exactly "
+    "their contracts (admission lost nothing, double-admitted "
+    "nothing) while batch/dir counts pin the manifest metadata the "
+    "lifecycle policies key off. Bytes are reported by the operator "
+    "but excluded here (parquet encoding is not part of the "
+    "correctness contract). Driver-side cost is manifest metadata "
+    "plus one count per table — the monitoring read, not a serving "
+    "path; at 100 TB it runs on cadence against stores whose row "
+    "counts are themselves O(metadata) once parquet footer stats are "
+    "trusted.",
+)
+def store_ops_dashboard_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.retrieval import ann_index_ingest, bm25_index_ingest
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+
+    exact = _sink_dir("dash_exact", sf_dir)
+    shutil.rmtree(exact, ignore_errors=True)
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num < 10))
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num >= 10))
+
+    bm25 = _sink_dir("dash_bm25", sf_dir)
+    shutil.rmtree(bm25, ignore_errors=True)
+    bm25_index_ingest(spark, bm25, d.filter(src_num < 10))
+    bm25_index_ingest(spark, bm25, d.filter(src_num >= 10))
+
+    ann = _sink_dir("dash_ann", sf_dir)
+    shutil.rmtree(ann, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") >= half))
+
+    return DD.store_ops_dashboard(
+        spark, [("exact", exact), ("bm25", bm25), ("ann", ann)]
+    ).select("store_kind", "table_name", "n_batches", "n_dirs", "n_rows")
+
+
+# ------------------------------------------------------------------
+# 24. int8 serving twin for the ANN store (SURVEY round-9 #4)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "ann_index_int8",
+    _ann_index_sql(scale=100.0),
+    "the int8 serving twin of ann_index_incremental — the "
+    "dedup_incremental_embedding_int8 treatment applied to the IVF "
+    "serving path (SURVEY round-9 #4): the same bootstrap-frozen "
+    "quantizer / atomic-manifest / anti-join-admission store, but the "
+    "cells table keeps each vector as array<tinyint> codes at the "
+    "GLOBAL scale 10^2 (per-vector scales would break L2 "
+    "comparability, so this is FAISS's SQ8 contract, not the dedup "
+    "payload's per-vector symmetric quantization) — 8x smaller codes "
+    "than the bigint store, and the ANSI tinyint cast throws on the "
+    "first out-of-range component so a mis-sized scale fails at "
+    "ingest instead of wrapping. Serving widens the codes back to "
+    "long before the integer distance math, so probe selection, "
+    "candidate distances and ranks replay EXACTLY in the oracle at "
+    "scale=100 — the full-value-hash discipline the long store gets, "
+    "at the coarser quantization a serving fleet actually deploys. "
+    "Parity with a bigint store at the same quant_digits is pinned by "
+    "test_ann_index_int8_parity. At 100 TB the cells table is the "
+    "dominant artifact and int8 codes cut its scan bytes ~8x (dim-64 "
+    "tinyint vs bigint), which is the difference between a probe "
+    "reading one file group and four.",
+)
+def ann_index_int8_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import ann_index_ingest, ann_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index_int8", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(
+        spark, path, emb.filter(F.col("vec_id") < half),
+        quant_digits=2, store_int8=True,
+    )
+    rest = emb.filter(F.col("vec_id") >= half)
+    ann_index_ingest(
+        spark, path, rest.filter(F.col("vec_id") % 2 == 0),
+        quant_digits=2, store_int8=True,
+    )
+    ann_index_ingest(
+        spark, path, rest.filter(F.col("vec_id") % 2 == 1),
+        quant_digits=2, store_int8=True,
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(spark, path, queries, nprobe=2, k=5, quant_digits=2)
+
+
+# ------------------------------------------------------------------
+# 25. Hybrid store: one atomic manifest across the lexical AND vector
+#     tables (snapshot-isolated multi-table commit) + serve-after-
+#     takedown for the whole cascade
+# ------------------------------------------------------------------
+
+
+def _hybrid_store_build(spark, sf_dir, path):
+    """Three multi-table commits: documents JOIN embeddings arrive as
+    (doc_id, text, embedding) rows — the doc and its vector in ONE
+    transaction per batch."""
+    import shutil
+
+    from .operators.retrieval import hybrid_index_ingest
+
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = d.join(e, "doc_id")
+    src = F.col("doc_id") % 3
+    hybrid_index_ingest(spark, path, de.filter(src == 0))
+    hybrid_index_ingest(spark, path, de.filter(src == 1))
+    hybrid_index_ingest(spark, path, de.filter(src == 2))
+
+
+def _hybrid_queries(spark, sf_dir):
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qv = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(F.broadcast(qt.select("query_id").distinct()), "query_id", "left_semi")
+    )
+    return qt, qv
+
+
+@defquery(
+    "hybrid_store_rrf",
+    _rrf_fusion_sql(),
+    "the SNAPSHOT-ISOLATED MULTI-TABLE transaction the independent "
+    "BM25/ANN stores cannot express (SURVEY round-9 #1): each ingest "
+    "batch commits a document's postings, length, embedding and "
+    "rerank prefix — FOUR tables — under ONE _BATCHES manifest swap, "
+    "so a doc and its vector appear together or not at all, and a "
+    "hybrid query can never see a doc whose lexical leg exists but "
+    "whose vector leg doesn't (the torn-read hybrid serving suffers "
+    "when its legs live in separately-committed stores; crash-"
+    "consistency pinned by test_hybrid_store_atomicity). Serving "
+    "reads one manifest snapshot and runs the ENTIRE three-leg RRF "
+    "cascade store-resident: postings/doclen drive the BM25 "
+    "shortlist, vectors the cosine leg, prefixes the cross-encoder "
+    "leg. Oracle = the from-scratch hybrid_rrf_fusion SQL — a hash "
+    "match proves batch slicing is invisible across ALL FOUR tables "
+    "at once. At 100 TB this is one manifest read instead of four "
+    "store opens with four independent commit clocks — snapshot "
+    "isolation for hybrid serving at the cost of a tag list.",
+)
+def hybrid_store_rrf_q(spark, sf_dir):
+    from .operators.retrieval import hybrid_index_rrf
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("hybrid_store", sf_dir)
+    _hybrid_store_build(spark, sf_dir, path)
+    qt, qv = _hybrid_queries(spark, sf_dir)
+    return hybrid_index_rrf(spark, path, qt, qv, shortlist=_RERANK_SHORTLIST, k=_RERANK_K)
+
+
+@defquery(
+    "hybrid_store_deleted",
+    _rrf_fusion_sql(where="NOT (doc_id % 7 = 3)"),
+    "takedown across the WHOLE hybrid cascade in one crash-safe "
+    "rewrite: after three multi-table commits, every doc_id % 7 == 3 "
+    "document leaves postings, doclen, vectors AND prefixes together "
+    "(delete_from_incremental_store over the four manifest-listed "
+    "tables — the same _rewrite_store protocol as every other store, "
+    "now spanning the tables of two retrieval modalities atomically). "
+    "The oracle is the from-scratch fusion over the corpus minus the "
+    "victims, so the hash proves the deletion shifted every BM25 "
+    "corpus statistic, removed the vectors and prefixes (no ghost "
+    "rows for the cosine/CE legs to join), and the fused ranks closed "
+    "up — the right-to-be-forgotten contract for a serving stack "
+    "whose legs would otherwise need four separately-audited deletes.",
+)
+def hybrid_store_deleted_q(spark, sf_dir):
+    from .operators.dedup import delete_from_incremental_store
+    from .operators.retrieval import HYBRID_TABLES, hybrid_index_rrf
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("hybrid_store_deleted", sf_dir)
+    _hybrid_store_build(spark, sf_dir, path)
+    d = _t(spark, sf_dir, "documents")
+    victims = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    delete_from_incremental_store(
+        spark, path, victims, id_col="doc_id", tables=HYBRID_TABLES
+    )
+    qt, qv = _hybrid_queries(spark, sf_dir)
+    return hybrid_index_rrf(spark, path, qt, qv, shortlist=_RERANK_SHORTLIST, k=_RERANK_K)
+
+
+# ------------------------------------------------------------------
+# 26. MMR diversity re-ranking over the retrieval shortlist
+# ------------------------------------------------------------------
+
+_MMR_K = 10        # picks per query
+_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+
+def _mmr_sql(k: int = _MMR_K) -> str:
+    """DuckDB replay of greedy MMR, unrolled one CTE block per pick
+    (the kmeans/BPE technique applied to selection): ``rel`` = the
+    query-doc cosines over the BM25 shortlist, ``sims`` = the
+    candidate-candidate cosines, then for each step i the redundancy
+    of a remaining candidate is max(sim to the selected set), the MMR
+    score is ``0.7 * rel - 0.3 * red`` (identical literal order in
+    Spark), and the argmax (mmr DESC, doc_id ASC) joins the selected
+    set. Pick 1 is the pure-relevance argmax (empty selected set)."""
+    ctes = [
+        f"short AS MATERIALIZED ({_bm25_sql(k=_RERANK_SHORTLIST)})",
+        """rel AS MATERIALIZED (
+  SELECT s.query_id, s.doc_id,
+         round(list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS rel
+  FROM short s
+  JOIN embeddings d ON d.vec_id = s.doc_id
+  JOIN embeddings q ON q.vec_id = s.query_id)""",
+        """sims AS MATERIALIZED (
+  SELECT r1.query_id, r1.doc_id AS a, r2.doc_id AS b,
+         round(list_cosine_similarity(da.embedding::DOUBLE[], db.embedding::DOUBLE[]), 6) AS sim
+  FROM rel r1
+  JOIN rel r2 ON r2.query_id = r1.query_id AND r2.doc_id <> r1.doc_id
+  JOIN embeddings da ON da.vec_id = r1.doc_id
+  JOIN embeddings db ON db.vec_id = r2.doc_id)""",
+        """sall1 AS MATERIALIZED (
+  SELECT query_id, doc_id, 1 AS pick, rel AS mmr FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM rel) t WHERE rn = 1)""",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes += [
+            f"""red{i} AS MATERIALIZED (
+  SELECT m.query_id, m.a AS doc_id, max(m.sim) AS red
+  FROM sims m JOIN sall{p} sel ON sel.query_id = m.query_id AND sel.doc_id = m.b
+  GROUP BY m.query_id, m.a)""",
+            f"""cand{i} AS (
+  SELECT r.query_id, r.doc_id, {_MMR_LAMBDA} * r.rel - {round(1 - _MMR_LAMBDA, 6)} * red{i}.red AS mmr
+  FROM rel r
+  JOIN red{i} ON red{i}.query_id = r.query_id AND red{i}.doc_id = r.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM sall{p} sel
+                    WHERE sel.query_id = r.query_id AND sel.doc_id = r.doc_id))""",
+            f"""sall{i} AS MATERIALIZED (
+  SELECT * FROM sall{p}
+  UNION ALL
+  SELECT query_id, doc_id, {i} AS pick, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC) AS rn
+    FROM cand{i}) t WHERE rn = 1)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(pick AS INT) AS rank, doc_id, mmr AS mmr_score
+FROM sall{k}"""
+    )
+
+
+@defquery(
+    "mmr_diversity_rerank",
+    _mmr_sql(),
+    "maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
+    "1998) over the BM25 shortlist — the standard de-dup of served "
+    "results (SURVEY round-9 #2): greedily pick "
+    f"{_MMR_K} of {_RERANK_SHORTLIST} candidates, each step's score "
+    f"= {_MMR_LAMBDA}·cos(query, doc) − {round(1 - _MMR_LAMBDA, 6)}·"
+    "max cos(doc, already-picked) — retrieve lexically, diversify "
+    "semantically. Greedy selection is inherently sequential, so both "
+    "engines UNROLL the ten picks (the kmeans/BPE oracle technique "
+    "applied to selection): each step is a per-query redundancy "
+    "aggregate over (candidate × selected) pairs, an anti-join "
+    "against the selected set, and a (mmr DESC, doc_id) argmax "
+    "window — all JVM-side on shortlist-bounded frames (≤50 rows per "
+    "query; the candidate-pair table is ≤50·49). Cross-engine "
+    "exactness: rel and redundancy are the proven round(cosine, 6) "
+    "pairing, the MMR expression is written in the identical literal "
+    "order in both engines, and every pick is a total order. At "
+    "100 TB this shape is per-query embarrassingly parallel — ten "
+    "windows partitioned by query_id over candidate-sized input, "
+    "never corpus-touching after the shortlist stage.",
+)
+def mmr_diversity_rerank_q(spark, sf_dir):
+    from .functions.vector import cosine_similarity
+    from .operators.retrieval import bm25_rank, tokenize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select("query_id", "doc_id")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
+    qvec = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).join(F.broadcast(qt.select("query_id").distinct()), "query_id", "left_semi")
+    # rel and the candidate-pair sims are computed ONCE (shortlist-
+    # bounded: <=50 and <=50*49 rows per query) and reused by all picks
+    rel = (
+        short.join(dvec, "doc_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_similarity(F.col("dvec"), F.col("qvec")), 6).alias("rel"),
+            "dvec",
+        )
+        .localCheckpoint(eager=True)
+    )
+    r1 = rel.select("query_id", F.col("doc_id").alias("a"), F.col("dvec").alias("va"))
+    r2 = rel.select("query_id", F.col("doc_id").alias("b"), F.col("dvec").alias("vb"))
+    sims = (
+        r1.join(r2, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel = rel.drop("dvec")
+
+    lam = F.lit(_MMR_LAMBDA)
+    mu = F.lit(round(1 - _MMR_LAMBDA, 6))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    sel = (
+        rel.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", F.lit(1).alias("pick"), F.col("rel").alias("mmr"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, _MMR_K + 1):
+        red = (
+            sims.join(
+                sel.select("query_id", F.col("doc_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("doc_id"))
+            .agg(F.max("sim").alias("red"))
+        )
+        cand = (
+            rel.join(sel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+            .join(red, ["query_id", "doc_id"])
+            .select(
+                "query_id", "doc_id",
+                (lam * F.col("rel") - mu * F.col("red")).alias("mmr"),
+            )
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("doc_id").asc()
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "doc_id", F.lit(i).alias("pick"), "mmr")
+        )
+        # flatten lineage per pick: selected-set frames stay tiny
+        # (|queries| x i rows) and the next step's plan stays O(1)
+        sel = sel.unionByName(picked).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id", F.col("pick").cast("int").alias("rank"), "doc_id",
+        F.col("mmr").alias("mmr_score"),
+    )
+
+
+# ------------------------------------------------------------------
+# 27. Incremental PMI / vocab store (signed-delta counts, served PMI)
+# ------------------------------------------------------------------
+
+
+def _pmi_store_build(spark, sf_dir, path, with_delete=False):
+    """Three CDC insert batches (+ a replay that must admit nothing);
+    optionally a fourth batch DELETING every doc_id % 9 == 4 doc (the
+    CDC delete carries the old row, so its counts subtract exactly)."""
+    import shutil
+
+    from .operators.vocab import pmi_store_ingest
+
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = F.col("doc_id") % 3
+    ins = d.withColumn("sign", F.lit(1))
+    pmi_store_ingest(spark, path, ins.filter(src == 0))
+    pmi_store_ingest(spark, path, ins.filter(src == 1))
+    pmi_store_ingest(spark, path, ins.filter(src == 2))
+    # duplicated delivery: the docs-log net-sign admission absorbs it
+    pmi_store_ingest(spark, path, ins.filter(src == 0))
+    if with_delete:
+        dele = d.filter(F.col("doc_id") % 9 == 4).withColumn("sign", F.lit(-1))
+        pmi_store_ingest(spark, path, dele)
+
+
+@defquery(
+    "collocation_pmi_incremental",
+    _pmi_sql(),
+    "the PMI/vocab artifact as a maintained STORE (SURVEY round-9 "
+    "#4): unigram and bigram counts live as SIGNED deltas under the "
+    "atomic _BATCHES manifest — counts are additive, so each CDC "
+    "batch appends its token-level deltas (one tokenize pass, "
+    "O(batch tokens)) and serving nets them with one vocab-bounded "
+    "groupBy-SUM per table before the identical integer-ratio PMI "
+    "ranking. The docs event log makes admission idempotent at doc "
+    "granularity (insert admits only at net sign <= 0, delete only "
+    "at net 1), which this query exercises by REPLAYING its first "
+    "batch — the duplicated delivery must admit nothing, or the "
+    "counts (and the hash) shift. Oracle = the from-scratch "
+    "collocation_pmi_top SQL: a match proves batch slicing and "
+    "replay are invisible in every count, total and the washed-ln "
+    "ranking. At 100 TB the delta tables are Heaps-bounded vocab "
+    "artifacts; compaction folds them to net counts with the "
+    "standard store rewrite.",
+)
+def collocation_pmi_incremental_q(spark, sf_dir):
+    from .operators.vocab import pmi_store_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("pmi_store", sf_dir)
+    _pmi_store_build(spark, sf_dir, path)
+    return pmi_store_topk(spark, path)
+
+
+@defquery(
+    "collocation_pmi_retracted",
+    _pmi_sql(where="NOT (doc_id % 9 = 4)"),
+    "RETRACTION for the vocab store — the signed-delta contract doing "
+    "the work additive stores cannot: a CDC delete batch (old rows, "
+    "sign -1) subtracts exactly the unigram/bigram counts each "
+    "victim's insertion added, so the served PMI equals the "
+    "from-scratch ranking over the SURVIVING corpus — totals, "
+    "min-support boundary decisions and the single washed ln all "
+    "shift together (a store that kept ghost counts would misrank "
+    "and miss the hash). Deletes for never-counted docs are no-ops "
+    "by the docs-log net-sign rule. This closes the takedown story "
+    "for the vocabulary artifacts: fingerprints, signatures, "
+    "postings, cells, spans, clusters and now token statistics all "
+    "honor right-to-be-forgotten under one manifest protocol.",
+)
+def collocation_pmi_retracted_q(spark, sf_dir):
+    from .operators.vocab import pmi_store_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("pmi_store_del", sf_dir)
+    _pmi_store_build(spark, sf_dir, path, with_delete=True)
+    return pmi_store_topk(spark, path)
+
+
+# ------------------------------------------------------------------
+# 28. Per-domain quota sampling with CLUSTERS as the sampling unit
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "cluster_quota_sample",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+labels AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v),
+cl AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
+canon AS (
+  SELECT c.cluster_id, d.source, c.cluster_size
+  FROM cl c JOIN documents d ON d.doc_id = c.cluster_id),
+cnt AS (SELECT source, count(*) AS nc FROM canon GROUP BY source),
+ranked AS (
+  SELECT canon.*,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('17:' || CAST(cluster_id AS VARCHAR)) ASC, cluster_id ASC) AS rk
+  FROM canon)
+SELECT r.source, r.cluster_id, CAST(r.cluster_size AS BIGINT) AS cluster_size
+FROM ranked r JOIN cnt ON cnt.source = r.source
+WHERE r.rk <= CAST(floor(cnt.nc / 2.0) AS BIGINT)
+    """,
+    "per-domain quota sampling with DEDUP CLUSTERS as the sampling "
+    "unit (SURVEY round-9 #3) — the fix for the standard mixture-"
+    "sampling bias: sampling raw docs lets big near-duplicate "
+    "families grab a domain's whole quota, so the unit becomes the "
+    "maintained cluster label from the incremental cluster store "
+    "(three manifest commits, frontier-contraction ingest), each "
+    "cluster represented by its canonical min-id member and weighted "
+    "once regardless of family size. Per source, half the clusters "
+    "(floor(n/2) — integer boundary) are kept by deterministic "
+    "md5('17:'||cluster_id) rank, the same content-hash-rank contract "
+    "as domain_mixture_resample, so the kept set survives re-runs, "
+    "repartitioning and AQE. Oracle = the from-scratch recursive-CTE "
+    "closure + the identical ranked quota — a hash match proves the "
+    "STORE's labels (merges included) are what the sampler consumed. "
+    "PRECONDITION (revenue_share_window class): the rank window "
+    "partitions by source over CLUSTER-level rows (post-aggregate, "
+    "|clusters| per source, never the doc table); the 100 TB "
+    "production swap is the documented threshold-sampling variant.",
+)
+def cluster_quota_sample_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_quota_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(
+        spark, path, d.filter((src_num >= 7) & (src_num < 14))
+    )
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+    labels = DD.read_incremental_clusters(spark, path)
+
+    cl = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    canon = cl.join(
+        d.select(F.col("doc_id").alias("cluster_id"), "source"), "cluster_id"
+    )
+    cnt = canon.groupBy("source").agg(F.count(F.lit(1)).alias("nc"))
+    rk_w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("17:"), F.col("cluster_id").cast("string"))).asc(),
+        F.col("cluster_id").asc(),
+    )
+    ranked = canon.withColumn("rk", F.row_number().over(rk_w))
+    return (
+        ranked.join(F.broadcast(cnt), "source")
+        .filter(F.col("rk") <= F.floor(F.col("nc") / F.lit(2.0)).cast("bigint"))
+        .select("source", "cluster_id", F.col("cluster_size").cast("bigint").alias("cluster_size"))
+    )

@@ -2421,3 +2421,192 @@ def test_span_store_delete_unshares_and_compaction(spark, tmp_path):
 
     # no-op delete on a store without the manifest
     assert DD.delete_from_span_store(spark, str(tmp_path / "nope"), [1]) == 0
+
+
+def test_ann_index_int8_parity(spark, emb, tmp_path):
+    # the int8 serving twin: same global scale (quant_digits=2), cells
+    # stored as array<tinyint> — serve-identical to a bigint store,
+    # dtype actually narrow on disk, mixed usage refused, takedown and
+    # retrain keep the declared dtype.
+    import os
+
+    from libmr_spark.operators.dedup import delete_from_incremental_store
+    from libmr_spark.operators.retrieval import (
+        _ann_manifest,
+        ann_index_ingest,
+        ann_index_retrain,
+        ann_index_topk,
+    )
+
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint")).first()[0]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def build(path, store_int8):
+        ann_index_ingest(
+            spark, path, emb.filter(F.col("vec_id") < half),
+            quant_digits=2, store_int8=store_int8,
+        )
+        ann_index_ingest(
+            spark, path, emb.filter(F.col("vec_id") >= half),
+            quant_digits=2, store_int8=store_int8,
+        )
+
+    p8 = str(tmp_path / "ann_i8")
+    p64 = str(tmp_path / "ann_i64")
+    build(p8, True)
+    build(p64, False)
+
+    serve = lambda p: {  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ann_index_topk(spark, p, queries, nprobe=2, k=5, quant_digits=2).collect()
+    }
+    assert serve(p8) == serve(p64)
+
+    # the codes really are int8 on disk
+    tags, params = _ann_manifest(os.path.join(p8, "_BATCHES"))
+    assert params["cells_int8"] == "true"
+    cells = spark.read.parquet(
+        *[os.path.join(p8, "cells", f"batch={t}") for t in tags]
+    )
+    assert cells.schema["v"].dataType.simpleString() == "array<tinyint>"
+
+    # mixed int8/long usage of one store is refused
+    with pytest.raises(ValueError, match="cells_int8"):
+        ann_index_ingest(spark, p8, emb.limit(1), quant_digits=2)
+
+    # takedown keeps parity
+    victims = sorted({v for (_, rank, v, _) in serve(p8) if rank == 1})
+    for p in (p8, p64):
+        delete_from_incremental_store(
+            spark, p, victims, id_col="vec_id", tables=("cells",)
+        )
+    assert serve(p8) == serve(p64)
+
+    # retrain preserves the declared dtype and parity
+    c8 = ann_index_retrain(spark, p8)
+    c64 = ann_index_retrain(spark, p64)
+    assert c8 == c64
+    tags, params = _ann_manifest(os.path.join(p8, "_BATCHES"))
+    assert params["cells_int8"] == "true"
+    cells = spark.read.parquet(
+        *[os.path.join(p8, "cells", f"batch={t}") for t in tags]
+    )
+    assert cells.schema["v"].dataType.simpleString() == "array<tinyint>"
+    assert serve(p8) == serve(p64)
+
+
+def test_hybrid_store_atomicity(spark, docs, emb, tmp_path):
+    # the multi-table transaction: all four tables commit in one
+    # manifest swap — a torn ingest (any subset of table dirs written,
+    # manifest not published) is invisible in EVERY table; replay
+    # re-admits identically; time travel truncates all four together;
+    # takedown spans all four in one rewrite.
+    import os
+
+    from libmr_spark.operators.dedup import (
+        delete_from_incremental_store,
+        read_incremental_store_asof,
+    )
+    from libmr_spark.operators.retrieval import (
+        HYBRID_TABLES,
+        hybrid_index_ingest,
+        hybrid_index_rrf,
+    )
+
+    path = str(tmp_path / "hybrid")
+    de = docs.select("doc_id", "text").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    b1 = de.filter(F.col("doc_id") % 2 == 0)
+    b2 = de.filter(F.col("doc_id") % 2 == 1)
+    n1 = hybrid_index_ingest(spark, path, b1).count()
+    assert n1 == b1.count()
+
+    # torn commit: write all four table dirs under an unpublished tag
+    for t in HYBRID_TABLES:
+        spark.read.parquet(os.path.join(path, t, os.listdir(os.path.join(path, t))[0])) \
+            .write.mode("overwrite").parquet(os.path.join(path, t, "batch=torn"))
+    qt = spark.createDataFrame([(1, "hash"), (1, "join")], "query_id int, token string")
+    qv = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served_after_torn = hybrid_index_rrf(spark, path, qt, qv, k=5).collect()
+    # every served doc came from batch 1 only (torn tag invisible)
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    assert served_after_torn and all(r.doc_id in b1_ids for r in served_after_torn)
+
+    # second commit; replay of batch 1 admits nothing
+    n2 = hybrid_index_ingest(spark, path, b2).count()
+    assert n2 == b2.count()
+    assert hybrid_index_ingest(spark, path, b1).count() == 0
+
+    # every table sees the same commit clock: as-of-1 row counts match
+    # the batch-1 doc set in all four tables
+    for t in ("doclen", "vectors", "prefixes"):
+        asof = read_incremental_store_asof(spark, path, t, as_of_batches=1)
+        assert {r.doc_id for r in asof.select("doc_id").collect()} == b1_ids
+
+    # takedown leaves no trace of the victims in ANY table (reading
+    # the manifest-listed snapshot — what readers actually open; the
+    # hand-planted torn dir stays an unlisted orphan until the aged
+    # sweep reclaims it)
+    victims = [r.doc_id for r in b1.select("doc_id").limit(3).collect()]
+    delete_from_incremental_store(
+        spark, path, victims, id_col="doc_id", tables=HYBRID_TABLES
+    )
+    for t in HYBRID_TABLES:
+        left = read_incremental_store_asof(spark, path, t).filter(
+            F.col("doc_id").isin(victims)
+        )
+        assert left.count() == 0, t
+
+
+def test_pmi_store_cdc_lifecycle(spark, docs, tmp_path):
+    # signed-delta vocab store: duplicated delivery admits nothing,
+    # delete of a never-counted doc is a no-op, delete subtracts the
+    # exact counts, re-insert after delete is admitted, and a torn
+    # batch is invisible in all three tables.
+    import os
+
+    from libmr_spark.operators.vocab import pmi_store_ingest, pmi_store_topk
+
+    path = str(tmp_path / "pmi")
+    d = docs.select("doc_id", "text")
+    ins = d.withColumn("sign", F.lit(1))
+    half = d.agg((F.max("doc_id") / 2).cast("bigint")).first()[0]
+    b1 = ins.filter(F.col("doc_id") < half)
+    b2 = ins.filter(F.col("doc_id") >= half)
+
+    assert pmi_store_ingest(spark, path, b1).count() == b1.count()
+    baseline_half = {tuple(r) for r in pmi_store_topk(spark, path).collect()}
+    # duplicated delivery: net-sign admission absorbs it
+    assert pmi_store_ingest(spark, path, b1).count() == 0
+    assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == baseline_half
+
+    assert pmi_store_ingest(spark, path, b2).count() == b2.count()
+    full = {tuple(r) for r in pmi_store_topk(spark, path).collect()}
+
+    # delete of never-counted docs is a no-op
+    ghost = d.filter(F.col("doc_id") < 0).withColumn("sign", F.lit(-1))
+    assert pmi_store_ingest(spark, path, ghost).count() == 0
+
+    # delete b2, serve == the b1-only ranking again (exact subtraction)
+    dele = d.filter(F.col("doc_id") >= half).withColumn("sign", F.lit(-1))
+    assert pmi_store_ingest(spark, path, dele).count() == b2.count()
+    assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == baseline_half
+    # a second delete of the same docs is a no-op (net is 0 now)
+    assert pmi_store_ingest(spark, path, dele).count() == 0
+
+    # re-insert after delete is admitted and restores the full ranking
+    assert pmi_store_ingest(spark, path, b2).count() == b2.count()
+    assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == full
+
+    # torn batch (table dirs written, manifest not published) invisible
+    for t in ("uni", "bi", "docs"):
+        first = sorted(x for x in os.listdir(os.path.join(path, t)) if x.startswith("batch="))[0]
+        spark.read.parquet(os.path.join(path, t, first)).write.mode("overwrite").parquet(
+            os.path.join(path, t, "batch=torn")
+        )
+    assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == full
