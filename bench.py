@@ -200,6 +200,9 @@ HEADLINE = [
     "collocation_pmi_incremental",
     "collocation_pmi_retracted",
     "cluster_quota_sample",
+    "streaming_hybrid_index",
+    "hybrid_store_mmr",
+    "collocation_pmi_compacted",
 ]
 
 

@@ -22,10 +22,10 @@ insertion added (the CDC delete carries the old row — standard
 change-stream shape), which is why the served PMI equals the
 from-scratch PMI over the surviving corpus under ANY batch slicing.
 At 100 TB the uni/bi delta tables are vocabulary artifacts
-(Heaps-bounded, far smaller than the corpus); compaction folds the
-deltas into one net-count batch per table with the standard
-``compact_incremental_store(tables=("uni", "bi", "docs"))`` call, and
-zero-count rows vanish from the fold without changing any sum.
+(Heaps-bounded, far smaller than the corpus); :func:`compact_vocab_store`
+folds the deltas into one NET-count batch per table through the
+crash-safe ``_rewrite_store`` protocol — zero-net rows vanish from
+the fold without changing any sum, so serving is provably invariant.
 """
 
 from __future__ import annotations
@@ -133,3 +133,37 @@ def pmi_store_topk(spark, store_path: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     return _pmi_topk_from_counts(uni, bi)
+
+
+def compact_vocab_store(spark, store_path: str) -> int:
+    """Fold the signed deltas to NET counts — the vocab store's
+    compaction, which (unlike the union-rewrite the signature stores
+    use) actually SHRINKS state: per table one groupBy-SUM replaces
+    the delta history with one net row per key, zero-net rows (fully
+    retracted words, bigrams and doc lifecycles) vanish, and the docs
+    log folds to (doc_id, net sign) with net-0 docs dropped — which
+    preserves the admission rule exactly (a dropped net-0 doc reads
+    as never-seen, and net <= 0 admits a re-insert either way). Runs
+    through the standard crash-safe ``_rewrite_store`` protocol, so
+    a crash anywhere leaves either the delta history or the fold,
+    never a mix; serving (a sum over deltas) is provably invariant
+    because addition is what compaction performs. Returns the number
+    of folded batches (0 if the store has < 2 commits)."""
+    from .dedup import _rewrite_store
+
+    def fold(df, table):
+        if table == "uni":
+            return df.groupBy("w").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
+        if table == "bi":
+            return (
+                df.groupBy("a", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
+            )
+        return (
+            df.groupBy("doc_id")
+            .agg(F.sum("sign").cast("int").alias("sign"))
+            .filter(F.col("sign") != 0)
+        )
+
+    return len(
+        _rewrite_store(spark, store_path, fold, tables=VOCAB_TABLES, min_batches=2)
+    )

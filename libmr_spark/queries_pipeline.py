@@ -5632,20 +5632,28 @@ FROM sall{k}"""
     "never corpus-touching after the shortlist stage.",
 )
 def mmr_diversity_rerank_q(spark, sf_dir):
-    from .functions.vector import cosine_similarity
-    from .operators.retrieval import bm25_rank, tokenize_ws
+    from .operators.retrieval import tokenize_ws
 
     d = _t(spark, sf_dir, "documents")
     tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
-    short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select("query_id", "doc_id")
-
     emb = _t(spark, sf_dir, "embeddings")
     dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
     qvec = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     ).join(F.broadcast(qt.select("query_id").distinct()), "query_id", "left_semi")
+    return _mmr_from_index(tf, dl, qt, dvec, qvec)
+
+
+def _mmr_from_index(tf, dl, qt, dvec, qvec):
+    """Greedy MMR from index tables (tf/dl for the lexical shortlist,
+    dvec/qvec for relevance and redundancy) — shared by the corpus
+    query and the hybrid-store-served variant."""
+    from .functions.vector import cosine_similarity
+    from .operators.retrieval import bm25_rank
+
+    short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select("query_id", "doc_id")
     # rel and the candidate-pair sims are computed ONCE (shortlist-
     # bounded: <=50 and <=50*49 rows per query) and reused by all picks
     rel = (
@@ -5885,3 +5893,161 @@ def cluster_quota_sample_q(spark, sf_dir):
         .filter(F.col("rk") <= F.floor(F.col("nc") / F.lit(2.0)).cast("bigint"))
         .select("source", "cluster_id", F.col("cluster_size").cast("bigint").alias("cluster_size"))
     )
+
+
+# ------------------------------------------------------------------
+# 29. Round-8 fourth tranche: streaming hybrid ingest, store-resident
+#     MMR, vocab-store delta-fold compaction
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_hybrid_index",
+    _rrf_fusion_sql(),
+    "continuous HYBRID indexing: (doc_id, text, embedding) rows "
+    "arrive as a file stream (4 chunks, maxFilesPerTrigger=1) and "
+    "every micro-batch runs hybrid_index_ingest inside foreachBatch — "
+    "each micro-batch is one four-table transaction (postings, "
+    "doclen, vectors, prefixes under ONE manifest swap), so a crashed "
+    "micro-batch is invisible in every table at once and Structured "
+    "Streaming's replay re-admits identically through the doc_id "
+    "anti-join. After the stream drains, the ENTIRE three-leg RRF "
+    "cascade serves from the store and must hash-match the "
+    "from-scratch fusion oracle: micro-batch slicing provably cannot "
+    "change any of the four tables' contents. This is the "
+    "streaming_bm25_index argument extended to the multi-modal case — "
+    "the loop a 100 TB hybrid deployment actually runs (stream in, "
+    "commit all legs transactionally, serve one snapshot forever).",
+)
+def streaming_hybrid_index_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import hybrid_index_ingest, hybrid_index_rrf
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_hybrid_in", sf_dir)
+    store = _sink_dir("stream_hybrid_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = d.join(e, "doc_id")
+    max_id = d.agg(F.max("doc_id")).first()[0]  # 1-row driver scalar
+    n_chunks = 4
+    span = (max_id + n_chunks) // n_chunks
+    base_t = 1_700_000_000
+    for k in range(n_chunks):
+        chunk = de.filter(
+            (F.col("doc_id") >= k * span) & (F.col("doc_id") < (k + 1) * span)
+        )
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))  # oldest-first order
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        hybrid_index_ingest(bdf.sparkSession, store, bdf)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_shy_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    qt, qv = _hybrid_queries(spark, sf_dir)
+    return hybrid_index_rrf(spark, store, qt, qv, shortlist=_RERANK_SHORTLIST, k=_RERANK_K)
+
+
+@defquery(
+    "hybrid_store_mmr",
+    _mmr_sql(),
+    "the retrieval endgame STORE-RESIDENT: greedy MMR diversification "
+    "served entirely from one hybrid-store snapshot — postings/doclen "
+    "drive the lexical shortlist, the vectors table supplies BOTH the "
+    "relevance cosines and the candidate-pair redundancy cosines, and "
+    "the ten-pick unroll runs on shortlist-bounded frames exactly as "
+    "in mmr_diversity_rerank (whose oracle this query shares "
+    "verbatim: the store's four-table union provably equals the "
+    "corpus for any slicing, so served MMR == from-scratch MMR). "
+    "Composing the two proofs ends the serving story: index "
+    "transactionally once, then every rung of the ladder — BM25, "
+    "fusion, diversification — reads one manifest snapshot and never "
+    "touches the corpus.",
+)
+def hybrid_store_mmr_q(spark, sf_dir):
+    from .operators.dedup import _manifest_read
+    from .operators.retrieval import _HYBRID_PARAMS
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("hybrid_store_mmr", sf_dir)
+    _hybrid_store_build(spark, sf_dir, path)
+    import os
+
+    tags = _manifest_read(os.path.join(path, "_BATCHES"), _HYBRID_PARAMS)
+    t = {
+        name: spark.read.parquet(
+            *[os.path.join(path, name, f"batch={b}") for b in tags]
+        )
+        for name in ("postings", "doclen", "vectors")
+    }
+    qt, qv = _hybrid_queries(spark, sf_dir)
+    dvec = t["vectors"].select("doc_id", F.col("embedding").alias("dvec"))
+    qvec = qv.select("query_id", F.col("embedding").alias("qvec"))
+    return _mmr_from_index(t["postings"], t["doclen"], qt, dvec, qvec)
+
+
+@defquery(
+    "collocation_pmi_compacted",
+    _pmi_sql(where="NOT (doc_id % 9 = 4)"),
+    "the vocab store's DELTA-FOLD compaction proved hash-invariant "
+    "through a full CDC lifecycle: insert three batches, FOLD "
+    "(compact_vocab_store nets the signed deltas to one row per key "
+    "through the crash-safe rewrite — zero-net rows vanish, the docs "
+    "log folds to net signs), replay an already-counted batch "
+    "(admission still no-ops against the folded log), CDC-delete the "
+    "doc_id % 9 == 4 docs, fold AGAIN (post-retraction: the victims' "
+    "keys now net to their surviving counts, fully-retracted keys "
+    "disappear), and serve. Oracle = from-scratch PMI over the "
+    "survivors — the same hash as the uncompacted retracted store, "
+    "so both folds are provably pure representation changes while "
+    "state actually SHRINKS (the compaction benefit the union-rewrite "
+    "stores don't get). At 100 TB this fold is what keeps the delta "
+    "log from growing with ingest count instead of vocabulary size.",
+)
+def collocation_pmi_compacted_q(spark, sf_dir):
+    import shutil
+
+    from .operators.vocab import compact_vocab_store, pmi_store_ingest, pmi_store_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("pmi_store_compact", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = F.col("doc_id") % 3
+    ins = d.withColumn("sign", F.lit(1))
+    pmi_store_ingest(spark, path, ins.filter(src == 0))
+    pmi_store_ingest(spark, path, ins.filter(src == 1))
+    pmi_store_ingest(spark, path, ins.filter(src == 2))
+    compact_vocab_store(spark, path)
+    # replay against the FOLDED docs log still admits nothing
+    pmi_store_ingest(spark, path, ins.filter(src == 0))
+    dele = d.filter(F.col("doc_id") % 9 == 4).withColumn("sign", F.lit(-1))
+    pmi_store_ingest(spark, path, dele)
+    compact_vocab_store(spark, path)
+    return pmi_store_topk(spark, path)
