@@ -203,6 +203,8 @@ HEADLINE = [
     "streaming_hybrid_index",
     "hybrid_store_mmr",
     "collocation_pmi_compacted",
+    "quota_sampled_export",
+    "ops_dashboard_drift",
 ]
 
 

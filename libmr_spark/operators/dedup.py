@@ -441,6 +441,41 @@ def store_ops_dashboard(spark, stores: list) -> DataFrame:
     )
 
 
+def store_ops_metrics(spark, stores: list, ann_stores: list = ()) -> DataFrame:
+    """The drift-extended ops pane: :func:`store_ops_dashboard`'s
+    per-table row counts reshaped to the generic long-format metric
+    schema (store_kind, item, metric, value DOUBLE), UNIONed with the
+    per-cell ANN drift rows (``ann_drift_stats`` — member count,
+    occupancy share, squared mean displacement vs the frozen
+    quantizer) for every store in ``ann_stores``. One frame an
+    alerting system consumes directly: threshold rules key off
+    (store_kind, metric) regardless of which store family produced
+    the row, so 'drift2 > x' and 'n_rows grew y%' live in the same
+    policy table. Cost = the dashboard's metadata reads + one
+    map-side-combinable pass per ANN store's cells table."""
+    from .retrieval import ann_drift_stats
+
+    base = store_ops_dashboard(spark, stores).select(
+        "store_kind",
+        F.col("table_name").alias("item"),
+        F.lit("n_rows").alias("metric"),
+        F.col("n_rows").cast("double").alias("value"),
+    )
+    for kind, path in ann_stores:
+        dr = ann_drift_stats(spark, path)
+        cell = F.concat(F.lit("cell:"), F.col("cid").cast("string"))
+        for metric in ("n_members", "occupancy_frac", "drift2"):
+            base = base.unionByName(
+                dr.select(
+                    F.lit(kind).alias("store_kind"),
+                    cell.alias("item"),
+                    F.lit(metric).alias("metric"),
+                    F.col(metric).cast("double").alias("value"),
+                )
+            )
+    return base
+
+
 def read_incremental_store_asof(
     spark,
     store_path: str,

@@ -738,7 +738,9 @@ _HYBRID_PARAMS = {
 
 #: manifest-listed tables of the hybrid store — every ingest commits
 #: ALL of them in one manifest swap; lifecycle ops span all of them.
-HYBRID_TABLES = ("postings", "doclen", "vectors", "prefixes")
+#: doclen leads: it is the one-row-per-doc table, so takedown's
+#: reported deletion count means DOCS (the bm25-store convention).
+HYBRID_TABLES = ("doclen", "postings", "vectors", "prefixes")
 
 
 def hybrid_index_ingest(

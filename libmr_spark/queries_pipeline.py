@@ -5877,7 +5877,13 @@ def cluster_quota_sample_q(spark, sf_dir):
     )
     DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
     labels = DD.read_incremental_clusters(spark, path)
+    return _quota_sampled_clusters(labels, d)
 
+
+def _quota_sampled_clusters(labels, d):
+    """md5-rank half-quota per source over cluster-level rows: the
+    canonical min-id member carries the cluster's source; shared by
+    cluster_quota_sample and the end-to-end export."""
     cl = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     canon = cl.join(
         d.select(F.col("doc_id").alias("cluster_id"), "source"), "cluster_id"
@@ -6051,3 +6057,185 @@ def collocation_pmi_compacted_q(spark, sf_dir):
     pmi_store_ingest(spark, path, dele)
     compact_vocab_store(spark, path)
     return pmi_store_topk(spark, path)
+
+
+@defquery(
+    "quota_sampled_export",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f""",
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+labels AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v),
+cl AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
+canon AS (
+  SELECT c.cluster_id, d.source, c.cluster_size
+  FROM cl c JOIN documents d ON d.doc_id = c.cluster_id),
+cnt AS (SELECT source, count(*) AS nc FROM canon GROUP BY source),
+sampled AS (
+  SELECT r.source, r.cluster_id, r.cluster_size
+  FROM (SELECT canon.*,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('17:' || CAST(cluster_id AS VARCHAR)) ASC, cluster_id ASC) AS rk
+        FROM canon) r
+  JOIN cnt ON cnt.source = r.source
+  WHERE r.rk <= CAST(floor(cnt.nc / 2.0) AS BIGINT)),
+export AS (
+  SELECT s.source, s.cluster_id AS doc_id, s.cluster_size,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS n
+  FROM sampled s JOIN documents d ON d.doc_id = s.cluster_id),
+c2 AS (
+  SELECT source, doc_id, cluster_size, n,
+         SUM(n) OVER (ORDER BY source, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM export)
+SELECT source, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum - n) // {_FILE_TOKEN_BUDGET} AS BIGINT) AS file_idx
+FROM c2
+    """,
+    "the curated-training-export pipeline END-TO-END as one gated "
+    "query (SURVEY round-9 #3): maintain dedup clusters in the store "
+    "(three manifest commits, frontier-contraction ingest), sample "
+    "half of each domain's CLUSTERS by deterministic md5 rank (the "
+    "family-level unit — one representative per near-dup family, no "
+    "quota-grab by big families), export each sampled cluster's "
+    "canonical min-id document, count its whitespace tokens, and "
+    "assign every exported doc its output shard by global running "
+    "token total in (source, doc_id) order — computed with the "
+    "two-pass distributed prefix sum (range partition + P-row driver "
+    "offsets, operators/prefix.py), NEVER a single-task global "
+    "window. This is the handoff artifact a tokenizer/packing stage "
+    "consumes: which docs survive curation, in what order, in which "
+    "~4096-token file. The oracle replays the entire chain — "
+    "closure, quota, token counts, sequential cumsum — so one hash "
+    "gates four composed operators. At 100 TB each stage keeps its "
+    "proven bound: O(frontier) cluster maintenance, |clusters|-"
+    "bounded quota windows, one range exchange for the shard "
+    "assignment.",
+)
+def quota_sampled_export_q(spark, sf_dir):
+    import shutil
+
+    from .functions.text import token_count
+    from .operators import dedup as DD
+    from .operators.prefix import prefix_sum
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_export_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(
+        spark, path, d.filter((src_num >= 7) & (src_num < 14))
+    )
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+    labels = DD.read_incremental_clusters(spark, path)
+
+    sampled = _quota_sampled_clusters(labels, d)
+    export = sampled.join(
+        d.select(F.col("doc_id").alias("cluster_id"), "text"), "cluster_id"
+    ).select(
+        "source",
+        F.col("cluster_id").alias("doc_id"),
+        "cluster_size",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    c = prefix_sum(export, ["source", "doc_id"], "n_tokens", out_col="cum_tokens")
+    return c.select(
+        "source",
+        "doc_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_FILE_TOKEN_BUDGET}").alias("file_idx"),
+    )
+
+
+@defquery(
+    "ops_dashboard_drift",
+    f"""
+    WITH dr AS MATERIALIZED (SELECT * FROM ({_ann_drift_sql()}) t)
+    SELECT 'ann' AS store_kind, 'cells' AS item, 'n_rows' AS metric,
+           CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'bm25', 'doclen', 'n_rows', CAST((SELECT count(*) FROM documents) AS DOUBLE)
+    UNION ALL
+    SELECT 'bm25', 'postings', 'n_rows',
+           CAST((SELECT count(*) FROM (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents))) AS DOUBLE)
+    UNION ALL
+    SELECT 'exact', 'fps', 'n_rows',
+           CAST((SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+            FROM documents) AS DOUBLE)
+    UNION ALL
+    SELECT 'ann', 'cell:' || CAST(cid AS VARCHAR), 'n_members',
+           CAST(n_members AS DOUBLE) FROM dr
+    UNION ALL
+    SELECT 'ann', 'cell:' || CAST(cid AS VARCHAR), 'occupancy_frac',
+           occupancy_frac FROM dr
+    UNION ALL
+    SELECT 'ann', 'cell:' || CAST(cid AS VARCHAR), 'drift2', drift2 FROM dr
+    """,
+    "the drift-EXTENDED ops pane (the last round-9 candidate): "
+    "store_ops_dashboard's table row counts reshaped to the generic "
+    "long-format metric schema (store_kind, item, metric, value) and "
+    "UNIONed with the per-cell ANN drift rows — member count, "
+    "occupancy share, and the exact integer-ratio squared mean "
+    "displacement vs the frozen quantizer — so ONE frame carries "
+    "both the growth/compaction signals and the retrain trigger, "
+    "keyed the way an alerting policy table actually matches rules. "
+    "The ANN store here ingests bootstrap-half then the rest, so "
+    "drift2 is genuinely nonzero (the frozen quantizer never saw the "
+    "second half). Oracle = the corpus-derived counts UNION the "
+    "ann_drift_monitor replay reshaped — one hash over heterogeneous "
+    "store families. Cost at 100 TB: metadata reads + one map-side-"
+    "combinable cells pass per monitored ANN store.",
+)
+def ops_dashboard_drift_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.retrieval import ann_index_ingest, bm25_index_ingest
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+
+    exact = _sink_dir("dash2_exact", sf_dir)
+    shutil.rmtree(exact, ignore_errors=True)
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num < 10))
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num >= 10))
+
+    bm25 = _sink_dir("dash2_bm25", sf_dir)
+    shutil.rmtree(bm25, ignore_errors=True)
+    bm25_index_ingest(spark, bm25, d.filter(src_num < 10))
+    bm25_index_ingest(spark, bm25, d.filter(src_num >= 10))
+
+    ann = _sink_dir("dash2_ann", sf_dir)
+    shutil.rmtree(ann, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") >= half))
+
+    return DD.store_ops_metrics(
+        spark,
+        [("exact", exact), ("bm25", bm25), ("ann", ann)],
+        ann_stores=[("ann", ann)],
+    )

@@ -2610,3 +2610,68 @@ def test_pmi_store_cdc_lifecycle(spark, docs, tmp_path):
             os.path.join(path, t, "batch=torn")
         )
     assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == full
+
+
+def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
+    # one call removes a victim set from the hybrid store, a cluster
+    # store and a vocab store; every family honors its own proven
+    # delete semantics and the fleet call is re-runnable (idempotent
+    # per store). Uses a small corpus slice to keep the three store
+    # builds cheap.
+    from libmr_spark.operators.dedup import (
+        dedup_incremental_clusters,
+        read_incremental_clusters,
+        read_incremental_store_asof,
+    )
+    from libmr_spark.operators.retrieval import HYBRID_TABLES, hybrid_index_ingest
+    from libmr_spark.operators.takedown import takedown_everywhere
+    from libmr_spark.operators.vocab import pmi_store_ingest, pmi_store_topk
+
+    d = docs.select("doc_id", "text").filter(F.col("doc_id") < 120)
+    de = d.join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+
+    hybrid = str(tmp_path / "t_hybrid")
+    hybrid_index_ingest(spark, hybrid, de)
+    cc = str(tmp_path / "t_cc")
+    dedup_incremental_clusters(spark, cc, d)
+    vocab = str(tmp_path / "t_vocab")
+    pmi_store_ingest(spark, vocab, d.withColumn("sign", F.lit(1)))
+
+    victims = d.filter(F.col("doc_id") % 5 == 2)
+    n_victims = victims.count()
+    audit = takedown_everywhere(
+        spark,
+        victims,
+        table_stores={"hybrid": (hybrid, HYBRID_TABLES)},
+        cluster_stores=[("clusters", cc)],
+        vocab_stores=[("vocab", vocab)],
+    )
+    assert audit["hybrid"] == n_victims
+    assert audit["clusters"] == n_victims
+    assert audit["vocab"] == n_victims
+
+    vids = {r.doc_id for r in victims.select("doc_id").collect()}
+    live = read_incremental_store_asof(spark, hybrid, "doclen")
+    assert not ({r.doc_id for r in live.select("doc_id").collect()} & vids)
+    labels = read_incremental_clusters(spark, cc)
+    assert not ({r.doc_id for r in labels.select("doc_id").collect()} & vids)
+    # vocab: the served ranking equals a store built from survivors only
+    fresh = str(tmp_path / "t_vocab_fresh")
+    pmi_store_ingest(
+        spark, fresh, d.join(victims.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("sign", F.lit(1))
+    )
+    got = {tuple(r) for r in pmi_store_topk(spark, vocab).collect()}
+    want = {tuple(r) for r in pmi_store_topk(spark, fresh).collect()}
+    assert got == want
+
+    # the fleet call is re-runnable: every store no-ops on the replay
+    audit2 = takedown_everywhere(
+        spark,
+        victims,
+        table_stores={"hybrid": (hybrid, HYBRID_TABLES)},
+        cluster_stores=[("clusters", cc)],
+        vocab_stores=[("vocab", vocab)],
+    )
+    assert audit2 == {"hybrid": 0, "clusters": 0, "vocab": 0}
+    assert {tuple(r) for r in pmi_store_topk(spark, vocab).collect()} == want

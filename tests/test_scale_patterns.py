@@ -641,3 +641,106 @@ def test_ann_store_random_interleaving_matches_model(spark, tmp_path):
         check(step, op)
 
     assert "retrain" in ops and "delete" in ops  # schedule exercised the hard ops
+
+
+def test_hybrid_store_random_interleaving_matches_model(spark, tmp_path):
+    # seeded randomized cross-check of the hybrid store's lifecycle —
+    # multi-table ingest / takedown / compact interleaved, the store
+    # served after every op — against (a) a pure-python membership
+    # model for every one of the four tables, and (b) a FROM-SCRATCH
+    # hybrid store rebuilt from the model's live docs, whose served
+    # three-leg RRF must match the interleaved store's exactly. A
+    # delete leaking postings, a compaction tearing one table ahead of
+    # another, or an ingest double-admitting after takedown would all
+    # diverge. (The ANN soak's protocol applied to the multi-table
+    # transaction.)
+    import os
+    import random
+    import shutil
+
+    from libmr_spark.operators.dedup import (
+        _manifest_read,
+        compact_incremental_store,
+        delete_from_incremental_store,
+    )
+    from libmr_spark.operators.retrieval import (
+        HYBRID_TABLES,
+        hybrid_index_ingest,
+        hybrid_index_rrf,
+    )
+    from libmr_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = docs.join(emb, "doc_id").localCheckpoint(eager=True)
+    all_ids = sorted(r.doc_id for r in de.select("doc_id").collect())
+
+    qt = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "scan")],
+        "query_id int, token string",
+    )
+    qv = emb.filter(F.col("doc_id").isin([1, 2])).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+
+    store = str(tmp_path / "hybrid_model_store")
+    fresh = str(tmp_path / "hybrid_fresh")
+    live: set = set()
+    rng = random.Random(11)
+
+    def table_ids(path, table):
+        tags = _manifest_read(os.path.join(path, "_BATCHES"), None)
+        df = spark.read.parquet(
+            *[os.path.join(path, table, f"batch={t}") for t in tags]
+        )
+        return {r.doc_id for r in df.select("doc_id").distinct().collect()}
+
+    def check(step, op):
+        for t in HYBRID_TABLES:
+            assert table_ids(store, t) == live, (step, op, t)
+        shutil.rmtree(fresh, ignore_errors=True)
+        hybrid_index_ingest(spark, fresh, de.filter(F.col("doc_id").isin(sorted(live))))
+        got = {
+            tuple(r)
+            for r in hybrid_index_rrf(spark, store, qt, qv, shortlist=20, k=5).collect()
+        }
+        want = {
+            tuple(r)
+            for r in hybrid_index_rrf(spark, fresh, qt, qv, shortlist=20, k=5).collect()
+        }
+        assert got == want, (step, op)
+
+    ops = []
+    for step in range(8):
+        op = rng.choice(["ingest", "ingest", "ingest", "delete", "compact"])
+        if not live and op != "ingest":
+            op = "ingest"
+        ops.append(op)
+        if op == "ingest":
+            ids = rng.sample(all_ids, rng.randint(10, 80))
+            admitted = {
+                r.doc_id
+                for r in hybrid_index_ingest(
+                    spark, store, de.filter(F.col("doc_id").isin(ids))
+                ).collect()
+            }
+            assert admitted == {i for i in ids if i not in live}, (step, op)
+            live.update(ids)
+        elif op == "delete":
+            victims = rng.sample(sorted(live), rng.randint(1, min(25, len(live))))
+            ndel = delete_from_incremental_store(
+                spark, store, victims, id_col="doc_id", tables=HYBRID_TABLES
+            )
+            assert ndel == len(victims), (step, op)
+            live.difference_update(victims)
+        else:
+            compact_incremental_store(
+                spark, store, tables=HYBRID_TABLES,
+                cluster_by={"postings": ["token"]},
+            )
+        check(step, op)
+
+    assert "delete" in ops and "compact" in ops
