@@ -2002,15 +2002,26 @@ def dedup_incremental_spans(
             *[os.path.join(paths["windows"], f"batch={t}") for t in tags]
         )
         uniq = uniq.join(stored_win.select(id_col).distinct(), id_col, "left_anti")
-    # persist, NOT localCheckpoint: a checkpointed frame freezes its
-    # output partitioning into a LogicalRDD, and joining two such
-    # frames lets Catalyst skip an exchange it actually needs — the
-    # shuffle-join zip then throws "Can't zip RDDs with unequal
-    # numbers of partitions". Nothing in this operator reads its own
-    # output before the publish, so lazy lineage is safe; persist just
-    # avoids re-tokenizing across the four readers.
-    win_new = _span_windows(uniq, id_col, text_col).persist()
-    full_win = stored_win.unionByName(win_new) if tags else win_new
+    # Write the batch's window postings FIRST, then re-read them and
+    # derive every downstream frame from parquet scans. This breaks
+    # the lineage through the filesystem: no persisted/checkpointed
+    # frame carries a frozen output partitioning into a later join, so
+    # the "Can't zip RDDs with unequal numbers of partitions" shuffle-
+    # join hazard (seen when session shuffle-partition config changes
+    # between materialization and reuse) is structurally impossible —
+    # both self-join branches are plain scans Catalyst exchanges
+    # freshly. Commit protocol is unchanged: the manifest publish
+    # stays last, so a crash after this write leaves only an orphan
+    # batch directory no reader ever sees. Tokenize-once amortization
+    # is preserved (windows are computed once, read back thereafter).
+    tag = uuid.uuid4().hex
+    _span_windows(uniq, id_col, text_col).write.mode("overwrite").parquet(
+        os.path.join(paths["windows"], f"batch={tag}")
+    )
+    win_new = spark.read.parquet(os.path.join(paths["windows"], f"batch={tag}"))
+    full_win = spark.read.parquet(
+        *[os.path.join(paths["windows"], f"batch={t}") for t in [*tags, tag]]
+    )
 
     # docs whose spans may change: any holder of a hash the batch made
     # (or found) shared. New docs recompute unconditionally.
@@ -2025,13 +2036,6 @@ def dedup_incremental_spans(
     affected = (
         full_win.join(shared_new, "h", "left_semi").select(id_col).distinct()
     )
-    # NOTE no localCheckpoint here: joining two checkpointed frames
-    # lets Catalyst reuse their frozen output partitionings, and a
-    # shuffle-join zip of mismatched partition counts throws
-    # ("Can't zip RDDs with unequal numbers of partitions") — the
-    # recompute set is cheap to re-derive and self-reference-free, so
-    # lazy re-evaluation is safe (everything it reads predates the
-    # publish).
     recompute = affected.unionByName(win_new.select(id_col).distinct()).distinct()
 
     # duplicated windows of the recompute set, judged against the FULL
@@ -2048,8 +2052,6 @@ def dedup_incremental_spans(
         rw.join(shared_all, "h", "left_semi").select(id_col, "i"), id_col
     ).persist()
 
-    tag = uuid.uuid4().hex
-    win_new.write.mode("overwrite").parquet(os.path.join(paths["windows"], f"batch={tag}"))
     spans.write.mode("overwrite").parquet(os.path.join(paths["revspans"], f"batch={tag}"))
     recompute.write.mode("overwrite").parquet(os.path.join(paths["revdocs"], f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])

@@ -312,8 +312,26 @@ def ann_index_ingest(
         # centroids; the winner's _CENTROIDS can never be clobbered
         # after a batch referencing it is published.
         if store_int8:
-            # ANSI cast = the range guard: an out-of-int8 code throws
-            assigned = assigned.withColumn("v", F.col("v").cast("array<tinyint>"))
+            # explicit per-element range guard: an out-of-int8 code
+            # raises regardless of session config (an ANSI cast also
+            # throws, but spark.sql.ansi.enabled=false would silently
+            # wrap and corrupt codes — don't depend on it)
+            assigned = assigned.withColumn(
+                "v",
+                F.transform(
+                    "v",
+                    lambda x: F.when(
+                        (x >= -128) & (x <= 127), x.cast("tinyint")
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit("int8 ANN code out of range: "),
+                                x.cast("string"),
+                            )
+                        ).cast("tinyint")
+                    ),
+                ),
+            )
         assigned = assigned.localCheckpoint(eager=True)
         tag = uuid.uuid4().hex
         assigned.write.mode("overwrite").parquet(
@@ -661,6 +679,12 @@ def rrf_fusion(
     rrf(d) = Σ_legs 1/(c + rank_leg(d)). All three leg rankings are
     computed over the SAME shortlist, so every candidate carries all
     three ranks (fusion of full rankings — no missing-leg convention).
+
+    Coverage precondition: ``dvec`` and ``prefixes`` must cover every
+    doc the BM25 shortlist can surface (guaranteed for the hybrid
+    store, whose four tables commit together). For ad-hoc callers with
+    partial side tables, the inner joins DROP a shortlist doc missing
+    either leg — supply full-coverage tables or pre-filter the corpus.
 
     Exactness: each 1/(c+rank) term is one IEEE division of exact
     small ints and the 3-term sum is written in the identical

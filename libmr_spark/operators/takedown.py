@@ -57,7 +57,10 @@ def takedown_everywhere(
 
     from .vocab import pmi_store_ingest
 
-    ids = [r[0] for r in victims.select(id_col).distinct().collect()]
+    # every family delete accepts an id DataFrame — never collect the
+    # victim set to the driver (a takedown batch can be arbitrarily
+    # large; the deletes anti-join it distributed)
+    ids = victims.select(id_col).distinct()
     audit: dict = {}
     for name, (path, tables) in (table_stores or {}).items():
         audit[name] = DD.delete_from_incremental_store(

@@ -99,7 +99,9 @@ def pmi_store_ingest(
     ev = ev.localCheckpoint(eager=True)
     from ..queries_pipeline import _pmi_counts
 
-    uni, bi = _pmi_counts(ev, sign_col="sign")
+    # _pmi_counts tokenizes the column literally named "text" — rename
+    # (no-op at the default) so a custom text_col tokenizes correctly.
+    uni, bi = _pmi_counts(ev.withColumnRenamed(text_col, "text"), sign_col="sign")
     tag = uuid.uuid4().hex
     uni.write.mode("overwrite").parquet(os.path.join(store_path, "uni", f"batch={tag}"))
     bi.write.mode("overwrite").parquet(os.path.join(store_path, "bi", f"batch={tag}"))
@@ -135,6 +137,33 @@ def pmi_store_topk(spark, store_path: str) -> DataFrame:
     return _pmi_topk_from_counts(uni, bi)
 
 
+def vocab_net_counts(spark, store_path: str) -> tuple:
+    """Serve the store's NET token statistics: (unigram, bigram)
+    frames with the signed deltas summed per key and zero-net rows
+    (fully retracted words/bigrams) dropped — exactly the counts a
+    from-scratch tokenize over the surviving corpus produces, which is
+    what makes this the takedown-audit serving read (the cross-store
+    gate hashes these against the survivors-only oracle). One
+    map-side-combinable groupBy-SUM per table, vocab-bounded."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, _PARAMS)
+    if not tags:
+        raise ValueError(f"empty vocab store at {store_path} (no committed batches)")
+    uni = (
+        _read_table(spark, store_path, "uni", tags)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+    bi = (
+        _read_table(spark, store_path, "bi", tags)
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") != 0)
+    )
+    return uni, bi
+
+
 def compact_vocab_store(spark, store_path: str) -> int:
     """Fold the signed deltas to NET counts — the vocab store's
     compaction, which (unlike the union-rewrite the signature stores
@@ -158,8 +187,11 @@ def compact_vocab_store(spark, store_path: str) -> int:
             return (
                 df.groupBy("a", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
             )
+        # the docs log is (id_col, sign) — read the id column off the
+        # schema so stores ingested with a custom id_col compact too
+        key = next(c for c in df.columns if c != "sign")
         return (
-            df.groupBy("doc_id")
+            df.groupBy(key)
             .agg(F.sum("sign").cast("int").alias("sign"))
             .filter(F.col("sign") != 0)
         )

@@ -3554,55 +3554,69 @@ _DRIVER_CHECKED: set[str] = {
     # sink_* etc. — were already members from rounds 1-6; their
     # newest-row bookkeeping lives in scripts/update_rotation.py's
     # file scan, not here.)
+    # round 8 (CORRECTNESS_r08.json) — 50/50 hash-green (the 31
+    # round-7 additions + 19 re-proof rows; names new to this set):
+    "ann_index_incremental", "bm25_cosine_rerank",
+    "bm25_index_incremental", "bm25_topk",
+    "boilerplate_ngram_coverage", "bpe_train_merges",
+    "collocation_pmi_top", "dataset_card_stats",
+    "dedup_incremental_embedding_int8",
+    "dedup_incremental_minhash_compacted",
+    "dedup_incremental_minhash_deleted", "embedding_pca_power",
+    "events_ohlc_hourly", "feature_pit_assembly",
+    "filter_cascade_audit", "fuzzy_match_parts_blocked",
+    "incremental_agg_retract", "incremental_store_time_travel",
+    "knn_ivf_exact", "knn_lsh_candidates", "knn_pq_adc",
+    "mixture_temperature_weights", "quality_classifier_hashed",
+    "quality_weighted_sample", "semantic_dedup_kmeans",
+    "sequence_packing_subword", "streaming_agg_retract",
+    "streaming_bm25_index", "streaming_incremental_embedding",
+    "streaming_late_data_accounting", "token_id_encoding",
 }
 
 
-# ROUND-9 ROTATION PLAN (mechanical): after CORRECTNESS_r08.json lands,
-# run `scripts/update_rotation.py CORRECTNESS_r08.json [older ones...]`
-# — it prints the names to append to _DRIVER_CHECKED AND the exact
-# next 50-slot _NEWEST window, ready to paste: (a) any r08 failures,
-# (b) the TEN round-8 additions (exported after position 50 this
-# round, so they gate in round 9: bm25_index_deleted,
-# ann_index_deleted, ann_index_retrained, streaming_ohlc_hourly,
-# fuzzy_match_parts_multipass, dedup_substring_spans,
-# dedup_substring_rewrite, retrieval_recall_eval,
-# dedup_clusters_incremental, dedup_clusters_deleted — all
-# oracle-verified at sf0.01 in round 8), and (c) backfill to 50 with
-# the next-oldest _DRIVER_CHECKED rows (the remaining round-4-era
-# names).
+# ROUND-10 ROTATION PLAN (mechanical): after CORRECTNESS_r09.json
+# lands, run `scripts/update_rotation.py CORRECTNESS_r09.json` — it
+# prints the names to append to _DRIVER_CHECKED AND the exact next
+# 50-slot _NEWEST window, ready to paste: (a) any r09 failures, (b)
+# round-9 additions that exported after position 50 this round, (c)
+# backfill to 50 with the oldest _DRIVER_CHECKED rows.
 #
-# Round-8 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Round 7 went 50/50 hash-green.  This round
-# gates: (a) the 31 round-7 additions that have never had a driver row
-# — all 31 judge-verified hash-PASS in VERDICT r7's independent
-# 600s sweep; (b) 19 re-proof slots: the 10 remaining round-3-era
-# names, then the oldest round-4-era rows, in update_rotation.py's
+# Round-9 priority window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 8 went 50/50 hash-green.  This round
+# gates: (a) the 33 round-8 additions that have never had a driver row
+# — all 33 judge-verified hash-PASS in VERDICT r8's independent
+# sweep; (b) the 3 round-9 additions (cross-store takedown audit,
+# streaming ops feed, export manifest); (c) 14 re-proof slots: the
+# oldest round-1-era _DRIVER_CHECKED rows, in update_rotation.py's
 # deterministic order.
 _NEWEST = [
-    # (a) never driver-gated: round-7 additions (31), export order
-    "sequence_packing_subword", "dedup_incremental_embedding_int8",
-    "knn_lsh_candidates", "dedup_incremental_minhash_compacted",
-    "token_id_encoding", "quality_classifier_hashed",
-    "streaming_incremental_embedding", "boilerplate_ngram_coverage",
-    "incremental_agg_retract", "dedup_incremental_minhash_deleted",
-    "streaming_agg_retract", "incremental_store_time_travel",
-    "mixture_temperature_weights", "semantic_dedup_kmeans",
-    "streaming_late_data_accounting", "feature_pit_assembly",
-    "filter_cascade_audit", "dataset_card_stats", "knn_pq_adc",
-    "quality_weighted_sample", "fuzzy_match_parts_blocked",
-    "knn_ivf_exact", "embedding_pca_power", "bm25_topk",
-    "bpe_train_merges", "events_ohlc_hourly", "bm25_index_incremental",
-    "streaming_bm25_index", "ann_index_incremental",
-    "bm25_cosine_rerank", "collocation_pmi_top",
-    # (b) oldest re-proof — round-3-era rows (10), then round-4 era (9)
-    "text_unigram_logprob", "tfidf_top_terms", "dup_rate_by_source",
-    "embedding_quantize_int8", "embedding_norm_stats",
-    "streaming_topk_event_types", "events_gap_fill_ffill",
-    "streaming_stream_static_join", "percentiles_by_type",
-    "stats_corr_covar",
-    "kv_scan", "kv_map_type", "kv_filter_string", "kv_count",
-    "kv_reshuffle_rmw", "kv_point_lookup", "kv_dbsize_sum",
-    "q1_pricing_summary", "q3_shipping_priority",
+    # (a) never driver-gated: round-8 additions (33), export order
+    "dedup_substring_spans", "dedup_spans_incremental",
+    "dedup_spans_deleted", "dedup_substring_rewrite",
+    "dedup_clusters_incremental", "cluster_store_time_travel",
+    "dedup_clusters_deleted", "streaming_ohlc_hourly",
+    "streaming_snm_er", "fuzzy_match_parts_multipass",
+    "retrieval_recall_eval", "bm25_ndcg_eval", "bm25_index_deleted",
+    "ann_index_deleted", "ann_drift_monitor", "streaming_drift_retrain",
+    "ann_index_retrained", "crossencoder_rerank", "hybrid_rrf_fusion",
+    "streaming_dedup_clusters", "store_ops_dashboard", "ann_index_int8",
+    "hybrid_store_rrf", "hybrid_store_deleted", "mmr_diversity_rerank",
+    "collocation_pmi_incremental", "collocation_pmi_retracted",
+    "cluster_quota_sample", "streaming_hybrid_index", "hybrid_store_mmr",
+    "collocation_pmi_compacted", "quota_sampled_export",
+    "ops_dashboard_drift",
+    # (b) round-9 additions (3)
+    "takedown_everywhere_audit", "streaming_ops_metrics",
+    "quota_export_manifest",
+    # (c) oldest re-proof — round-1-era rows (14)
+    "join_broadcast_dims", "outer_join_order_counts",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders", "distinct_and_approx",
+    "rollup_qty", "cube_qty", "grouping_sets_status_priority",
+    "window_topk_per_group", "window_running_sum", "window_lag_lead",
+    "window_range_frame", "orderby_limit_topk",
+    "setop_union_intersect_except",
 ]
 
 

@@ -6126,6 +6126,13 @@ FROM c2
     "assignment.",
 )
 def quota_sampled_export_q(spark, sf_dir):
+    return _quota_export_frame(spark, sf_dir, "cc_export_store")
+
+
+def _quota_export_frame(spark, sf_dir, store_dirname):
+    """The curated-export chain (cluster store → quota sample → token
+    counts → prefix-sum shard assignment), shared by
+    quota_sampled_export and the export-manifest query."""
     import shutil
 
     from .functions.text import token_count
@@ -6133,7 +6140,7 @@ def quota_sampled_export_q(spark, sf_dir):
     from .operators.prefix import prefix_sum
     from .queries_ext import _sink_dir
 
-    path = _sink_dir("cc_export_store", sf_dir)
+    path = _sink_dir(store_dirname, sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     d = _t(spark, sf_dir, "documents")
     src_num = F.substring("source", 4, 10).cast("int")
@@ -6239,3 +6246,374 @@ def ops_dashboard_drift_q(spark, sf_dir):
         [("exact", exact), ("bm25", bm25), ("ann", ann)],
         ann_stores=[("ann", ann)],
     )
+
+
+# ------------------------------------------------------------------
+# 30. Round 9: fleet-level takedown under the driver hash, the
+#     streaming ops feed, and the export manifest (dataset card).
+# ------------------------------------------------------------------
+
+_TDE_VICTIM = "doc_id % 9 = 4"
+
+
+@defquery(
+    "takedown_everywhere_audit",
+    f"""
+WITH RECURSIVE
+fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS doc_id
+  FROM documents GROUP BY 1),
+ctoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE NOT ({_TDE_VICTIM})),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM ctoks),
+cex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM csh),
+cpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cex a JOIN cex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6),
+cedges AS (SELECT id_a AS u, id_b AS v FROM cpairs UNION SELECT id_b, id_a FROM cpairs),
+creach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents WHERE NOT ({_TDE_VICTIM})
+  UNION
+  SELECT e.v, creach.r FROM creach JOIN cedges e ON e.u = creach.v),
+clabels AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM creach GROUP BY v),
+snorm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE NOT ({_TDE_VICTIM})),
+swin AS (
+  SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+  FROM snorm,
+       unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+sshared AS (SELECT w FROM swin GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+sdup AS (SELECT doc_id, i FROM swin JOIN sshared USING (w)),
+sisl AS (
+  SELECT doc_id, i,
+         i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+  FROM sdup),
+spans AS (
+  SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+         CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+         CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM sisl GROUP BY doc_id, grp),
+vtoks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS ws
+  FROM documents WHERE NOT ({_TDE_VICTIM})),
+vuni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM vtoks) GROUP BY w),
+vbi AS (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b
+    FROM vtoks, unnest(range(1, greatest(len(ws)-1, 0)+1)) u(i))
+  GROUP BY a, b)
+SELECT 'audit:cluster' AS store_kind, 'deleted' AS key,
+       CAST((SELECT count(*) FROM documents WHERE {_TDE_VICTIM}) AS BIGINT) AS val
+UNION ALL SELECT 'audit:exact', 'deleted',
+       (SELECT count(*) FROM fp WHERE {_TDE_VICTIM})
+UNION ALL SELECT 'audit:span', 'deleted',
+       (SELECT count(*) FROM documents WHERE {_TDE_VICTIM})
+UNION ALL SELECT 'audit:vocab', 'deleted',
+       (SELECT count(*) FROM documents WHERE {_TDE_VICTIM})
+UNION ALL SELECT 'exact', fp, doc_id FROM fp WHERE NOT ({_TDE_VICTIM})
+UNION ALL SELECT 'cluster', CAST(doc_id AS VARCHAR), cluster_id FROM clabels
+UNION ALL SELECT 'span',
+       concat_ws(':', CAST(doc_id AS VARCHAR), CAST(span_start AS VARCHAR),
+                 CAST(span_end AS VARCHAR), CAST(span_chars AS VARCHAR)),
+       n_windows
+  FROM spans
+UNION ALL SELECT 'vocab:uni', w, CAST(c AS BIGINT) FROM vuni
+UNION ALL SELECT 'vocab:bi', a || ' ' || b, CAST(c AS BIGINT) FROM vbi
+    """,
+    "fleet-level right-to-be-forgotten under ONE driver hash (SURVEY "
+    "round-9 #3): takedown_everywhere routes a single victim set to "
+    "every store family's proven delete — table-style fingerprint "
+    "rewrite, cluster scoped-CC recompute (deletes split components), "
+    "span cut-list recompute (survivors' spans SHRINK), vocab CDC "
+    "count subtraction — and this query unions the per-store audit "
+    "counts WITH each family's served post-takedown state: surviving "
+    "fingerprints, cluster labels, span rows, net uni/bigram counts. "
+    "Oracle = from-scratch rebuilds over the corpus minus victims "
+    "per family, so one hash proves (a) every family deleted exactly "
+    "the victim rows, (b) every family's decremental semantics "
+    "(splits, un-sharing, subtraction) re-served correctly, and (c) "
+    "the audit counts the compliance log records are the true "
+    "deletion counts. At 100 TB each family keeps its own proven "
+    "bound; the victim set stays a DataFrame end-to-end (anti-joins, "
+    "never a driver collect).",
+)
+def takedown_everywhere_audit_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.takedown import takedown_everywhere
+    from .operators.vocab import pmi_store_ingest, vocab_net_counts
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    stores = {k: _sink_dir(f"tde_{k}", sf_dir) for k in ("exact", "cluster", "span", "vocab")}
+    for p in stores.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+    DD.dedup_incremental_exact(spark, stores["exact"], d)
+    DD.dedup_incremental_clusters(spark, stores["cluster"], d.filter(src_num < 10))
+    DD.dedup_incremental_clusters(spark, stores["cluster"], d.filter(src_num >= 10))
+    DD.dedup_incremental_spans(spark, stores["span"], d.filter(src_num < 10))
+    DD.dedup_incremental_spans(spark, stores["span"], d.filter(src_num >= 10))
+    pmi_store_ingest(
+        spark, stores["vocab"], d.select("doc_id", "text").withColumn("sign", F.lit(1))
+    )
+
+    victims = d.filter(F.col("doc_id") % 9 == 4).select("doc_id", "text")
+    audit = takedown_everywhere(
+        spark,
+        victims,
+        table_stores={"exact": (stores["exact"], ("fps",))},
+        cluster_stores=[("cluster", stores["cluster"])],
+        span_stores=[("span", stores["span"])],
+        vocab_stores=[("vocab", stores["vocab"])],
+    )
+
+    out = spark.createDataFrame(
+        [(f"audit:{k}", "deleted", int(v)) for k, v in sorted(audit.items())],
+        "store_kind string, key string, val bigint",
+    )
+    exact_served = DD.read_incremental_store_asof(spark, stores["exact"], "fps").select(
+        F.lit("exact").alias("store_kind"),
+        F.col("fp").alias("key"),
+        F.col("doc_id").cast("bigint").alias("val"),
+    )
+    cluster_served = DD.read_incremental_clusters(spark, stores["cluster"]).select(
+        F.lit("cluster").alias("store_kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("cluster_id").cast("bigint").alias("val"),
+    )
+    span_served = DD.read_incremental_spans(spark, stores["span"]).select(
+        F.lit("span").alias("store_kind"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("span_start").cast("string"),
+            F.col("span_end").cast("string"),
+            F.col("span_chars").cast("string"),
+        ).alias("key"),
+        F.col("n_windows").cast("bigint").alias("val"),
+    )
+    uni, bi = vocab_net_counts(spark, stores["vocab"])
+    vocab_served = uni.select(
+        F.lit("vocab:uni").alias("store_kind"),
+        F.col("w").alias("key"),
+        F.col("c").cast("bigint").alias("val"),
+    ).unionByName(
+        bi.select(
+            F.lit("vocab:bi").alias("store_kind"),
+            F.concat_ws(" ", "a", "b").alias("key"),
+            F.col("c").cast("bigint").alias("val"),
+        )
+    )
+    return (
+        out.unionByName(exact_served)
+        .unionByName(cluster_served)
+        .unionByName(span_served)
+        .unionByName(vocab_served)
+    )
+
+
+def _ops_prefix_sql(k: int, hi: int) -> str:
+    """Corpus-prefix replay of the three maintained metric rows after
+    the k-th micro-batch (docs with src < hi committed)."""
+    w = f"CAST(substr(source, 4) AS INT) < {hi}"
+    return f"""
+SELECT {k} AS batch_seq, 'exact' AS store_kind, 'fps' AS item, 'n_rows' AS metric,
+       CAST((SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+             FROM documents WHERE {w}) AS DOUBLE) AS value
+UNION ALL
+SELECT {k}, 'bm25', 'doclen', 'n_rows',
+       CAST((SELECT count(*) FROM documents WHERE {w}) AS DOUBLE)
+UNION ALL
+SELECT {k}, 'bm25', 'postings', 'n_rows',
+       CAST((SELECT count(*) FROM (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE {w}))) AS DOUBLE)
+    """
+
+
+@defquery(
+    "streaming_ops_metrics",
+    "\nUNION ALL\n".join(_ops_prefix_sql(k + 1, 5 * (k + 1)) for k in range(4)),
+    "the ops dashboard as a continuously-MAINTAINED table, not a "
+    "read (SURVEY round-9 #1): documents stream in as four source-"
+    "ordered chunks (maxFilesPerTrigger=1), every micro-batch ingests "
+    "into the exact-fingerprint store AND the BM25 index store, then "
+    "emits store_ops_metrics' long-format rows (store_kind, item, "
+    "metric, value) stamped with the store's own committed-batch "
+    "count as batch_seq — the manifest IS the clock, so a replayed "
+    "micro-batch stamps the same seq and overwrite-by-seq keeps the "
+    "feed idempotent. The result is the full metrics HISTORY: what "
+    "an alerting system tails to see n_rows growth per commit, not "
+    "just the final pane. Oracle = the batch replay at every prefix "
+    "(counts over docs with src < 5k for k=1..4), so the hash proves "
+    "every intermediate snapshot the feed recorded equals the state "
+    "a from-scratch dashboard read would have seen at that commit — "
+    "micro-batch boundaries land exactly on the store's commit "
+    "points. At 100 TB the per-batch cost is the dashboard's "
+    "metadata reads + one count per table; the feed table is "
+    "(stores x tables x commits) rows — metadata-sized.",
+)
+def streaming_ops_metrics_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .operators.retrieval import bm25_index_ingest
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_ops_in", sf_dir)
+    exact = _sink_dir("stream_ops_exact", sf_dir)
+    bm25 = _sink_dir("stream_ops_bm25", sf_dir)
+    feed = _sink_dir("stream_ops_feed", sf_dir)
+    for p in (srcdir, exact, bm25, feed):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    src_num = F.substring("source", 4, 10).cast("int")
+    base_t = 1_700_000_000
+    for k in range(4):
+        chunk = d.filter((src_num >= 5 * k) & (src_num < 5 * (k + 1)))
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))  # oldest-first order
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        DD.dedup_incremental_exact(s, exact, bdf)
+        bm25_index_ingest(s, bm25, bdf)
+        # the store's committed-batch count is the feed's clock: a
+        # checkpoint-replayed micro-batch re-stamps the same seq, and
+        # the per-seq overwrite makes re-emission idempotent
+        seq = DD.incremental_store_stats(s, exact)["n_batches"]
+        DD.store_ops_metrics(s, [("exact", exact), ("bm25", bm25)]).withColumn(
+            "batch_seq", F.lit(seq)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(feed, f"seq={seq}")
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_ops_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(feed).select(
+        F.col("batch_seq").cast("int").alias("batch_seq"),
+        "store_kind",
+        "item",
+        "metric",
+        "value",
+    )
+
+
+@defquery(
+    "quota_export_manifest",
+    f"""
+SELECT file_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(bit_xor(CAST(('0x' || substr(md5(
+           concat_ws('|', CAST(doc_id AS VARCHAR), source,
+                     CAST(cluster_size AS VARCHAR), CAST(n_tokens AS VARCHAR),
+                     CAST(cum_tokens AS VARCHAR))),
+           1, 15)) AS UBIGINT)) AS BIGINT) AS content_hash
+FROM ({{EXPORT_SQL}}) exp
+GROUP BY file_idx
+    """,
+    "the export MANIFEST / lineage artifact (SURVEY round-9 #2): the "
+    "curated export runs end-to-end (cluster store → md5 half-quota → "
+    "canonical docs → token counts → prefix-sum shard assignment), "
+    "the exported rows land partitioned by output shard under "
+    "files/batch=<tag>, and a per-shard manifest row — doc count, "
+    "token total, and an order-free XOR-fold of each row's 60-bit "
+    "canonical-string md5 (table_audit_hash's proven formula) — "
+    "commits under the SAME _BATCHES protocol every store uses, "
+    "manifest last, so the dataset-card artifact and the data it "
+    "describes become visible together or not at all. Serving reads "
+    "the committed manifest table back from the store (the hash "
+    "gates the round-trip, not a driver-side copy). Oracle replays "
+    "the whole export chain AND recomputes every shard's content "
+    "hash from the corpus — a consumer can re-verify any shard "
+    "against its manifest row forever, which is the lineage contract "
+    "a training run's data card needs. At 100 TB: one extra "
+    "map-side-combinable aggregate over the exported rows; the "
+    "manifest is |shards| rows.",
+)
+def quota_export_manifest_q(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from .operators.dedup import _manifest_publish, _manifest_read
+    from .queries_ext import _sink_dir
+
+    store = _sink_dir("export_manifest_store", sf_dir)
+    shutil.rmtree(store, ignore_errors=True)
+
+    exp = _quota_export_frame(spark, sf_dir, "cc_export_manifest_cc").localCheckpoint(
+        eager=True
+    )
+    tag = uuid.uuid4().hex
+    exp.write.mode("overwrite").partitionBy("file_idx").parquet(
+        os.path.join(store, "files", f"batch={tag}")
+    )
+    row_str = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("source"),
+        F.col("cluster_size").cast("string"),
+        F.col("n_tokens").cast("string"),
+        F.col("cum_tokens").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    manifest_rows = exp.groupBy("file_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.bit_xor(h60).cast("bigint").alias("content_hash"),
+    )
+    manifest_rows.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store, "manifest", f"batch={tag}")
+    )
+    params = {"kind": "export-manifest"}
+    _manifest_publish(os.path.join(store, "_BATCHES"), params, add_tags=[tag])
+
+    tags = _manifest_read(os.path.join(store, "_BATCHES"), params)
+    return spark.read.parquet(
+        *[os.path.join(store, "manifest", f"batch={t}") for t in tags]
+    ).select("file_idx", "n_docs", "sum_tokens", "content_hash")
+
+
+# the manifest oracle wraps the registered export oracle verbatim —
+# one source of truth for the export chain's SQL
+QUERIES["quota_export_manifest"].sql = QUERIES["quota_export_manifest"].sql.replace(
+    "{EXPORT_SQL}", QUERIES["quota_sampled_export"].sql
+)

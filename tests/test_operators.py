@@ -1896,11 +1896,12 @@ def test_bm25_topk_ranking_semantics(spark, sf_dir):
         assert {r.doc_id for r in rs} <= hit_docs
 
     # determinism across plans: same result at a different partitioning
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         again = {(r.query_id, r.rank, r.doc_id, r.score) for r in bm25_topk_q(spark, sf_dir).collect()}
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     assert again == {(r.query_id, r.rank, r.doc_id, r.score) for r in rows}
 
 
@@ -2382,6 +2383,40 @@ def test_incremental_spans_revisions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty span store"):
         DD.read_incremental_spans(spark, str(tmp_path / "nope"))
+
+
+def test_incremental_spans_survives_shuffle_config_change(spark, tmp_path):
+    # regression (round-8 verdict): with the session's
+    # spark.sql.shuffle.partitions changed between batches, the old
+    # persisted/self-unioned lineage could plan a shuffle-join zip of
+    # mismatched partition counts ("Can't zip RDDs with unequal
+    # numbers of partitions"). The operator now re-derives every frame
+    # from parquet scans, so it must be green at ANY session config —
+    # exercise ingest at 8, then 32, then serve at 64.
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows1 = [(1, base + " tailone " + "x" * 40), (2, "unrelated " + "y" * 80)]
+    rows2 = [(3, base + " tailthree " + "z" * 40)]
+    store = str(tmp_path / "span_store_cfg")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        DD.dedup_incremental_spans(
+            spark, store, spark.createDataFrame(rows1, "doc_id long, text string")
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        r2 = DD.dedup_incremental_spans(
+            spark, store, spark.createDataFrame(rows2, "doc_id long, text string")
+        )
+        assert {r.doc_id for r in r2.collect()} == {1, 3}
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        assert {
+            r.doc_id for r in DD.read_incremental_spans(spark, store).collect()
+        } == {1, 3}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_span_store_delete_unshares_and_compaction(spark, tmp_path):
