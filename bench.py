@@ -205,7 +205,77 @@ HEADLINE = [
     "collocation_pmi_compacted",
     "quota_sampled_export",
     "ops_dashboard_drift",
+    # round-9 additions (fleet takedown, streaming ops feed, export
+    # manifest, fleet snapshot, policy maintenance)
+    "takedown_everywhere_audit",
+    "streaming_ops_metrics",
+    "quota_export_manifest",
+    "fleet_snapshot_reads",
+    "policy_maintenance_pass",
+    # perf-set member: its wall is the 5 training rounds + the encode
+    # pass (plan work); the store machinery is two manifest commits
+    "bpe_store_encode_pinned",
+    "quota_export_diff",
+    "ann_index_filtered",
 ]
+
+# Store-LIFECYCLE queries: each one bootstraps a manifest store with
+# multiple commits and then drives rewrites/deletes/serves (or drains a
+# file stream through foreachBatch into such a store). At toy SF their
+# wall is dominated by commit machinery — manifest swaps, per-batch
+# parquet writes, checkpoints — not by query-plan work, so they are
+# REPORTED separately and excluded from the perf gate total (VERDICT r8
+# #7: 38 such soaks were drowning the 2x signal). The perf set below
+# (HEADLINE minus this) is what the cross-round 2x gate tracks.
+LIFECYCLE = {
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_compacted",
+    "dedup_incremental_minhash_deleted",
+    "dedup_incremental_embedding",
+    "dedup_incremental_embedding_int8",
+    "incremental_store_time_travel",
+    "incremental_agg_retract",
+    "streaming_incremental_dedup",
+    "streaming_incremental_embedding",
+    "streaming_agg_retract",
+    "streaming_bm25_index",
+    "bm25_index_incremental",
+    "bm25_index_deleted",
+    "ann_index_incremental",
+    "ann_index_deleted",
+    "ann_index_retrained",
+    "ann_index_int8",
+    "ann_drift_monitor",
+    "streaming_drift_retrain",
+    "streaming_ohlc_hourly",
+    "streaming_snm_er",
+    "streaming_dedup_clusters",
+    "streaming_hybrid_index",
+    "dedup_clusters_incremental",
+    "dedup_clusters_deleted",
+    "cluster_store_time_travel",
+    "dedup_spans_incremental",
+    "dedup_spans_deleted",
+    "dedup_substring_rewrite",
+    "hybrid_store_rrf",
+    "hybrid_store_deleted",
+    "hybrid_store_mmr",
+    "collocation_pmi_incremental",
+    "collocation_pmi_retracted",
+    "collocation_pmi_compacted",
+    "cluster_quota_sample",
+    "quota_sampled_export",
+    "store_ops_dashboard",
+    "ops_dashboard_drift",
+    "takedown_everywhere_audit",
+    "streaming_ops_metrics",
+    "quota_export_manifest",
+    "fleet_snapshot_reads",
+    "policy_maintenance_pass",
+    "quota_export_diff",
+    "ann_index_filtered",
+}
 
 
 def calibrate() -> float:
@@ -281,11 +351,20 @@ def main() -> int:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
+    # two reported groups (BASELINE.md "gate scope"): the perf total is
+    # the 2x gate's number; lifecycle soaks are reported alongside but
+    # not gated (their wall is store-commit machinery at toy SF)
+    perf_total = round(sum(v for k, v in timings.items() if k not in LIFECYCLE), 3)
+    lifecycle_total = round(sum(v for k, v in timings.items() if k in LIFECYCLE), 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "perf_total_sec": perf_total,
+        "perf_n_queries": sum(1 for k in timings if k not in LIFECYCLE),
+        "lifecycle_total_sec": lifecycle_total,
+        "lifecycle_n_queries": sum(1 for k in timings if k in LIFECYCLE),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_matmul_sec": calibrate(),
@@ -341,6 +420,8 @@ def main() -> int:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "perf_total_sec": perf_total,
+        "lifecycle_total_sec": lifecycle_total,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": out["sf"],
         "calib_matmul_sec": out["calib_matmul_sec"],

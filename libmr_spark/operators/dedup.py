@@ -441,7 +441,9 @@ def store_ops_dashboard(spark, stores: list) -> DataFrame:
     )
 
 
-def store_ops_metrics(spark, stores: list, ann_stores: list = ()) -> DataFrame:
+def store_ops_metrics(
+    spark, stores: list, ann_stores: list = (), include_layout: bool = False
+) -> DataFrame:
     """The drift-extended ops pane: :func:`store_ops_dashboard`'s
     per-table row counts reshaped to the generic long-format metric
     schema (store_kind, item, metric, value DOUBLE), UNIONed with the
@@ -452,15 +454,31 @@ def store_ops_metrics(spark, stores: list, ann_stores: list = ()) -> DataFrame:
     (store_kind, metric) regardless of which store family produced
     the row, so 'drift2 > x' and 'n_rows grew y%' live in the same
     policy table. Cost = the dashboard's metadata reads + one
-    map-side-combinable pass per ANN store's cells table."""
+    map-side-combinable pass per ANN store's cells table.
+    ``include_layout`` adds the read-amplification signals compaction
+    policy keys off — per-table ``n_dirs`` (live directories an
+    admission join must open) and ``n_batches`` (manifest commit
+    count) — kept opt-in so the established metric-feed gates'
+    contracts stay fixed."""
     from .retrieval import ann_drift_stats
 
-    base = store_ops_dashboard(spark, stores).select(
+    dash = store_ops_dashboard(spark, stores)
+    base = dash.select(
         "store_kind",
         F.col("table_name").alias("item"),
         F.lit("n_rows").alias("metric"),
         F.col("n_rows").cast("double").alias("value"),
     )
+    if include_layout:
+        for metric in ("n_dirs", "n_batches"):
+            base = base.unionByName(
+                dash.select(
+                    "store_kind",
+                    F.col("table_name").alias("item"),
+                    F.lit(metric).alias("metric"),
+                    F.col(metric).cast("double").alias("value"),
+                )
+            )
     for kind, path in ann_stores:
         dr = ann_drift_stats(spark, path)
         cell = F.concat(F.lit("cell:"), F.col("cid").cast("string"))
@@ -2058,16 +2076,28 @@ def dedup_incremental_spans(
     return spans
 
 
-def read_incremental_spans(spark, store_path: str, id_col: str = "doc_id") -> DataFrame:
+def read_incremental_spans(
+    spark, store_path: str, id_col: str = "doc_id", as_of_batches: int | None = None
+) -> DataFrame:
     """Serve the cut list: each doc's span rows from its LATEST
     revision (manifest position is the revision clock). Cost is one
-    scan of the revision tables — no window recomputation."""
+    scan of the revision tables — no window recomputation.
+    ``as_of_batches`` pins the read to the first k manifest entries
+    (time travel; same commit-log semantics and post-rewrite
+    history-collapse caveat as :func:`read_incremental_store_asof`)."""
     import os
 
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _manifest_read(manifest_path, None)
     if not tags:
         raise ValueError(f"empty span store at {store_path} (no committed batches)")
+    if as_of_batches is not None:
+        if not 0 < as_of_batches <= len(tags):
+            raise ValueError(
+                f"as_of_batches={as_of_batches} out of range for store "
+                f"{store_path} with {len(tags)} committed batches"
+            )
+        tags = tags[:as_of_batches]
 
     def tagged(table):
         parts = []

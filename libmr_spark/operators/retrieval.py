@@ -381,6 +381,7 @@ def ann_index_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     quant_digits: int = 6,
+    candidate_filter=None,
 ) -> DataFrame:
     """Serve integer-exact IVF kNN from the persisted index: load the
     frozen centroids, probe ``nprobe`` cells per query with the same
@@ -390,7 +391,18 @@ def ann_index_topk(
     train+assign passes amortized into the store. At 100 TB the cells
     table is cid-clustered by compaction so a probe touches one file
     group per cell. ``quant_digits`` must match the ingest setting
-    (validated against the manifest params)."""
+    (validated against the manifest params).
+
+    ``candidate_filter``: optional boolean Column over the cells
+    schema (id, v, cid) — metadata-FILTERED search, the production
+    ANN feature every vector store grew (FAISS IDSelector, the
+    filtered-search benchmark family): the predicate applies to the
+    candidate scan BEFORE distance math, so Catalyst pushes it into
+    the parquet read (column-pruned, min/max-pruned at scale) and the
+    quantizer geometry is untouched — exactly the post-filter
+    candidate semantics of takedown, expressed per query. Recall
+    caveat at production: a highly selective filter empties probed
+    cells; raise nprobe with selectivity (the documented trade-off)."""
     from .similarity import ivf_rank_exact
 
     manifest_path = os.path.join(index_path, "_BATCHES")
@@ -410,6 +422,8 @@ def ann_index_topk(
     assigned = spark.read.parquet(
         *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
     )
+    if candidate_filter is not None:
+        assigned = assigned.filter(candidate_filter)
     # widen int8 codes back to long before the distance math (no-op on
     # long stores); tinyint-tinyint products would overflow in-type
     assigned = assigned.withColumn("v", F.col("v").cast("array<bigint>"))

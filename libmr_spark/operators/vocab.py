@@ -137,18 +137,28 @@ def pmi_store_topk(spark, store_path: str) -> DataFrame:
     return _pmi_topk_from_counts(uni, bi)
 
 
-def vocab_net_counts(spark, store_path: str) -> tuple:
+def vocab_net_counts(spark, store_path: str, as_of_batches: int | None = None) -> tuple:
     """Serve the store's NET token statistics: (unigram, bigram)
     frames with the signed deltas summed per key and zero-net rows
     (fully retracted words/bigrams) dropped — exactly the counts a
     from-scratch tokenize over the surviving corpus produces, which is
     what makes this the takedown-audit serving read (the cross-store
     gate hashes these against the survivors-only oracle). One
-    map-side-combinable groupBy-SUM per table, vocab-bounded."""
+    map-side-combinable groupBy-SUM per table, vocab-bounded.
+    ``as_of_batches`` pins the read to the first k manifest entries
+    (time travel — the fleet-snapshot serving path; post-compaction
+    history collapse applies as everywhere)."""
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _manifest_read(manifest_path, _PARAMS)
     if not tags:
         raise ValueError(f"empty vocab store at {store_path} (no committed batches)")
+    if as_of_batches is not None:
+        if not 0 < as_of_batches <= len(tags):
+            raise ValueError(
+                f"as_of_batches={as_of_batches} out of range for store "
+                f"{store_path} with {len(tags)} committed batches"
+            )
+        tags = tags[:as_of_batches]
     uni = (
         _read_table(spark, store_path, "uni", tags)
         .groupBy("w")

@@ -4039,7 +4039,11 @@ def bm25_topk_q(spark, sf_dir):
 _BPE_ROUNDS = 5
 
 
-def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_train_sql(
+    rounds: int = _BPE_ROUNDS,
+    extra_ctes: list | None = None,
+    final_sql: str | None = None,
+) -> str:
     """DuckDB replay of the full BPE training loop, unrolled one CTE
     block per merge: ``v{r}`` = the vocabulary re-segmented after r
     merges (seg = space-delimited symbols with sentinel spaces, so a
@@ -4083,11 +4087,13 @@ def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
     SELECT word, freq, seg, row_number() OVER (PARTITION BY word ORDER BY len(seg) ASC) AS rn
     FROM rec{r}) WHERE rn = 1)""",
         ]
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r} AS INT) AS rnd, l AS merge_left, r AS merge_right, CAST(n AS BIGINT) AS n FROM p{r}"
-        for r in range(1, rounds + 1)
-    )
-    return "WITH RECURSIVE " + ",\n".join(ctes) + f"\n{finals}"
+    ctes += list(extra_ctes or [])
+    if final_sql is None:
+        final_sql = " UNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS rnd, l AS merge_left, r AS merge_right, CAST(n AS BIGINT) AS n FROM p{r}"
+            for r in range(1, rounds + 1)
+        )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"\n{final_sql}"
 
 
 @defquery(
@@ -6617,3 +6623,532 @@ def quota_export_manifest_q(spark, sf_dir):
 QUERIES["quota_export_manifest"].sql = QUERIES["quota_export_manifest"].sql.replace(
     "{EXPORT_SQL}", QUERIES["quota_sampled_export"].sql
 )
+
+
+@defquery(
+    "fleet_snapshot_reads",
+    f"""
+WITH RECURSIVE
+fpdocs AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 0 ELSE 1 END AS b
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 14),
+fpkeep AS (
+  SELECT fp, doc_id FROM (
+    SELECT fp, doc_id,
+           row_number() OVER (PARTITION BY fp ORDER BY b ASC, doc_id ASC) AS rn
+    FROM fpdocs) t WHERE rn = 1),
+ctoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 14),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM ctoks),
+cex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM csh),
+cpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cex a JOIN cex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6),
+cedges AS (SELECT id_a AS u, id_b AS v FROM cpairs UNION SELECT id_b, id_a FROM cpairs),
+creach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  WHERE CAST(substr(source, 4) AS INT) < 14
+  UNION
+  SELECT e.v, creach.r FROM creach JOIN cedges e ON e.u = creach.v),
+clabels AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM creach GROUP BY v),
+snorm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 14),
+swin AS (
+  SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+  FROM snorm,
+       unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+sshared AS (SELECT w FROM swin GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+sdup AS (SELECT doc_id, i FROM swin JOIN sshared USING (w)),
+sisl AS (
+  SELECT doc_id, i,
+         i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+  FROM sdup),
+spans AS (
+  SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+         CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+         CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM sisl GROUP BY doc_id, grp),
+vtoks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS ws
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 14),
+vuni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM vtoks) GROUP BY w),
+vbi AS (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b
+    FROM vtoks, unnest(range(1, greatest(len(ws)-1, 0)+1)) u(i))
+  GROUP BY a, b)
+SELECT 'snapshot:cluster' AS store_kind, 'n_batches' AS key, CAST(2 AS BIGINT) AS val
+UNION ALL SELECT 'snapshot:exact', 'n_batches', 2
+UNION ALL SELECT 'snapshot:span', 'n_batches', 2
+UNION ALL SELECT 'snapshot:vocab', 'n_batches', 2
+UNION ALL SELECT 'exact', fp, doc_id FROM fpkeep
+UNION ALL SELECT 'cluster', CAST(doc_id AS VARCHAR), cluster_id FROM clabels
+UNION ALL SELECT 'span',
+       concat_ws(':', CAST(doc_id AS VARCHAR), CAST(span_start AS VARCHAR),
+                 CAST(span_end AS VARCHAR), CAST(span_chars AS VARCHAR)),
+       n_windows
+  FROM spans
+UNION ALL SELECT 'vocab:uni', w, CAST(c AS BIGINT) FROM vuni
+UNION ALL SELECT 'vocab:bi', a || ' ' || b, CAST(c AS BIGINT) FROM vbi
+    """,
+    "fleet-level CONSISTENT SNAPSHOT (SURVEY round-10 #1, shipped "
+    "early): a training run captures every store's committed-batch "
+    "count as ONE descriptor (operators/snapshot.py — per-store "
+    "manifest metadata reads, persisted with the same write-temp+"
+    "os.replace swap as the manifests themselves), and every family's "
+    "as-of read serves pinned to it. Here four stores (exact fps, "
+    "clusters, spans, vocab) each take a third commit AFTER the "
+    "snapshot is captured and save/load round-tripped; the query "
+    "serves all four families AS-OF the descriptor, so the hash "
+    "proves post-snapshot commits are invisible across the WHOLE "
+    "fleet at once — exact admission replays to the earliest-batch "
+    "min-id survivor, cluster labels exclude post-snapshot merges, "
+    "span revisions stop at the pinned prefix, vocab counts exclude "
+    "the third batch's tokens. Oracle = from-scratch rebuilds over "
+    "the snapshot-time corpus (src < 14). The descriptor rows "
+    "themselves are in the hash (n_batches=2 per store). At 100 TB "
+    "the capture is O(#stores) driver metadata and each pinned read "
+    "costs the same as a normal read of that prefix; compaction "
+    "collapsing a snapshot's prefix raises out-of-range rather than "
+    "serving silently different state (pinned in pytest).",
+)
+def fleet_snapshot_reads_q(spark, sf_dir):
+    import os
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.snapshot import (
+        fleet_snapshot,
+        load_snapshot,
+        save_snapshot,
+        snapshot_batches,
+    )
+    from .operators.vocab import pmi_store_ingest, vocab_net_counts
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    stores = {k: _sink_dir(f"fsnap_{k}", sf_dir) for k in ("exact", "cluster", "span", "vocab")}
+    for p in stores.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+    def ingest(batch):
+        DD.dedup_incremental_exact(spark, stores["exact"], batch)
+        DD.dedup_incremental_clusters(spark, stores["cluster"], batch)
+        DD.dedup_incremental_spans(spark, stores["span"], batch)
+        pmi_store_ingest(
+            spark, stores["vocab"],
+            batch.select("doc_id", "text").withColumn("sign", F.lit(1)),
+        )
+
+    ingest(d.filter(src_num < 7))
+    ingest(d.filter((src_num >= 7) & (src_num < 14)))
+
+    snap_path = os.path.join(stores["exact"], "fleet.snapshot.json")
+    save_snapshot(snap_path, fleet_snapshot(stores))
+    snap = load_snapshot(snap_path)  # the persisted artifact serves
+
+    ingest(d.filter(src_num >= 14))  # post-snapshot commits: invisible below
+
+    out = spark.createDataFrame(
+        [
+            (f"snapshot:{k}", "n_batches", snapshot_batches(snap, k))
+            for k in sorted(stores)
+        ],
+        "store_kind string, key string, val bigint",
+    )
+    exact_served = DD.read_incremental_store_asof(
+        spark, stores["exact"], "fps", snapshot_batches(snap, "exact")
+    ).select(
+        F.lit("exact").alias("store_kind"),
+        F.col("fp").alias("key"),
+        F.col("doc_id").cast("bigint").alias("val"),
+    )
+    cluster_served = DD.read_incremental_clusters_asof(
+        spark, stores["cluster"], snapshot_batches(snap, "cluster")
+    ).select(
+        F.lit("cluster").alias("store_kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("cluster_id").cast("bigint").alias("val"),
+    )
+    span_served = DD.read_incremental_spans(
+        spark, stores["span"], as_of_batches=snapshot_batches(snap, "span")
+    ).select(
+        F.lit("span").alias("store_kind"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("span_start").cast("string"),
+            F.col("span_end").cast("string"),
+            F.col("span_chars").cast("string"),
+        ).alias("key"),
+        F.col("n_windows").cast("bigint").alias("val"),
+    )
+    uni, bi = vocab_net_counts(
+        spark, stores["vocab"], as_of_batches=snapshot_batches(snap, "vocab")
+    )
+    vocab_served = uni.select(
+        F.lit("vocab:uni").alias("store_kind"),
+        F.col("w").alias("key"),
+        F.col("c").cast("bigint").alias("val"),
+    ).unionByName(
+        bi.select(
+            F.lit("vocab:bi").alias("store_kind"),
+            F.concat_ws(" ", "a", "b").alias("key"),
+            F.col("c").cast("bigint").alias("val"),
+        )
+    )
+    return (
+        out.unionByName(exact_served)
+        .unionByName(cluster_served)
+        .unionByName(span_served)
+        .unionByName(vocab_served)
+    )
+
+
+@defquery(
+    "policy_maintenance_pass",
+    f"""
+WITH
+fpdocs AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 0
+              WHEN CAST(substr(source, 4) AS INT) < 14 THEN 1
+              ELSE 2 END AS b
+  FROM documents),
+fpkeep AS (
+  SELECT fp, doc_id FROM (
+    SELECT fp, doc_id,
+           row_number() OVER (PARTITION BY fp ORDER BY b ASC, doc_id ASC) AS rn
+    FROM fpdocs) t WHERE rn = 1),
+dr AS MATERIALIZED (SELECT * FROM ({{DRIFT_SQL}}) t),
+trig AS (
+  SELECT drift2 FROM dr WHERE drift2 > 0
+  ORDER BY 'cell:' || CAST(cid AS VARCHAR) ASC, drift2 ASC LIMIT 1)
+SELECT 'audit:compact' AS kind, 'exact:n_dirs' AS key,
+       CAST(3 AS BIGINT) AS val, CAST(3 AS DOUBLE) AS dval
+UNION ALL
+SELECT 'audit:retrain', 'ann:drift2', 8, (SELECT drift2 FROM trig)
+UNION ALL
+SELECT 'exact', fp, doc_id, NULL FROM fpkeep
+UNION ALL
+SELECT 'ann', CAST(query_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+       vec_id, CAST(dist AS DOUBLE)
+FROM ({{ANN_SQL}}) a
+    """,
+    "POLICY-driven maintenance (SURVEY round-10 #2, shipped early) — "
+    "the ops loop closed from metrics to ACTION: a declarative rule "
+    "table (metric, op, threshold, action) joins the fleet's "
+    "store_ops_metrics feed (layout metrics included: n_dirs is the "
+    "read-amplification signal), and apply_maintenance_policy "
+    "(operators/policy.py) EXECUTES what fires — here 'n_dirs > 2 -> "
+    "compact' catches the 3-commit exact store, 'drift2 > 0 -> "
+    "retrain' catches the ANN store whose frozen quantizer never saw "
+    "the second ingest. The hash gates three things at once: the "
+    "audit rows (which rule fired, on which deterministic trigger "
+    "value, with what action result — the oracle recomputes the "
+    "triggering drift2 from the corpus), the compacted exact store's "
+    "served fingerprints (compaction provably state-preserving), and "
+    "the retrained ANN store's served kNN (= the from-scratch index "
+    "trained on ALL vectors — ann_index_retrained's oracle). Policy "
+    "evaluation is one pass over the metadata-sized metrics frame; "
+    "every fired action is individually crash-safe and idempotent, so "
+    "the nightly pass is re-runnable — a completed compaction leaves "
+    "n_dirs=1 and its rule simply stops matching.",
+)
+def policy_maintenance_pass_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.policy import apply_maintenance_policy
+    from .operators.retrieval import ann_index_ingest, ann_index_topk
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    exact = _sink_dir("polmx_exact", sf_dir)
+    ann = _sink_dir("polmx_ann", sf_dir)
+    for p in (exact, ann):
+        shutil.rmtree(p, ignore_errors=True)
+
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num < 7))
+    DD.dedup_incremental_exact(spark, exact, d.filter((src_num >= 7) & (src_num < 14)))
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num >= 14))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") >= half))
+
+    audit = apply_maintenance_policy(
+        spark,
+        policy=[
+            {"metric": "n_dirs", "op": ">", "threshold": 2, "action": "compact"},
+            {"metric": "drift2", "op": ">", "threshold": 0, "action": "retrain"},
+        ],
+        stores={"exact": ("table", exact, ("fps",)), "ann": ("ann", ann)},
+        ann_stores=("ann",),
+    )
+
+    out = audit.select(
+        F.concat(F.lit("audit:"), "action").alias("kind"),
+        F.concat_ws(":", "store_kind", "fired_metric").alias("key"),
+        F.col("result").alias("val"),
+        F.col("trigger_value").alias("dval"),
+    )
+    exact_served = DD.read_incremental_store_asof(spark, exact, "fps").select(
+        F.lit("exact").alias("kind"),
+        F.col("fp").alias("key"),
+        F.col("doc_id").cast("bigint").alias("val"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann_served = ann_index_topk(spark, ann, queries, nprobe=2, k=5).select(
+        F.lit("ann").alias("kind"),
+        F.concat_ws(":", F.col("query_id").cast("string"), F.col("rank").cast("string")).alias("key"),
+        F.col("vec_id").cast("bigint").alias("val"),
+        F.col("dist").cast("double").alias("dval"),
+    )
+    return out.unionByName(exact_served).unionByName(ann_served)
+
+
+QUERIES["policy_maintenance_pass"].sql = (
+    QUERIES["policy_maintenance_pass"].sql
+    .replace("{DRIFT_SQL}", _ann_drift_sql())
+    .replace("{ANN_SQL}", _ann_index_sql(train_where=None))
+)
+
+
+def _bpe_store_sql() -> str:
+    """Oracle for the versioned merge store: the full 5-round training
+    replay (continuation-committed 3+2 in the store must equal one
+    sitting), PLUS every document re-encoded under the final merge
+    list — per-doc symbol count and an md5 over the exact symbol
+    sequence."""
+    r = _BPE_ROUNDS
+    extra = [
+        r"""dwords AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS word, CAST(i AS INT) AS i
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '') AS ws
+        FROM documents) t,
+       unnest(range(1, len(ws) + 1)) u(i))""",
+        f"""dseg AS (
+  SELECT d.doc_id, d.i, trim(v.seg) AS wseg,
+         len(list_filter(string_split(trim(v.seg), ' '), s -> s <> '')) AS n_syms
+  FROM dwords d JOIN v{r} v ON v.word = d.word)""",
+    ]
+    finals = " UNION ALL ".join(
+        f"SELECT 'merge' AS kind, CAST({k} AS VARCHAR) || ':' || l || ':' || r AS key, "
+        f"CAST(n AS BIGINT) AS val, CAST(NULL AS VARCHAR) AS h FROM p{k}"
+        for k in range(1, r + 1)
+    )
+    finals += """
+UNION ALL
+SELECT 'doc', CAST(doc_id AS VARCHAR), CAST(SUM(n_syms) AS BIGINT),
+       md5(string_agg(wseg, ' ' ORDER BY i ASC))
+FROM dseg GROUP BY doc_id"""
+    return _bpe_train_sql(rounds=r, extra_ctes=extra, final_sql=finals)
+
+
+@defquery(
+    "bpe_store_encode_pinned",
+    _bpe_store_sql(),
+    "the TOKENIZER ARTIFACT store (SURVEY round-10 #3, shipped "
+    "early): BPE merges as a versioned, manifest-committed table "
+    "(operators/tokenizer_store.py). Training CONTINUES from the "
+    "stored list — greedy BPE is sequential, so the store after "
+    "train(3 rounds)+train(2 rounds) is bit-identical to one 5-round "
+    "sitting, which is exactly what the oracle holds it to — and "
+    "encoding serves against the PINNED list: distinct words "
+    "segmented once (Heaps-bounded state, AQE decides the join side), "
+    "re-joined positionally, each document's full symbol sequence "
+    "md5-hashed. One hash gates the merge table (all 5 rounds' "
+    "winners and counts), the version-pinned reproducibility "
+    "contract, and every document's exact segmentation — the artifact "
+    "a 100 TB encode job ships to every executor while the corpus "
+    "only ever pays one tokenize pass.",
+)
+def bpe_store_encode_pinned_q(spark, sf_dir):
+    import shutil
+
+    from .operators.tokenizer_store import bpe_store_encode, bpe_store_merges, bpe_store_train
+    from .queries_ext import _sink_dir
+
+    store = _sink_dir("bpe_store", sf_dir)
+    shutil.rmtree(store, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+
+    bpe_store_train(spark, store, d, rounds=3)
+    bpe_store_train(spark, store, d, rounds=_BPE_ROUNDS - 3)
+
+    merges = bpe_store_merges(spark, store)
+    merge_rows = spark.createDataFrame(
+        [("merge", f"{rnd}:{l}:{r}", int(n), None) for rnd, l, r, n in merges],
+        "kind string, key string, val bigint, h string",
+    )
+    enc = bpe_store_encode(spark, store, d).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.size("syms").cast("bigint").alias("val"),
+        F.md5(F.array_join("syms", " ")).alias("h"),
+    )
+    return merge_rows.unionByName(enc)
+
+
+def _quota_cte(p: str, where: str | None) -> str:
+    """The closure+quota CTE chain (cluster_quota_sample's oracle)
+    with prefixed names, so two corpus snapshots can ride one WITH
+    RECURSIVE statement — the export-diff oracle."""
+    w = f" WHERE {where}" if where else ""
+    return f"""{p}toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents{w}),
+{p}sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS shingles
+  FROM {p}toks),
+{p}ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM {p}sh),
+{p}pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}ex a JOIN {p}ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6),
+{p}edges AS (SELECT id_a AS u, id_b AS v FROM {p}pairs UNION SELECT id_b, id_a FROM {p}pairs),
+{p}reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents{w}
+  UNION
+  SELECT e.v, {p}reach.r FROM {p}reach JOIN {p}edges e ON e.u = {p}reach.v),
+{p}labels AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM {p}reach GROUP BY v),
+{p}cl AS (SELECT cluster_id, count(*) AS cluster_size FROM {p}labels GROUP BY cluster_id),
+{p}canon AS (
+  SELECT c.cluster_id, d.source, c.cluster_size
+  FROM {p}cl c JOIN documents d ON d.doc_id = c.cluster_id),
+{p}cnt AS (SELECT source, count(*) AS nc FROM {p}canon GROUP BY source),
+{p}q AS (
+  SELECT r.source, r.cluster_id, CAST(r.cluster_size AS BIGINT) AS cluster_size
+  FROM (SELECT {p}canon.*,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('17:' || CAST(cluster_id AS VARCHAR)) ASC, cluster_id ASC) AS rk
+        FROM {p}canon) r
+  JOIN {p}cnt ON {p}cnt.source = r.source
+  WHERE r.rk <= CAST(floor({p}cnt.nc / 2.0) AS BIGINT))"""
+
+
+@defquery(
+    "quota_export_diff",
+    "WITH RECURSIVE "
+    + _quota_cte("a_", "CAST(substr(source, 4) AS INT) < 14")
+    + ",\n"
+    + _quota_cte("b_", None)
+    + """
+SELECT 'entered' AS change, source, cluster_id, cluster_size
+FROM b_q WHERE cluster_id NOT IN (SELECT cluster_id FROM a_q)
+UNION ALL
+SELECT 'left', source, cluster_id, cluster_size
+FROM a_q WHERE cluster_id NOT IN (SELECT cluster_id FROM b_q)
+    """,
+    "INCREMENTAL curation hand-off (SURVEY round-10 #4, shipped "
+    "early): when the cluster store takes a new commit, which "
+    "documents' EXPORT MEMBERSHIP changed? The diff is computed from "
+    "the store alone — quota membership as-of the previous commit "
+    "(read_incremental_clusters_asof, the commit log as the clock) vs "
+    "the current snapshot, anti-joined both ways — so the downstream "
+    "tokenizer/packing stage re-processes exactly the entered/left "
+    "clusters instead of re-exporting the corpus (the incremental-"
+    "materialized-view shape, applied to the curation boundary). "
+    "Membership can change for three distinct reasons the hash "
+    "proves together: new clusters ranked into the quota, rank "
+    "displacement (a new cluster's md5 outranks an old member at a "
+    "fixed floor(n/2) budget), and cluster MERGES (a swallowed "
+    "cluster's id disappears; the survivor keeps the min id). Oracle "
+    "= two from-scratch closures + quotas (prefix and full corpus) "
+    "EXCEPTed both ways. At 100 TB the diff costs two |clusters|-"
+    "bounded quota windows + one anti-join — never an export replay.",
+)
+def quota_export_diff_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("cc_diff_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num < 7))
+    DD.dedup_incremental_clusters(spark, path, d.filter((src_num >= 7) & (src_num < 14)))
+    DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
+
+    prev = _quota_sampled_clusters(
+        DD.read_incremental_clusters_asof(spark, path, 2), d
+    )
+    curr = _quota_sampled_clusters(DD.read_incremental_clusters(spark, path), d)
+
+    entered = curr.join(prev.select("cluster_id"), "cluster_id", "left_anti").select(
+        F.lit("entered").alias("change"), "source", "cluster_id", "cluster_size"
+    )
+    left = prev.join(curr.select("cluster_id"), "cluster_id", "left_anti").select(
+        F.lit("left").alias("change"), "source", "cluster_id", "cluster_size"
+    )
+    return entered.unionByName(left)
+
+
+@defquery(
+    "ann_index_filtered",
+    _ann_index_sql(exclude_where="a.vec_id % 3 <> 0"),
+    "metadata-FILTERED vector search — the production ANN feature "
+    "every vector store grew (FAISS IDSelector / the filtered-search "
+    "benchmark family): serve kNN from the persisted IVF store with a "
+    "per-query candidate predicate (here vec_id % 3 = 0, standing in "
+    "for any metadata column on the cells table). The filter applies "
+    "to the candidate SCAN before distance math — Catalyst pushes it "
+    "into the parquet read, so non-matching row groups are pruned and "
+    "the quantizer geometry is untouched (post-filter semantics: "
+    "probes unchanged, candidates shrink, ranks close up — the same "
+    "candidate algebra as takedown, expressed per query instead of "
+    "per store). Oracle = the frozen-quantizer replay with the "
+    "complement dropped from the candidate set only. Recall trade-off "
+    "stated plainly: a highly selective filter can empty probed "
+    "cells, so production raises nprobe with selectivity; the "
+    "integer-exact arithmetic keeps the whole filtered path under "
+    "the value hash.",
+)
+def ann_index_filtered_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import ann_index_ingest, ann_index_topk
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index_filtered", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    rest = emb.filter(F.col("vec_id") >= half)
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 0))
+    ann_index_ingest(spark, path, rest.filter(F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(
+        spark, path, queries, nprobe=2, k=5,
+        candidate_filter=F.col("vec_id") % 3 == 0,
+    )

@@ -2710,3 +2710,173 @@ def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
     )
     assert audit2 == {"hybrid": 0, "clusters": 0, "vocab": 0}
     assert {tuple(r) for r in pmi_store_topk(spark, vocab).collect()} == want
+
+
+def test_fleet_snapshot_lifecycle(spark, tmp_path):
+    # capture -> save -> load roundtrip; post-snapshot commits
+    # invisible; compaction collapses the prefix -> pinned raise
+    from libmr_spark.operators.snapshot import (
+        fleet_snapshot,
+        load_snapshot,
+        save_snapshot,
+        snapshot_batches,
+    )
+
+    store = str(tmp_path / "snap_exact")
+    rows1 = [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")]
+    rows2 = [(3, "alpha bravo charlie"), (4, "golf hotel india")]
+    DD.dedup_incremental_exact(
+        spark, store, spark.createDataFrame(rows1, "doc_id long, text string")
+    )
+    snap = fleet_snapshot({"exact": store})
+    p = str(tmp_path / "fleet.json")
+    save_snapshot(p, snap)
+    snap = load_snapshot(p)
+    assert snapshot_batches(snap, "exact") == 1
+    with pytest.raises(ValueError, match="not in snapshot"):
+        snapshot_batches(snap, "nope")
+
+    DD.dedup_incremental_exact(
+        spark, store, spark.createDataFrame(rows2, "doc_id long, text string")
+    )
+    # as-of the snapshot: only batch-1 docs (doc 3 is a dup of 1 anyway)
+    asof = DD.read_incremental_store_asof(spark, store, "fps", snapshot_batches(snap, "exact"))
+    assert {r.doc_id for r in asof.collect()} == {1, 2}
+
+    # a rewrite collapses the commit log: 2 batches -> 1; a snapshot
+    # pinned PAST the collapsed length must raise, never serve silently
+    DD.compact_incremental_store(spark, store, tables=("fps",))
+    snap2 = fleet_snapshot({"exact": store})
+    assert snapshot_batches(snap2, "exact") == 1
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_store_asof(spark, store, "fps", 2)
+
+    with pytest.raises(ValueError, match="no committed batches"):
+        fleet_snapshot({"empty": str(tmp_path / "nope")})
+
+
+def test_span_and_vocab_asof_reads(spark, tmp_path):
+    from libmr_spark.operators.vocab import pmi_store_ingest, vocab_net_counts
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    b1 = [(1, base + " tailone " + "x" * 40), (2, "unrelated words " + "y" * 80)]
+    b2 = [(3, base + " tailthree " + "z" * 40)]  # makes doc 1's prefix shared
+
+    span = str(tmp_path / "snap_span")
+    DD.dedup_incremental_spans(spark, span, spark.createDataFrame(b1, "doc_id long, text string"))
+    DD.dedup_incremental_spans(spark, span, spark.createDataFrame(b2, "doc_id long, text string"))
+    # full read sees the sharing; as-of batch 1 sees a clean store
+    assert {r.doc_id for r in DD.read_incremental_spans(spark, span).collect()} == {1, 3}
+    assert DD.read_incremental_spans(spark, span, as_of_batches=1).count() == 0
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_spans(spark, span, as_of_batches=3)
+
+    vocab = str(tmp_path / "snap_vocab")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "sign", F.lit(1)
+    )
+    pmi_store_ingest(spark, vocab, mk([(1, "aa bb aa")]))
+    pmi_store_ingest(spark, vocab, mk([(2, "aa cc")]))
+    uni1, _ = vocab_net_counts(spark, vocab, as_of_batches=1)
+    assert {(r.w, r.c) for r in uni1.collect()} == {("aa", 2), ("bb", 1)}
+    uni2, bi2 = vocab_net_counts(spark, vocab)
+    assert {(r.w, r.c) for r in uni2.collect()} == {("aa", 3), ("bb", 1), ("cc", 1)}
+    with pytest.raises(ValueError, match="out of range"):
+        vocab_net_counts(spark, vocab, as_of_batches=5)
+
+
+def test_apply_maintenance_policy_fires_and_is_rerunnable(spark, tmp_path):
+    from libmr_spark.operators.policy import apply_maintenance_policy
+
+    store = str(tmp_path / "pol_exact")
+    for k in range(3):
+        DD.dedup_incremental_exact(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(10 * k + i, f"doc {10 * k + i} text") for i in range(3)],
+                "doc_id long, text string",
+            ),
+        )
+    before = {tuple(r) for r in DD.read_incremental_store_asof(spark, store, "fps").collect()}
+    policy = [{"metric": "n_dirs", "op": ">", "threshold": 2, "action": "compact"}]
+    stores = {"exact": ("table", store, ("fps",))}
+
+    audit = apply_maintenance_policy(spark, policy, stores).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert (a.store_kind, a.action, a.fired_metric) == ("exact", "compact", "n_dirs")
+    assert a.trigger_value == 3.0 and a.result > 0
+    # compaction is state-preserving
+    after = {tuple(r) for r in DD.read_incremental_store_asof(spark, store, "fps").collect()}
+    assert after == before
+
+    # re-run: n_dirs is now 1, the rule no longer matches -> no action
+    assert apply_maintenance_policy(spark, policy, stores).count() == 0
+
+    # validation errors
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_maintenance_policy(
+            spark, [{"metric": "n_dirs", "op": "~", "threshold": 1, "action": "compact"}], stores
+        )
+    with pytest.raises(ValueError, match="unknown action"):
+        apply_maintenance_policy(
+            spark, [{"metric": "n_dirs", "op": ">", "threshold": 0, "action": "explode"}], stores
+        )
+    with pytest.raises(ValueError, match="unknown family"):
+        apply_maintenance_policy(spark, policy, {"x": ("blob", store)})
+    with pytest.raises(ValueError, match="retrain selected for non-ann"):
+        apply_maintenance_policy(
+            spark,
+            [{"metric": "n_rows", "op": ">", "threshold": 0, "action": "retrain"}],
+            stores,
+        )
+
+
+def test_bpe_store_train_continuation_equals_one_shot(spark, tmp_path):
+    from libmr_spark.operators.tokenizer_store import (
+        bpe_store_encode,
+        bpe_store_merges,
+        bpe_store_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"), (3, "low new")],
+        "doc_id long, text string",
+    )
+    s1 = str(tmp_path / "bpe_split")
+    bpe_store_train(spark, s1, docs, rounds=2)
+    bpe_store_train(spark, s1, docs, rounds=2)
+    s2 = str(tmp_path / "bpe_oneshot")
+    bpe_store_train(spark, s2, docs, rounds=4)
+    assert bpe_store_merges(spark, s1) == bpe_store_merges(spark, s2)
+    assert [m[0] for m in bpe_store_merges(spark, s1)] == [1, 2, 3, 4]
+
+    # version pinning: as-of the first commit only the first 2 merges apply
+    enc_full = {
+        (r.doc_id, tuple(r.syms)) for r in bpe_store_encode(spark, s1, docs).collect()
+    }
+    enc_v1 = {
+        (r.doc_id, tuple(r.syms))
+        for r in bpe_store_encode(spark, s1, docs, as_of_batches=1).collect()
+    }
+    assert enc_full != enc_v1  # later merges really change segmentation
+    # v1 must equal a store trained with exactly 2 rounds
+    s3 = str(tmp_path / "bpe_tworound")
+    bpe_store_train(spark, s3, docs, rounds=2)
+    enc_s3 = {
+        (r.doc_id, tuple(r.syms)) for r in bpe_store_encode(spark, s3, docs).collect()
+    }
+    assert enc_v1 == enc_s3
+
+    # greedy application sanity on a known example: after merging
+    # (l,o) then (lo,w), "low" segments to exactly ["low"]
+    m = bpe_store_merges(spark, s1)
+    with pytest.raises(ValueError, match="empty bpe store"):
+        bpe_store_encode(spark, str(tmp_path / "nope"), docs)
+    with pytest.raises(ValueError, match="out of range"):
+        bpe_store_merges(spark, s1, as_of_batches=9)
+    assert m  # non-empty merge table
