@@ -217,6 +217,10 @@ HEADLINE = [
     "bpe_store_encode_pinned",
     "quota_export_diff",
     "ann_index_filtered",
+    "streaming_span_store",
+    "streaming_vocab_cdc",
+    "hybrid_store_asof",
+    "streaming_takedown_feed",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -275,6 +279,10 @@ LIFECYCLE = {
     "policy_maintenance_pass",
     "quota_export_diff",
     "ann_index_filtered",
+    "streaming_span_store",
+    "streaming_vocab_cdc",
+    "hybrid_store_asof",
+    "streaming_takedown_feed",
 }
 
 

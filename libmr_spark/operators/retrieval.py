@@ -864,17 +864,29 @@ def hybrid_index_rrf(
     shortlist: int = 50,
     k: int = 10,
     c: int = RRF_C,
+    as_of_batches: int | None = None,
 ) -> DataFrame:
     """Serve the full three-leg RRF cascade from ONE hybrid-store
     snapshot: the manifest is read once, all four tables open at that
     commit point, and :func:`rrf_fusion` runs entirely store-resident
     (postings/doclen for the lexical leg, vectors for the cosine leg,
     prefixes for the cross-encoder leg). ``query_terms`` = (query_id,
-    token); ``query_vecs`` = (query_id, embedding)."""
+    token); ``query_vecs`` = (query_id, embedding). ``as_of_batches``
+    pins ALL FOUR tables to the first k manifest entries together —
+    because they share the commit clock, a pinned hybrid serve can
+    never tear (a doc's lexical leg without its vector leg), which is
+    what makes the fleet-snapshot contract meaningful for serving."""
     manifest_path = os.path.join(index_path, "_BATCHES")
     tags = _manifest_read(manifest_path, _HYBRID_PARAMS)
     if not tags:
         raise ValueError(f"empty hybrid index at {index_path} (no committed batches)")
+    if as_of_batches is not None:
+        if not 0 < as_of_batches <= len(tags):
+            raise ValueError(
+                f"as_of_batches={as_of_batches} out of range for store "
+                f"{index_path} with {len(tags)} committed batches"
+            )
+        tags = tags[:as_of_batches]
     t = {
         name: spark.read.parquet(
             *[os.path.join(index_path, name, f"batch={b}") for b in tags]

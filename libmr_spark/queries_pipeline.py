@@ -7152,3 +7152,334 @@ def ann_index_filtered_q(spark, sf_dir):
         spark, path, queries, nprobe=2, k=5,
         candidate_filter=F.col("vec_id") % 3 == 0,
     )
+
+
+def _span_cutlist_sql(where: str | None = None) -> str:
+    """The from-scratch Lee-et-al cut list (dedup_substring_spans'
+    oracle), corpus optionally restricted — shared by the streaming
+    span-store twin."""
+    w = f" WHERE {where}" if where else ""
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents{w}),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             substr(t, CAST(i AS INT), {_SPAN_W}) AS w
+      FROM norm,
+           unnest(range(1, greatest(len(t) - {_SPAN_W} + 1, 1) + 1, {_SPAN_S})) u(i)),
+    shared AS (
+      SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i FROM win JOIN shared USING (w)),
+    isl AS (
+      SELECT doc_id, i,
+             i - {_SPAN_S} * row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+      FROM dup)
+    SELECT doc_id,
+           CAST(min(i) AS INT) AS span_start,
+           CAST(max(i) + {_SPAN_W - 1} AS INT) AS span_end,
+           CAST(max(i) + {_SPAN_W - 1} - min(i) + 1 AS BIGINT) AS span_chars,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@defquery(
+    "streaming_span_store",
+    _span_cutlist_sql(),
+    "the span store driven through Structured Streaming — the last "
+    "store family to gain its streaming twin (exact, BM25, ANN, "
+    "clusters, hybrid and vocab already have one): document chunks "
+    "arrive as a file stream (3 chunks, maxFilesPerTrigger=1), every "
+    "micro-batch runs dedup_incremental_spans inside foreachBatch — "
+    "window postings written once per doc, a fresh span REVISION for "
+    "exactly the docs the batch's content made shared — and after the "
+    "stream drains, revision-supersession serving must hash-match the "
+    "from-scratch cut list over the whole corpus: micro-batch "
+    "boundaries provably cannot change which windows are shared at "
+    "the end, and the manifest order absorbs them as the revision "
+    "clock. The operator's parquet-first lineage (windows written, "
+    "then re-read) makes each foreachBatch invocation config-robust — "
+    "the same hardening the round-9 regression test pins at mixed "
+    "shuffle settings.",
+)
+def streaming_span_store_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_span_in", sf_dir)
+    store = _sink_dir("stream_span_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    dd = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    base_t = 1_700_000_000
+    bounds = [(0, 7), (7, 14), (14, 99)]
+    for k, (lo, hi) in enumerate(bounds):
+        chunk = dd.filter((src_num >= lo) & (src_num < hi)).select("doc_id", "text")
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        DD.dedup_incremental_spans(bdf.sparkSession, store, bdf)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_sss_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return DD.read_incremental_spans(spark, store)
+
+
+@defquery(
+    "streaming_vocab_cdc",
+    _pmi_sql(where="NOT (doc_id % 9 = 4)"),
+    "the vocab CDC store driven through Structured Streaming: a "
+    "change stream of (doc_id, text, sign) events — three insert "
+    "chunks, then a RETRACTION chunk deleting every doc_id % 9 == 4 "
+    "doc — drains through foreachBatch into pmi_store_ingest, each "
+    "micro-batch one signed-delta commit under the docs-log net-sign "
+    "admission (a replayed micro-batch admits nothing, so "
+    "at-least-once delivery yields exactly-once counts). The served "
+    "PMI ranking must hash-match the from-scratch oracle over the "
+    "SURVIVING corpus: per-key signed counts form an abelian group, "
+    "so micro-batch slicing and the insert/delete interleaving are "
+    "provably irrelevant to the final state — the streaming "
+    "generalization of collocation_pmi_retracted, and the streaming "
+    "twin that completes CDC parity for the vocabulary family.",
+)
+def streaming_vocab_cdc_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.vocab import pmi_store_ingest, pmi_store_topk
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_vocab_in", sf_dir)
+    store = _sink_dir("stream_vocab_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = F.col("doc_id") % 3
+    chunks = [
+        d.filter(src == 0).withColumn("sign", F.lit(1)),
+        d.filter(src == 1).withColumn("sign", F.lit(1)),
+        d.filter(src == 2).withColumn("sign", F.lit(1)),
+        d.filter(F.col("doc_id") % 9 == 4).withColumn("sign", F.lit(-1)),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        pmi_store_ingest(bdf.sparkSession, store, bdf)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_svc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return pmi_store_topk(spark, store)
+
+
+@defquery(
+    "hybrid_store_asof",
+    _rrf_fusion_sql(where="doc_id % 3 <> 2"),
+    "snapshot-pinned HYBRID serving: the four-table store takes three "
+    "multi-table commits, and the whole three-leg RRF cascade is "
+    "served AS-OF commit 2 — all four tables truncate to the shared "
+    "manifest prefix TOGETHER, so the pinned serve can never tear (a "
+    "doc's postings without its vector — the failure mode four "
+    "independently-clocked stores cannot rule out). Oracle = the "
+    "from-scratch fusion over the first two batches' corpus "
+    "(doc_id % 3 <> 2): the hash proves the third commit is invisible "
+    "to every leg at once — BM25 corpus statistics, cosine "
+    "candidates, cross-encoder prefixes. This is the serving-side "
+    "payoff of the fleet-snapshot contract (fleet_snapshot_reads "
+    "pins the ANALYSIS stores; this pins the SERVING stack), and the "
+    "reproducibility primitive an eval harness needs: re-run last "
+    "week's retrieval eval against last week's index state, "
+    "bit-identically, from the live store.",
+)
+def hybrid_store_asof_q(spark, sf_dir):
+    from .operators.retrieval import hybrid_index_rrf
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("hybrid_store_asof", sf_dir)
+    _hybrid_store_build(spark, sf_dir, path)
+    qt, qv = _hybrid_queries(spark, sf_dir)
+    return hybrid_index_rrf(
+        spark, path, qt, qv, shortlist=_RERANK_SHORTLIST, k=_RERANK_K,
+        as_of_batches=2,
+    )
+
+
+@defquery(
+    "streaming_takedown_feed",
+    f"""
+WITH
+fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS doc_id
+  FROM documents GROUP BY 1),
+victims AS (
+  SELECT doc_id FROM documents WHERE doc_id % 11 = 2 OR doc_id % 11 = 7),
+vtoks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS ws
+  FROM documents WHERE NOT (doc_id % 11 = 2 OR doc_id % 11 = 7)),
+vuni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM vtoks) GROUP BY w),
+vbi AS (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b
+    FROM vtoks, unnest(range(1, greatest(len(ws)-1, 0)+1)) u(i))
+  GROUP BY a, b)
+SELECT 'audit:exact' AS store_kind, 'deleted' AS key,
+       CAST((SELECT count(*) FROM fp JOIN victims USING (doc_id)) AS BIGINT) AS val
+UNION ALL SELECT 'audit:vocab', 'deleted',
+       (SELECT count(*) FROM victims)
+UNION ALL SELECT 'exact', fp, doc_id
+  FROM fp WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+UNION ALL SELECT 'vocab:uni', w, CAST(c AS BIGINT) FROM vuni
+UNION ALL SELECT 'vocab:bi', a || ' ' || b, CAST(c AS BIGINT) FROM vbi
+    """,
+    "right-to-be-forgotten as a STREAM — the shape compliance "
+    "requests actually arrive in: two micro-batches of victim "
+    "(doc_id, text) rows drain through foreachBatch, each routed by "
+    "takedown_everywhere to the exact-fingerprint store (crash-safe "
+    "anti-join rewrite) and the vocab CDC store (sign=-1 count "
+    "subtraction), with per-batch audit counts accumulated into a "
+    "compliance feed table. Because every family delete is "
+    "IDEMPOTENT, at-least-once micro-batch delivery yields "
+    "exactly-once deletion (a replayed batch's exact rewrite drops "
+    "nothing new and its vocab deletes are net-sign no-ops), and "
+    "batch slicing is invisible: the final state equals one fleet "
+    "call with the union victim set — which is the oracle (survivors' "
+    "fingerprints + net token counts + the summed audit). The 100 TB "
+    "operating mode: takedown SLAs are met by a continuously-running "
+    "drain, not by a weekly batch job, and the feed table IS the "
+    "regulator-facing deletion log.",
+)
+def streaming_takedown_feed_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup as DD
+    from .operators.takedown import takedown_everywhere
+    from .operators.vocab import pmi_store_ingest, vocab_net_counts
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_td_in", sf_dir)
+    exact = _sink_dir("stream_td_exact", sf_dir)
+    vocab = _sink_dir("stream_td_vocab", sf_dir)
+    feed = _sink_dir("stream_td_feed", sf_dir)
+    for p in (srcdir, exact, vocab, feed):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    DD.dedup_incremental_exact(spark, exact, d)
+    pmi_store_ingest(spark, vocab, d.withColumn("sign", F.lit(1)))
+
+    base_t = 1_700_000_000
+    for k, residue in enumerate((2, 7)):
+        chunk = d.filter(F.col("doc_id") % 11 == residue)
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        audit = takedown_everywhere(
+            s,
+            bdf,
+            table_stores={"exact": (exact, ("fps",))},
+            vocab_stores=[("vocab", vocab)],
+        )
+        s.createDataFrame(
+            sorted(audit.items()), "store string, n bigint"
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_std_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    audit_rows = (
+        spark.read.parquet(feed)
+        .groupBy("store")
+        .agg(F.sum("n").cast("bigint").alias("val"))
+        .select(
+            F.concat(F.lit("audit:"), "store").alias("store_kind"),
+            F.lit("deleted").alias("key"),
+            "val",
+        )
+    )
+    exact_served = DD.read_incremental_store_asof(spark, exact, "fps").select(
+        F.lit("exact").alias("store_kind"),
+        F.col("fp").alias("key"),
+        F.col("doc_id").cast("bigint").alias("val"),
+    )
+    uni, bi = vocab_net_counts(spark, vocab)
+    vocab_served = uni.select(
+        F.lit("vocab:uni").alias("store_kind"),
+        F.col("w").alias("key"),
+        F.col("c").cast("bigint").alias("val"),
+    ).unionByName(
+        bi.select(
+            F.lit("vocab:bi").alias("store_kind"),
+            F.concat_ws(" ", "a", "b").alias("key"),
+            F.col("c").cast("bigint").alias("val"),
+        )
+    )
+    return audit_rows.unionByName(exact_served).unionByName(vocab_served)
