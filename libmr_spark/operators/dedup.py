@@ -210,7 +210,10 @@ def compact_incremental_store(
         return df.repartition(n, *cols) if cols else df
 
     return len(
-        _rewrite_store(spark, store_path, xform, tables, min_batches=2)
+        _rewrite_store(
+            spark, store_path, xform, tables, min_batches=2,
+            respect_snapshots=True,
+        )
     )
 
 
@@ -284,6 +287,7 @@ def _rewrite_store(
     tables: tuple,
     min_batches: int = 1,
     set_params: dict | None = None,
+    respect_snapshots: bool = False,
 ) -> list:
     """Shared crash-safe store rewrite: under the per-store REWRITE
     lock (a kernel-held flock serializing rewriters against each other
@@ -318,7 +322,15 @@ def _rewrite_store(
     Raises if a non-empty store has NONE of the requested tables on
     disk — publishing a data-less compact tag there would silently
     unlink the whole history (e.g. calling compaction on an exact-fp
-    store with the near-dup stores' default ``tables``)."""
+    store with the near-dup stores' default ``tables``).
+
+    ``respect_snapshots`` (compaction entry points set it): refuse to
+    collapse the commit log while any snapshot pin is registered under
+    ``<store>/_SNAPSHOTS/`` (``operators/snapshot.py::register_snapshot``
+    — the retention contract a reproducible training run relies on).
+    Deletion paths deliberately do NOT set it: right-to-be-forgotten
+    beats reproducibility, and a pinned read invalidated by takedown
+    raises out-of-range instead of serving silently-different state."""
     import os
     import shutil
     import time
@@ -326,6 +338,18 @@ def _rewrite_store(
 
     manifest_path = os.path.join(store_path, "_BATCHES")
     with _manifest_lock(os.path.join(store_path, "_REWRITE"), timeout_s=300.0):
+        if respect_snapshots:
+            snapdir = os.path.join(store_path, "_SNAPSHOTS")
+            pins = sorted(
+                p[:-5] for p in (os.listdir(snapdir) if os.path.isdir(snapdir) else [])
+                if p.endswith(".json")
+            )
+            if pins:
+                raise ValueError(
+                    f"store rewrite at {store_path} blocked by live snapshot "
+                    f"pin(s) {pins}: compaction would collapse the pinned "
+                    "commit-log prefix; release_snapshot() them first"
+                )
         snapshot = _manifest_read(manifest_path, None)
         if len(snapshot) < min_batches:
             return []
@@ -1820,7 +1844,7 @@ def compact_incremental_clusters(spark, store_path: str, id_col: str = "doc_id")
     return len(
         _rewrite_store(
             spark, store_path, fold, tables=("remap", "members", "shingles"),
-            min_batches=1,
+            min_batches=1, respect_snapshots=True,
         )
     )
 
@@ -2158,6 +2182,7 @@ def _rewrite_span_store(spark, store_path: str, drop_ids=None, id_col: str = "do
         _rewrite_store(
             spark, store_path, fold,
             tables=("windows", "revspans", "revdocs"), min_batches=1,
+            respect_snapshots=drop_ids is None,  # compaction respects pins; takedown wins over them
         )
     )
     return {"n_deleted": state["n"], "n_batches": n_b}

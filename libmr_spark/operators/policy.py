@@ -48,6 +48,7 @@ def apply_maintenance_policy(
     policy: list,
     stores: dict,
     ann_stores: tuple = (),
+    dry_run: bool = False,
 ) -> DataFrame:
     """Evaluate ``policy`` rules against the fleet's metrics and run
     the selected maintenance actions.
@@ -65,10 +66,14 @@ def apply_maintenance_policy(
 
     Returns the audit frame a compliance/ops log wants: one row per
     (store, action) with the fired rule, the triggering metric value,
-    and the action's result count (batches folded / cells re-assigned).
-    The policy pass never reads data files except through the actions
-    themselves — evaluation is the metadata-sized metrics frame,
-    collected driver-side (|stores| x |tables| + |cells| rows)."""
+    the action's result count (batches folded / cells re-assigned),
+    and ``executed`` (false in dry-run). ``dry_run=True`` evaluates
+    and reports what WOULD fire without touching any store — the ops
+    review artifact before a destructive pass (result is -1 for
+    un-executed actions). The policy pass never reads data files
+    except through the actions themselves — evaluation is the
+    metadata-sized metrics frame, collected driver-side
+    (|stores| x |tables| + |cells| rows)."""
     from .retrieval import ann_index_retrain
     from .vocab import compact_vocab_store
 
@@ -111,6 +116,11 @@ def apply_maintenance_policy(
     audit: list = []
     for store_name, action, metric, value in sorted(fired):
         family, path = stores[store_name][0], stores[store_name][1]
+        if dry_run:
+            if action == "retrain" and family != "ann":
+                raise ValueError(f"retrain selected for non-ann store {store_name!r}")
+            audit.append((store_name, action, metric, value, -1, False))
+            continue
         if action == "compact":
             if family == "table":
                 tables = stores[store_name][2]
@@ -127,10 +137,10 @@ def apply_maintenance_policy(
             if family != "ann":
                 raise ValueError(f"retrain selected for non-ann store {store_name!r}")
             result = len(ann_index_retrain(spark, path))
-        audit.append((store_name, action, metric, value, int(result)))
+        audit.append((store_name, action, metric, value, int(result), True))
 
     return spark.createDataFrame(
         audit,
         "store_kind string, action string, fired_metric string, "
-        "trigger_value double, result bigint",
+        "trigger_value double, result bigint, executed boolean",
     )

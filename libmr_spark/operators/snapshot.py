@@ -76,6 +76,38 @@ def load_snapshot(snapshot_path: str) -> dict:
     return snap
 
 
+def register_snapshot(snap: dict, snapshot_id: str) -> None:
+    """Pin the snapshot AT each store: writes
+    ``<store>/_SNAPSHOTS/<id>.json`` (atomic swap) so the store's own
+    COMPACTION refuses to collapse the pinned prefix while the pin is
+    live (``_rewrite_store(respect_snapshots=True)`` — the retention
+    contract from SURVEY round-10 #1). Precedence is documented and
+    deliberate: TAKEDOWN and quantizer RETRAIN ignore pins —
+    right-to-be-forgotten and operational index migration beat
+    reproducibility, so those rewrites may still invalidate a pinned
+    read (which then raises out-of-range, never serving silently).
+    Release with :func:`release_snapshot` when the training run no
+    longer needs byte-exact replays."""
+    for name, entry in snap["stores"].items():
+        d = os.path.join(entry["path"], "_SNAPSHOTS")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"{snapshot_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"id": snapshot_id, "store": name,
+                       "n_batches": entry["n_batches"]}, f)
+        os.replace(tmp, os.path.join(d, f"{snapshot_id}.json"))
+
+
+def release_snapshot(snap: dict, snapshot_id: str) -> None:
+    """Remove the pin from every store in the snapshot (missing files
+    are fine — release is idempotent)."""
+    for entry in snap["stores"].values():
+        try:
+            os.remove(os.path.join(entry["path"], "_SNAPSHOTS", f"{snapshot_id}.json"))
+        except FileNotFoundError:
+            pass
+
+
 def snapshot_batches(snap: dict, name: str) -> int:
     """The pinned committed-batch count for store ``name`` — the value
     every family's as-of read takes."""

@@ -207,5 +207,8 @@ def compact_vocab_store(spark, store_path: str) -> int:
         )
 
     return len(
-        _rewrite_store(spark, store_path, fold, tables=VOCAB_TABLES, min_batches=2)
+        _rewrite_store(
+            spark, store_path, fold, tables=VOCAB_TABLES, min_batches=2,
+            respect_snapshots=True,
+        )
     )

@@ -2805,11 +2805,16 @@ def test_apply_maintenance_policy_fires_and_is_rerunnable(spark, tmp_path):
     policy = [{"metric": "n_dirs", "op": ">", "threshold": 2, "action": "compact"}]
     stores = {"exact": ("table", store, ("fps",))}
 
+    # dry-run first: reports what would fire, touches nothing
+    dry = apply_maintenance_policy(spark, policy, stores, dry_run=True).collect()
+    assert len(dry) == 1 and dry[0].executed is False and dry[0].result == -1
+    assert DD.incremental_store_stats(spark, store)["n_batches"] == 3  # untouched
+
     audit = apply_maintenance_policy(spark, policy, stores).collect()
     assert len(audit) == 1
     a = audit[0]
     assert (a.store_kind, a.action, a.fired_metric) == ("exact", "compact", "n_dirs")
-    assert a.trigger_value == 3.0 and a.result > 0
+    assert a.trigger_value == 3.0 and a.result > 0 and a.executed is True
     # compaction is state-preserving
     after = {tuple(r) for r in DD.read_incremental_store_asof(spark, store, "fps").collect()}
     assert after == before
@@ -2880,3 +2885,51 @@ def test_bpe_store_train_continuation_equals_one_shot(spark, tmp_path):
     with pytest.raises(ValueError, match="out of range"):
         bpe_store_merges(spark, s1, as_of_batches=9)
     assert m  # non-empty merge table
+
+
+def test_snapshot_pin_blocks_compaction_not_takedown(spark, tmp_path):
+    from libmr_spark.operators.snapshot import (
+        fleet_snapshot,
+        register_snapshot,
+        release_snapshot,
+        snapshot_batches,
+    )
+
+    store = str(tmp_path / "pin_exact")
+    for k in range(2):
+        DD.dedup_incremental_exact(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(10 * k + i, f"pin doc {10 * k + i}") for i in range(3)],
+                "doc_id long, text string",
+            ),
+        )
+    snap = fleet_snapshot({"exact": store})
+    register_snapshot(snap, "run-2026-08-15")
+
+    # compaction refuses while the pin is live...
+    with pytest.raises(ValueError, match="blocked by live snapshot pin"):
+        DD.compact_incremental_store(spark, store, tables=("fps",))
+    # ...and the pinned read still serves exactly the prefix state
+    asof = DD.read_incremental_store_asof(
+        spark, store, "fps", snapshot_batches(snap, "exact")
+    )
+    assert asof.count() == 6
+
+    # takedown WINS over the pin (right-to-be-forgotten precedence):
+    # the delete rewrite proceeds and collapses the history
+    victims = spark.createDataFrame([(1,)], "doc_id long")
+    DD.delete_from_incremental_store(spark, store, victims, tables=("fps",))
+    assert DD.incremental_store_stats(spark, store)["n_batches"] == 1
+    with pytest.raises(ValueError, match="out of range"):
+        DD.read_incremental_store_asof(spark, store, "fps", 2)
+
+    # release is idempotent and unblocks compaction
+    release_snapshot(snap, "run-2026-08-15")
+    release_snapshot(snap, "run-2026-08-15")
+    DD.dedup_incremental_exact(
+        spark, store,
+        spark.createDataFrame([(99, "pin doc 99")], "doc_id long, text string"),
+    )
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
