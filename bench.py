@@ -221,6 +221,7 @@ HEADLINE = [
     "streaming_vocab_cdc",
     "hybrid_store_asof",
     "streaming_takedown_feed",
+    "export_manifest_updated",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -283,6 +284,7 @@ LIFECYCLE = {
     "streaming_vocab_cdc",
     "hybrid_store_asof",
     "streaming_takedown_feed",
+    "export_manifest_updated",
 }
 
 

@@ -6156,6 +6156,15 @@ def _quota_export_frame(spark, sf_dir, store_dirname):
     )
     DD.dedup_incremental_clusters(spark, path, d.filter(src_num >= 14))
     labels = DD.read_incremental_clusters(spark, path)
+    return _export_frame_from_labels(labels, d)
+
+
+def _export_frame_from_labels(labels, d):
+    """Quota sample → canonical docs → token counts → distributed
+    prefix sum → shard index: the export chain below the cluster
+    labels, shared by the export/manifest/update queries."""
+    from .functions.text import token_count
+    from .operators.prefix import prefix_sum
 
     sampled = _quota_sampled_clusters(labels, d)
     export = sampled.join(
@@ -7483,3 +7492,103 @@ def streaming_takedown_feed_q(spark, sf_dir):
         )
     )
     return audit_rows.unionByName(exact_served).unionByName(vocab_served)
+
+
+def _export_manifest_cte(p: str, where: str | None) -> str:
+    """Extend the prefixed quota chain to the per-shard export
+    manifest rows (the update-equivalence oracle's building block)."""
+    return (
+        _quota_cte(p, where)
+        + f""",
+{p}export AS (
+  SELECT s.source, s.cluster_id AS doc_id, s.cluster_size,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS n
+  FROM {p}q s JOIN documents d ON d.doc_id = s.cluster_id),
+{p}c2 AS (
+  SELECT source, doc_id, cluster_size, n,
+         SUM(n) OVER (ORDER BY source, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM {p}export),
+{p}rows AS (
+  SELECT source, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         CAST(n AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+         CAST((cum - n) // {_FILE_TOKEN_BUDGET} AS BIGINT) AS file_idx
+  FROM {p}c2),
+{p}man AS (
+  SELECT file_idx, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(bit_xor(CAST(('0x' || substr(md5(
+             concat_ws('|', CAST(doc_id AS VARCHAR), source,
+                       CAST(cluster_size AS VARCHAR), CAST(n_tokens AS VARCHAR),
+                       CAST(cum_tokens AS VARCHAR))),
+             1, 15)) AS UBIGINT)) AS BIGINT) AS content_hash
+  FROM {p}rows GROUP BY file_idx)"""
+    )
+
+
+@defquery(
+    "export_manifest_updated",
+    "WITH RECURSIVE "
+    + _export_manifest_cte("a_", "source NOT IN ('src8', 'src9')")
+    + ",\n"
+    + _export_manifest_cte("b_", None)
+    + """
+SELECT m.file_idx, m.n_docs, m.sum_tokens, m.content_hash,
+       EXISTS(SELECT 1 FROM a_man p
+              WHERE p.file_idx = m.file_idx AND p.n_docs = m.n_docs
+                AND p.sum_tokens = m.sum_tokens
+                AND p.content_hash = m.content_hash) AS reused
+FROM b_man m
+    """,
+    "WRITE-INCREMENTAL export maintenance (SURVEY round-10 follow-on, "
+    "shipped in round 9): the sharded-export store "
+    "(operators/export.py) commits the dataset-card artifact like a "
+    "lakehouse table with content-addressed shard reuse — each commit "
+    "rewrites the tiny |shards|-row manifest whole but only the DATA "
+    "of shards whose (n_docs, sum_tokens, content_hash) changed, so "
+    "when a new cluster-store commit shifts quota membership, the "
+    "byte-identical shard prefix before the first changed position "
+    "reuses its existing files (reuse decided by CONTENT — the "
+    "XOR-fold hash covers cum_tokens, so any upstream shift forces "
+    "exactly the right rewrites; no boundary bookkeeping to get "
+    "wrong). Here the store is built from the as-of-2 cluster labels, "
+    "then updated from the full labels; the served manifest must "
+    "equal the from-scratch full export's AND flag as reused exactly "
+    "the shards whose rows exist identically in the prefix export — "
+    "both proved by one hash against the two-closure oracle. At "
+    "100 TB the data writes (the dominant re-export cost) shrink to "
+    "the changed suffix; the manifest rewrite is metadata.",
+)
+def export_manifest_updated_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.export import export_store_commit, read_export_manifest
+    from .queries_ext import _sink_dir
+
+    cc = _sink_dir("exp_upd_cc", sf_dir)
+    store = _sink_dir("exp_upd_store", sf_dir)
+    for p in (cc, store):
+        shutil.rmtree(p, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    # the third commit adds the lexicographically-LAST sources (string
+    # order ends ... src7, src8, src9), so the update's membership
+    # changes concentrate at the END of the (source, doc_id) shard
+    # order and the prefix shards genuinely reuse — the operationally
+    # common "new crawl appended" shape
+    last_two = F.col("source").isin("src8", "src9")
+    DD.dedup_incremental_clusters(spark, cc, d.filter(~last_two & (src_num < 7)))
+    DD.dedup_incremental_clusters(spark, cc, d.filter(~last_two & (src_num >= 7)))
+    DD.dedup_incremental_clusters(spark, cc, d.filter(last_two))
+
+    exp_prev = _export_frame_from_labels(
+        DD.read_incremental_clusters_asof(spark, cc, 2), d
+    )
+    export_store_commit(spark, store, exp_prev)
+    exp_now = _export_frame_from_labels(DD.read_incremental_clusters(spark, cc), d)
+    export_store_commit(spark, store, exp_now)
+
+    return read_export_manifest(spark, store).select(
+        "file_idx", "n_docs", "sum_tokens", "content_hash", "reused"
+    )

@@ -2933,3 +2933,55 @@ def test_snapshot_pin_blocks_compaction_not_takedown(spark, tmp_path):
         spark.createDataFrame([(99, "pin doc 99")], "doc_id long, text string"),
     )
     assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
+
+
+def test_export_store_content_addressed_reuse(spark, tmp_path):
+    import glob
+    import os
+
+    from libmr_spark.operators.export import (
+        export_store_commit,
+        read_export_manifest,
+        read_export_shards,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "source string, doc_id long, cluster_size bigint, "
+            "n_tokens bigint, cum_tokens bigint, file_idx bigint",
+        )
+
+    store = str(tmp_path / "exp_store")
+    # two shards: docs 1-2 in shard 0, doc 3 in shard 1
+    base = [
+        ("a", 1, 1, 3000, 3000, 0),
+        ("a", 2, 1, 1000, 4000, 0),
+        ("b", 3, 1, 2000, 6000, 1),
+    ]
+    m1 = {r.file_idx: r for r in export_store_commit(spark, store, frame(base)).collect()}
+    assert all(not r.reused for r in m1.values())
+
+    # change only shard 1's content: shard 0 must reuse (same data_tag,
+    # zero new files for it), shard 1 rewrites under the new tag
+    upd = base[:2] + [("b", 3, 1, 2500, 6500, 1)]
+    m2 = {r.file_idx: r for r in export_store_commit(spark, store, frame(upd)).collect()}
+    assert m2[0].reused is True and m2[0].data_tag == m1[0].data_tag
+    assert m2[1].reused is False and m2[1].data_tag != m1[1].data_tag
+    # the reused shard's files live ONLY under the first tag
+    assert glob.glob(os.path.join(store, "files", f"batch={m2[1].data_tag}", "file_idx=0")) == []
+
+    # served data equals the committed frame, shard by shard
+    got = {(r.source, r.doc_id, r.n_tokens) for r in read_export_shards(spark, store).collect()}
+    assert got == {("a", 1, 3000), ("a", 2, 1000), ("b", 3, 2500)}
+
+    # idempotent recommit: everything reuses, no data files written
+    m3 = export_store_commit(spark, store, frame(upd)).collect()
+    assert all(r.reused for r in m3)
+    newest = sorted(
+        t for t in os.listdir(os.path.join(store, "files"))
+    )
+    assert len(newest) == 2  # only the two tags that actually wrote data
+
+    # manifest round-trips through the store
+    assert read_export_manifest(spark, store).count() == 2
