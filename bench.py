@@ -222,6 +222,7 @@ HEADLINE = [
     "hybrid_store_asof",
     "streaming_takedown_feed",
     "export_manifest_updated",
+    "policy_maintenance_log",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -285,6 +286,7 @@ LIFECYCLE = {
     "hybrid_store_asof",
     "streaming_takedown_feed",
     "export_manifest_updated",
+    "policy_maintenance_log",
 }
 
 

@@ -43,12 +43,33 @@ _OPS = {
 }
 
 
+def read_policy_log(spark, log_store: str) -> DataFrame:
+    """The persisted maintenance schedule: every pass's audit rows,
+    stamped with ``pass_seq`` (the log's own commit count — the
+    manifest as the clock, same idempotence contract as the ops
+    feed). This is the ops log AS A STORE: queryable, time-travelable
+    via ``read_incremental_store_asof(..., "audit", k)``, compactable
+    like everything else."""
+    import os
+
+    tags = DD._manifest_read(os.path.join(log_store, "_BATCHES"), _LOG_PARAMS)
+    if not tags:
+        raise ValueError(f"empty policy log at {log_store} (no committed passes)")
+    return spark.read.parquet(
+        *[os.path.join(log_store, "audit", f"batch={t}") for t in tags]
+    )
+
+
+_LOG_PARAMS = {"kind": "policy-log"}
+
+
 def apply_maintenance_policy(
     spark,
     policy: list,
     stores: dict,
     ann_stores: tuple = (),
     dry_run: bool = False,
+    log_store: str | None = None,
 ) -> DataFrame:
     """Evaluate ``policy`` rules against the fleet's metrics and run
     the selected maintenance actions.
@@ -73,7 +94,13 @@ def apply_maintenance_policy(
     un-executed actions). The policy pass never reads data files
     except through the actions themselves — evaluation is the
     metadata-sized metrics frame, collected driver-side
-    (|stores| x |tables| + |cells| rows)."""
+    (|stores| x |tables| + |cells| rows).
+
+    ``log_store``: when given, every pass (including a no-op pass —
+    an empty audit is evidence too) COMMITS its audit rows, stamped
+    with ``pass_seq``, under the standard ``_BATCHES`` manifest at
+    that path — the maintenance schedule as a durable, queryable
+    store (SURVEY round-10: the ops log a fleet audit reads)."""
     from .retrieval import ann_index_retrain
     from .vocab import compact_vocab_store
 
@@ -139,8 +166,20 @@ def apply_maintenance_policy(
             result = len(ann_index_retrain(spark, path))
         audit.append((store_name, action, metric, value, int(result), True))
 
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         audit,
         "store_kind string, action string, fired_metric string, "
         "trigger_value double, result bigint, executed boolean",
     )
+    if log_store is not None:
+        import os
+        import uuid
+
+        manifest_path = os.path.join(log_store, "_BATCHES")
+        seq = len(DD._manifest_read(manifest_path, _LOG_PARAMS)) + 1
+        tag = uuid.uuid4().hex
+        out.withColumn("pass_seq", F.lit(seq).cast("int")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(log_store, "audit", f"batch={tag}"))
+        DD._manifest_publish(manifest_path, _LOG_PARAMS, add_tags=[tag])
+    return out

@@ -7592,3 +7592,84 @@ def export_manifest_updated_q(spark, sf_dir):
     return read_export_manifest(spark, store).select(
         "file_idx", "n_docs", "sum_tokens", "content_hash", "reused"
     )
+
+
+@defquery(
+    "policy_maintenance_log",
+    f"""
+WITH dr AS MATERIALIZED (SELECT * FROM ({{DRIFT_SQL}}) t),
+trig AS (
+  SELECT drift2 FROM dr WHERE drift2 > 0
+  ORDER BY 'cell:' || CAST(cid AS VARCHAR) ASC, drift2 ASC LIMIT 1)
+SELECT CAST(1 AS INT) AS pass_seq, 'ann' AS store_kind, 'retrain' AS action,
+       'drift2' AS fired_metric, (SELECT drift2 FROM trig) AS trigger_value,
+       CAST(8 AS BIGINT) AS result, TRUE AS executed
+UNION ALL
+SELECT 1, 'exact', 'compact', 'n_dirs', CAST(3 AS DOUBLE), 3, TRUE
+    """,
+    "the maintenance SCHEDULE as a durable store (SURVEY round-10 "
+    "#3, shipped in round 9): every apply_maintenance_policy pass "
+    "commits its audit rows — stamped with pass_seq, the log's own "
+    "manifest commit count — under a _BATCHES store of their own, so "
+    "the fleet's maintenance history is queryable, time-travelable "
+    "and compactable like every other table the engine maintains. "
+    "Two passes run here: pass 1 fires compact (3-commit exact "
+    "store) and retrain (drifted ANN store); pass 2 re-evaluates the "
+    "COMPACT rule after the actions and must fire NOTHING — "
+    "compaction left n_dirs=1 — and its empty audit commits too, "
+    "because a no-op pass is itself the evidence an auditor wants. "
+    "(The retrain rule is deliberately absent from pass 2: at the "
+    "store's recorded 2 Lloyd rounds the quantizer has not converged, "
+    "so post-retrain drift2 stays > 0 and a zero threshold would "
+    "re-fire — in production the threshold, not zero, is the damper; "
+    "the monitor loop's determinism never depended on convergence.) "
+    "The served log therefore contains exactly pass 1's two rows, "
+    "with the oracle recomputing the triggering drift2 from the "
+    "corpus: one hash gates the rule evaluation, the action results, "
+    "the compact rule's convergence, AND the log store round-trip.",
+)
+def policy_maintenance_log_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .operators.policy import apply_maintenance_policy, read_policy_log
+    from .operators.retrieval import ann_index_ingest
+    from .queries_ext import _sink_dir
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    exact = _sink_dir("pollog_exact", sf_dir)
+    ann = _sink_dir("pollog_ann", sf_dir)
+    log = _sink_dir("pollog_log", sf_dir)
+    for p in (exact, ann, log):
+        shutil.rmtree(p, ignore_errors=True)
+
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num < 7))
+    DD.dedup_incremental_exact(spark, exact, d.filter((src_num >= 7) & (src_num < 14)))
+    DD.dedup_incremental_exact(spark, exact, d.filter(src_num >= 14))
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, ann, emb.filter(F.col("vec_id") >= half))
+
+    policy = [
+        {"metric": "n_dirs", "op": ">", "threshold": 2, "action": "compact"},
+        {"metric": "drift2", "op": ">", "threshold": 0, "action": "retrain"},
+    ]
+    stores = {"exact": ("table", exact, ("fps",)), "ann": ("ann", ann)}
+    apply_maintenance_policy(spark, policy, stores, ann_stores=("ann",), log_store=log)
+    # pass 2 after the actions: the compact rule must fire nothing
+    # (n_dirs folded to 1), and its empty audit still commits (the
+    # no-op evidence); see the docstring for why the retrain rule is
+    # not re-evaluated at threshold 0
+    apply_maintenance_policy(spark, policy[:1], stores, ann_stores=("ann",), log_store=log)
+
+    return read_policy_log(spark, log).select(
+        "pass_seq", "store_kind", "action", "fired_metric",
+        "trigger_value", "result", "executed",
+    )
+
+
+QUERIES["policy_maintenance_log"].sql = QUERIES["policy_maintenance_log"].sql.replace(
+    "{DRIFT_SQL}", _ann_drift_sql()
+)

@@ -2985,3 +2985,76 @@ def test_export_store_content_addressed_reuse(spark, tmp_path):
 
     # manifest round-trips through the store
     assert read_export_manifest(spark, store).count() == 2
+
+
+def test_export_store_random_updates_match_model(spark, tmp_path):
+    # the store-soak protocol applied to the export store: a sequence
+    # of randomized frame mutations, after EVERY commit the served
+    # manifest must equal a pure-python recomputation (hash formula
+    # included) and the reuse flags must equal content identity vs the
+    # previous frame
+    import hashlib
+    import random
+
+    from libmr_spark.operators.export import (
+        export_store_commit,
+        read_export_manifest,
+        read_export_shards,
+    )
+
+    rng = random.Random(17)
+    budget = 50
+
+    def assign(rows):
+        # rows: [(source, doc_id, cluster_size, n_tokens)] -> full frame rows
+        out, cum = [], 0
+        for src, did, cs, n in sorted(rows, key=lambda r: (r[0], r[1])):
+            cum += n
+            out.append((src, did, cs, n, cum, (cum - n) // budget))
+        return out
+
+    def model_manifest(frame_rows):
+        man = {}
+        for src, did, cs, n, cum, fi in frame_rows:
+            s = f"{did}|{src}|{cs}|{n}|{cum}"
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            nd, st, ch = man.get(fi, (0, 0, 0))
+            man[fi] = (nd + 1, st + n, ch ^ h)
+        return man
+
+    def to_df(frame_rows):
+        return spark.createDataFrame(
+            frame_rows,
+            "source string, doc_id long, cluster_size bigint, "
+            "n_tokens bigint, cum_tokens bigint, file_idx bigint",
+        )
+
+    store = str(tmp_path / "exp_soak")
+    docs = {(f"s{rng.randrange(3)}", i): (1, rng.randrange(5, 30)) for i in range(40)}
+    prev_man = None
+    for step in range(5):
+        frame = assign([(k[0], k[1], v[0], v[1]) for k, v in docs.items()])
+        committed = {
+            r.file_idx: r for r in export_store_commit(spark, store, to_df(frame)).collect()
+        }
+        want = model_manifest(frame)
+        got = {
+            r.file_idx: (r.n_docs, r.sum_tokens, r.content_hash)
+            for r in read_export_manifest(spark, store).collect()
+        }
+        assert got == want, f"step {step}: manifest != model"
+        if prev_man is not None:
+            for fi, r in committed.items():
+                assert r.reused == (want[fi] == prev_man.get(fi)), (step, fi)
+        served = {
+            (r.source, r.doc_id, r.n_tokens)
+            for r in read_export_shards(spark, store).collect()
+        }
+        assert served == {(s, d, v[1]) for (s, d), v in docs.items()}, f"step {step}"
+        prev_man = want
+        # mutate: tweak a few docs' token counts, drop one, add one
+        for _ in range(3):
+            k = rng.choice(list(docs))
+            docs[k] = (docs[k][0], rng.randrange(5, 30))
+        docs.pop(rng.choice(list(docs)))
+        docs[(f"s{rng.randrange(3)}", 100 + step)] = (1, rng.randrange(5, 30))
