@@ -223,6 +223,7 @@ HEADLINE = [
     "streaming_takedown_feed",
     "export_manifest_updated",
     "policy_maintenance_log",
+    "ann_index_filtered_auto",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -287,6 +288,7 @@ LIFECYCLE = {
     "streaming_takedown_feed",
     "export_manifest_updated",
     "policy_maintenance_log",
+    "ann_index_filtered_auto",
 }
 
 

@@ -339,11 +339,30 @@ def _rewrite_store(
     manifest_path = os.path.join(store_path, "_BATCHES")
     with _manifest_lock(os.path.join(store_path, "_REWRITE"), timeout_s=300.0):
         if respect_snapshots:
+            import json as _json
+
             snapdir = os.path.join(store_path, "_SNAPSHOTS")
-            pins = sorted(
-                p[:-5] for p in (os.listdir(snapdir) if os.path.isdir(snapdir) else [])
-                if p.endswith(".json")
-            )
+            now = time.time()
+            pins = []
+            for p in sorted(os.listdir(snapdir) if os.path.isdir(snapdir) else []):
+                if not p.endswith(".json"):
+                    continue
+                fp = os.path.join(snapdir, p)
+                try:
+                    with open(fp) as fh:
+                        exp = _json.load(fh).get("expires_at")
+                except (OSError, ValueError):
+                    exp = None  # unreadable pin: treat as live (fail safe)
+                if exp is not None and exp < now:
+                    # TTL retention GC: an expired pin stops guarding
+                    # and is swept, so a forgotten snapshot cannot
+                    # block compaction forever
+                    try:
+                        os.remove(fp)
+                    except OSError:
+                        pass
+                    continue
+                pins.append(p[:-5])
             if pins:
                 raise ValueError(
                     f"store rewrite at {store_path} blocked by live snapshot "

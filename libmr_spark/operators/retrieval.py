@@ -899,3 +899,61 @@ def hybrid_index_rrf(
         t["postings"], t["doclen"], query_terms, dvec, qvec, t["prefixes"],
         shortlist=shortlist, k=k, c=c,
     )
+
+
+def ann_index_topk_auto(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    candidate_filter,
+    base_nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    quant_digits: int = 6,
+):
+    """COST-BASED probe widening for metadata-filtered search: the
+    documented selectivity↔nprobe trade-off made mechanical. A
+    selective ``candidate_filter`` empties probed cells, so recall at
+    fixed nprobe degrades exactly as selectivity drops; this wrapper
+    estimates selectivity with one count pass over the cells table
+    (sel = |matching| / |all| — exact IEEE division of exact ints, so
+    the chosen nprobe is engine-reproducible) and probes
+
+        nprobe = min(k_cells, ceil(base_nprobe / sel))
+
+    — the unfiltered query keeps base_nprobe; a 1-in-3 filter probes
+    3x the cells; a filter below base/k_cells selectivity degrades to
+    exhaustive cell coverage (the honest floor — at that point IVF
+    cannot beat a filtered scan and shouldn't pretend to). Returns
+    (result DataFrame, chosen nprobe). At 100 TB the count pass is
+    min/max-pruned by the same pushed predicate the serve uses, and a
+    deployment would cache per-predicate selectivities the way any
+    cost-based optimizer caches column stats."""
+    import json
+    import math
+
+    manifest_path = os.path.join(index_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    if not tags:
+        raise ValueError(f"empty ann index at {index_path} (no committed batches)")
+    with open(manifest_path) as f:
+        k_cells = int(json.load(f)["params"]["k_cells"])
+    cells = spark.read.parquet(
+        *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(candidate_filter, F.lit(1))).alias("matched"),
+    ).first()
+    if not agg.matched:
+        raise ValueError("ann_index_topk_auto: candidate_filter matches no vectors")
+    sel = agg.matched / agg.total  # one IEEE division of exact ints
+    nprobe = min(k_cells, math.ceil(base_nprobe / sel))
+    out = ann_index_topk(
+        spark, index_path, queries, nprobe=nprobe, k=k,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+        quant_digits=quant_digits, candidate_filter=candidate_filter,
+    )
+    return out, nprobe

@@ -76,7 +76,7 @@ def load_snapshot(snapshot_path: str) -> dict:
     return snap
 
 
-def register_snapshot(snap: dict, snapshot_id: str) -> None:
+def register_snapshot(snap: dict, snapshot_id: str, ttl_s: float | None = None) -> None:
     """Pin the snapshot AT each store: writes
     ``<store>/_SNAPSHOTS/<id>.json`` (atomic swap) so the store's own
     COMPACTION refuses to collapse the pinned prefix while the pin is
@@ -87,14 +87,22 @@ def register_snapshot(snap: dict, snapshot_id: str) -> None:
     reproducibility, so those rewrites may still invalidate a pinned
     read (which then raises out-of-range, never serving silently).
     Release with :func:`release_snapshot` when the training run no
-    longer needs byte-exact replays."""
+    longer needs byte-exact replays — or give the pin a ``ttl_s`` so a
+    forgotten snapshot cannot block compaction forever: an expired pin
+    is swept (and stops guarding) the next time the guard evaluates
+    it, the retention-GC contract every lakehouse retention policy
+    ends up needing."""
+    import time
+
+    expires_at = (time.time() + ttl_s) if ttl_s is not None else None
     for name, entry in snap["stores"].items():
         d = os.path.join(entry["path"], "_SNAPSHOTS")
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f"{snapshot_id}.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"id": snapshot_id, "store": name,
-                       "n_batches": entry["n_batches"]}, f)
+                       "n_batches": entry["n_batches"],
+                       "expires_at": expires_at}, f)
         os.replace(tmp, os.path.join(d, f"{snapshot_id}.json"))
 
 

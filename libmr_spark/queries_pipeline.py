@@ -7673,3 +7673,71 @@ def policy_maintenance_log_q(spark, sf_dir):
 QUERIES["policy_maintenance_log"].sql = QUERIES["policy_maintenance_log"].sql.replace(
     "{DRIFT_SQL}", _ann_drift_sql()
 )
+
+
+def _ann_auto_nprobe_sql(base_nprobe: int = 2, keep_where: str = "vec_id % 3 = 0") -> str:
+    """The filtered-ANN oracle with a COST-BASED probe cutoff: an
+    ``npsel`` CTE computes the filter's exact selectivity over the
+    assigned cells and the probe window reads its cutoff from it —
+    the same arithmetic (one IEEE division of exact counts, ceil,
+    min with k_cells) the Spark operator runs, so the dynamically
+    chosen nprobe is engine-identical."""
+    npsel = f"""npsel AS (
+  SELECT LEAST(8, CAST(ceil({base_nprobe} / sel) AS INT)) AS np FROM (
+    SELECT CAST(count(*) FILTER (WHERE {keep_where}) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS sel
+    FROM afull)),
+"""
+    sql = _ann_index_sql(
+        nprobe="(SELECT np FROM npsel)",  # type: ignore[arg-type]
+        exclude_where=f"NOT (a.{keep_where})",
+    )
+    sql = sql.replace("qv AS (", npsel + "qv AS (", 1)
+    return sql.replace(
+        "SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist FROM (",
+        "SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist,\n"
+        "       (SELECT CAST(np AS INT) FROM npsel) AS nprobe FROM (",
+        1,
+    )
+
+
+@defquery(
+    "ann_index_filtered_auto",
+    _ann_auto_nprobe_sql(),
+    "COST-BASED nprobe for filtered vector search (SURVEY round-10 "
+    "#1, shipped in round 9): ann_index_topk_auto estimates the "
+    "candidate filter's selectivity with one count pass over the "
+    "cells table and widens the probe set to ceil(base_nprobe / sel) "
+    "capped at k_cells — the selectivity↔recall trade-off the fixed-"
+    "nprobe query documents, made mechanical (a 1-in-3 filter probes "
+    "3x the cells; a filter below base/k_cells selectivity degrades "
+    "honestly to exhaustive cell coverage). The chosen nprobe is one "
+    "IEEE division of exact integer counts + ceil + min, so both "
+    "engines derive the IDENTICAL cutoff, and the oracle's probe "
+    "window reads its cutoff from the same selectivity CTE — the "
+    "hash gates the cost model AND the widened serving result, with "
+    "nprobe itself a gated output column. At 100 TB the count pass "
+    "is pruned by the same pushed predicate the serve uses, and a "
+    "deployment caches per-predicate selectivities like any "
+    "cost-based optimizer caches column stats.",
+)
+def ann_index_filtered_auto_q(spark, sf_dir):
+    import shutil
+
+    from .operators.retrieval import ann_index_ingest, ann_index_topk_auto
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("ann_index_filtered_auto", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out, nprobe = ann_index_topk_auto(
+        spark, path, queries, candidate_filter=F.col("vec_id") % 3 == 0,
+        base_nprobe=2, k=5,
+    )
+    return out.withColumn("nprobe", F.lit(nprobe).cast("int"))

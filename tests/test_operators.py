@@ -2934,6 +2934,23 @@ def test_snapshot_pin_blocks_compaction_not_takedown(spark, tmp_path):
     )
     assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
 
+    # TTL retention GC: an expired pin stops guarding and is swept
+    import os as _os
+
+    DD.dedup_incremental_exact(
+        spark, store,
+        spark.createDataFrame([(100, "pin doc 100")], "doc_id long, text string"),
+    )
+    snap3 = fleet_snapshot({"exact": store})
+    register_snapshot(snap3, "expired-run", ttl_s=-1.0)  # already expired
+    register_snapshot(snap3, "live-run", ttl_s=3600.0)
+    with pytest.raises(ValueError, match=r"live-run"):
+        DD.compact_incremental_store(spark, store, tables=("fps",))
+    # the expired pin was swept by the guard evaluation above
+    assert not _os.path.exists(_os.path.join(store, "_SNAPSHOTS", "expired-run.json"))
+    release_snapshot(snap3, "live-run")
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
+
 
 def test_export_store_content_addressed_reuse(spark, tmp_path):
     import glob
@@ -3058,3 +3075,38 @@ def test_export_store_random_updates_match_model(spark, tmp_path):
             docs[k] = (docs[k][0], rng.randrange(5, 30))
         docs.pop(rng.choice(list(docs)))
         docs[(f"s{rng.randrange(3)}", 100 + step)] = (1, rng.randrange(5, 30))
+
+
+def test_ann_auto_nprobe_widens_with_selectivity(spark, tmp_path, emb):
+    from libmr_spark.operators.retrieval import ann_index_ingest, ann_index_topk_auto
+
+    path = str(tmp_path / "ann_auto")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint").alias("b")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # a trivially-true filter keeps the base probe width
+    _, np_all = ann_index_topk_auto(
+        spark, path, queries, candidate_filter=F.col("vec_id") >= 0, base_nprobe=2
+    )
+    assert np_all == 2
+    # a ~1-in-3 filter widens ~3x; a 1-in-50 filter hits the k_cells cap
+    _, np_third = ann_index_topk_auto(
+        spark, path, queries, candidate_filter=F.col("vec_id") % 3 == 0, base_nprobe=2
+    )
+    assert 5 <= np_third <= 8
+    out, np_rare = ann_index_topk_auto(
+        spark, path, queries, candidate_filter=F.col("vec_id") % 50 == 0, base_nprobe=2
+    )
+    assert np_rare == 8  # capped at k_cells = exhaustive coverage
+    # at full coverage the filtered result IS the brute-force answer
+    # over the filtered subset: every returned id satisfies the filter
+    assert all(r.vec_id % 50 == 0 for r in out.collect())
+
+    with pytest.raises(ValueError, match="matches no vectors"):
+        ann_index_topk_auto(
+            spark, path, queries, candidate_filter=F.col("vec_id") < 0
+        )
