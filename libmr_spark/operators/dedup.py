@@ -1361,6 +1361,16 @@ def dedup_incremental_exact(
     # fingerprints (self-rejection), and the caller's action should not
     # recompute the admission work a second time
     admitted = admitted.localCheckpoint(eager=True)
+    if tags and admitted.isEmpty():
+        # an all-duplicate batch (the replayed-micro-batch case)
+        # changes no state — committing an empty tag would only
+        # advance the manifest clock, which downstream consumers use
+        # as a replay-idempotent sequence stamp (streaming_ops_metrics'
+        # overwrite-by-seq contract): skip the publish entirely so a
+        # replay truly re-stamps the same clock value. (The bootstrap
+        # commit is never skipped — an empty FIRST batch still creates
+        # the store.)
+        return admitted
     tag = uuid.uuid4().hex
     admitted.select("fp", id_col).write.mode("overwrite").parquet(
         os.path.join(fp_table_path, "fps", f"batch={tag}")

@@ -93,6 +93,13 @@ def export_store_commit(spark, store_path: str, exp: DataFrame) -> DataFrame:
     tags = _manifest_read(manifest_path, _PARAMS)
     tag = uuid.uuid4().hex
 
+    # freeze the frame ONCE: the manifest aggregation and the
+    # changed-shard data write below must describe the same rows (a
+    # lazily re-evaluated non-deterministic lineage would hash one
+    # evaluation and write another — the manifest would then "verify"
+    # bytes that were never written), and a deterministic frame
+    # shouldn't pay its export chain twice either
+    exp = exp.localCheckpoint(eager=True)
     rows = export_manifest_rows(exp)
     if tags:
         prev = (

@@ -107,6 +107,13 @@ def apply_maintenance_policy(
     for name, spec in stores.items():
         if spec[0] not in _FAMILIES:
             raise ValueError(f"store {name!r}: unknown family {spec[0]!r}")
+        if spec[0] == "table" and (len(spec) < 3 or not isinstance(spec[2], tuple)):
+            # validate arity UP FRONT: failing mid-pass would leave a
+            # half-executed fleet with a raw IndexError
+            raise ValueError(
+                f"store {name!r}: table-family entries are (family, path, "
+                "tables-tuple) — missing the manifest tables tuple"
+            )
     for rule in policy:
         if rule["op"] not in _OPS:
             raise ValueError(f"unknown op {rule['op']!r} (have {sorted(_OPS)})")

@@ -94,16 +94,33 @@ def register_snapshot(snap: dict, snapshot_id: str, ttl_s: float | None = None) 
     ends up needing."""
     import time
 
+    from .dedup import _manifest_lock
+
     expires_at = (time.time() + ttl_s) if ttl_s is not None else None
     for name, entry in snap["stores"].items():
-        d = os.path.join(entry["path"], "_SNAPSHOTS")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"{snapshot_id}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"id": snapshot_id, "store": name,
-                       "n_batches": entry["n_batches"],
-                       "expires_at": expires_at}, f)
-        os.replace(tmp, os.path.join(d, f"{snapshot_id}.json"))
+        # write the pin under the store's REWRITE flock and re-validate
+        # the pinned prefix: a rewrite already past its guard check
+        # when we arrive holds the lock until it publishes, so we
+        # block, then see the collapsed log and raise STALE instead of
+        # returning success for a pin that protects nothing (the
+        # TOCTOU window between capture and registration, closed)
+        with _manifest_lock(os.path.join(entry["path"], "_REWRITE"), timeout_s=300.0):
+            tags = _manifest_read(os.path.join(entry["path"], "_BATCHES"), None)
+            if len(tags) < entry["n_batches"]:
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} is stale for store {name!r}: "
+                    f"a rewrite collapsed the commit log to {len(tags)} "
+                    f"batches (< pinned {entry['n_batches']}) between "
+                    "capture and registration — re-capture the fleet"
+                )
+            d = os.path.join(entry["path"], "_SNAPSHOTS")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f"{snapshot_id}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"id": snapshot_id, "store": name,
+                           "n_batches": entry["n_batches"],
+                           "expires_at": expires_at}, f)
+            os.replace(tmp, os.path.join(d, f"{snapshot_id}.json"))
 
 
 def release_snapshot(snap: dict, snapshot_id: str) -> None:

@@ -57,9 +57,12 @@ def takedown_everywhere(
 
     from .vocab import pmi_store_ingest
 
-    # every family delete accepts an id DataFrame — never collect the
-    # victim set to the driver (a takedown batch can be arbitrarily
-    # large; the deletes anti-join it distributed)
+    # pass the victim set as a DataFrame: each family delete
+    # anti-joins it (today with a broadcast hint, so the set still
+    # transits the driver sized by the TAKEDOWN BATCH — bounded by the
+    # request, never by the corpus; a deployment whose single takedown
+    # batches outgrow broadcast would drop the hint to a shuffle
+    # anti-join inside the family deletes)
     ids = victims.select(id_col).distinct()
     audit: dict = {}
     for name, (path, tables) in (table_stores or {}).items():

@@ -64,6 +64,38 @@ def apply_merge(syms_col, left: str, right: str):
     )
 
 
+def top_pair(vocab: DataFrame):
+    """The round's winning adjacent symbol pair over a (word, freq,
+    syms) vocabulary: max summed frequency, (n DESC, l ASC, r ASC)
+    tie-break — the ONE copy of the selection both the store trainer
+    and the bpe_train_merges gate query run, so the cross-query
+    hash-equivalence contract can't silently fork. Returns
+    (l, r, n) or None when the vocabulary is exhausted."""
+    rows = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0].l, rows[0].r, int(rows[0].n)
+
+
 def _corpus_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     tok = docs.select(
         F.explode(
@@ -123,29 +155,10 @@ def bpe_store_train(
     new_merges: list = []
     next_rnd = (stored[-1][0] + 1) if stored else 1
     for rnd in range(next_rnd, next_rnd + rounds):
-        top = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("l"),
-                            F.element_at("syms", i + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        top = top_pair(vocab)
+        if top is None:
             break  # vocabulary exhausted: commit what was learned
-        l, r, n = top[0].l, top[0].r, int(top[0].n)
+        l, r, n = top
         new_merges.append((rnd, l, r, n))
         vocab = vocab.select(
             "word", "freq", apply_merge("syms", l, r).alias("syms")

@@ -4116,63 +4116,26 @@ def _bpe_train_sql(
     "real trainer runs thousands of rounds of the SAME shape.",
 )
 def bpe_train_merges_q(spark, sf_dir):
+    # the fold, pair selection and vocab bootstrap are the SAME
+    # functions the versioned merge store trains with
+    # (operators/tokenizer_store.py) — one implementation, so the
+    # store-continuation contract (train(3)+train(2) == one 5-round
+    # sitting == this query) can't silently fork
+    from .operators.tokenizer_store import _corpus_vocab, apply_merge, top_pair
+
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        F.explode(
-            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != "")
-        ).alias("word")
-    )
-    vocab = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.substring(F.col("word"), i, 1),
-            ).alias("syms"),
-        )
-        .localCheckpoint()
-    )
+    vocab = _corpus_vocab(d, "text").localCheckpoint()
 
     merges = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("l"),
-                            F.element_at("syms", i + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not pairs:
+        top = top_pair(vocab)
+        if top is None:
             raise ValueError(f"bpe_train_merges: vocabulary exhausted at round {rnd}")
-        l, r, n = pairs[0].l, pairs[0].r, int(pairs[0].n)
+        l, r, n = top
         merges.append((rnd, l, r, n))
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        vocab = vocab.select("word", "freq", merged.alias("syms")).localCheckpoint()
+        vocab = vocab.select(
+            "word", "freq", apply_merge("syms", l, r).alias("syms")
+        ).localCheckpoint()
 
     return spark.createDataFrame(
         merges, "rnd int, merge_left string, merge_right string, n bigint"
@@ -6141,9 +6104,7 @@ def _quota_export_frame(spark, sf_dir, store_dirname):
     quota_sampled_export and the export-manifest query."""
     import shutil
 
-    from .functions.text import token_count
     from .operators import dedup as DD
-    from .operators.prefix import prefix_sum
     from .queries_ext import _sink_dir
 
     path = _sink_dir(store_dirname, sf_dir)
@@ -6360,8 +6321,9 @@ UNION ALL SELECT 'vocab:bi', a || ' ' || b, CAST(c AS BIGINT) FROM vbi
     "(splits, un-sharing, subtraction) re-served correctly, and (c) "
     "the audit counts the compliance log records are the true "
     "deletion counts. At 100 TB each family keeps its own proven "
-    "bound; the victim set stays a DataFrame end-to-end (anti-joins, "
-    "never a driver collect).",
+    "bound; the victim set stays a DataFrame sized by the takedown "
+    "batch (the family deletes broadcast-anti-join it — request-"
+    "bounded, never corpus-bounded).",
 )
 def takedown_everywhere_audit_q(spark, sf_dir):
     import shutil
@@ -6584,47 +6546,21 @@ GROUP BY file_idx
     "manifest is |shards| rows.",
 )
 def quota_export_manifest_q(spark, sf_dir):
-    import os
     import shutil
-    import uuid
 
-    from .operators.dedup import _manifest_publish, _manifest_read
+    from .operators.export import export_store_commit, read_export_manifest
     from .queries_ext import _sink_dir
 
     store = _sink_dir("export_manifest_store", sf_dir)
     shutil.rmtree(store, ignore_errors=True)
-
-    exp = _quota_export_frame(spark, sf_dir, "cc_export_manifest_cc").localCheckpoint(
-        eager=True
+    exp = _quota_export_frame(spark, sf_dir, "cc_export_manifest_cc")
+    # one implementation of the hash/commit protocol (operators/export.py)
+    # serves both this first-commit query and the update query — the
+    # content-hash formula cannot desynchronize between them
+    export_store_commit(spark, store, exp)
+    return read_export_manifest(spark, store).select(
+        "file_idx", "n_docs", "sum_tokens", "content_hash"
     )
-    tag = uuid.uuid4().hex
-    exp.write.mode("overwrite").partitionBy("file_idx").parquet(
-        os.path.join(store, "files", f"batch={tag}")
-    )
-    row_str = F.concat_ws(
-        "|",
-        F.col("doc_id").cast("string"),
-        F.col("source"),
-        F.col("cluster_size").cast("string"),
-        F.col("n_tokens").cast("string"),
-        F.col("cum_tokens").cast("string"),
-    )
-    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
-    manifest_rows = exp.groupBy("file_idx").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-        F.bit_xor(h60).cast("bigint").alias("content_hash"),
-    )
-    manifest_rows.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(store, "manifest", f"batch={tag}")
-    )
-    params = {"kind": "export-manifest"}
-    _manifest_publish(os.path.join(store, "_BATCHES"), params, add_tags=[tag])
-
-    tags = _manifest_read(os.path.join(store, "_BATCHES"), params)
-    return spark.read.parquet(
-        *[os.path.join(store, "manifest", f"batch={t}") for t in tags]
-    ).select("file_idx", "n_docs", "sum_tokens", "content_hash")
 
 
 # the manifest oracle wraps the registered export oracle verbatim —

@@ -89,9 +89,14 @@ def main(argv: list[str]) -> int:
         print(f"\nvs {bn}: calib {oc} -> {nc} (speed x{speed:.2f}, {norm}); "
               f"{len(common)} common queries, total "
               f"{o_tot:.2f}s -> {n_tot:.2f}s ({(n_tot / o_tot) if o_tot else 0:.2f}x)")
+        # floor the denominator at 5ms: a baseline wall that rounded to
+        # 0.00 must yield a HUGE ratio (and get flagged if material),
+        # not silently drop out of the gate and masquerade as NEW
         ratios[bn] = {
-            k: (nq_raw[k] / speed) / oq[k] for k in common if oq[k] > 0
+            k: (nq_raw[k] / speed) / max(oq[k], 0.005) for k in common
         }
+        for gone in sorted(set(oq) - set(nq_raw)):
+            print(f"  GONE    {gone} (was {oq[gone]:.2f}s in {bn})")
 
     # combined table: flag only what regressed against EVERY baseline
     all_q = sorted(set().union(*[set(r) for r in ratios.values()]) if ratios else [])
@@ -100,7 +105,9 @@ def main(argv: list[str]) -> int:
     for name in all_q:
         rs = {bn: ratios[bn][name] for bn in base_names if name in ratios[bn]}
         worst, best = max(rs.values()), min(rs.values())
-        if best > threshold:
+        if best > threshold and nq_raw.get(name, 0) > 0.5:
+            # materiality floor: sub-half-second walls near the 5ms
+            # denominator floor are JIT/launch noise, not plan shape
             regressions.append((name, best))
             mark = "REGRESS"
         elif worst > threshold:

@@ -3110,3 +3110,40 @@ def test_ann_auto_nprobe_widens_with_selectivity(spark, tmp_path, emb):
         ann_index_topk_auto(
             spark, path, queries, candidate_filter=F.col("vec_id") < 0
         )
+
+
+def test_exact_ingest_replay_does_not_advance_manifest_clock(spark, tmp_path):
+    # regression (round-9 review): an all-duplicate batch — the
+    # replayed-micro-batch case — must NOT publish an empty tag, or
+    # every consumer using the manifest as a replay-idempotent clock
+    # (streaming_ops_metrics' overwrite-by-seq) shifts by one
+    store = str(tmp_path / "fp_clock")
+    rows = [(1, "clock doc one"), (2, "clock doc two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.dedup_incremental_exact(spark, store, df).count() == 2
+    assert DD.incremental_store_stats(spark, store)["n_batches"] == 1
+    # full replay: admits nothing, clock unchanged
+    assert DD.dedup_incremental_exact(spark, store, df).count() == 0
+    assert DD.incremental_store_stats(spark, store)["n_batches"] == 1
+    # a genuinely new batch still commits
+    df2 = spark.createDataFrame([(3, "clock doc three")], "doc_id long, text string")
+    assert DD.dedup_incremental_exact(spark, store, df2).count() == 1
+    assert DD.incremental_store_stats(spark, store)["n_batches"] == 2
+
+
+def test_register_snapshot_rejects_stale_capture(spark, tmp_path):
+    # regression (round-9 review): a pin registered AFTER a rewrite
+    # collapsed the captured prefix must raise stale, not return
+    # success for a pin that protects nothing
+    from libmr_spark.operators.snapshot import fleet_snapshot, register_snapshot
+
+    store = str(tmp_path / "stale_exact")
+    for k in range(2):
+        DD.dedup_incremental_exact(
+            spark, store,
+            spark.createDataFrame([(k, f"stale doc {k}")], "doc_id long, text string"),
+        )
+    snap = fleet_snapshot({"exact": store})  # captures n_batches=2
+    DD.compact_incremental_store(spark, store, tables=("fps",))  # collapses to 1
+    with pytest.raises(ValueError, match="stale"):
+        register_snapshot(snap, "late-pin")
