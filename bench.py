@@ -224,6 +224,13 @@ HEADLINE = [
     "export_manifest_updated",
     "policy_maintenance_log",
     "ann_index_filtered_auto",
+    # round-9 join-MV store (delta-join IVM): all four are lifecycle
+    # soaks (five manifest commits each before the serve)
+    "matview_join_incremental",
+    "matview_join_retracted",
+    "matview_agg_join",
+    "matview_compacted",
+    "streaming_matview_join",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -235,6 +242,11 @@ HEADLINE = [
 # #7: 38 such soaks were drowning the 2x signal). The perf set below
 # (HEADLINE minus this) is what the cross-round 2x gate tracks.
 LIFECYCLE = {
+    "streaming_matview_join",
+    "matview_join_incremental",
+    "matview_join_retracted",
+    "matview_agg_join",
+    "matview_compacted",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

@@ -1,0 +1,316 @@
+"""Incrementally-maintained JOIN materialized view: the delta-join
+IVM rule (the classic ``Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB``) applied to
+the signed-delta store family — the one incremental-view piece the
+store fleet lacked.  ``incremental_agg_refresh``/``_retract`` maintain
+ALGEBRAIC aggregates under CDC; this store maintains a JOIN (and, by
+linearity, any SUM/COUNT over it) without ever recomputing the full
+join: each commit joins only the batch against the accumulated other
+side, so maintenance cost is ``O(|Δ| ⋈ state)`` — batch-bounded on one
+input — instead of ``O(A ⋈ B)``.
+
+Tables under one atomic ``_BATCHES`` manifest (the dedup-store
+protocol — crash-safe publish, compaction through ``_rewrite_store``,
+snapshot pins respected):
+
+- ``left``  — the left input's signed row deltas ``(L-cols..., m)``;
+- ``right`` — the right input's signed row deltas ``(R-cols..., m)``;
+- ``view``  — the signed deltas of the joined view
+  ``(L-cols..., R-cols minus key..., mult)``.
+
+All three commit under ONE tag, so a reader never sees a view delta
+whose input deltas are missing (or vice versa) — the hybrid store's
+multi-table atomicity contract.
+
+Semantics are Z-set (signed multiset) algebra: a row's net
+multiplicity is the sum of its signed deltas across committed batches,
+and the multiplicity of a joined row is the PRODUCT of its input
+multiplicities — which is exactly why the three-term delta rule is
+exact under ANY batch slicing, interleaving, or simultaneous
+both-side deletion (the ``ΔA⋈ΔB`` term is the inclusion-exclusion
+correction when both sides of a matching pair change in one batch).
+
+Admission is the store family's unit-CDC contract generalized to full
+rows: an insert event admits only while the row's net multiplicity in
+the store is <= 0, a delete only while it is exactly >= 1 (the CDC
+delete carries the old row, standard change-stream shape).  Replaying
+a crashed or duplicated batch therefore admits nothing, and a delete
+for a never-inserted row is a no-op — idempotence by construction, so
+at-least-once delivery is exactly-once, same as the dedup/vocab
+stores.
+
+Serving:
+
+- :func:`matview_read` — one groupBy-SUM over the manifest-listed view
+  deltas (net multiplicity > 0), optionally pinned ``as_of_batches``;
+- :func:`matview_agg` — a LINEAR aggregate (SUM/COUNT) over the view
+  served STRAIGHT from the raw deltas in a single pass: linearity
+  means ``SUM(v·mult)`` over deltas equals the aggregate over the net
+  view, no net-fold needed — the composition of join-IVM with the
+  agg-IVM contract.
+
+100 TB shape: the per-batch maintenance joins shuffle on the join key
+with the batch side small (AQE broadcasts it); the pre-state net-fold
+is the dominant recurring cost and is amortized by
+:func:`compact_matview_store`, which folds every table to net rows
+through the crash-safe rewrite (zero-net rows vanish without changing
+any sum — serving is provably invariant).  The forward path at
+warehouse scale is writing the compacted tables bucketed by the join
+key so the Δ⋈state join is co-located; the manifest protocol is
+unchanged by that layout choice.
+
+Reference parity note: the reference engine (RedisGears/LibMR) has no
+incremental view maintenance at all — this is north-star surface, cited
+against the public DBSP/differential-dataflow formulation rather than
+any reference file.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _manifest_publish, _manifest_read, _rewrite_store
+
+MATVIEW_TABLES = ("left", "right", "view")
+
+
+def _params(on: list[str]) -> dict:
+    return {"kind": "matview-join", "on": ",".join(on)}
+
+
+def _net(df: DataFrame, mcol: str) -> DataFrame:
+    cols = [c for c in df.columns if c != mcol]
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum(mcol).cast("long").alias(mcol))
+        .filter(F.col(mcol) != 0)
+    )
+
+
+def _read_table(spark, store_path: str, table: str, tags: list) -> DataFrame:
+    return spark.read.parquet(
+        *[os.path.join(store_path, table, f"batch={t}") for t in tags]
+    )
+
+
+def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
+    """Unit-CDC admission against the pre-batch net state: net the
+    batch per row (an insert+delete of the same row inside one batch
+    cancels), then admit an insert (+1) only where the store's net
+    multiplicity is <= 0 and a delete (-1) only where it is >= 1.
+    Idempotent by construction — replay admits nothing."""
+    cols = [c for c in delta.columns if c != mcol]
+    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm")
+    p = pre.withColumnRenamed(mcol, "_pm")
+    j = d.join(p, cols, "left").withColumn("_pm", F.coalesce("_pm", F.lit(0)))
+    return (
+        j.withColumn(
+            mcol,
+            F.when((F.col("_dm") > 0) & (F.col("_pm") <= 0), F.lit(1))
+            .when((F.col("_dm") < 0) & (F.col("_pm") >= 1), F.lit(-1))
+            .cast("long"),
+        )
+        .filter(F.col(mcol).isNotNull())
+        .select(*cols, mcol)
+    )
+
+
+def _empty_like(spark, df_or_none, store_path, table, tags, mcol):
+    if df_or_none is not None:
+        schema = df_or_none.schema
+    else:
+        # schema from a MANIFEST-LISTED batch dir (bootstrap requires
+        # both sides precisely so this read can never miss; unlisted
+        # crash orphans are never consulted)
+        schema = spark.read.parquet(
+            os.path.join(store_path, table, f"batch={tags[0]}")
+        ).schema
+    empty = spark.createDataFrame([], schema)
+    if mcol not in empty.columns:
+        empty = empty.withColumn(mcol, F.lit(0).cast("long"))
+    return empty
+
+
+def matview_ingest(
+    spark,
+    store_path: str,
+    left_delta: DataFrame | None = None,
+    right_delta: DataFrame | None = None,
+    on: str | list[str] = "key",
+    m_col: str = "m",
+) -> str:
+    """Apply one signed CDC batch (either side or both) to the join
+    MV and commit the three tables' deltas atomically under one tag.
+    ``left_delta``/``right_delta`` carry their side's columns plus a
+    signed ``m_col`` (+1 insert / -1 delete, old row attached).  The
+    first commit must supply BOTH sides (it defines the schemas).
+    Returns the committed tag."""
+    keys = [on] if isinstance(on, str) else list(on)
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, _params(keys))
+    if left_delta is None and right_delta is None:
+        raise ValueError("matview_ingest called with no delta on either side")
+    if not tags and (left_delta is None or right_delta is None):
+        raise ValueError(
+            "matview bootstrap commit must supply both left_delta and "
+            "right_delta (they define the store's schemas)"
+        )
+
+    def _side_state(table, delta):
+        if tags:
+            pre = _net(_read_table(spark, store_path, table, tags), m_col)
+        else:
+            pre = _empty_like(spark, delta, store_path, table, tags, m_col)
+        if delta is not None:
+            adm = _admit(
+                delta.withColumn(m_col, F.col(m_col).cast("long")), pre, m_col
+            )
+        else:
+            adm = _empty_like(spark, delta, store_path, table, tags, m_col)
+        # one materialization freezes admission against the pre-state
+        # and feeds both the side table's write and the view joins
+        return pre, adm.localCheckpoint(eager=True)
+
+    pre_l, ad_l = _side_state("left", left_delta)
+    pre_r, ad_r = _side_state("right", right_delta)
+
+    non_key_r = [c for c in pre_r.columns if c not in keys and c != m_col]
+    view_cols = [c for c in pre_l.columns if c != m_col] + non_key_r
+    clash = set(view_cols) - set(keys)
+    if len(clash) != len(view_cols) - len(keys):
+        raise ValueError(f"matview column clash between sides: {view_cols}")
+
+    def _vjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+        aa = a.withColumnRenamed(m_col, "_ml")
+        bb = b.withColumnRenamed(m_col, "_mr")
+        return aa.join(bb, keys).select(
+            *view_cols, (F.col("_ml") * F.col("_mr")).alias("mult")
+        )
+
+    dv = (
+        _vjoin(ad_l, pre_r)
+        .unionByName(_vjoin(pre_l, ad_r))
+        .unionByName(_vjoin(ad_l, ad_r))
+        .groupBy(*view_cols)
+        .agg(F.sum("mult").cast("long").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )
+
+    tag = uuid.uuid4().hex
+    ad_l.write.mode("overwrite").parquet(
+        os.path.join(store_path, "left", f"batch={tag}")
+    )
+    ad_r.write.mode("overwrite").parquet(
+        os.path.join(store_path, "right", f"batch={tag}")
+    )
+    dv.write.mode("overwrite").parquet(
+        os.path.join(store_path, "view", f"batch={tag}")
+    )
+    _manifest_publish(manifest_path, _params(keys), add_tags=[tag])
+    return tag
+
+
+def _tags_asof(manifest_path: str, store_path: str, as_of_batches: int | None):
+    tags = _manifest_read(manifest_path, None)
+    if as_of_batches is not None:
+        if not 0 < as_of_batches <= len(tags):
+            raise ValueError(
+                f"as_of_batches={as_of_batches} out of range for store "
+                f"{store_path} with {len(tags)} committed batches"
+            )
+        tags = tags[:as_of_batches]
+    return tags
+
+
+def matview_read(
+    spark, store_path: str, as_of_batches: int | None = None
+) -> DataFrame:
+    """Serve the net view: one groupBy-SUM over the manifest-listed
+    view deltas, rows with net multiplicity > 0 (under the unit-CDC
+    admission contract a negative net is unreachable).  ``mult`` is
+    the joined row's multiplicity — a served column, so the driver
+    hash gates the Z-set algebra, not just row membership."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, as_of_batches)
+    v = _read_table(spark, store_path, "view", tags)
+    return _net(v, "mult").filter(F.col("mult") > 0)
+
+
+def matview_agg(
+    spark,
+    store_path: str,
+    group_cols: list[str],
+    value_col,
+    alias: str = "value",
+    as_of_batches: int | None = None,
+) -> DataFrame:
+    """Linear aggregate over the view served STRAIGHT from the raw
+    deltas: because SUM distributes over the signed deltas,
+    ``SUM(value·mult)`` in one pass equals the aggregate over the net
+    view — no net-fold, no second shuffle.  Emits ``(group_cols...,
+    alias, n_rows)`` with groups whose net row count reached zero
+    dropped (matching the from-scratch aggregate, which never sees
+    them).  ``value_col`` is a Column expression over the view's
+    columns (use exact decimal casts for hash-stable money math)."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, as_of_batches)
+    v = _read_table(spark, store_path, "view", tags)
+    return (
+        v.groupBy(*group_cols)
+        .agg(
+            F.sum(value_col * F.col("mult")).alias(alias),
+            F.sum("mult").cast("long").alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+def _net_transform(df: DataFrame, table: str) -> DataFrame:
+    return _net(df, "mult" if table == "view" else "m")
+
+
+def compact_matview_store(spark, store_path: str) -> list:
+    """Fold every table's deltas to net rows in ONE batch directory
+    per table through the crash-safe store rewrite (zero-net rows
+    vanish; every served sum is provably unchanged).  Respects
+    snapshot pins — the retention contract."""
+    return _rewrite_store(
+        spark,
+        store_path,
+        _net_transform,
+        MATVIEW_TABLES,
+        min_batches=2,
+        respect_snapshots=True,
+    )
+
+
+def matview_takedown(spark, store_path: str, victims: DataFrame, id_col: str):
+    """Right-to-be-forgotten for the MV: rewrite every table that
+    carries ``id_col``, anti-joining the victim ids — bytes are gone
+    from the inputs AND from every joined row derived from them, in
+    one atomic manifest swap.  Ignores snapshot pins (deletion beats
+    reproducibility, the fleet-wide precedence rule).  ``victims``
+    stays a DataFrame end-to-end — never collected to the driver.
+    Returns the number of net VIEW rows removed (the compliance-audit
+    count :func:`takedown.takedown_everywhere` records)."""
+    ids = victims.select(id_col).distinct()
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    removed = 0
+    if tags:
+        v = _net(_read_table(spark, store_path, "view", tags), "mult")
+        if id_col in v.columns:
+            removed = (
+                v.filter(F.col("mult") > 0).join(ids, id_col, "semi").count()
+            )
+
+    def transform(df: DataFrame, table: str) -> DataFrame:
+        if id_col not in df.columns:
+            return df
+        return df.join(ids, id_col, "left_anti")
+
+    _rewrite_store(spark, store_path, transform, MATVIEW_TABLES, min_batches=1)
+    return removed

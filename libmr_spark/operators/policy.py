@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from . import dedup as DD
 
 #: store families the executor can dispatch maintenance to
-_FAMILIES = ("table", "cluster", "span", "vocab", "ann")
+_FAMILIES = ("table", "cluster", "span", "vocab", "ann", "matview")
 
 _OPS = {
     ">": lambda v, t: v > t,
@@ -80,7 +80,7 @@ def apply_maintenance_policy(
     (store-granular: one action per (store, rule) no matter how many
     rows matched — a compaction is per store, not per table).
     ``stores``: dict name → (family, path[, tables]) where family is
-    one of ``table|cluster|span|vocab|ann``; table-family entries give
+    one of ``table|cluster|span|vocab|ann|matview``; table-family entries give
     their manifest tables tuple as the third element.
     ``ann_stores``: names (subset of ``stores``) whose per-cell drift
     rows join the metrics feed.
@@ -165,6 +165,10 @@ def apply_maintenance_policy(
                 result = DD.compact_incremental_spans(spark, path)
             elif family == "vocab":
                 result = compact_vocab_store(spark, path)
+            elif family == "matview":
+                from .matview import compact_matview_store
+
+                result = len(compact_matview_store(spark, path))
             else:  # ann: fold cell batch dirs through the generic rewrite
                 result = DD.compact_incremental_store(spark, path, tables=("cells",))
         else:  # retrain

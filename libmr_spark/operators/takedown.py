@@ -11,6 +11,8 @@ own proven delete semantics; this operator only routes and audits:
   connected-components recompute — deletes can SPLIT components).
 - span stores → :func:`dedup.delete_from_span_store` (survivors'
   spans can SHRINK; cut list recomputed, revisions folded).
+- join-MV stores → :func:`matview.matview_takedown` (rewrite of the
+  inputs AND every joined row derived from them, one manifest swap).
 - vocab stores → :func:`vocab.pmi_store_ingest` with sign = -1 CDC
   events. Token statistics are aggregates, so deletion is COUNT
   SUBTRACTION, which needs the victims' old rows — the standard CDC
@@ -42,6 +44,7 @@ def takedown_everywhere(
     table_stores: dict | None = None,
     cluster_stores: list | None = None,
     span_stores: list | None = None,
+    matview_stores: list | None = None,
     vocab_stores: list | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -73,6 +76,10 @@ def takedown_everywhere(
         audit[name] = DD.delete_from_cluster_store(spark, path, ids, id_col=id_col)
     for name, path in span_stores or []:
         audit[name] = DD.delete_from_span_store(spark, path, ids, id_col=id_col)
+    for name, path in matview_stores or []:
+        from .matview import matview_takedown
+
+        audit[name] = matview_takedown(spark, path, ids, id_col=id_col)
     for name, path in vocab_stores or []:
         ev = victims.select(id_col, text_col).withColumn("sign", F.lit(-1))
         audit[name] = pmi_store_ingest(

@@ -7677,3 +7677,357 @@ def ann_index_filtered_auto_q(spark, sf_dir):
         base_nprobe=2, k=5,
     )
     return out.withColumn("nprobe", F.lit(nprobe).cast("int"))
+
+
+# ------------------------------------------------------------------
+# 38. Join materialized view store (delta-join IVM, operators/matview.py)
+# ------------------------------------------------------------------
+
+
+def _mv_sql(lfilter="", rfilter="", agg=False):
+    body = f"""
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderpriority = '1-URGENT' {lfilter}
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem {rfilter}
+)"""
+    if agg:
+        return body + """
+SELECT l.o_custkey,
+       CAST(SUM(CAST(r.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(r.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM l JOIN r ON l.orderkey = r.orderkey
+GROUP BY l.o_custkey
+"""
+    return body + """
+SELECT l.orderkey, l.o_custkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM l JOIN r ON l.orderkey = r.orderkey
+"""
+
+
+def _mv_store_build(spark, sf_dir, path, with_delete=False):
+    """Interleaved one-side/both-side commits + a REPLAY that must
+    admit nothing; optionally a simultaneous both-side CDC delete
+    batch (victim orders AND victim line rows in ONE commit — the
+    ΔA⋈ΔB inclusion-exclusion term is exercised, not just stated)."""
+    import shutil
+
+    from .operators.matview import matview_ingest
+
+    shutil.rmtree(path, ignore_errors=True)
+    left = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus"
+        )
+    )
+    right = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    ins_l = left.withColumn("m", F.lit(1))
+    ins_r = right.withColumn("m", F.lit(1))
+    b1_l = ins_l.filter(F.col("orderkey") % 3 == 0)
+    matview_ingest(
+        spark, path, b1_l, ins_r.filter(F.col("orderkey") % 2 == 0),
+        on="orderkey",
+    )
+    matview_ingest(spark, path, left_delta=ins_l.filter(F.col("orderkey") % 3 != 0), on="orderkey")
+    matview_ingest(spark, path, right_delta=ins_r.filter(F.col("orderkey") % 2 == 1), on="orderkey")
+    # duplicated delivery: full-row net-sign admission absorbs it
+    matview_ingest(spark, path, left_delta=b1_l, on="orderkey")
+    if with_delete:
+        # victims are drawn from ALL orders (no priority filter): the
+        # non-urgent ones were never admitted to the left input, so
+        # their deletes must be no-ops under the net-sign rule
+        del_l = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 15 == 0)
+            .select(
+                F.col("o_orderkey").alias("orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+            )
+            .withColumn("m", F.lit(-1))
+        )
+        del_r = right.filter(
+            (F.col("l_linenumber") >= 5) | (F.col("orderkey") % 15 == 0)
+        ).withColumn("m", F.lit(-1))
+        matview_ingest(spark, path, del_l, del_r, on="orderkey")
+    return path
+
+
+@defquery(
+    "matview_join_incremental",
+    _mv_sql(),
+    "JOIN materialized view under delta-join IVM (operators/"
+    "matview.py) — the incremental-view piece the store family "
+    "lacked: incremental_agg_refresh/_retract maintain algebraic "
+    "aggregates, this store maintains a JOIN without ever recomputing "
+    "it, via the Z-set rule Δ(A⋈B) = ΔA⋈B_pre + A_pre⋈ΔB + ΔA⋈ΔB "
+    "(each commit joins only the BATCH against the accumulated other "
+    "side — O(Δ⋈state), never O(A⋈B)). The view definition here is a "
+    "σ-then-⋈ (urgent orders ⋈ lineitem), exercising that selection "
+    "commutes with deltas. Four commits: both-side bootstrap, a "
+    "left-only and a right-only delta (the view must pick up NEW "
+    "cross-batch join partners each time), then a REPLAY of the "
+    "bootstrap's left batch — full-row net-sign admission must admit "
+    "nothing or every replayed order's lines double and the hash "
+    "breaks. Serving is one groupBy-SUM over the view deltas with "
+    "net multiplicity as a GATED output column; oracle = the "
+    "from-scratch join. At 100 TB the Δ side stays batch-bounded "
+    "(AQE broadcasts it) and compaction folds state to net rows.",
+)
+def matview_join_incremental_q(spark, sf_dir):
+    from .operators.matview import matview_read
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_join", sf_dir)
+    _mv_store_build(spark, sf_dir, path)
+    return matview_read(spark, path)
+
+
+@defquery(
+    "matview_join_retracted",
+    _mv_sql(
+        lfilter="AND NOT (o_orderkey % 15 = 0)",
+        rfilter="WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)",
+    ),
+    "RETRACTION through the join MV — the hard case of view "
+    "maintenance: a single CDC batch deletes victim ORDERS and victim "
+    "LINE rows simultaneously, so the naive two-term delta rule "
+    "double-subtracts every (victim order, victim line) pair and "
+    "only the ΔA⋈ΔB inclusion-exclusion term (sign (−1)·(−1) = +1) "
+    "restores exactness — the served hash proves the full three-term "
+    "Z-set algebra, not an approximation. Deletes of never-inserted "
+    "rows (non-urgent victim orders, which the σ kept out of the "
+    "left input) are no-ops by the same net-sign rule that absorbs "
+    "replays. Oracle = "
+    "the from-scratch join over the SURVIVING rows of both inputs; "
+    "ghost joined rows or a missed cancellation shift the hash. This "
+    "closes right-to-be-forgotten for derived VIEWS: deleting the "
+    "inputs provably deletes every joined row they contributed.",
+)
+def matview_join_retracted_q(spark, sf_dir):
+    from .operators.matview import matview_read
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_join_del", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    return matview_read(spark, path)
+
+
+@defquery(
+    "matview_agg_join",
+    _mv_sql(
+        lfilter="AND NOT (o_orderkey % 15 = 0)",
+        rfilter="WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)",
+        agg=True,
+    ),
+    "Linear aggregate SERVED STRAIGHT FROM THE JOIN MV's raw deltas "
+    "(matview_agg): because SUM distributes over signed deltas, "
+    "revenue-per-customer is ONE pass over the view delta log — "
+    "sum(value·mult) — with no net-fold and no second shuffle; "
+    "deleted rows cancel in exact DECIMAL(18,2) arithmetic and "
+    "groups whose net row count reached zero are dropped, matching "
+    "the from-scratch aggregate that never saw them. This is the "
+    "composition of join-IVM with the incremental_agg_retract "
+    "contract: a maintained revenue dashboard over orders⋈lineitem "
+    "that a 100 TB deployment updates per CDC batch without ever "
+    "touching the full fact tables.",
+)
+def matview_agg_join_q(spark, sf_dir):
+    from .operators.matview import matview_agg
+    from .queries import _DEC
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_agg", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    value = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    out = matview_agg(spark, path, ["o_custkey"], value, alias="revenue")
+    return out.withColumn("revenue", F.col("revenue").cast("double"))
+
+
+@defquery(
+    "matview_compacted",
+    _mv_sql(
+        lfilter="AND NOT (o_orderkey % 15 = 0)",
+        rfilter="WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)",
+    ),
+    "Compaction invariance for the join MV: fold all five commits "
+    "(bootstrap, two one-sided deltas, replay, both-side delete) to "
+    "ONE net batch per table through the crash-safe _rewrite_store "
+    "protocol, then serve — the hash must equal the uncompacted "
+    "retracted serve because zero-net rows vanish from a fold "
+    "without changing any sum. This is the maintenance operation the "
+    "delta log needs at 100 TB: ingest cost is O(Δ⋈state) where "
+    "state is the netted side tables, and compaction keeps that scan "
+    "one directory per table instead of one per commit.",
+)
+def matview_compacted_q(spark, sf_dir):
+    from .operators.matview import compact_matview_store, matview_read
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_compact", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    compact_matview_store(spark, path)
+    return matview_read(spark, path)
+
+
+@defquery(
+    "streaming_matview_join",
+    _mv_sql(
+        lfilter="AND NOT (o_orderkey % 15 = 0)",
+        rfilter="WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)",
+    ),
+    "the join MV maintained CONTINUOUSLY: a file stream of CDC chunks "
+    "(both-side bootstrap, a left-only delta, a right-only delta, a "
+    "REPLAYED copy of the bootstrap chunk, then a simultaneous "
+    "both-side DELETE chunk) drains through foreachBatch into "
+    "matview_ingest "
+    "— one store commit per micro-batch, sides routed by a "
+    "discriminator column. The full-row net-sign admission makes the "
+    "at-least-once replay admit nothing, so the final served view is "
+    "EXACTLY the batch build's: the streaming twin contract every "
+    "store family carries, now including incremental view "
+    "maintenance. Oracle = the from-scratch join over survivors — "
+    "the same SQL that gates the batch retraction query, proving "
+    "batch/streaming equivalence under one hash. At 100 TB this is "
+    "the standing pipeline shape: CDC from the fact tables' change "
+    "feed, per-micro-batch O(Δ⋈state) maintenance, serving always "
+    "one groupBy-SUM behind the freshest commit.",
+)
+def streaming_matview_join_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.matview import matview_ingest, matview_read
+    from .queries_ext import _sink_dir
+
+    srcdir = _sink_dir("stream_mv_in", sf_dir)
+    store = _sink_dir("stream_mv_store", sf_dir)
+    for p in (srcdir, store):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(srcdir)
+
+    left = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus"
+        )
+    )
+    right = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+    def _wide(df, side, m):
+        # unified CDC-event schema; the absent side's columns are null
+        cols = {
+            "o_custkey": F.col("o_custkey") if side == "L" else F.lit(None),
+            "o_orderstatus": F.col("o_orderstatus") if side == "L" else F.lit(None),
+            "l_linenumber": F.col("l_linenumber") if side == "R" else F.lit(None),
+            "l_extendedprice": F.col("l_extendedprice") if side == "R" else F.lit(None),
+            "l_discount": F.col("l_discount") if side == "R" else F.lit(None),
+        }
+        return df.select(
+            F.lit(side).alias("side"),
+            F.col("orderkey"),
+            cols["o_custkey"].cast("bigint").alias("o_custkey"),
+            cols["o_orderstatus"].cast("string").alias("o_orderstatus"),
+            cols["l_linenumber"].cast("int").alias("l_linenumber"),
+            cols["l_extendedprice"].cast("double").alias("l_extendedprice"),
+            cols["l_discount"].cast("double").alias("l_discount"),
+            F.lit(m).alias("m"),
+        )
+
+    boot = _wide(left.filter(F.col("orderkey") % 3 == 0), "L", 1).unionByName(
+        _wide(right.filter(F.col("orderkey") % 2 == 0), "R", 1)
+    )
+    chunks = [
+        boot,
+        _wide(left.filter(F.col("orderkey") % 3 != 0), "L", 1),
+        _wide(right.filter(F.col("orderkey") % 2 == 1), "R", 1),
+        # at-least-once redelivery BEFORE the delete: must admit
+        # nothing (a replay AFTER a delete would legitimately
+        # re-insert under Z-set semantics — that's a new insert, not
+        # a duplicate — so the duplicate-delivery scenario is the
+        # pre-delete one)
+        boot,
+        _wide(
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 15 == 0)
+            .select(
+                F.col("o_orderkey").alias("orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+            ),
+            "L",
+            -1,
+        ).unionByName(
+            _wide(
+                right.filter(
+                    (F.col("l_linenumber") >= 5) | (F.col("orderkey") % 15 == 0)
+                ),
+                "R",
+                -1,
+            )
+        ),
+    ]
+    base_t = 1_700_000_000
+    for k, c in enumerate(chunks):
+        stage = os.path.join(srcdir, f"_stage{k}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    lcols = ["orderkey", "o_custkey", "o_orderstatus", "m"]
+    rcols = ["orderkey", "l_linenumber", "l_extendedprice", "l_discount", "m"]
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        ld = bdf.filter(F.col("side") == "L").select(*lcols)
+        rd = bdf.filter(F.col("side") == "R").select(*rcols)
+        matview_ingest(
+            bdf.sparkSession,
+            store,
+            left_delta=ld if not ld.isEmpty() else None,
+            right_delta=rd if not rd.isEmpty() else None,
+            on="orderkey",
+        )
+
+    q = (
+        spark.readStream.schema(
+            "side string, orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, l_linenumber int, "
+            "l_extendedprice double, l_discount double, m int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="libmr_smv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return matview_read(spark, store)

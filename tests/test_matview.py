@@ -1,0 +1,257 @@
+"""Join-MV store protocol pins (operators/matview.py): Z-set
+delta-join exactness under replay / both-side delete / compaction /
+time travel / takedown — the store-family contracts applied to
+incremental view maintenance."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from libmr_spark.operators.matview import (
+    MATVIEW_TABLES,
+    compact_matview_store,
+    matview_agg,
+    matview_ingest,
+    matview_read,
+    matview_takedown,
+)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _left(spark, rows):  # (k, lv, m)
+    return _mk(spark, rows, ["k", "lv", "m"])
+
+
+def _right(spark, rows):  # (k, rv, m)
+    return _mk(spark, rows, ["k", "rv", "m"])
+
+
+def _served(spark, path, **kw):
+    return {
+        (r.k, r.lv, r.rv, r.mult)
+        for r in matview_read(spark, path, **kw).collect()
+    }
+
+
+def _store(tmp_path, name):
+    return str(tmp_path / name)
+
+
+def test_matview_bootstrap_and_cross_batch_partners(spark, tmp_path):
+    p = _store(tmp_path, "mv1")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    assert _served(spark, p) == {(1, "a", "x", 1)}
+    # a right-only delta must join with the ACCUMULATED left state
+    matview_ingest(
+        spark, p, right_delta=_right(spark, [(2, "y", 1), (3, "z", 1)]), on="k"
+    )
+    assert _served(spark, p) == {(1, "a", "x", 1), (2, "b", "y", 1)}
+
+
+def test_matview_replay_admits_nothing(spark, tmp_path):
+    p = _store(tmp_path, "mv2")
+    b = _left(spark, [(1, "a", 1)])
+    r = _right(spark, [(1, "x", 1)])
+    matview_ingest(spark, p, b, r, on="k")
+    before = _served(spark, p)
+    matview_ingest(spark, p, left_delta=b, on="k")
+    matview_ingest(spark, p, right_delta=r, on="k")
+    assert _served(spark, p) == before == {(1, "a", "x", 1)}
+
+
+def test_matview_delete_never_inserted_is_noop(spark, tmp_path):
+    p = _store(tmp_path, "mv3")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(9, "q", -1)]), on="k")
+    assert _served(spark, p) == {(1, "a", "x", 1)}
+
+
+def test_matview_simultaneous_both_side_delete_inclusion_exclusion(
+    spark, tmp_path
+):
+    # deleting a matching pair in ONE batch: ΔA⋈B and A⋈ΔB each
+    # subtract the pair, ΔA⋈ΔB ((-1)·(-1)=+1) adds it back — net -1
+    p = _store(tmp_path, "mv4")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", -1)]),
+        _right(spark, [(1, "x", -1)]),
+        on="k",
+    )
+    assert _served(spark, p) == {(2, "b", "y", 1)}
+
+
+def test_matview_time_travel_and_out_of_range(spark, tmp_path):
+    p = _store(tmp_path, "mv5")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(1, "a", -1)]), on="k")
+    assert _served(spark, p) == set()
+    assert _served(spark, p, as_of_batches=1) == {(1, "a", "x", 1)}
+    with pytest.raises(ValueError, match="out of range"):
+        matview_read(spark, p, as_of_batches=3)
+
+
+def test_matview_compaction_invariant_and_single_batch(spark, tmp_path):
+    p = _store(tmp_path, "mv6")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(2, "b", -1)]), on="k")
+    before = _served(spark, p)
+    assert compact_matview_store(spark, p)  # rewrote >=2 batches
+    assert _served(spark, p) == before == {(1, "a", "x", 1)}
+    for t in MATVIEW_TABLES:
+        dirs = [d for d in os.listdir(os.path.join(p, t)) if d.startswith("batch=")]
+        assert len(dirs) == 1, (t, dirs)
+
+
+def test_matview_takedown_removes_bytes_everywhere(spark, tmp_path):
+    p = _store(tmp_path, "mv7")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    victims = spark.createDataFrame([(1,)], ["k"])
+    matview_takedown(spark, p, victims, id_col="k")
+    assert _served(spark, p) == {(2, "b", "y", 1)}
+    # bytes gone from every table, not just the served view
+    for t in MATVIEW_TABLES:
+        remaining = spark.read.parquet(os.path.join(p, t, "batch=*"))
+        assert remaining.filter(F.col("k") == 1).count() == 0, t
+
+
+def test_matview_agg_equals_agg_over_net_view(spark, tmp_path):
+    p = _store(tmp_path, "mv8")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "a", 1), (3, "b", 1)]),
+        _right(
+            spark, [(1, 10.0, 1), (2, 20.0, 1), (3, 40.0, 1)]
+        ).toDF("k", "rv", "m"),
+        on="k",
+    )
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(2, "a", -1)]),
+        _right(spark, [(2, 20.0, -1)]).toDF("k", "rv", "m"),
+        on="k",
+    )
+    got = {
+        (r.lv, r.total, r.n_rows)
+        for r in matview_agg(
+            spark, p, ["lv"], F.col("rv"), alias="total"
+        ).collect()
+    }
+    net = matview_read(spark, p)
+    want = {
+        (r.lv, r.total, r.n_rows)
+        for r in net.groupBy("lv")
+        .agg(
+            F.sum(F.col("rv") * F.col("mult")).alias("total"),
+            F.sum("mult").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want == {("a", 10.0, 1), ("b", 40.0, 1)}
+
+
+def test_matview_bootstrap_requires_both_sides(spark, tmp_path):
+    p = _store(tmp_path, "mv9")
+    with pytest.raises(ValueError, match="bootstrap"):
+        matview_ingest(spark, p, left_delta=_left(spark, [(1, "a", 1)]), on="k")
+    with pytest.raises(ValueError, match="no delta"):
+        matview_ingest(spark, p, on="k")
+
+
+def test_matview_policy_compaction_and_snapshot_pin(spark, tmp_path):
+    # fleet parity for the new family: the policy pass compacts a
+    # matview store through its own rewrite, a registered snapshot pin
+    # BLOCKS that compaction (retention precedence), and takedown
+    # ignores the pin (right-to-be-forgotten precedence)
+    from libmr_spark.operators.policy import apply_maintenance_policy
+    from libmr_spark.operators.snapshot import (
+        fleet_snapshot,
+        register_snapshot,
+        release_snapshot,
+        snapshot_batches,
+    )
+
+    p = _store(tmp_path, "mv_pol")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(3, "c", 1)]), on="k")
+    before = _served(spark, p)
+
+    snap = fleet_snapshot({"mv": p})
+    assert snapshot_batches(snap, "mv") == 2
+    # pinned read serves the snapshot prefix even after a later commit
+    matview_ingest(spark, p, right_delta=_right(spark, [(3, "z", 1)]), on="k")
+    assert _served(spark, p, as_of_batches=snapshot_batches(snap, "mv")) == before
+
+    register_snapshot(snap, "mv-run-1")
+    policy = [{"metric": "n_dirs", "op": ">", "threshold": 1, "action": "compact"}]
+    stores = {"mv": ("matview", p)}
+    with pytest.raises(ValueError, match="snapshot"):
+        apply_maintenance_policy(spark, policy, stores)
+
+    # takedown beats the pin; the pinned prefix is then out of range
+    matview_takedown(spark, p, spark.createDataFrame([(1,)], ["k"]), id_col="k")
+    with pytest.raises(ValueError, match="out of range"):
+        matview_read(spark, p, as_of_batches=snapshot_batches(snap, "mv"))
+    release_snapshot(snap, "mv-run-1")
+
+    # rebuild the multi-commit state: policy compaction now fires
+    matview_ingest(spark, p, left_delta=_left(spark, [(4, "d", 1)]), on="k")
+    matview_ingest(spark, p, right_delta=_right(spark, [(4, "w", 1)]), on="k")
+    served = _served(spark, p)
+    audit = apply_maintenance_policy(spark, policy, stores).collect()
+    assert len(audit) == 1 and audit[0].executed is True and audit[0].result > 0
+    assert _served(spark, p) == served
+    # re-run: compacted store no longer matches the rule
+    assert apply_maintenance_policy(spark, policy, stores).count() == 0

@@ -2671,6 +2671,20 @@ def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
     dedup_incremental_clusters(spark, cc, d)
     vocab = str(tmp_path / "t_vocab")
     pmi_store_ingest(spark, vocab, d.withColumn("sign", F.lit(1)))
+    from libmr_spark.operators.matview import matview_ingest, matview_read
+
+    mv = str(tmp_path / "t_mv")
+    matview_ingest(
+        spark,
+        mv,
+        d.select("doc_id", (F.col("doc_id") % 2).alias("odd")).withColumn(
+            "m", F.lit(1)
+        ),
+        d.select("doc_id", F.length("text").alias("tlen")).withColumn(
+            "m", F.lit(1)
+        ),
+        on="doc_id",
+    )
 
     victims = d.filter(F.col("doc_id") % 5 == 2)
     n_victims = victims.count()
@@ -2679,17 +2693,21 @@ def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
         victims,
         table_stores={"hybrid": (hybrid, HYBRID_TABLES)},
         cluster_stores=[("clusters", cc)],
+        matview_stores=[("mv", mv)],
         vocab_stores=[("vocab", vocab)],
     )
     assert audit["hybrid"] == n_victims
     assert audit["clusters"] == n_victims
     assert audit["vocab"] == n_victims
+    assert audit["mv"] == n_victims  # 1:1 view — one joined row per victim
 
     vids = {r.doc_id for r in victims.select("doc_id").collect()}
     live = read_incremental_store_asof(spark, hybrid, "doclen")
     assert not ({r.doc_id for r in live.select("doc_id").collect()} & vids)
     labels = read_incremental_clusters(spark, cc)
     assert not ({r.doc_id for r in labels.select("doc_id").collect()} & vids)
+    served_mv = matview_read(spark, mv)
+    assert not ({r.doc_id for r in served_mv.select("doc_id").collect()} & vids)
     # vocab: the served ranking equals a store built from survivors only
     fresh = str(tmp_path / "t_vocab_fresh")
     pmi_store_ingest(
@@ -2706,9 +2724,10 @@ def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
         victims,
         table_stores={"hybrid": (hybrid, HYBRID_TABLES)},
         cluster_stores=[("clusters", cc)],
+        matview_stores=[("mv", mv)],
         vocab_stores=[("vocab", vocab)],
     )
-    assert audit2 == {"hybrid": 0, "clusters": 0, "vocab": 0}
+    assert audit2 == {"hybrid": 0, "clusters": 0, "mv": 0, "vocab": 0}
     assert {tuple(r) for r in pmi_store_topk(spark, vocab).collect()} == want
 
 
