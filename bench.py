@@ -231,6 +231,8 @@ HEADLINE = [
     "matview_agg_join",
     "matview_compacted",
     "streaming_matview_join",
+    "matview_cascade",
+    "matview_integrity_audit",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -243,6 +245,8 @@ HEADLINE = [
 # (HEADLINE minus this) is what the cross-round 2x gate tracks.
 LIFECYCLE = {
     "streaming_matview_join",
+    "matview_cascade",
+    "matview_integrity_audit",
     "matview_join_incremental",
     "matview_join_retracted",
     "matview_agg_join",

@@ -314,3 +314,57 @@ def matview_takedown(spark, store_path: str, victims: DataFrame, id_col: str):
 
     _rewrite_store(spark, store_path, transform, MATVIEW_TABLES, min_batches=1)
     return removed
+
+
+def matview_integrity(
+    spark, store_path: str, as_of_batches: int | None = None
+) -> DataFrame:
+    """Store fsck for the MV: recompute the view FROM the committed
+    side tables (net(L) ⋈ net(R), multiplicities multiplied) and diff
+    it against the served view — the invariant the delta-join
+    maintenance promises.  Emits ONE row of exact counters:
+    ``left_net_rows``, ``right_net_rows``, ``view_rows``,
+    ``recomputed_rows``, ``mismatch_rows`` (symmetric set difference
+    between served and recomputed, multiplicity included — 0 iff the
+    store is internally consistent).  The recompute is one join over
+    the netted side tables — the O(A⋈B) cost the maintenance path
+    avoids, paid deliberately here because an AUDIT's job is to
+    re-derive the answer the cheap path must match.  Scalars only
+    transit the driver."""
+    import json
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, as_of_batches)
+    with open(manifest_path) as f:
+        keys = json.load(f)["params"]["on"].split(",")
+
+    L = _net(_read_table(spark, store_path, "left", tags), "m")
+    R = _net(_read_table(spark, store_path, "right", tags), "m")
+    served = matview_read(spark, store_path, as_of_batches=as_of_batches)
+
+    non_key_r = [c for c in R.columns if c not in keys and c != "m"]
+    view_cols = [c for c in L.columns if c != "m"] + non_key_r
+    recomputed = (
+        L.withColumnRenamed("m", "_ml")
+        .join(R.withColumnRenamed("m", "_mr"), keys)
+        .select(*view_cols, (F.col("_ml") * F.col("_mr")).alias("mult"))
+        .groupBy(*view_cols)
+        .agg(F.sum("mult").cast("long").alias("mult"))
+        .filter(F.col("mult") > 0)
+    )
+    mismatch = (
+        served.exceptAll(recomputed).count()
+        + recomputed.exceptAll(served).count()
+    )
+    row = (
+        L.count(),
+        R.count(),
+        served.count(),
+        recomputed.count(),
+        mismatch,
+    )
+    return spark.createDataFrame(
+        [row],
+        "left_net_rows bigint, right_net_rows bigint, view_rows bigint, "
+        "recomputed_rows bigint, mismatch_rows bigint",
+    )

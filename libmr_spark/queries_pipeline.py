@@ -8031,3 +8031,115 @@ def streaming_matview_join_q(spark, sf_dir):
     )
     q.awaitTermination()
     return matview_read(spark, store)
+
+
+@defquery(
+    "matview_cascade",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+), c AS (
+  SELECT c_custkey AS o_custkey, c_mktsegment FROM customer
+)
+SELECT c.o_custkey, c.c_mktsegment,
+       l.orderkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM c JOIN l ON c.o_custkey = l.o_custkey
+       JOIN r ON l.orderkey = r.orderkey
+""",
+    "IVM COMPOSES: a cascade of two join MVs where store 1's view "
+    "deltas ARE the CDC stream for store 2. Store 1 maintains urgent "
+    "orders ⋈ lineitem through five commits (bootstrap, two one-sided "
+    "deltas, a replay, a both-side delete); each committed view-delta "
+    "batch is then fed IN COMMIT ORDER as the right-side CDC input of "
+    "store 2 (customer ⋈ V1 on o_custkey) — inserts stay inserts, "
+    "the delete commit's mult=-1 rows carry the old joined rows "
+    "exactly as a change stream's deletes do, and the replay commit's "
+    "EMPTY delta is an empty commit downstream. The served cascade "
+    "equals the from-scratch THREE-way join over survivors under one "
+    "hash — the differential-dataflow composition property, proved "
+    "end-to-end on stores rather than stated. At 100 TB this is how "
+    "derived views stack without ever touching base tables twice: "
+    "O(Δ) flows through each layer, and every layer keeps its own "
+    "manifest clock, compaction and takedown.",
+)
+def matview_cascade_q(spark, sf_dir):
+    import os
+
+    from .operators.dedup import _manifest_read
+    from .operators.matview import matview_ingest, matview_read
+    from .queries_ext import _sink_dir
+
+    p1 = _sink_dir("matview_casc1", sf_dir)
+    p2 = _sink_dir("matview_casc2", sf_dir)
+    _mv_store_build(spark, sf_dir, p1, with_delete=True)
+    import shutil
+
+    shutil.rmtree(p2, ignore_errors=True)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        .withColumn("m", F.lit(1))
+    )
+    tags = _manifest_read(os.path.join(p1, "_BATCHES"), None)
+    for i, tag in enumerate(tags):
+        dv = spark.read.parquet(
+            os.path.join(p1, "view", f"batch={tag}")
+        ).withColumnRenamed("mult", "m")
+        matview_ingest(
+            spark,
+            p2,
+            left_delta=cust if i == 0 else None,
+            right_delta=dv,
+            on="o_custkey",
+        )
+    return matview_read(spark, p2)
+
+
+@defquery(
+    "matview_integrity_audit",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+), j AS (
+  SELECT l.orderkey FROM l JOIN r ON l.orderkey = r.orderkey
+)
+SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS left_net_rows,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS right_net_rows,
+       CAST((SELECT count(*) FROM j) AS BIGINT) AS view_rows,
+       CAST((SELECT count(*) FROM j) AS BIGINT) AS recomputed_rows,
+       CAST(0 AS BIGINT) AS mismatch_rows
+""",
+    "store FSCK for the join MV: after the full five-commit lifecycle "
+    "(bootstrap, one-sided deltas, replay, both-side delete), "
+    "matview_integrity RE-DERIVES the view from the committed side "
+    "tables (net(L) ⋈ net(R), multiplicities multiplied) and diffs it "
+    "against the served view — the maintenance invariant paid for "
+    "honestly with the O(A⋈B) join the incremental path avoids. The "
+    "gated row is five exact counters; the oracle derives the same "
+    "counters from the BASE tables, so a hash match proves (a) the "
+    "side tables net to exactly the surviving inputs, (b) the "
+    "maintained view equals the recompute row-for-row (symmetric "
+    "difference 0, multiplicity included), and (c) both equal the "
+    "from-scratch truth. This is the audit a 100 TB deployment runs "
+    "on cadence against sampled stores — the consistency checker the "
+    "fleet dashboard's n_rows counters key off.",
+)
+def matview_integrity_audit_q(spark, sf_dir):
+    from .operators.matview import matview_integrity
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_fsck", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    return matview_integrity(spark, path)

@@ -255,3 +255,38 @@ def test_matview_policy_compaction_and_snapshot_pin(spark, tmp_path):
     assert _served(spark, p) == served
     # re-run: compacted store no longer matches the rule
     assert apply_maintenance_policy(spark, policy, stores).count() == 0
+
+
+def test_matview_integrity_detects_corruption(spark, tmp_path):
+    # healthy store: zero mismatch; a part file smuggled into a view
+    # batch dir (bypassing ingest) must surface as mismatch_rows > 0
+    from libmr_spark.operators.matview import matview_integrity
+
+    p = _store(tmp_path, "mv_fsck")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(2, "b", -1)]), on="k")
+    ok = matview_integrity(spark, p).collect()[0]
+    assert (
+        ok.left_net_rows,
+        ok.right_net_rows,
+        ok.view_rows,
+        ok.recomputed_rows,
+        ok.mismatch_rows,
+    ) == (1, 2, 1, 1, 0)
+
+    tagdir = sorted(
+        d
+        for d in os.listdir(os.path.join(p, "view"))
+        if d.startswith("batch=")
+    )[0]
+    spark.createDataFrame([(9, "zz", "qq", 1)], ["k", "lv", "rv", "mult"]).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(p, "view", tagdir))
+    bad = matview_integrity(spark, p).collect()[0]
+    assert bad.mismatch_rows > 0 and bad.view_rows == 2
