@@ -233,6 +233,7 @@ HEADLINE = [
     "streaming_matview_join",
     "matview_cascade",
     "matview_integrity_audit",
+    "matview_outer_serve",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -247,6 +248,7 @@ LIFECYCLE = {
     "streaming_matview_join",
     "matview_cascade",
     "matview_integrity_audit",
+    "matview_outer_serve",
     "matview_join_incremental",
     "matview_join_retracted",
     "matview_agg_join",

@@ -368,3 +368,44 @@ def matview_integrity(
         "left_net_rows bigint, right_net_rows bigint, view_rows bigint, "
         "recomputed_rows bigint, mismatch_rows bigint",
     )
+
+
+def matview_read_outer(
+    spark, store_path: str, as_of_batches: int | None = None
+) -> DataFrame:
+    """Serve the LEFT OUTER join from the same store with NO extra
+    maintenance: the classic difficulty of outer-join IVM is that
+    null-extended rows appear and disappear as a key's match count
+    crosses zero — but this store already keeps the net LEFT input as
+    a first-class table, so outer serving is derivation, not state:
+    the inner view ∪ (net left rows whose key has no inner row,
+    null-extended on the right columns, carrying their own net
+    multiplicity).  Exactly-correct under retraction for free: a
+    delete that removes a left row's last match moves the row from
+    the inner view into the anti-join leg on the SAME commit clock.
+    The anti-join keys on the join key (batch-bounded distinct list),
+    so the plan is two scans and one shuffle — never a recompute of
+    the join."""
+    import json
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, as_of_batches)
+    with open(manifest_path) as f:
+        keys = json.load(f)["params"]["on"].split(",")
+
+    v = _net(_read_table(spark, store_path, "view", tags), "mult").filter(
+        F.col("mult") > 0
+    )
+    L = _net(_read_table(spark, store_path, "left", tags), "m").filter(
+        F.col("m") > 0
+    )
+    unmatched = L.join(v.select(*keys).distinct(), keys, "left_anti")
+    right_only = [
+        f for f in v.schema.fields if f.name not in L.columns and f.name != "mult"
+    ]
+    extended = unmatched.select(
+        *[c for c in L.columns if c != "m"],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_only],
+        F.col("m").alias("mult"),
+    )
+    return v.unionByName(extended)

@@ -8143,3 +8143,43 @@ def matview_integrity_audit_q(spark, sf_dir):
     path = _sink_dir("matview_fsck", sf_dir)
     _mv_store_build(spark, sf_dir, path, with_delete=True)
     return matview_integrity(spark, path)
+
+
+@defquery(
+    "matview_outer_serve",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+)
+SELECT l.orderkey, l.o_custkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM l LEFT JOIN r ON l.orderkey = r.orderkey
+""",
+    "LEFT OUTER join served from the SAME join-MV store with zero "
+    "extra maintenance state — the standing difficulty of outer-join "
+    "IVM (null-extended rows flip in and out as a key's match count "
+    "crosses zero) dissolves because the store keeps the net left "
+    "input as a first-class table: outer = inner view ∪ (net left "
+    "rows anti-joined on the inner view's keys, null-extended). "
+    "Served on the RETRACTED store, where the both-side delete batch "
+    "removed every line of some surviving orders — exactly the rows "
+    "that must now surface null-extended, on the same commit clock "
+    "as the deletes. Oracle = the from-scratch LEFT JOIN over "
+    "survivors; a store that kept ghost matches (or dropped a "
+    "match-count-zero order) misses the hash. The anti-join keys on "
+    "the join key — two scans and one shuffle, never a join "
+    "recompute.",
+)
+def matview_outer_serve_q(spark, sf_dir):
+    from .operators.matview import matview_read_outer
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_outer", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    return matview_read_outer(spark, path)

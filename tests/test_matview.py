@@ -290,3 +290,31 @@ def test_matview_integrity_detects_corruption(spark, tmp_path):
     ).write.mode("append").parquet(os.path.join(p, "view", tagdir))
     bad = matview_integrity(spark, p).collect()[0]
     assert bad.mismatch_rows > 0 and bad.view_rows == 2
+
+
+def test_matview_outer_serve_flips_on_match_count_zero(spark, tmp_path):
+    # the outer-join IVM hard case: deleting a left row's LAST match
+    # must move it from the inner view to the null-extended leg on
+    # the same commit; re-inserting a match moves it back
+    from libmr_spark.operators.matview import matview_read_outer
+
+    p = _store(tmp_path, "mv_outer")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+
+    def outer():
+        return {
+            (r.k, r.lv, r.rv, r.mult)
+            for r in matview_read_outer(spark, p).collect()
+        }
+
+    assert outer() == {(1, "a", "x", 1), (2, "b", None, 1)}
+    matview_ingest(spark, p, right_delta=_right(spark, [(1, "x", -1)]), on="k")
+    assert outer() == {(1, "a", None, 1), (2, "b", None, 1)}
+    matview_ingest(spark, p, right_delta=_right(spark, [(2, "y", 1)]), on="k")
+    assert outer() == {(1, "a", None, 1), (2, "b", "y", 1)}
