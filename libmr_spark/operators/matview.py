@@ -72,7 +72,12 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _manifest_publish, _manifest_read, _rewrite_store
+from .dedup import (
+    _manifest_lock,
+    _manifest_publish,
+    _manifest_read,
+    _rewrite_store,
+)
 
 MATVIEW_TABLES = ("left", "right", "view")
 
@@ -141,18 +146,42 @@ def matview_ingest(
     right_delta: DataFrame | None = None,
     on: str | list[str] = "key",
     m_col: str = "m",
+    lock_timeout_s: float = 300.0,
 ) -> str:
     """Apply one signed CDC batch (either side or both) to the join
     MV and commit the three tables' deltas atomically under one tag.
     ``left_delta``/``right_delta`` carry their side's columns plus a
     signed ``m_col`` (+1 insert / -1 delete, old row attached).  The
     first commit must supply BOTH sides (it defines the schemas).
-    Returns the committed tag."""
-    keys = [on] if isinstance(on, str) else list(on)
-    manifest_path = os.path.join(store_path, "_BATCHES")
-    tags = _manifest_read(manifest_path, _params(keys))
+    Returns the committed tag.
+
+    Ingests SERIALIZE on a per-store kernel lock (``_INGEST`` flock,
+    auto-released on crash): the delta-join rule is only exact against
+    the COMMITTED pre-state, so commits must linearize — two racing
+    one-sided ingests that each add a matching row would both compute
+    their view delta against a pre-state missing the other's row, and
+    the cross pair would be silently absent from the view (exactly
+    the corruption :func:`matview_integrity` exists to catch).  The
+    signature stores tolerate commit races because their batch deltas
+    are independent; a join's deltas are not, hence the critical
+    section — same reasoning as the ANN bootstrap's."""
     if left_delta is None and right_delta is None:
         raise ValueError("matview_ingest called with no delta on either side")
+    keys = [on] if isinstance(on, str) else list(on)
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    os.makedirs(store_path, exist_ok=True)
+    with _manifest_lock(
+        os.path.join(store_path, "_INGEST"), timeout_s=lock_timeout_s
+    ):
+        return _ingest_locked(
+            spark, store_path, manifest_path, left_delta, right_delta, keys, m_col
+        )
+
+
+def _ingest_locked(
+    spark, store_path, manifest_path, left_delta, right_delta, keys, m_col
+) -> str:
+    tags = _manifest_read(manifest_path, _params(keys))
     if not tags and (left_delta is None or right_delta is None):
         raise ValueError(
             "matview bootstrap commit must supply both left_delta and "

@@ -318,3 +318,33 @@ def test_matview_outer_serve_flips_on_match_count_zero(spark, tmp_path):
     assert outer() == {(1, "a", None, 1), (2, "b", None, 1)}
     matview_ingest(spark, p, right_delta=_right(spark, [(2, "y", 1)]), on="k")
     assert outer() == {(1, "a", None, 1), (2, "b", "y", 1)}
+
+
+def test_matview_ingest_serializes_on_store_lock(spark, tmp_path):
+    # commits must linearize (the delta-join rule is only exact
+    # against the committed pre-state): with the _INGEST lock held by
+    # another "writer", an ingest must time out rather than race
+    from libmr_spark.operators.dedup import _manifest_lock
+
+    p = _store(tmp_path, "mv_lock")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    with _manifest_lock(os.path.join(p, "_INGEST"), timeout_s=5.0):
+        with pytest.raises(TimeoutError):
+            matview_ingest(
+                spark,
+                p,
+                left_delta=_left(spark, [(2, "b", 1)]),
+                on="k",
+                lock_timeout_s=1.0,
+            )
+    # lock released: the same ingest now commits
+    matview_ingest(
+        spark, p, left_delta=_left(spark, [(2, "b", 1)]), on="k"
+    )
+    assert _served(spark, p) == {(1, "a", "x", 1)}
