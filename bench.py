@@ -234,6 +234,8 @@ HEADLINE = [
     "matview_cascade",
     "matview_integrity_audit",
     "matview_outer_serve",
+    "matview_change_feed",
+    "matview_full_outer",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -253,6 +255,8 @@ LIFECYCLE = {
     "matview_join_retracted",
     "matview_agg_join",
     "matview_compacted",
+    "matview_change_feed",
+    "matview_full_outer",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

@@ -438,3 +438,84 @@ def matview_read_outer(
         F.col("m").alias("mult"),
     )
     return v.unionByName(extended)
+
+
+def matview_changes(
+    spark, store_path: str, from_batches: int, to_batches: int | None = None
+) -> DataFrame:
+    """CHANGE FEED between two commits — the subscribe/CDF surface a
+    downstream consumer (the cascade, an export diff, an alerting
+    job) reads instead of diffing snapshots: because the view's state
+    at commit k is BY CONSTRUCTION the sum of its first k delta
+    batches, the state difference state(to) − state(from) is exactly
+    the net of the delta batches in between — one groupBy-SUM over a
+    manifest SLICE, zero joins, zero snapshot reconstruction.  Emits
+    ``(view cols..., mult_delta)`` with net-zero rows dropped
+    (inserts > 0, deletes < 0).  ``from_batches`` may be 0 (feed from
+    genesis equals the as-of state itself).  Compaction collapses the
+    commit log, after which a slice that straddles it is out of range
+    and raises — the same honesty contract as every pinned read."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, to_batches)
+    if not 0 <= from_batches <= len(tags):
+        raise ValueError(
+            f"from_batches={from_batches} out of range for store "
+            f"{store_path} with {len(tags)} committed batches"
+        )
+    window = tags[from_batches:]
+    if not window:
+        empty = spark.createDataFrame(
+            [], _read_table(spark, store_path, "view", tags[:1]).schema
+        )
+        return empty.withColumnRenamed("mult", "mult_delta")
+    v = _read_table(spark, store_path, "view", window)
+    return _net(v, "mult").withColumnRenamed("mult", "mult_delta")
+
+
+def matview_read_full_outer(
+    spark, store_path: str, as_of_batches: int | None = None
+) -> DataFrame:
+    """FULL OUTER serving — both anti-join legs, since the store keeps
+    BOTH net inputs as tables (see :func:`matview_read_outer` for why
+    this needs no extra maintenance state)."""
+    import json
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _tags_asof(manifest_path, store_path, as_of_batches)
+    with open(manifest_path) as f:
+        keys = json.load(f)["params"]["on"].split(",")
+
+    v = _net(_read_table(spark, store_path, "view", tags), "mult").filter(
+        F.col("mult") > 0
+    )
+    L = _net(_read_table(spark, store_path, "left", tags), "m").filter(
+        F.col("m") > 0
+    )
+    R = _net(_read_table(spark, store_path, "right", tags), "m").filter(
+        F.col("m") > 0
+    )
+    vkeys = v.select(*keys).distinct()
+    l_cols = [c for c in L.columns if c != "m"]
+    r_only = [
+        f for f in v.schema.fields if f.name not in L.columns and f.name != "mult"
+    ]
+    l_only = [f for f in v.schema.fields if f.name in l_cols and f.name not in keys]
+    ext_l = (
+        L.join(vkeys, keys, "left_anti")
+        .select(
+            *l_cols,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in r_only],
+            F.col("m").alias("mult"),
+        )
+    )
+    ext_r = (
+        R.join(vkeys, keys, "left_anti")
+        .select(
+            *keys,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in l_only],
+            *[F.col(f.name) for f in r_only],
+            F.col("m").alias("mult"),
+        )
+        .select(*[f.name for f in v.schema.fields])
+    )
+    return v.unionByName(ext_l).unionByName(ext_r)

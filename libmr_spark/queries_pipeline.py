@@ -8183,3 +8183,100 @@ def matview_outer_serve_q(spark, sf_dir):
     path = _sink_dir("matview_outer", sf_dir)
     _mv_store_build(spark, sf_dir, path, with_delete=True)
     return matview_read_outer(spark, path)
+
+
+@defquery(
+    "matview_change_feed",
+    """
+WITH l2 AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), r2 AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 2 = 0
+), l5 AS (
+  SELECT * FROM l2 WHERE NOT (orderkey % 15 = 0)
+), r5 AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+), s2 AS (
+  SELECT l2.orderkey, l2.o_custkey, l2.o_orderstatus,
+         r2.l_linenumber, r2.l_extendedprice, r2.l_discount,
+         1 AS m
+  FROM l2 JOIN r2 ON l2.orderkey = r2.orderkey
+), s5 AS (
+  SELECT l5.orderkey, l5.o_custkey, l5.o_orderstatus,
+         r5.l_linenumber, r5.l_extendedprice, r5.l_discount,
+         1 AS m
+  FROM l5 JOIN r5 ON l5.orderkey = r5.orderkey
+)
+SELECT COALESCE(s5.orderkey, s2.orderkey) AS orderkey,
+       COALESCE(s5.o_custkey, s2.o_custkey) AS o_custkey,
+       COALESCE(s5.o_orderstatus, s2.o_orderstatus) AS o_orderstatus,
+       COALESCE(s5.l_linenumber, s2.l_linenumber) AS l_linenumber,
+       COALESCE(s5.l_extendedprice, s2.l_extendedprice) AS l_extendedprice,
+       COALESCE(s5.l_discount, s2.l_discount) AS l_discount,
+       CAST(COALESCE(s5.m, 0) - COALESCE(s2.m, 0) AS BIGINT) AS mult_delta
+FROM s5 FULL OUTER JOIN s2
+  ON s5.orderkey = s2.orderkey AND s5.l_linenumber = s2.l_linenumber
+WHERE COALESCE(s5.m, 0) - COALESCE(s2.m, 0) <> 0
+""",
+    "CHANGE FEED for the join MV (the Delta-CDF / SUBSCRIBE surface): "
+    "the deltas BETWEEN two commits served as one manifest-slice "
+    "net — because state(k) is by construction the sum of the first "
+    "k delta batches, state(5) − state(2) is exactly the net of "
+    "batches 3..5, with zero joins and zero snapshot reconstruction. "
+    "Here the slice spans a right-side insert wave, the empty replay "
+    "commit and the both-side delete commit, so the feed contains "
+    "BOTH polarities: +1 rows (odd-orderkey lines joining their "
+    "orders) and −1 rows (retracted pairs that existed at commit 2). "
+    "Oracle = the two states reconstructed from base tables and "
+    "FULL-OUTER diffed — a hash match proves the slice-net IS the "
+    "state difference, which is what makes the cascade (and any "
+    "downstream subscriber) correct without ever reading snapshots. "
+    "At 100 TB the feed is a directory-slice scan, pruned by the "
+    "manifest — never a diff of two materialized states.",
+)
+def matview_change_feed_q(spark, sf_dir):
+    from .operators.matview import matview_changes
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_cdf", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    return matview_changes(spark, path, from_batches=2, to_batches=5)
+
+
+@defquery(
+    "matview_full_outer",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+)
+SELECT COALESCE(l.orderkey, r.orderkey) AS orderkey,
+       l.o_custkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM l FULL OUTER JOIN r ON l.orderkey = r.orderkey
+""",
+    "FULL OUTER serving from the join-MV store: both anti-join legs, "
+    "free because BOTH net inputs are store tables — unmatched "
+    "surviving orders surface null-extended on the right (their "
+    "lines were all retracted), unmatched lines null-extended on the "
+    "left (their orders are non-urgent or deleted — the σ'd-out and "
+    "retracted populations meet in one serve). Oracle = the "
+    "from-scratch FULL OUTER JOIN over survivors. Together with "
+    "matview_outer_serve this closes the outer-join IVM family "
+    "without ONE byte of maintenance state beyond the inner store.",
+)
+def matview_full_outer_q(spark, sf_dir):
+    from .operators.matview import matview_read_full_outer
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_fouter", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    return matview_read_full_outer(spark, path)

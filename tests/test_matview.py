@@ -348,3 +348,61 @@ def test_matview_ingest_serializes_on_store_lock(spark, tmp_path):
         spark, p, left_delta=_left(spark, [(2, "b", 1)]), on="k"
     )
     assert _served(spark, p) == {(1, "a", "x", 1)}
+
+
+def test_matview_change_feed_slices_and_raises(spark, tmp_path):
+    # state(k) − state(j) equals the net of batches j+1..k; both
+    # polarities surface; out-of-range slice raises; from genesis
+    # equals the as-of state
+    from libmr_spark.operators.matview import matview_changes
+
+    p = _store(tmp_path, "mv_cdf")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, right_delta=_right(spark, [(2, "y", 1)]), on="k")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", -1)]),
+        _right(spark, [(1, "x", -1)]),
+        on="k",
+    )
+
+    def feed(f, t=None):
+        return {
+            (r.k, r.lv, r.rv, r.mult_delta)
+            for r in matview_changes(spark, p, f, t).collect()
+        }
+
+    assert feed(1, 3) == {(2, "b", "y", 1), (1, "a", "x", -1)}
+    assert feed(2, 3) == {(1, "a", "x", -1)}
+    # added-then-deleted inside the slice nets to zero rows for key 1
+    assert feed(0, 3) == {(2, "b", "y", 1)}
+    assert feed(3, 3) == set()
+    with pytest.raises(ValueError, match="out of range"):
+        matview_changes(spark, p, from_batches=4)
+    with pytest.raises(ValueError, match="out of range"):
+        matview_changes(spark, p, from_batches=0, to_batches=9)
+
+
+def test_matview_full_outer_both_legs(spark, tmp_path):
+    from libmr_spark.operators.matview import matview_read_full_outer
+
+    p = _store(tmp_path, "mv_fo")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (3, "z", 1)]),
+        on="k",
+    )
+    got = {
+        (r.k, r.lv, r.rv, r.mult)
+        for r in matview_read_full_outer(spark, p).collect()
+    }
+    assert got == {(1, "a", "x", 1), (2, "b", None, 1), (3, None, "z", 1)}
