@@ -236,6 +236,7 @@ HEADLINE = [
     "matview_outer_serve",
     "matview_change_feed",
     "matview_full_outer",
+    "matview_schema_evolution",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -257,6 +258,7 @@ LIFECYCLE = {
     "matview_compacted",
     "matview_change_feed",
     "matview_full_outer",
+    "matview_schema_evolution",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

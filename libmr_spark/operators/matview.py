@@ -96,9 +96,41 @@ def _net(df: DataFrame, mcol: str) -> DataFrame:
 
 
 def _read_table(spark, store_path: str, table: str, tags: list) -> DataFrame:
-    return spark.read.parquet(
+    # mergeSchema: a store whose history spans a SCHEMA EVOLUTION
+    # (a column added in a later commit) reads as the union schema,
+    # rows from pre-evolution batches null-filled — the standard
+    # lakehouse add-column semantics
+    return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(store_path, table, f"batch={t}") for t in tags]
     )
+
+
+def _align(df: DataFrame, fields) -> DataFrame:
+    """Project ``df`` onto the union schema ``fields`` (name, type),
+    adding typed null columns for anything missing — how an
+    old-schema CDC batch lands in an evolved store, and how the
+    pre-state gains a column the newest batch introduced."""
+    for f in fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in fields])
+
+
+def _union_fields(pre: DataFrame, delta: DataFrame | None, mcol: str):
+    fields = [f for f in pre.schema.fields if f.name != mcol]
+    if delta is not None:
+        have = {f.name for f in fields}
+        fields += [
+            f
+            for f in delta.schema.fields
+            if f.name not in have and f.name != mcol
+        ]
+    return fields
+
+
+def _align_keep_m(df: DataFrame, fields, mcol: str) -> DataFrame:
+    """:func:`_align` with the multiplicity column carried last."""
+    return _align(df, list(fields) + [df.schema[mcol]])
 
 
 def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
@@ -106,11 +138,21 @@ def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
     batch per row (an insert+delete of the same row inside one batch
     cancels), then admit an insert (+1) only where the store's net
     multiplicity is <= 0 and a delete (-1) only where it is >= 1.
-    Idempotent by construction — replay admits nothing."""
+    Idempotent by construction — replay admits nothing.  Row identity
+    is NULL-SAFE equality over every column, so an evolution-era null
+    (an old row read under the union schema, or an old-schema replay
+    aligned to it) matches itself rather than silently never
+    matching."""
     cols = [c for c in delta.columns if c != mcol]
-    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm")
-    p = pre.withColumnRenamed(mcol, "_pm")
-    j = d.join(p, cols, "left").withColumn("_pm", F.coalesce("_pm", F.lit(0)))
+    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm").alias("_d")
+    p = pre.withColumnRenamed(mcol, "_pm").alias("_p")
+    cond = None
+    for c in cols:
+        term = F.col(f"_d.{c}").eqNullSafe(F.col(f"_p.{c}"))
+        cond = term if cond is None else (cond & term)
+    j = d.join(p, cond, "left").withColumn(
+        "_pm", F.coalesce("_pm", F.lit(0))
+    )
     return (
         j.withColumn(
             mcol,
@@ -119,7 +161,7 @@ def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
             .cast("long"),
         )
         .filter(F.col(mcol).isNotNull())
-        .select(*cols, mcol)
+        .select(*[F.col(f"_d.{c}").alias(c) for c in cols], mcol)
     )
 
 
@@ -127,12 +169,10 @@ def _empty_like(spark, df_or_none, store_path, table, tags, mcol):
     if df_or_none is not None:
         schema = df_or_none.schema
     else:
-        # schema from a MANIFEST-LISTED batch dir (bootstrap requires
-        # both sides precisely so this read can never miss; unlisted
-        # crash orphans are never consulted)
-        schema = spark.read.parquet(
-            os.path.join(store_path, table, f"batch={tags[0]}")
-        ).schema
+        # union schema over the MANIFEST-LISTED batch dirs (bootstrap
+        # requires both sides precisely so this read can never miss;
+        # unlisted crash orphans are never consulted)
+        schema = _read_table(spark, store_path, table, tags).schema
     empty = spark.createDataFrame([], schema)
     if mcol not in empty.columns:
         empty = empty.withColumn(mcol, F.lit(0).cast("long"))
@@ -193,12 +233,28 @@ def _ingest_locked(
             pre = _net(_read_table(spark, store_path, table, tags), m_col)
         else:
             pre = _empty_like(spark, delta, store_path, table, tags, m_col)
+        # align both frames to the UNION schema (schema evolution: a
+        # batch may introduce a column — the pre-state gains it as
+        # typed nulls — or omit one an earlier commit added — the
+        # batch rows land null-filled, old-schema-writer semantics)
+        fields = _union_fields(pre, delta, m_col)
+        pre = _align_keep_m(pre, fields, m_col)
         if delta is not None:
             adm = _admit(
-                delta.withColumn(m_col, F.col(m_col).cast("long")), pre, m_col
+                _align_keep_m(
+                    delta.withColumn(m_col, F.col(m_col).cast("long")),
+                    fields,
+                    m_col,
+                ),
+                pre,
+                m_col,
             )
         else:
-            adm = _empty_like(spark, delta, store_path, table, tags, m_col)
+            adm = _align_keep_m(
+                _empty_like(spark, delta, store_path, table, tags, m_col),
+                fields,
+                m_col,
+            )
         # one materialization freezes admission against the pre-state
         # and feeds both the side table's write and the view joins
         return pre, adm.localCheckpoint(eager=True)

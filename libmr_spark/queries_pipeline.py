@@ -8280,3 +8280,99 @@ def matview_full_outer_q(spark, sf_dir):
     path = _sink_dir("matview_fouter", sf_dir)
     _mv_store_build(spark, sf_dir, path, with_delete=True)
     return matview_read_full_outer(spark, path)
+
+
+@defquery(
+    "matview_schema_evolution",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT l.orderkey, l.o_custkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM l JOIN r ON l.orderkey = r.orderkey
+""",
+    "SCHEMA EVOLUTION through the join-MV store: the bootstrap's left "
+    "batches carry (orderkey, custkey) only; a later commit "
+    "introduces o_orderstatus — the store reads its history under "
+    "the lakehouse union schema (pre-evolution rows null-filled), "
+    "new cross-batch join partners carry the column forward, and a "
+    "takedown batch written with the ORIGINAL schema (the CDC old "
+    "row as first committed) still retracts its store row because "
+    "row identity is NULL-SAFE equality. Oracle = the from-scratch "
+    "join with a CASE expressing exactly which cohort pre-dates the "
+    "column — the hash proves the null semantics end-to-end (a "
+    "join-equality admission would silently never match the "
+    "null-filled rows and ghost every old-schema delete). At 100 TB "
+    "this is the add-column migration every long-lived store faces; "
+    "no rewrite of history, old batches stay bytes-identical.",
+)
+def matview_schema_evolution_q(spark, sf_dir):
+    import shutil
+
+    from .operators.matview import matview_ingest, matview_read
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_evo", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    old_left = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_custkey")
+    )
+    new_left = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus"
+        )
+    )
+    right = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    matview_ingest(
+        spark,
+        path,
+        old_left.filter(F.col("orderkey") % 3 == 0).withColumn("m", F.lit(1)),
+        right.filter(F.col("orderkey") % 2 == 0).withColumn("m", F.lit(1)),
+        on="orderkey",
+    )
+    # the evolved commit introduces o_orderstatus
+    matview_ingest(
+        spark,
+        path,
+        left_delta=new_left.filter(F.col("orderkey") % 3 != 0).withColumn(
+            "m", F.lit(1)
+        ),
+        on="orderkey",
+    )
+    matview_ingest(
+        spark,
+        path,
+        right_delta=right.filter(F.col("orderkey") % 2 == 1).withColumn(
+            "m", F.lit(1)
+        ),
+        on="orderkey",
+    )
+    # takedown written with the ORIGINAL schema (null-safe retract;
+    # %15==0 implies %3==0, so every victim is a pre-evolution row)
+    matview_ingest(
+        spark,
+        path,
+        left_delta=old_left.filter(F.col("orderkey") % 15 == 0).withColumn(
+            "m", F.lit(-1)
+        ),
+        on="orderkey",
+    )
+    return matview_read(spark, path)

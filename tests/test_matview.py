@@ -406,3 +406,48 @@ def test_matview_full_outer_both_legs(spark, tmp_path):
         for r in matview_read_full_outer(spark, p).collect()
     }
     assert got == {(1, "a", "x", 1), (2, "b", None, 1), (3, None, "z", 1)}
+
+
+def test_matview_schema_evolution_null_safe(spark, tmp_path):
+    # a later commit introduces a column: old rows read null-filled,
+    # an OLD-SCHEMA delete (the CDC row as originally written) still
+    # matches its store row null-safely, replay stays a no-op, and
+    # compaction folds the evolved history without losing the column
+    p = _store(tmp_path, "mv_evo")
+    b1 = _mk(spark, [(1, "a", 1), (2, "b", 1)], ["k", "lv", "m"])
+    matview_ingest(spark, p, b1, _right(spark, [(1, "x", 1), (2, "y", 1)]), on="k")
+    # evolved batch adds lv2
+    matview_ingest(
+        spark,
+        p,
+        left_delta=_mk(spark, [(3, "c", "C", 1)], ["k", "lv", "lv2", "m"]),
+        on="k",
+    )
+    matview_ingest(spark, p, right_delta=_right(spark, [(3, "z", 1)]), on="k")
+
+    def served():
+        return {
+            (r.k, r.lv, r.lv2, r.rv, r.mult)
+            for r in matview_read(spark, p).collect()
+        }
+
+    assert served() == {
+        (1, "a", None, "x", 1),
+        (2, "b", None, "y", 1),
+        (3, "c", "C", "z", 1),
+    }
+    # old-schema replay: no-op
+    matview_ingest(spark, p, left_delta=b1, on="k")
+    assert served() == {
+        (1, "a", None, "x", 1),
+        (2, "b", None, "y", 1),
+        (3, "c", "C", "z", 1),
+    }
+    # old-schema delete retracts the null-filled row null-safely
+    matview_ingest(
+        spark, p, left_delta=_mk(spark, [(1, "a", -1)], ["k", "lv", "m"]), on="k"
+    )
+    assert served() == {(2, "b", None, "y", 1), (3, "c", "C", "z", 1)}
+    before = served()
+    assert compact_matview_store(spark, p)
+    assert served() == before
