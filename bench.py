@@ -237,6 +237,7 @@ HEADLINE = [
     "matview_change_feed",
     "matview_full_outer",
     "matview_schema_evolution",
+    "decontamination_store",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -259,6 +260,7 @@ LIFECYCLE = {
     "matview_change_feed",
     "matview_full_outer",
     "matview_schema_evolution",
+    "decontamination_store",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

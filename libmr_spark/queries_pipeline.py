@@ -8376,3 +8376,93 @@ def matview_schema_evolution_q(spark, sf_dir):
         on="orderkey",
     )
     return matview_read(spark, path)
+
+
+@defquery(
+    "decontamination_store",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 11),
+                     i -> array_to_string(t[i:i+12], ' '))) END AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 11 = 3),
+tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_13grams
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+""",
+    "INCREMENTAL DECONTAMINATION — the join-MV machinery powering the "
+    "curation workflow benchmarks actually have: suites ARRIVE and "
+    "get RETIRED over time, and each change must re-flag the corpus "
+    "in O(Δ) without rescanning train shingles against every old "
+    "suite. Left input = per-suite benchmark 13-gram hashes (CDC at "
+    "suite granularity), right = the train corpus's shingle "
+    "postings (bootstrapped once), view = contamination matches. "
+    "Four commits: bootstrap with suite A, suite B added (only B's "
+    "shingles join the corpus state), suite A REPLAYED (admits "
+    "nothing), suite A RETIRED (its matches retract; docs still hit "
+    "by B stay flagged — the per-suite row identity is what makes "
+    "partial retirement exact). Serving counts DISTINCT shared "
+    "shingles per doc over the net view; oracle = the from-scratch "
+    "join against the SURVIVING suite's shingles, string-shingled "
+    "where the store joins xxhash64 longs (identity-by-hash, the "
+    "decontaminate_ngram_overlap contract). At 100 TB the suite "
+    "side stays benchmark-sized and broadcasts; the corpus postings "
+    "net-fold amortizes through standard compaction.",
+)
+def decontamination_store_q(spark, sf_dir):
+    import shutil
+
+    from .operators.matview import matview_ingest, matview_read
+    from .queries import TX
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("decontam_store", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    ex = d.withColumn("__th__", TX.token_hashes(F.col("text"))).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingle_hashes_from_tokens(F.col("__th__"), 13))
+        ).alias("s"),
+    )
+    suite_a = (
+        ex.filter(F.col("doc_id") % 7 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("suite", F.lit("a"))
+    )
+    suite_b = (
+        ex.filter(F.col("doc_id") % 11 == 3)
+        .select("s")
+        .distinct()
+        .withColumn("suite", F.lit("b"))
+    )
+    train = ex.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 != 3))
+    matview_ingest(
+        spark,
+        path,
+        suite_a.withColumn("m", F.lit(1)),
+        train.withColumn("m", F.lit(1)),
+        on="s",
+    )
+    matview_ingest(
+        spark, path, left_delta=suite_b.withColumn("m", F.lit(1)), on="s"
+    )
+    # duplicated suite delivery: admits nothing
+    matview_ingest(
+        spark, path, left_delta=suite_a.withColumn("m", F.lit(1)), on="s"
+    )
+    # suite A retired: its matches retract, B's survive
+    matview_ingest(
+        spark, path, left_delta=suite_a.withColumn("m", F.lit(-1)), on="s"
+    )
+    v = matview_read(spark, path)
+    return v.groupBy("doc_id").agg(
+        F.count_distinct("s").alias("n_shared_13grams")
+    )

@@ -451,3 +451,44 @@ def test_matview_schema_evolution_null_safe(spark, tmp_path):
     before = served()
     assert compact_matview_store(spark, p)
     assert served() == before
+
+
+def test_decontamination_store_suite_retirement(spark, tmp_path):
+    # suite retirement must unflag docs hit ONLY by the retired suite
+    # while docs also hit by a surviving suite stay flagged
+    p = _store(tmp_path, "mv_decon")
+    # shingle universe: s1 hits d1 only via suite a; s2 hits d2 via
+    # both suites; s3 hits d3 via suite b only
+    suites = _mk(
+        spark,
+        [(10, "a", 1), (20, "a", 1), (20, "b", 1), (30, "b", 1)],
+        ["s", "suite", "m"],
+    )
+    train = _mk(
+        spark,
+        [(10, 1, 1), (20, 2, 1), (30, 3, 1), (99, 4, 1)],
+        ["s", "doc_id", "m"],
+    )
+    matview_ingest(
+        spark, p, suites.filter(F.col("suite") == "a"), train, on="s"
+    )
+    matview_ingest(
+        spark, p, left_delta=suites.filter(F.col("suite") == "b"), on="s"
+    )
+
+    def flagged():
+        return {
+            r.doc_id
+            for r in matview_read(spark, p).select("doc_id").distinct().collect()
+        }
+
+    assert flagged() == {1, 2, 3}
+    matview_ingest(
+        spark,
+        p,
+        left_delta=suites.filter(F.col("suite") == "a").withColumn(
+            "m", F.lit(-1)
+        ),
+        on="s",
+    )
+    assert flagged() == {2, 3}  # d1 unflagged; d2 survives via suite b
