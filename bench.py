@@ -238,6 +238,7 @@ HEADLINE = [
     "matview_full_outer",
     "matview_schema_evolution",
     "decontamination_store",
+    "matview_backfill_subscriber",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -261,6 +262,7 @@ LIFECYCLE = {
     "matview_full_outer",
     "matview_schema_evolution",
     "decontamination_store",
+    "matview_backfill_subscriber",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

@@ -24,8 +24,12 @@ own proven delete semantics; this operator only routes and audits:
 Every store's delete is individually crash-safe and idempotent, so
 the fleet-level call is safely re-runnable after a crash mid-fleet:
 completed stores no-op, the interrupted one re-runs its own protocol.
-(True all-or-nothing across INDEPENDENT stores would need a
-coordinator log; within one store the hybrid layout already gives
+:func:`takedown_with_txlog` builds the coordinator ON that
+idempotence: an intent log (request id + snapshotted victim set +
+store routing) written before any delete, a DONE marker after the
+last, and :func:`recover_takedowns` replaying unfinished intents at
+startup — at-least-once coordinator recovery, exactly-once fleet
+effects.  (Within one store the hybrid layout already gives
 multi-table atomicity — put tables in one store when you need that.)
 
 Returns a per-store audit dict {name: deleted-count} — the record a
@@ -86,3 +90,128 @@ def takedown_everywhere(
             spark, path, ev, text_col=text_col, id_col=id_col
         ).count()
     return audit
+
+
+def takedown_with_txlog(
+    spark,
+    txlog_dir: str,
+    victims: DataFrame,
+    request_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _crash_after: int | None = None,
+    **stores,
+) -> dict:
+    """Fleet takedown with ALL-OR-NOTHING semantics via an intent log
+    — the coordinator the module docstring previously declared out of
+    scope, implementable in ~40 lines precisely BECAUSE every family
+    delete is idempotent: write an INTENT record (request id + victim
+    parquet + store routing) before touching any store, run the
+    per-store deletes, then mark DONE.  A crash mid-fleet leaves an
+    intent without a DONE marker; :func:`recover_takedowns` re-runs
+    the whole request — completed stores no-op (their per-store
+    protocols absorb the replay), the interrupted one finishes its own
+    crash-safe path — so at-least-once coordinator recovery yields
+    exactly-once fleet effects.  The victim set is SNAPSHOTTED into
+    the intent as parquet: recovery must delete what the REQUEST
+    named, not what a re-evaluated DataFrame happens to contain later.
+    ``stores`` forwards the family routings of
+    :func:`takedown_everywhere`.  ``_crash_after`` (tests only) raises
+    after N family deletes to simulate the coordinator dying."""
+    import json
+    import os
+
+    os.makedirs(txlog_dir, exist_ok=True)
+    vic_path = os.path.join(txlog_dir, f"{request_id}.victims")
+    intent_path = os.path.join(txlog_dir, f"{request_id}.intent")
+    done_path = os.path.join(txlog_dir, f"{request_id}.done")
+    if os.path.exists(done_path):
+        with open(done_path) as f:
+            return json.load(f)  # request already completed: no-op replay
+    if not os.path.exists(intent_path):
+        victims.select(
+            *(
+                {id_col, text_col} & set(victims.columns)
+                or {id_col}
+            )
+        ).write.mode("overwrite").parquet(vic_path)
+        routing = {
+            k: (
+                {n: [p, list(t)] for n, (p, t) in v.items()}
+                if k == "table_stores"
+                else list(map(list, v))
+            )
+            for k, v in stores.items()
+            if v
+        }
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col, "stores": routing}, f)
+        os.replace(tmp, intent_path)
+    return _run_intent(spark, txlog_dir, request_id, _crash_after)
+
+
+def _run_intent(spark, txlog_dir: str, request_id: str, _crash_after=None) -> dict:
+    import json
+    import os
+
+    intent_path = os.path.join(txlog_dir, f"{request_id}.intent")
+    with open(intent_path) as f:
+        intent = json.load(f)
+    vic = spark.read.parquet(os.path.join(txlog_dir, f"{request_id}.victims"))
+    r = intent["stores"]
+    kwargs = {}
+    if "table_stores" in r:
+        kwargs["table_stores"] = {
+            n: (p, tuple(t)) for n, (p, t) in r["table_stores"].items()
+        }
+    for fam in ("cluster_stores", "span_stores", "matview_stores", "vocab_stores"):
+        if fam in r:
+            kwargs[fam] = [tuple(x) for x in r[fam]]
+    if _crash_after is not None:
+        # simulate the coordinator dying mid-fleet: run only the first
+        # N family deletes through the normal router, then raise
+        audit = {}
+        n = 0
+        for fam, entries in list(kwargs.items()):
+            if n >= _crash_after:
+                raise RuntimeError("simulated coordinator crash")
+            sub = takedown_everywhere(
+                spark,
+                vic,
+                id_col=intent["id_col"],
+                text_col=intent["text_col"],
+                **{fam: entries},
+            )
+            audit.update(sub)
+            n += 1
+        raise RuntimeError("simulated coordinator crash")
+    audit = takedown_everywhere(
+        spark, vic, id_col=intent["id_col"], text_col=intent["text_col"], **kwargs
+    )
+    done_path = os.path.join(txlog_dir, f"{request_id}.done")
+    tmp = done_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(audit, f)
+    os.replace(tmp, done_path)
+    return audit
+
+
+def recover_takedowns(spark, txlog_dir: str) -> dict:
+    """Replay every intent without a DONE marker to completion —
+    called at coordinator startup.  Returns {request_id: audit} for
+    the requests recovered this pass (idempotent per-store deletes
+    make the replay exactly-once in effect)."""
+    import os
+
+    recovered = {}
+    if not os.path.isdir(txlog_dir):
+        return recovered
+    for fn in sorted(os.listdir(txlog_dir)):
+        if not fn.endswith(".intent"):
+            continue
+        rid = fn[: -len(".intent")]
+        if os.path.exists(os.path.join(txlog_dir, f"{rid}.done")):
+            continue
+        recovered[rid] = _run_intent(spark, txlog_dir, rid)
+    return recovered

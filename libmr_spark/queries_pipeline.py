@@ -8466,3 +8466,72 @@ def decontamination_store_q(spark, sf_dir):
     return v.groupBy("doc_id").agg(
         F.count_distinct("s").alias("n_shared_13grams")
     )
+
+
+@defquery(
+    "matview_backfill_subscriber",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+), c AS (
+  SELECT c_custkey AS o_custkey, c_mktsegment FROM customer
+)
+SELECT c.o_custkey, c.c_mktsegment,
+       l.orderkey, l.o_orderstatus,
+       r.l_linenumber, r.l_extendedprice, r.l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM c JOIN l ON c.o_custkey = l.o_custkey
+       JOIN r ON l.orderkey = r.orderkey
+""",
+    "SNAPSHOT+STREAM BACKFILL — how a LATE subscriber joins a live "
+    "view without replaying history from genesis: bootstrap from the "
+    "upstream MV's pinned state AS-OF commit 3 (one insert batch — "
+    "the snapshot), then subscribe to the change feed from there "
+    "(the per-commit deltas of batches 4..5, including the empty "
+    "replay commit and the both-side delete wave). The identity that "
+    "makes this exact is the store's own construction: state(3) + "
+    "deltas(4..5) ≡ state(5), so the late subscriber converges to "
+    "EXACTLY the in-order cascade's result — same oracle, one hash. "
+    "Deletes arriving through the feed retract rows the subscriber "
+    "only ever saw via the snapshot (net-sign admission neither "
+    "knows nor cares how a row arrived). This is the standard "
+    "bootstrap pattern of every CDC ecosystem, proved end-to-end on "
+    "the store protocol. At 100 TB: a new consumer costs one "
+    "snapshot scan + the tail of the feed, never a historical "
+    "replay.",
+)
+def matview_backfill_subscriber_q(spark, sf_dir):
+    import os
+    import shutil
+
+    from .operators.dedup import _manifest_read
+    from .operators.matview import matview_changes, matview_ingest, matview_read
+    from .queries_ext import _sink_dir
+
+    p1 = _sink_dir("matview_bf1", sf_dir)
+    p2 = _sink_dir("matview_bf2", sf_dir)
+    _mv_store_build(spark, sf_dir, p1, with_delete=True)
+    shutil.rmtree(p2, ignore_errors=True)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        .withColumn("m", F.lit(1))
+    )
+    # bootstrap: the upstream's PINNED state at commit 3 as one batch
+    snapshot = matview_read(spark, p1, as_of_batches=3).withColumnRenamed(
+        "mult", "m"
+    )
+    matview_ingest(spark, p2, cust, snapshot, on="o_custkey")
+    # subscribe: per-commit deltas AFTER the snapshot point
+    tags = _manifest_read(os.path.join(p1, "_BATCHES"), None)
+    for k in range(3, len(tags)):
+        dv = matview_changes(
+            spark, p1, from_batches=k, to_batches=k + 1
+        ).withColumnRenamed("mult_delta", "m")
+        matview_ingest(spark, p2, right_delta=dv, on="o_custkey")
+    return matview_read(spark, p2)

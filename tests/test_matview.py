@@ -492,3 +492,74 @@ def test_decontamination_store_suite_retirement(spark, tmp_path):
         on="s",
     )
     assert flagged() == {2, 3}  # d1 unflagged; d2 survives via suite b
+
+
+def test_takedown_txlog_crash_recovery(spark, tmp_path):
+    # coordinator 2PC-lite: intent -> idempotent family deletes ->
+    # done marker. A simulated crash mid-fleet leaves one store
+    # cleaned and one untouched; recovery replays the request to
+    # completion with exactly-once effects, and a duplicate request
+    # id returns the recorded audit without touching stores again.
+    import libmr_spark.operators.dedup as DD
+    from libmr_spark.operators.takedown import (
+        recover_takedowns,
+        takedown_with_txlog,
+    )
+
+    exact = _store(tmp_path, "tx_exact")
+    DD.dedup_incremental_exact(
+        spark,
+        exact,
+        spark.createDataFrame(
+            [(i, f"doc {i} body") for i in range(8)], "doc_id long, text string"
+        ),
+    )
+    mv = _store(tmp_path, "tx_mv")
+    matview_ingest(
+        spark,
+        mv,
+        spark.createDataFrame([(i, i % 2) for i in range(8)], ["doc_id", "odd"])
+        .withColumn("m", F.lit(1)),
+        spark.createDataFrame([(i, i * 10) for i in range(8)], ["doc_id", "val"])
+        .withColumn("m", F.lit(1)),
+        on="doc_id",
+    )
+    victims = spark.createDataFrame([(2,), (4,)], ["doc_id"])
+    txlog = _store(tmp_path, "txlog")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        takedown_with_txlog(
+            spark,
+            txlog,
+            victims,
+            "req-1",
+            _crash_after=1,
+            table_stores={"exact": (exact, ("fps",))},
+            matview_stores=[("mv", mv)],
+        )
+    # first family (table_stores) ran; matview untouched; no done marker
+    assert os.path.exists(os.path.join(txlog, "req-1.intent"))
+    assert not os.path.exists(os.path.join(txlog, "req-1.done"))
+    mv_ids = {r.doc_id for r in matview_read(spark, mv).collect()}
+    assert {2, 4} <= mv_ids  # the crash left the second store dirty
+
+    recovered = recover_takedowns(spark, txlog)
+    assert set(recovered) == {"req-1"}
+    # completed store no-ops on replay, interrupted one finishes
+    assert recovered["req-1"]["exact"] == 0  # already deleted pre-crash
+    assert recovered["req-1"]["mv"] == 2
+    assert not (
+        {2, 4} & {r.doc_id for r in matview_read(spark, mv).collect()}
+    )
+    assert os.path.exists(os.path.join(txlog, "req-1.done"))
+    # recovery is idempotent and a duplicate request returns the audit
+    assert recover_takedowns(spark, txlog) == {}
+    again = takedown_with_txlog(
+        spark,
+        txlog,
+        victims,
+        "req-1",
+        table_stores={"exact": (exact, ("fps",))},
+        matview_stores=[("mv", mv)],
+    )
+    assert again == recovered["req-1"]
