@@ -563,3 +563,70 @@ def test_takedown_txlog_crash_recovery(spark, tmp_path):
         matview_stores=[("mv", mv)],
     )
     assert again == recovered["req-1"]
+
+
+def test_matview_random_cdc_soak_matches_model(spark, tmp_path):
+    # the store-soak protocol applied to the join MV: a seeded random
+    # sequence of unit-CDC events (inserts, deletes, replays, no-op
+    # deletes, one-sided and both-sided batches) over a small key
+    # universe; after EVERY commit the served view must equal a pure-
+    # python Z-set model, and the integrity audit must report zero
+    # mismatch
+    import random
+
+    from libmr_spark.operators.matview import matview_integrity
+
+    rng = random.Random(23)
+    p = _store(tmp_path, "mv_soak")
+    L, R = {}, {}  # model: row -> net multiplicity (0/1 under unit CDC)
+
+    def model_view():
+        out = {}
+        for (lk, lv) in [k for k, m in L.items() if m > 0]:
+            for (rk, rv) in [k for k, m in R.items() if m > 0]:
+                if lk == rk:
+                    out[(lk, lv, rv)] = 1
+        return out
+
+    def batch(side):
+        # generate events, then apply them to the model the way the
+        # STORE does: net the batch per row first, THEN admit against
+        # the pre-batch state (an insert+delete of one row inside a
+        # batch cancels; the model must not apply them sequentially)
+        rows, n = [], rng.randint(1, 4)
+        state = L if side == "l" else R
+        for _ in range(n):
+            k = rng.randint(1, 5)
+            v = rng.choice("pq") if side == "l" else rng.choice("xy")
+            want_delete = rng.random() < 0.4 and state.get((k, v), 0) > 0
+            rows.append((k, v, -1 if want_delete else 1))
+        nets = {}
+        for k, v, m in rows:
+            nets[(k, v)] = nets.get((k, v), 0) + m
+        for key, dm in nets.items():
+            pre = state.get(key, 0)
+            if dm > 0 and pre <= 0:
+                state[key] = 1
+            elif dm < 0 and pre >= 1:
+                state[key] = 0
+        return rows
+
+    cols = lambda side: ["k", "lv" if side == "l" else "rv", "m"]
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, batch("l"), cols("l")),
+        _mk(spark, batch("r"), cols("r")),
+        on="k",
+    )
+    for step in range(5):
+        which = rng.choice(["l", "r", "both"])
+        ld = _mk(spark, batch("l"), cols("l")) if which in ("l", "both") else None
+        rd = _mk(spark, batch("r"), cols("r")) if which in ("r", "both") else None
+        matview_ingest(spark, p, left_delta=ld, right_delta=rd, on="k")
+        got = {
+            (r.k, r.lv, r.rv): r.mult for r in matview_read(spark, p).collect()
+        }
+        assert got == model_view(), f"diverged at step {step}"
+    audit = matview_integrity(spark, p).collect()[0]
+    assert audit.mismatch_rows == 0
