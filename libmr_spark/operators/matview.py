@@ -437,6 +437,11 @@ def matview_integrity(
         .agg(F.sum("mult").cast("long").alias("mult"))
         .filter(F.col("mult") > 0)
     )
+    # exceptAll is POSITIONAL: align the recompute to the served
+    # column order (they can differ on a schema-evolved store, where
+    # the view's merged order appends new columns at the end while
+    # the L+R-derived order interleaves them)
+    recomputed = recomputed.select(*served.columns)
     mismatch = (
         served.exceptAll(recomputed).count()
         + recomputed.exceptAll(served).count()

@@ -630,3 +630,27 @@ def test_matview_random_cdc_soak_matches_model(spark, tmp_path):
         assert got == model_view(), f"diverged at step {step}"
     audit = matview_integrity(spark, p).collect()[0]
     assert audit.mismatch_rows == 0
+
+
+def test_matview_integrity_on_evolved_store(spark, tmp_path):
+    # the audit must hold on a schema-evolved store, where the view's
+    # merged column order differs from the L+R-derived recompute order
+    from libmr_spark.operators.matview import matview_integrity
+
+    p = _store(tmp_path, "mv_fsck_evo")
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, [(1, "a", 1)], ["k", "lv", "m"]),
+        _right(spark, [(1, "x", 1)]),
+        on="k",
+    )
+    matview_ingest(
+        spark,
+        p,
+        left_delta=_mk(spark, [(2, "b", "B", 1)], ["k", "lv", "lv2", "m"]),
+        right_delta=_right(spark, [(2, "y", 1)]),
+        on="k",
+    )
+    audit = matview_integrity(spark, p).collect()[0]
+    assert audit.mismatch_rows == 0 and audit.view_rows == 2
