@@ -383,7 +383,14 @@ def _rewrite_store(
             )
         for table in present:
             src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
-            transform(spark.read.parquet(*src), table).write.mode("overwrite").parquet(
+            # mergeSchema: a rewrite must see the UNION schema when the
+            # snapshot spans a schema evolution (matview add-column) —
+            # the default footer-sampled schema would nondeterministically
+            # drop the evolved column from the fold; a no-op for the
+            # fixed-schema store families
+            transform(
+                spark.read.option("mergeSchema", "true").parquet(*src), table
+            ).write.mode("overwrite").parquet(
                 os.path.join(store_path, table, f"batch={new_tag}")
             )
         _manifest_publish(
