@@ -288,6 +288,7 @@ def _rewrite_store(
     min_batches: int = 1,
     set_params: dict | None = None,
     respect_snapshots: bool = False,
+    merge_schema: bool = False,
 ) -> list:
     """Shared crash-safe store rewrite: under the per-store REWRITE
     lock (a kernel-held flock serializing rewriters against each other
@@ -383,16 +384,18 @@ def _rewrite_store(
             )
         for table in present:
             src = [os.path.join(store_path, table, f"batch={t}") for t in snapshot]
-            # mergeSchema: a rewrite must see the UNION schema when the
-            # snapshot spans a schema evolution (matview add-column) —
-            # the default footer-sampled schema would nondeterministically
-            # drop the evolved column from the fold; a no-op for the
-            # fixed-schema store families
-            transform(
-                spark.read.option("mergeSchema", "true").parquet(*src), table
-            ).write.mode("overwrite").parquet(
-                os.path.join(store_path, table, f"batch={new_tag}")
-            )
+            # merge_schema (matview passes it): a rewrite must see the
+            # UNION schema when the snapshot spans a schema evolution
+            # (add-column) — the default footer-sampled schema would
+            # nondeterministically drop the evolved column from the
+            # fold.  Off for the fixed-schema store families, whose
+            # rewrites would only pay the all-footers read for nothing.
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            transform(reader.parquet(*src), table).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(store_path, table, f"batch={new_tag}"))
         _manifest_publish(
             manifest_path, None, add_tags=[new_tag], drop_tags=snapshot,
             set_params=set_params,

@@ -369,6 +369,7 @@ def compact_matview_store(spark, store_path: str) -> list:
         MATVIEW_TABLES,
         min_batches=2,
         respect_snapshots=True,
+        merge_schema=True,
     )
 
 
@@ -397,7 +398,14 @@ def matview_takedown(spark, store_path: str, victims: DataFrame, id_col: str):
             return df
         return df.join(ids, id_col, "left_anti")
 
-    _rewrite_store(spark, store_path, transform, MATVIEW_TABLES, min_batches=1)
+    _rewrite_store(
+        spark,
+        store_path,
+        transform,
+        MATVIEW_TABLES,
+        min_batches=1,
+        merge_schema=True,
+    )
     return removed
 
 

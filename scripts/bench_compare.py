@@ -84,6 +84,23 @@ def main(argv: list[str]) -> int:
         speed = (nc / oc) if (oc and nc) else 1.0
         norm = "normalized" if (oc and nc) else "RAW (missing calib)"
         common = set(oq) & set(nq_raw)
+        # calibration sanity: the matmul denominator has one job —
+        # tracking machine speed — and it can GLITCH (BLAS threading,
+        # frequency scaling mid-measurement).  The median raw ratio
+        # over all common queries is a self-normalizing denominator
+        # (300 queries don't all change plan at once); when the two
+        # disagree by >1.5x, trust the median and say so.
+        raw_rs = sorted(
+            nq_raw[k] / max(oq[k], 0.005) for k in common if oq[k] > 0
+        )
+        med = raw_rs[len(raw_rs) // 2] if raw_rs else 1.0
+        if raw_rs and (speed / med > 1.5 or med / speed > 1.5):
+            print(
+                f"  CALIB GLITCH vs {bn}: matmul says x{speed:.2f} but the "
+                f"median raw ratio of {len(raw_rs)} common queries is "
+                f"x{med:.2f} — using the median as the denominator"
+            )
+            speed = med
         o_tot = sum(oq[k] for k in common)
         n_tot = sum(nq_raw[k] / speed for k in common)
         print(f"\nvs {bn}: calib {oc} -> {nc} (speed x{speed:.2f}, {norm}); "
