@@ -239,6 +239,7 @@ HEADLINE = [
     "matview_schema_evolution",
     "decontamination_store",
     "matview_backfill_subscriber",
+    "matview_zonemap_lookup",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -263,6 +264,7 @@ LIFECYCLE = {
     "matview_schema_evolution",
     "decontamination_store",
     "matview_backfill_subscriber",
+    "matview_zonemap_lookup",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

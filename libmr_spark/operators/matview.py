@@ -357,22 +357,6 @@ def _net_transform(df: DataFrame, table: str) -> DataFrame:
     return _net(df, "mult" if table == "view" else "m")
 
 
-def compact_matview_store(spark, store_path: str) -> list:
-    """Fold every table's deltas to net rows in ONE batch directory
-    per table through the crash-safe store rewrite (zero-net rows
-    vanish; every served sum is provably unchanged).  Respects
-    snapshot pins — the retention contract."""
-    return _rewrite_store(
-        spark,
-        store_path,
-        _net_transform,
-        MATVIEW_TABLES,
-        min_batches=2,
-        respect_snapshots=True,
-        merge_schema=True,
-    )
-
-
 def matview_takedown(spark, store_path: str, victims: DataFrame, id_col: str):
     """Right-to-be-forgotten for the MV: rewrite every table that
     carries ``id_col``, anti-joining the victim ids — bytes are gone
@@ -588,3 +572,127 @@ def matview_read_full_outer(
         .select(*[f.name for f in v.schema.fields])
     )
     return v.unionByName(ext_l).unionByName(ext_r)
+
+
+def _write_zones(store_path: str, table: str, tag: str, zone_col: str) -> dict:
+    """Per-FILE min/max of ``zone_col`` from the parquet footers
+    (driver-side pyarrow metadata reads — no Spark jobs), persisted as
+    ``_ZONES.json`` inside the batch directory.  Written AFTER the
+    manifest publish: a crash in between leaves a compacted dir
+    without zones and lookups fall back to the full read — pruning is
+    an optimization layer, never a correctness dependency."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(store_path, table, f"batch={tag}")
+    zones = {}
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, fn)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            zone_col
+        ]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None  # a statless row group disables the file's zone
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            zones[fn] = [lo, hi]
+    tmp = os.path.join(d, "_ZONES.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"column": zone_col, "files": zones}, f)
+    os.replace(tmp, os.path.join(d, "_ZONES.json"))
+    return zones
+
+
+def compact_matview_store(
+    spark,
+    store_path: str,
+    zone_by: str | None = None,
+    n_files: int | None = None,
+) -> list:
+    """Fold every table's deltas to net rows in ONE batch directory
+    per table through the crash-safe store rewrite (zero-net rows
+    vanish; every served sum is provably unchanged).  Respects
+    snapshot pins — the retention contract.
+
+    ``zone_by``: additionally range-partition + sort the VIEW table's
+    fold by that column (``n_files`` output files) and write per-file
+    min/max ZONE MAPS from the parquet footers —
+    :func:`matview_lookup` then opens only the files whose range
+    covers the probe instead of the whole table.  This is the
+    documented 100 TB layout lever: the manifest protocol is
+    unchanged, a zoneless dir just serves unpruned."""
+
+    def transform(df: DataFrame, table: str) -> DataFrame:
+        out = _net_transform(df, table)
+        if zone_by is not None and table == "view":
+            out = out.repartitionByRange(
+                n_files or 8, F.col(zone_by)
+            ).sortWithinPartitions(zone_by)
+        return out
+
+    rewritten = _rewrite_store(
+        spark,
+        store_path,
+        transform,
+        MATVIEW_TABLES,
+        min_batches=2,
+        respect_snapshots=True,
+        merge_schema=True,
+    )
+    if rewritten and zone_by is not None:
+        tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
+        for t in tags:
+            if t.startswith("compact-"):
+                _write_zones(store_path, "view", t, zone_by)
+    return rewritten
+
+
+def matview_lookup(spark, store_path: str, zone_col: str, lo, hi=None) -> DataFrame:
+    """Point/range serve over the view with FILE-LEVEL pruning: for
+    each manifest-listed batch dir, open only the part files whose
+    zone-map range intersects ``[lo, hi]`` (dirs without zones — fresh
+    ingests since the last zoned compaction, or a crash-orphaned zones
+    write — contribute all their files, so the result is always exact;
+    pruning only ever removes files proven empty for the probe).  The
+    predicate additionally pushes into the parquet scan for row-group
+    pruning inside the opened files."""
+    import json
+
+    if hi is None:
+        hi = lo
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, None)
+    paths = []
+    for t in tags:
+        d = os.path.join(store_path, "view", f"batch={t}")
+        zpath = os.path.join(d, "_ZONES.json")
+        files = None
+        if os.path.exists(zpath):
+            try:
+                with open(zpath) as f:
+                    z = json.load(f)
+                if z.get("column") == zone_col:
+                    files = [
+                        os.path.join(d, fn)
+                        for fn, (zlo, zhi) in sorted(z["files"].items())
+                        if not (zhi < lo or zlo > hi)
+                    ]
+            except (OSError, ValueError):
+                files = None  # unreadable zones: serve unpruned
+        paths.extend(files if files is not None else [d])
+    if not paths:
+        # every candidate file pruned: exact empty result, typed from
+        # the store schema
+        v = _read_table(spark, store_path, "view", tags)
+        return _net(v.limit(0), "mult")
+    v = spark.read.option("mergeSchema", "true").parquet(*paths)
+    v = v.filter((F.col(zone_col) >= lo) & (F.col(zone_col) <= hi))
+    return _net(v, "mult").filter(F.col("mult") > 0)

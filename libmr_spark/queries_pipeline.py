@@ -8535,3 +8535,39 @@ def matview_backfill_subscriber_q(spark, sf_dir):
         ).withColumnRenamed("mult_delta", "m")
         matview_ingest(spark, p2, right_delta=dv, on="o_custkey")
     return matview_read(spark, p2)
+
+
+@defquery(
+    "matview_zonemap_lookup",
+    _mv_sql(
+        lfilter="AND NOT (o_orderkey % 15 = 0)",
+        rfilter="WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)",
+    ).replace(
+        "FROM l JOIN r ON l.orderkey = r.orderkey",
+        "FROM l JOIN r ON l.orderkey = r.orderkey\n"
+        "WHERE l.orderkey BETWEEN 1000 AND 3000",
+    ),
+    "ZONE-MAPPED point serving — the layout lever the store family's "
+    "docs promised: compaction range-partitions + sorts the view fold "
+    "by the probe column and records per-FILE min/max from the "
+    "parquet footers (_ZONES.json, written after the manifest publish "
+    "so a crash degrades to unpruned, never to wrong); "
+    "matview_lookup then opens ONLY the files whose zone intersects "
+    "the probe range, with the predicate additionally pushed into the "
+    "opened files for row-group pruning. The hash gates exactness of "
+    "the PRUNED path over the retracted store (a zone map that "
+    "dropped a covering file, or resurfaced a deleted row, shifts "
+    "it); file-level pruning itself is pinned structurally in pytest "
+    "via inputFiles(). At 100 TB this turns a point/range serve from "
+    "a table scan into O(files covering the range) — the standard "
+    "data-skipping contract, built on footer stats the files already "
+    "carry.",
+)
+def matview_zonemap_lookup_q(spark, sf_dir):
+    from .operators.matview import compact_matview_store, matview_lookup
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_zone", sf_dir)
+    _mv_store_build(spark, sf_dir, path, with_delete=True)
+    compact_matview_store(spark, path, zone_by="orderkey", n_files=8)
+    return matview_lookup(spark, path, "orderkey", 1000, 3000)

@@ -654,3 +654,51 @@ def test_matview_integrity_on_evolved_store(spark, tmp_path):
     )
     audit = matview_integrity(spark, p).collect()[0]
     assert audit.mismatch_rows == 0 and audit.view_rows == 2
+
+
+def test_matview_zonemap_lookup_prunes_files(spark, tmp_path):
+    # zone-mapped compaction: the lookup must open ONLY the part files
+    # whose min/max covers the probe, and still serve exactly the
+    # unpruned result; a post-compaction ingest (no zones yet)
+    # contributes all its files without breaking exactness
+    from libmr_spark.operators.matview import matview_lookup
+
+    p = _store(tmp_path, "mv_zone")
+    rows = [(k, f"l{k}", 1) for k in range(1, 101)]
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, rows, ["k", "lv", "m"]),
+        _mk(spark, [(k, f"r{k}", 1) for k in range(1, 101)], ["k", "rv", "m"]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(1, "l1", -1)]), on="k")
+    compact_matview_store(spark, p, zone_by="k", n_files=8)
+
+    looked = matview_lookup(spark, p, "k", 40, 45)
+    opened = {f.split("/")[-1] for f in looked.inputFiles()}
+    vdir = [
+        d
+        for d in os.listdir(os.path.join(p, "view"))
+        if d.startswith("batch=")
+    ]
+    assert len(vdir) == 1
+    total = [
+        f
+        for f in os.listdir(os.path.join(p, "view", vdir[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(total) >= 6 and len(opened) < len(total), (opened, total)
+    got = {(r.k, r.lv, r.rv, r.mult) for r in looked.collect()}
+    assert got == {(k, f"l{k}", f"r{k}", 1) for k in range(40, 46)}
+
+    # deleted row never resurfaces through a pruned path
+    assert matview_lookup(spark, p, "k", 1).count() == 0
+    # fresh unzoned ingest still serves exactly through the fallback
+    matview_ingest(spark, p, left_delta=_left(spark, [(200, "x", 1)]), on="k")
+    matview_ingest(spark, p, right_delta=_right(spark, [(200, "y", 1)]), on="k")
+    assert {
+        tuple(r) for r in matview_lookup(spark, p, "k", 200).collect()
+    } == {(200, "x", "y", 1)}
+    # a probe outside every zone and every unzoned dir returns empty
+    assert matview_lookup(spark, p, "k", 10_000).count() == 0
