@@ -240,6 +240,7 @@ HEADLINE = [
     "decontamination_store",
     "matview_backfill_subscriber",
     "matview_zonemap_lookup",
+    "kanon_stats_release",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -215,3 +215,50 @@ def temperature_mixture_weights(
             F.col("qd").cast("double") / F.col("s").cast("double") * F.col("nt")
         ).cast("bigint").alias("target_docs"),
     )
+
+
+def kanon_release(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    value_col: str,
+    suppressed: str = "__suppressed__",
+) -> DataFrame:
+    """K-ANONYMOUS stats release: per-group (count, sum) over
+    ``group_cols`` with every released group carrying >= ``k``
+    members.  Groups below k are NOT dropped (dropping leaks "this
+    group exists and is small") — they roll up a level: their members
+    aggregate per ``group_cols[:-1]`` prefix under the ``suppressed``
+    label, and a prefix remainder still below k rolls into one global
+    remainder row (NULL prefix, ``suppressed`` label) released
+    regardless — the terminal bucket, since there is no further level
+    to hide in.  All decisions are exact integer comparisons; sums are
+    exact DECIMAL — the release is deterministic and auditable.  Emits
+    ``(group_cols..., n, total)``."""
+    from pyspark.sql import functions as F
+
+    dec = F.col(value_col).cast("decimal(18,2)")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total")
+    )
+    ok = g.filter(F.col("n") >= k)
+    small = g.filter(F.col("n") < k)
+    prefix = group_cols[:-1]
+    last = group_cols[-1]
+    rolled = (
+        small.groupBy(*prefix)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .withColumn(last, F.lit(suppressed))
+        .select(*group_cols, "n", "total")
+    )
+    rolled_ok = rolled.filter(F.col("n") >= k)
+    leftover = rolled.filter(F.col("n") < k)
+    terminal = leftover.groupBy().agg(
+        F.sum("n").alias("n"), F.sum("total").alias("total")
+    )
+    for c in prefix:
+        terminal = terminal.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+    terminal = terminal.withColumn(last, F.lit(suppressed)).select(
+        *group_cols, "n", "total"
+    ).filter(F.col("n") > 0)
+    return ok.unionByName(rolled_ok).unionByName(terminal)

@@ -8571,3 +8571,53 @@ def matview_zonemap_lookup_q(spark, sf_dir):
     _mv_store_build(spark, sf_dir, path, with_delete=True)
     compact_matview_store(spark, path, zone_by="orderkey", n_files=8)
     return matview_lookup(spark, path, "orderkey", 1000, 3000)
+
+
+@defquery(
+    "kanon_stats_release",
+    """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), ok AS (SELECT * FROM g WHERE n >= 10),
+small AS (SELECT * FROM g WHERE n < 10),
+rolled AS (
+  SELECT c_nationkey, '__suppressed__' AS c_mktsegment,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
+  FROM small GROUP BY c_nationkey
+), rolled_ok AS (SELECT * FROM rolled WHERE n >= 10),
+leftover AS (SELECT * FROM rolled WHERE n < 10),
+terminal AS (
+  SELECT CAST(NULL AS INTEGER) AS c_nationkey,
+         '__suppressed__' AS c_mktsegment,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
+  FROM leftover HAVING SUM(n) > 0
+)
+SELECT c_nationkey, c_mktsegment, n,
+       CAST(total AS DOUBLE) AS total
+FROM (SELECT * FROM ok UNION ALL SELECT * FROM rolled_ok
+      UNION ALL SELECT * FROM terminal)
+""",
+    "K-ANONYMOUS stats release (operators/sampling.py::kanon_release) "
+    "— the privacy gate a curated corpus's published statistics pass "
+    "through: every released (nation, segment) group carries >= k=10 "
+    "members; smaller groups are NOT dropped (absence leaks 'this "
+    "group exists and is small') but roll up to a per-nation "
+    "__suppressed__ remainder, and remainders still below k roll into "
+    "ONE global terminal bucket released regardless — there is no "
+    "further level to hide in. Every decision is an exact integer "
+    "comparison and every sum exact DECIMAL, so the release is "
+    "deterministic, auditable, and oracle-provable (this hash IS the "
+    "audit). At 100 TB this is one aggregation tree — the rollup "
+    "levels are group-cardinality-bounded, never data-bounded.",
+)
+def kanon_stats_release_q(spark, sf_dir):
+    from .operators.sampling import kanon_release
+
+    c = _t(spark, sf_dir, "customer")
+    out = kanon_release(
+        c, ["c_nationkey", "c_mktsegment"], k=10, value_col="c_acctbal"
+    )
+    return out.withColumn("total", F.col("total").cast("double"))

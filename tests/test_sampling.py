@@ -161,3 +161,29 @@ def test_quality_weighted_sample_props(spark, sf_dir):
     # uniforms, no RNG state)
     again = {r.doc_id for r in quality_weighted_sample_q(spark, sf_dir).collect()}
     assert again == {r.doc_id for r in out}
+
+
+def test_kanon_release_levels_and_invariants(spark):
+    # all three release levels in one dataset; invariants: every
+    # released row has n >= k except the single terminal bucket, and
+    # total membership is conserved across the release
+    from pyspark.sql import functions as F
+
+    from libmr_spark.operators.sampling import kanon_release
+
+    rows = []
+    rows += [("a", "s1", 10.0)] * 12          # released as-is
+    rows += [("a", "s2", 5.0)] * 4            # a: suppressed 4+7=11 -> released
+    rows += [("a", "s3", 2.0)] * 7
+    rows += [("b", "s1", 1.0)] * 3            # b: suppressed 3 < k -> terminal
+    rows += [("c", "s2", 8.0)] * 2            # c: suppressed 2 < k -> terminal
+    df = spark.createDataFrame(rows, ["nat", "seg", "bal"])
+    out = kanon_release(df, ["nat", "seg"], k=10, value_col="bal").collect()
+    got = {(r.nat, r.seg): (r.n, float(r.total)) for r in out}
+    assert got == {
+        ("a", "s1"): (12, 120.0),
+        ("a", "__suppressed__"): (11, 34.0),
+        (None, "__suppressed__"): (5, 19.0),
+    }
+    assert sum(n for n, _ in got.values()) == len(rows)  # conservation
+    assert all(n >= 10 for (nat, _), (n, _) in got.items() if nat is not None)
