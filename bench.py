@@ -241,6 +241,7 @@ HEADLINE = [
     "matview_backfill_subscriber",
     "matview_zonemap_lookup",
     "kanon_stats_release",
+    "matview_multi_view",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -266,6 +267,7 @@ LIFECYCLE = {
     "decontamination_store",
     "matview_backfill_subscriber",
     "matview_zonemap_lookup",
+    "matview_multi_view",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_compacted",

@@ -218,10 +218,68 @@ def matview_ingest(
         )
 
 
-def _ingest_locked(
-    spark, store_path, manifest_path, left_delta, right_delta, keys, m_col
+def matview_multi_ingest(
+    spark,
+    store_path: str,
+    views: dict,
+    left_delta: DataFrame | None = None,
+    right_delta: DataFrame | None = None,
+    on: str | list[str] = "key",
+    m_col: str = "m",
+    lock_timeout_s: float = 300.0,
 ) -> str:
-    tags = _manifest_read(manifest_path, _params(keys))
+    """MULTI-VIEW shared maintenance (the multi-query-optimization
+    shape): several views over the SAME input pair maintained from ONE
+    delta computation per commit — the three delta joins run once, and
+    each view's transform (a LINEAR Z-set operator: filter and/or
+    column projection; projections that merge rows have their
+    multiplicities summed) applies to the shared join delta before its
+    own table commits under the common tag.  ``views`` maps table name
+    → ``fn(delta_df) -> DataFrame`` where the input carries the full
+    join's columns plus ``mult`` and the output must keep ``mult``.
+    σ/π commute with deltas, which is exactly why the per-view deltas
+    are correct without per-view join work; a NON-linear transform
+    (aggregation, distinct) would be wrong here and belongs in a
+    serving function instead.  Serve with
+    ``matview_read(path, view_table=name)``.  Same lock/admission/
+    atomicity contract as :func:`matview_ingest`."""
+    if not views or any(v in ("left", "right") for v in views):
+        raise ValueError("views must be a non-empty dict of table names "
+                         "not colliding with 'left'/'right'")
+    if left_delta is None and right_delta is None:
+        raise ValueError("matview_multi_ingest called with no delta on either side")
+    keys = [on] if isinstance(on, str) else list(on)
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    os.makedirs(store_path, exist_ok=True)
+    with _manifest_lock(
+        os.path.join(store_path, "_INGEST"), timeout_s=lock_timeout_s
+    ):
+        return _ingest_locked(
+            spark,
+            store_path,
+            manifest_path,
+            left_delta,
+            right_delta,
+            keys,
+            m_col,
+            views=views,
+        )
+
+
+def _ingest_locked(
+    spark,
+    store_path,
+    manifest_path,
+    left_delta,
+    right_delta,
+    keys,
+    m_col,
+    views: dict | None = None,
+) -> str:
+    params = _params(keys)
+    if views is not None:
+        params = dict(params, views=",".join(sorted(views)))
+    tags = _manifest_read(manifest_path, params)
     if not tags and (left_delta is None or right_delta is None):
         raise ValueError(
             "matview bootstrap commit must supply both left_delta and "
@@ -291,10 +349,26 @@ def _ingest_locked(
     ad_r.write.mode("overwrite").parquet(
         os.path.join(store_path, "right", f"batch={tag}")
     )
-    dv.write.mode("overwrite").parquet(
-        os.path.join(store_path, "view", f"batch={tag}")
-    )
-    _manifest_publish(manifest_path, _params(keys), add_tags=[tag])
+    if views is None:
+        dv.write.mode("overwrite").parquet(
+            os.path.join(store_path, "view", f"batch={tag}")
+        )
+    else:
+        # ONE shared delta computation; the (linear) per-view
+        # transforms project/filter it, re-canonicalize, and commit
+        # under the same tag — all views share the commit clock
+        dv = dv.localCheckpoint(eager=True)
+        for name, fn in sorted(views.items()):
+            out = fn(dv)
+            vcols = [c for c in out.columns if c != "mult"]
+            (
+                out.groupBy(*vcols)
+                .agg(F.sum("mult").cast("long").alias("mult"))
+                .filter(F.col("mult") != 0)
+                .write.mode("overwrite")
+                .parquet(os.path.join(store_path, name, f"batch={tag}"))
+            )
+    _manifest_publish(manifest_path, params, add_tags=[tag])
     return tag
 
 
@@ -311,16 +385,21 @@ def _tags_asof(manifest_path: str, store_path: str, as_of_batches: int | None):
 
 
 def matview_read(
-    spark, store_path: str, as_of_batches: int | None = None
+    spark,
+    store_path: str,
+    as_of_batches: int | None = None,
+    view_table: str = "view",
 ) -> DataFrame:
     """Serve the net view: one groupBy-SUM over the manifest-listed
     view deltas, rows with net multiplicity > 0 (under the unit-CDC
     admission contract a negative net is unreachable).  ``mult`` is
     the joined row's multiplicity — a served column, so the driver
-    hash gates the Z-set algebra, not just row membership."""
+    hash gates the Z-set algebra, not just row membership.
+    ``view_table`` names one of a multi-view store's view tables
+    (:func:`matview_multi_ingest`)."""
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _tags_asof(manifest_path, store_path, as_of_batches)
-    v = _read_table(spark, store_path, "view", tags)
+    v = _read_table(spark, store_path, view_table, tags)
     return _net(v, "mult").filter(F.col("mult") > 0)
 
 

@@ -8621,3 +8621,125 @@ def kanon_stats_release_q(spark, sf_dir):
         c, ["c_nationkey", "c_mktsegment"], k=10, value_col="c_acctbal"
     )
     return out.withColumn("total", F.col("total").cast("double"))
+
+
+@defquery(
+    "matview_multi_view",
+    """
+WITH l AS (
+  SELECT o_orderkey AS orderkey, o_custkey, o_orderstatus
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT (o_orderkey % 15 = 0)
+), r AS (
+  SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice, l_discount
+  FROM lineitem WHERE NOT (l_linenumber >= 5 OR l_orderkey % 15 = 0)
+), j AS (
+  SELECT l.orderkey, l.o_custkey, l.o_orderstatus,
+         r.l_linenumber, r.l_extendedprice, r.l_discount
+  FROM l JOIN r ON l.orderkey = r.orderkey
+)
+SELECT 'v_flagged' AS view, orderkey, o_custkey, o_orderstatus,
+       l_linenumber, l_extendedprice, l_discount,
+       CAST(1 AS BIGINT) AS mult
+FROM j WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'v_lines' AS view, CAST(NULL AS BIGINT) AS orderkey, o_custkey,
+       CAST(NULL AS VARCHAR) AS o_orderstatus, l_linenumber,
+       CAST(NULL AS DOUBLE) AS l_extendedprice,
+       CAST(NULL AS DOUBLE) AS l_discount,
+       CAST(count(*) AS BIGINT) AS mult
+FROM j GROUP BY o_custkey, l_linenumber
+""",
+    "MULTI-VIEW shared maintenance (matview_multi_ingest) — the "
+    "multi-query-optimization shape on the store protocol: TWO views "
+    "over the same input pair (a σ keeping only status-F joined rows, "
+    "and a row-merging π onto (custkey, linenumber) whose merged "
+    "multiplicities must SUM) are maintained from ONE delta "
+    "computation per commit — the three delta joins run once, each "
+    "view's linear transform applies to the shared join delta, and "
+    "both tables commit under the same tag (shared commit clock, no "
+    "torn multi-view state). The full five-commit lifecycle runs "
+    "through both views — bootstrap, one-sided deltas, replay, "
+    "both-side delete — and the gate serves BOTH under a "
+    "discriminator column: one hash proves σ and π both commuted "
+    "with every delta, including the π's multiplicity algebra "
+    "(merged rows carry mult > 1 — the Z-set projection, not "
+    "DISTINCT). At 100 TB this halves (or better) maintenance cost "
+    "for view families over hot fact pairs — the delta joins "
+    "dominate, and they are shared.",
+)
+def matview_multi_view_q(spark, sf_dir):
+    import shutil
+
+    from .operators.matview import matview_multi_ingest, matview_read
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("matview_multi", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    views = {
+        "v_flagged": lambda dv: dv.filter(F.col("o_orderstatus") == "F"),
+        "v_lines": lambda dv: dv.select("o_custkey", "l_linenumber", "mult"),
+    }
+    left = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus"
+        )
+    )
+    right = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    ins_l = left.withColumn("m", F.lit(1))
+    ins_r = right.withColumn("m", F.lit(1))
+    b1_l = ins_l.filter(F.col("orderkey") % 3 == 0)
+    matview_multi_ingest(
+        spark, path, views, b1_l, ins_r.filter(F.col("orderkey") % 2 == 0),
+        on="orderkey",
+    )
+    matview_multi_ingest(
+        spark, path, views,
+        left_delta=ins_l.filter(F.col("orderkey") % 3 != 0), on="orderkey",
+    )
+    matview_multi_ingest(
+        spark, path, views,
+        right_delta=ins_r.filter(F.col("orderkey") % 2 == 1), on="orderkey",
+    )
+    matview_multi_ingest(spark, path, views, left_delta=b1_l, on="orderkey")
+    del_l = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 15 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus"
+        )
+        .withColumn("m", F.lit(-1))
+    )
+    del_r = right.filter(
+        (F.col("l_linenumber") >= 5) | (F.col("orderkey") % 15 == 0)
+    ).withColumn("m", F.lit(-1))
+    matview_multi_ingest(spark, path, views, del_l, del_r, on="orderkey")
+
+    a = matview_read(spark, path, view_table="v_flagged").select(
+        F.lit("v_flagged").alias("view"),
+        "orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "mult",
+    )
+    b = matview_read(spark, path, view_table="v_lines").select(
+        F.lit("v_lines").alias("view"),
+        F.lit(None).cast("bigint").alias("orderkey"),
+        "o_custkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "l_linenumber",
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit(None).cast("double").alias("l_discount"),
+        "mult",
+    )
+    return a.unionByName(b)

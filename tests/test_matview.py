@@ -702,3 +702,60 @@ def test_matview_zonemap_lookup_prunes_files(spark, tmp_path):
     } == {(200, "x", "y", 1)}
     # a probe outside every zone and every unzoned dir returns empty
     assert matview_lookup(spark, p, "k", 10_000).count() == 0
+
+
+def test_matview_multi_view_shared_maintenance(spark, tmp_path):
+    # two views over the same input pair maintained from ONE delta
+    # computation per commit: a filtered view and a projected view
+    # whose row-merging projection must SUM multiplicities; deletes
+    # flow through both; changing the view set is refused loudly
+    from libmr_spark.operators.matview import matview_multi_ingest
+
+    p = _store(tmp_path, "mv_multi")
+    views = {
+        "v_odd": lambda dv: dv.filter(F.col("k") % 2 == 1),
+        "v_proj": lambda dv: dv.select("lv", "mult"),
+    }
+    matview_multi_ingest(
+        spark,
+        p,
+        views,
+        _mk(spark, [(1, "a", 1), (2, "a", 1), (3, "b", 1)], ["k", "lv", "m"]),
+        _right(spark, [(1, "x", 1), (2, "y", 1), (3, "z", 1)]),
+        on="k",
+    )
+
+    def read(vt, cols):
+        return {
+            tuple(getattr(r, c) for c in cols)
+            for r in matview_read(spark, p, view_table=vt).collect()
+        }
+
+    assert read("v_odd", ["k", "lv", "rv", "mult"]) == {
+        (1, "a", "x", 1),
+        (3, "b", "z", 1),
+    }
+    # the projection merged the two lv='a' rows: mult 2
+    assert read("v_proj", ["lv", "mult"]) == {("a", 2), ("b", 1)}
+
+    # a both-side delete propagates through both views in one commit
+    matview_multi_ingest(
+        spark,
+        p,
+        views,
+        left_delta=_mk(spark, [(1, "a", -1)], ["k", "lv", "m"]),
+        right_delta=_right(spark, [(1, "x", -1)]),
+        on="k",
+    )
+    assert read("v_odd", ["k", "lv", "rv", "mult"]) == {(3, "b", "z", 1)}
+    assert read("v_proj", ["lv", "mult"]) == {("a", 1), ("b", 1)}
+
+    # the view SET is part of the store signature
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        matview_multi_ingest(
+            spark,
+            p,
+            {"v_odd": views["v_odd"]},
+            left_delta=_mk(spark, [(5, "c", 1)], ["k", "lv", "m"]),
+            on="k",
+        )
