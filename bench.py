@@ -242,6 +242,7 @@ HEADLINE = [
     "matview_zonemap_lookup",
     "kanon_stats_release",
     "matview_multi_view",
+    "subword_min_segmentation",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

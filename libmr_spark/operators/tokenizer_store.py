@@ -219,3 +219,74 @@ def bpe_store_encode(
             ).alias("syms")
         )
     )
+
+
+def min_piece_segmentation(
+    spark,
+    words: "DataFrame",
+    pieces: "DataFrame",
+    max_iter: int = 32,
+) -> "DataFrame":
+    """Minimal-piece subword segmentation — the DP at the core of the
+    WordPiece/SentencePiece tokenizer family, as BFS over character
+    positions: a word's states are (pos, k-pieces-consumed); each
+    round extends every frontier state by every vocabulary piece that
+    matches at its position; the FIRST round in which a word reaches
+    its end is, by BFS, its minimal piece count.  No tie-break is
+    needed because only the minimal COUNT is emitted — the property
+    that makes the result exactly provable cross-engine (a specific
+    argmin segmentation would need a total order over equal-cost
+    paths; the count does not).
+
+    ``words``: one column ``word`` (distinct, non-empty).  ``pieces``:
+    one column ``piece`` — must include every single character of the
+    corpus or un-segmentable words never finish (they surface as
+    absent rows; callers building the vocab from corpus chars get
+    totality by construction).  Emits ``(word, n_pieces)``.
+
+    Scale shape: the state space is distinct-words-bounded (positions
+    × rounds, never corpus-bounded), the pieces side is a
+    vocabulary-bounded broadcast, and each BFS round is one
+    substring-equality join — O(max word length) rounds of
+    Heaps-law-sized work, the same envelope as the BPE training loop
+    (`bpe_store_train`)."""
+    from pyspark.sql import functions as F
+
+    pieces = pieces.select("piece", F.length("piece").alias("plen"))
+    words = words.select("word", F.length("word").alias("wlen"))
+    frontier = words.select("word", "wlen", F.lit(0).alias("pos"))
+    seen = frontier.select("word", "pos").localCheckpoint(eager=True)
+    done_parts = []
+    for step in range(1, max_iter + 1):
+        expanded = (
+            frontier.join(
+                F.broadcast(pieces),
+                F.substring(F.col("word"), F.col("pos") + 1, F.col("plen"))
+                == F.col("piece"),
+            )
+            .select("word", "wlen", (F.col("pos") + F.col("plen")).alias("pos"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        finished = expanded.filter(F.col("pos") == F.col("wlen")).select(
+            "word", F.lit(step).alias("n_pieces")
+        )
+        done_parts.append(finished)
+        frontier = (
+            expanded.filter(F.col("pos") < F.col("wlen"))
+            .join(finished.select("word"), "word", "left_anti")
+            .join(seen, ["word", "pos"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        seen = (
+            seen.unionByName(frontier.select("word", "pos"))
+            .localCheckpoint(eager=True)
+        )
+    out = done_parts[0]
+    for d in done_parts[1:]:
+        out = out.unionByName(d)
+    # BFS emits a word exactly once (finished words leave the
+    # frontier), so this is a disjoint union — one row per word
+    return out

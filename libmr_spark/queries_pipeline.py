@@ -8743,3 +8743,107 @@ def matview_multi_view_q(spark, sf_dir):
         "mult",
     )
     return a.unionByName(b)
+
+
+@defquery(
+    "subword_min_segmentation",
+    r"""
+WITH RECURSIVE
+toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+words AS (SELECT DISTINCT unnest(t) AS word FROM toks),
+w AS (SELECT word, len(word) AS wlen FROM words WHERE len(word) > 0),
+cand AS (
+  SELECT piece, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+    FROM w, unnest(range(2, 5)) AS t1(l), unnest(range(1, wlen - l + 2)) AS t2(i)
+    WHERE wlen >= l
+  ) GROUP BY piece
+),
+topk AS (SELECT piece FROM cand ORDER BY c DESC, piece ASC LIMIT 20),
+chars AS (
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+  FROM w, unnest(range(1, wlen + 1)) AS t(i)
+),
+vocab AS (SELECT piece FROM chars UNION SELECT piece FROM topk),
+reach AS (
+  SELECT word, wlen, 0 AS pos, 0 AS k FROM w
+  UNION
+  SELECT r.word, r.wlen, r.pos + len(v.piece), r.k + 1
+  FROM reach r JOIN vocab v
+    ON substr(r.word, r.pos + 1, len(v.piece)) = v.piece
+  WHERE r.pos < r.wlen AND r.k < 32
+),
+best AS (SELECT word, wlen, min(k) AS n_pieces FROM reach WHERE pos = wlen GROUP BY word, wlen)
+SELECT n_pieces, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wlen) AS BIGINT) AS total_chars
+FROM best GROUP BY n_pieces
+""",
+    "MINIMAL-PIECE subword segmentation (operators/tokenizer_store.py"
+    "::min_piece_segmentation) — the DP at the core of the WordPiece/"
+    "SentencePiece family, run as BFS over character positions: the "
+    "vocabulary is every corpus character (totality by construction) "
+    "plus the top-20 length-2..4 substrings by occurrence count over "
+    "DISTINCT words (count DESC, piece ASC — a total order, so both "
+    "engines derive the IDENTICAL vocab), and a word's minimal piece "
+    "count is the first BFS round that reaches its end. Only the "
+    "COUNT is emitted — minimality needs no tie-break over equal-cost "
+    "segmentations, which is what makes the whole DP exactly provable "
+    "against a recursive-CTE shortest-path oracle. Complements the "
+    "BPE loop (greedy merge TRAINING) with the optimal-segmentation "
+    "ENCODING side of the tokenizer family. Scale shape: state space "
+    "is distinct-words-bounded (positions x rounds), the vocab is a "
+    "Heaps-bounded broadcast, O(max word length) rounds — the "
+    "bpe_store_train envelope.",
+)
+def subword_min_segmentation_q(spark, sf_dir):
+    from .operators.tokenizer_store import min_piece_segmentation
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    w = words.select("word", F.length("word").alias("wlen"))
+    cands = None
+    for l in (2, 3, 4):
+        c = (
+            w.filter(F.col("wlen") >= l)
+            .select(
+                "word",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("wlen") - l + 1)
+                ).alias("i"),
+            )
+            .select(F.expr(f"substring(word, i, {l})").alias("piece"))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    topk = (
+        cands.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(20)
+        .select("piece")
+    )
+    chars = (
+        w.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 1)").alias("piece"))
+        .distinct()
+    )
+    vocab = chars.unionByName(topk).distinct()
+    seg = min_piece_segmentation(spark, words, vocab)
+    return (
+        seg.join(w, "word")
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wlen").cast("long").alias("total_chars"),
+        )
+    )

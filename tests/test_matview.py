@@ -759,3 +759,29 @@ def test_matview_multi_view_shared_maintenance(spark, tmp_path):
             left_delta=_mk(spark, [(5, "c", 1)], ["k", "lv", "m"]),
             on="k",
         )
+
+
+def test_min_piece_segmentation_bfs_optimality(spark):
+    # BFS must be OPTIMAL where greedy longest-match fails: with
+    # vocab {x, y, xy, yyy}, greedy on "xyyy" takes xy first and then
+    # needs y|y (3 pieces); BFS finds x|yyy = 2. Also pins the
+    # coverage contract: a word containing a character outside the
+    # vocab is ABSENT from the result, never mis-segmented.
+    from libmr_spark.operators.tokenizer_store import min_piece_segmentation
+
+    words = spark.createDataFrame([("xyyy",), ("x",), ("xyxy",)], ["word"])
+    vocab = spark.createDataFrame([("x",), ("y",), ("xy",), ("yyy",)], ["piece"])
+    got = {
+        (r.word, r.n_pieces)
+        for r in min_piece_segmentation(spark, words, vocab).collect()
+    }
+    assert got == {("xyyy", 2), ("x", 1), ("xyxy", 2)}
+
+    # un-coverable word (vocab missing a char) surfaces as ABSENT
+    words2 = spark.createDataFrame([("xz",), ("xx",)], ["word"])
+    vocab2 = spark.createDataFrame([("x",)], ["piece"])
+    got2 = {
+        (r.word, r.n_pieces)
+        for r in min_piece_segmentation(spark, words2, vocab2).collect()
+    }
+    assert got2 == {("xx", 2)}
