@@ -86,6 +86,33 @@ def _params(on: list[str]) -> dict:
     return {"kind": "matview-join", "on": ",".join(on)}
 
 
+def _store_view_tables(store_path: str) -> tuple:
+    """The store's ACTUAL view tables, resolved from the manifest
+    params: :func:`matview_multi_ingest` records its view-table set
+    under the ``views`` param, a single-view store has no such key and
+    uses ``view``.  Every maintenance entry point (compaction,
+    takedown, the policy route) must rewrite THIS list, not the
+    hard-coded default — a rewrite that folds only ``left``/``right``
+    publishes a manifest whose tags the custom view tables never got,
+    orphaning (and later sweeping) the served multi-view data."""
+    import json
+
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    try:
+        with open(manifest_path) as f:
+            params = json.load(f).get("params") or {}
+    except (OSError, ValueError):
+        params = {}
+    views = params.get("views")
+    if views:
+        return tuple(views.split(","))
+    return ("view",)
+
+
+def _store_tables(store_path: str) -> tuple:
+    return ("left", "right") + _store_view_tables(store_path)
+
+
 def _net(df: DataFrame, mcol: str) -> DataFrame:
     cols = [c for c in df.columns if c != mcol]
     return (
@@ -432,43 +459,127 @@ def matview_agg(
     )
 
 
-def _net_transform(df: DataFrame, table: str) -> DataFrame:
-    return _net(df, "mult" if table == "view" else "m")
-
-
-def matview_takedown(spark, store_path: str, victims: DataFrame, id_col: str):
+def matview_takedown(
+    spark,
+    store_path: str,
+    victims: DataFrame,
+    id_col: str,
+    views: dict | None = None,
+    lock_timeout_s: float = 300.0,
+):
     """Right-to-be-forgotten for the MV: rewrite every table that
     carries ``id_col``, anti-joining the victim ids — bytes are gone
     from the inputs AND from every joined row derived from them, in
     one atomic manifest swap.  Ignores snapshot pins (deletion beats
     reproducibility, the fleet-wide precedence rule).  ``victims``
     stays a DataFrame end-to-end — never collected to the driver.
-    Returns the number of net VIEW rows removed (the compliance-audit
-    count :func:`takedown.takedown_everywhere` records)."""
+    Returns the number of net view rows removed, summed over EVERY
+    view table the store serves (a multi-view store's custom tables
+    are resolved from the manifest — :func:`_store_view_tables`),
+    the compliance-audit count :func:`takedown.takedown_everywhere`
+    records.
+
+    A multi-view table whose PROJECTION dropped ``id_col`` cannot be
+    scrubbed by anti-join (the victim linkage is gone from its rows);
+    for those, pass the store's view transforms as ``views`` and the
+    table is RE-DERIVED from the scrubbed netted sides inside the same
+    atomic rewrite — the one O(A⋈B) join the maintenance path avoids,
+    paid here because takedown is rare and silent retention of
+    victim-derived rows is not an option.  If such a table exists and
+    its transform was not provided, this raises rather than publish a
+    store that still serves victim-derived data.
+
+    Holds the store's ``_INGEST`` lock for the whole pass (then the
+    ``_REWRITE`` lock inside the rewrite — ingest never takes
+    ``_REWRITE``, so the ordering is acyclic): the delta-join rule
+    computes each commit's view delta against the COMMITTED pre-state,
+    so a takedown racing an in-flight ingest would let that ingest
+    publish joined rows derived from just-deleted victim rows —
+    deleted data resurfacing in the view, exactly the pre-state race
+    the ingest lock exists to prevent."""
+    import json
+
     ids = victims.select(id_col).distinct()
     manifest_path = os.path.join(store_path, "_BATCHES")
-    tags = _manifest_read(manifest_path, None)
-    removed = 0
-    if tags:
-        v = _net(_read_table(spark, store_path, "view", tags), "mult")
-        if id_col in v.columns:
-            removed = (
-                v.filter(F.col("mult") > 0).join(ids, id_col, "semi").count()
+    with _manifest_lock(
+        os.path.join(store_path, "_INGEST"), timeout_s=lock_timeout_s
+    ):
+        tables = _store_tables(store_path)
+        tags = _manifest_read(manifest_path, None)
+        if not tags:
+            return 0
+        removed = 0
+        recompute = []
+        before = {}
+        for vt in tables[2:]:
+            v = _net(_read_table(spark, store_path, vt, tags), "mult").filter(
+                F.col("mult") > 0
+            )
+            if id_col in v.columns:
+                removed += v.join(ids, id_col, "semi").count()
+            else:
+                recompute.append(vt)
+                before[vt] = v.count()
+        missing = [vt for vt in recompute if not views or vt not in views]
+        if missing:
+            raise ValueError(
+                f"matview_takedown at {store_path}: view table(s) {missing} "
+                f"do not carry id column {id_col!r} and no transform was "
+                "passed via views= — cannot scrub victim-derived rows; "
+                "provide the store's view transforms (silent retention is "
+                "not an option)"
             )
 
-    def transform(df: DataFrame, table: str) -> DataFrame:
-        if id_col not in df.columns:
-            return df
-        return df.join(ids, id_col, "left_anti")
+        full = None
+        if recompute:
+            # the scrubbed full-join frame every recomputed view derives
+            # from — takedown holds the ingest lock, so `tags` IS the
+            # snapshot the rewrite will fold
+            with open(manifest_path) as f:
+                keys = json.load(f)["params"]["on"].split(",")
 
-    _rewrite_store(
-        spark,
-        store_path,
-        transform,
-        MATVIEW_TABLES,
-        min_batches=1,
-        merge_schema=True,
-    )
+            def _scrubbed_side(table):
+                s = _net(_read_table(spark, store_path, table, tags), "m")
+                if id_col in s.columns:
+                    s = s.join(ids, id_col, "left_anti")
+                return s.filter(F.col("m") > 0)
+
+            L = _scrubbed_side("left")
+            R = _scrubbed_side("right")
+            non_key_r = [c for c in R.columns if c not in keys and c != "m"]
+            view_cols = [c for c in L.columns if c != "m"] + non_key_r
+            full = (
+                L.withColumnRenamed("m", "_ml")
+                .join(R.withColumnRenamed("m", "_mr"), keys)
+                .select(
+                    *view_cols, (F.col("_ml") * F.col("_mr")).alias("mult")
+                )
+            )
+
+        def transform(df: DataFrame, table: str) -> DataFrame:
+            if table in recompute:
+                out = views[table](full)
+                vcols = [c for c in out.columns if c != "mult"]
+                return (
+                    out.groupBy(*vcols)
+                    .agg(F.sum("mult").cast("long").alias("mult"))
+                    .filter(F.col("mult") != 0)
+                )
+            if id_col not in df.columns:
+                return df
+            return df.join(ids, id_col, "left_anti")
+
+        _rewrite_store(
+            spark,
+            store_path,
+            transform,
+            tables,
+            min_batches=1,
+            merge_schema=True,
+        )
+        for vt in recompute:
+            after = matview_read(spark, store_path, view_table=vt).count()
+            removed += max(0, before[vt] - after)
     return removed
 
 
@@ -681,8 +792,10 @@ def _write_zones(store_path: str, table: str, tag: str, zone_col: str) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            zones[fn] = [lo, hi]
+        # a statless file is recorded with a NULL zone (never omitted):
+        # the lookup must keep serving it unpruned — pruning may only
+        # ever remove files PROVEN empty for the probe
+        zones[fn] = [lo, hi] if lo is not None else None
     tmp = os.path.join(d, "_ZONES.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"column": zone_col, "files": zones}, f)
@@ -690,47 +803,84 @@ def _write_zones(store_path: str, table: str, tag: str, zone_col: str) -> dict:
     return zones
 
 
+def _write_zones_if_col(store_path, table, tag, zone_col) -> None:
+    """:func:`_write_zones` guarded for multi-view stores: a view
+    table whose projection dropped the zone column stays zoneless
+    (serves unpruned) rather than failing the compaction."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(store_path, table, f"batch={tag}")
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet"):
+            schema = pq.ParquetFile(os.path.join(d, fn)).schema_arrow
+            if zone_col in schema.names:
+                _write_zones(store_path, table, tag, zone_col)
+            return
+
+
 def compact_matview_store(
     spark,
     store_path: str,
     zone_by: str | None = None,
     n_files: int | None = None,
+    lock_timeout_s: float = 300.0,
 ) -> list:
     """Fold every table's deltas to net rows in ONE batch directory
     per table through the crash-safe store rewrite (zero-net rows
     vanish; every served sum is provably unchanged).  Respects
-    snapshot pins — the retention contract.
+    snapshot pins — the retention contract.  The table list is
+    resolved from the manifest (:func:`_store_view_tables`), so a
+    multi-view store's custom view tables are folded and re-listed
+    like ``view`` — never orphaned by the manifest swap.  Holds the
+    ``_INGEST`` lock for the pass (same acyclic ordering as
+    :func:`matview_takedown`): the fold must not race an ingest whose
+    view delta was computed against the pre-compaction tag list.
 
-    ``zone_by``: additionally range-partition + sort the VIEW table's
-    fold by that column (``n_files`` output files) and write per-file
-    min/max ZONE MAPS from the parquet footers —
+    ``zone_by``: additionally range-partition + sort each VIEW
+    table's fold by that column (``n_files`` output files) and write
+    per-file min/max ZONE MAPS from the parquet footers —
     :func:`matview_lookup` then opens only the files whose range
     covers the probe instead of the whole table.  This is the
     documented 100 TB layout lever: the manifest protocol is
     unchanged, a zoneless dir just serves unpruned."""
+    with _manifest_lock(
+        os.path.join(store_path, "_INGEST"), timeout_s=lock_timeout_s
+    ):
+        tables = _store_tables(store_path)
+        view_tables = set(tables[2:])
 
-    def transform(df: DataFrame, table: str) -> DataFrame:
-        out = _net_transform(df, table)
-        if zone_by is not None and table == "view":
-            out = out.repartitionByRange(
-                n_files or 8, F.col(zone_by)
-            ).sortWithinPartitions(zone_by)
-        return out
+        def transform(df: DataFrame, table: str) -> DataFrame:
+            mcol = "m" if table in ("left", "right") else "mult"
+            out = _net(df, mcol)
+            # a multi-view projection may have dropped the zone column;
+            # such a table folds unzoned (and serves unpruned)
+            if (
+                zone_by is not None
+                and table in view_tables
+                and zone_by in out.columns
+            ):
+                out = out.repartitionByRange(
+                    n_files or 8, F.col(zone_by)
+                ).sortWithinPartitions(zone_by)
+            return out
 
-    rewritten = _rewrite_store(
-        spark,
-        store_path,
-        transform,
-        MATVIEW_TABLES,
-        min_batches=2,
-        respect_snapshots=True,
-        merge_schema=True,
-    )
-    if rewritten and zone_by is not None:
-        tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
-        for t in tags:
-            if t.startswith("compact-"):
-                _write_zones(store_path, "view", t, zone_by)
+        rewritten = _rewrite_store(
+            spark,
+            store_path,
+            transform,
+            tables,
+            min_batches=2,
+            respect_snapshots=True,
+            merge_schema=True,
+        )
+        if rewritten and zone_by is not None:
+            tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
+            for t in tags:
+                if t.startswith("compact-"):
+                    for vt in view_tables:
+                        d = os.path.join(store_path, vt, f"batch={t}")
+                        if os.path.isdir(d):
+                            _write_zones_if_col(store_path, vt, t, zone_by)
     return rewritten
 
 
@@ -753,20 +903,32 @@ def matview_lookup(spark, store_path: str, zone_col: str, lo, hi=None) -> DataFr
     for t in tags:
         d = os.path.join(store_path, "view", f"batch={t}")
         zpath = os.path.join(d, "_ZONES.json")
-        files = None
+        zones = None
         if os.path.exists(zpath):
             try:
                 with open(zpath) as f:
                     z = json.load(f)
                 if z.get("column") == zone_col:
-                    files = [
-                        os.path.join(d, fn)
-                        for fn, (zlo, zhi) in sorted(z["files"].items())
-                        if not (zhi < lo or zlo > hi)
-                    ]
+                    zones = z["files"]
             except (OSError, ValueError):
-                files = None  # unreadable zones: serve unpruned
-        paths.extend(files if files is not None else [d])
+                zones = None  # unreadable zones: serve unpruned
+        if zones is None:
+            paths.append(d)
+            continue
+        # prune ONLY files whose recorded zone proves them empty for
+        # the probe; a file with a null zone (statless footer) or no
+        # entry at all (written after the zones file, or a partial
+        # zones write) serves unconditionally — exactness never
+        # depends on the zone layer
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            zone = zones.get(fn)
+            if zone is not None:
+                zlo, zhi = zone
+                if zhi < lo or zlo > hi:
+                    continue
+            paths.append(os.path.join(d, fn))
     if not paths:
         # every candidate file pruned: exact empty result, typed from
         # the store schema

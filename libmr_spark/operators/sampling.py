@@ -230,11 +230,18 @@ def kanon_release(
     group exists and is small") — they roll up a level: their members
     aggregate per ``group_cols[:-1]`` prefix under the ``suppressed``
     label, and a prefix remainder still below k rolls into one global
-    remainder row (NULL prefix, ``suppressed`` label) released
-    regardless — the terminal bucket, since there is no further level
-    to hide in.  All decisions are exact integer comparisons; sums are
-    exact DECIMAL — the release is deterministic and auditable.  Emits
-    ``(group_cols..., n, total)``."""
+    remainder row (NULL prefix, ``suppressed`` label) — the terminal
+    bucket, since there is no further level to hide in.  The terminal
+    row's COUNT is always released (membership conservation — hiding
+    it would leak by subtraction against any published total), but if
+    its count is still below k its SUM is released as NULL: a
+    sub-k terminal sum is, in the limit, one individual's exact
+    value, which is precisely what the k guarantee forbids.  So the
+    invariant the API promises is exact: every released ``total``
+    aggregates >= k members.  All decisions are exact integer
+    comparisons; sums are exact DECIMAL — the release is
+    deterministic and auditable.  Emits ``(group_cols..., n,
+    total)``."""
     from pyspark.sql import functions as F
 
     dec = F.col(value_col).cast("decimal(18,2)")
@@ -258,7 +265,12 @@ def kanon_release(
     )
     for c in prefix:
         terminal = terminal.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
-    terminal = terminal.withColumn(last, F.lit(suppressed)).select(
-        *group_cols, "n", "total"
-    ).filter(F.col("n") > 0)
+    terminal = (
+        terminal.withColumn(last, F.lit(suppressed))
+        .withColumn(
+            "total", F.when(F.col("n") >= k, F.col("total"))
+        )
+        .select(*group_cols, "n", "total")
+        .filter(F.col("n") > 0)
+    )
     return ok.unionByName(rolled_ok).unionByName(terminal)

@@ -80,10 +80,17 @@ def takedown_everywhere(
         audit[name] = DD.delete_from_cluster_store(spark, path, ids, id_col=id_col)
     for name, path in span_stores or []:
         audit[name] = DD.delete_from_span_store(spark, path, ids, id_col=id_col)
-    for name, path in matview_stores or []:
+    for entry in matview_stores or []:
         from .matview import matview_takedown
 
-        audit[name] = matview_takedown(spark, path, ids, id_col=id_col)
+        # (name, path) or (name, path, views) — a MULTI-view store
+        # whose projections dropped id_col needs its view transforms
+        # so the scrub can re-derive those tables (matview_takedown
+        # raises rather than silently retain victim-derived rows)
+        name, path, *rest = entry
+        audit[name] = matview_takedown(
+            spark, path, ids, id_col=id_col, views=rest[0] if rest else None
+        )
     for name, path in vocab_stores or []:
         ev = victims.select(id_col, text_col).withColumn("sign", F.lit(-1))
         audit[name] = pmi_store_ingest(

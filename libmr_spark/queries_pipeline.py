@@ -8592,7 +8592,8 @@ leftover AS (SELECT * FROM rolled WHERE n < 10),
 terminal AS (
   SELECT CAST(NULL AS INTEGER) AS c_nationkey,
          '__suppressed__' AS c_mktsegment,
-         CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
+         CAST(SUM(n) AS BIGINT) AS n,
+         CASE WHEN SUM(n) >= 10 THEN SUM(total) END AS total
   FROM leftover HAVING SUM(n) > 0
 )
 SELECT c_nationkey, c_mktsegment, n,
@@ -8606,8 +8607,11 @@ FROM (SELECT * FROM ok UNION ALL SELECT * FROM rolled_ok
     "members; smaller groups are NOT dropped (absence leaks 'this "
     "group exists and is small') but roll up to a per-nation "
     "__suppressed__ remainder, and remainders still below k roll into "
-    "ONE global terminal bucket released regardless — there is no "
-    "further level to hide in. Every decision is an exact integer "
+    "ONE global terminal bucket — there is no further level to hide "
+    "in, so its COUNT is always released (conservation), but a "
+    "sub-k terminal bucket's SUM is released as NULL: in the limit "
+    "that sum is one individual's exact value, which the k guarantee "
+    "forbids. Every decision is an exact integer "
     "comparison and every sum exact DECIMAL, so the release is "
     "deterministic, auditable, and oracle-provable (this hash IS the "
     "audit). At 100 TB this is one aggregation tree — the rollup "

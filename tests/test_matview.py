@@ -761,6 +761,180 @@ def test_matview_multi_view_shared_maintenance(spark, tmp_path):
         )
 
 
+def _multi_store(spark, tmp_path, name):
+    from libmr_spark.operators.matview import matview_multi_ingest
+
+    p = _store(tmp_path, name)
+    views = {
+        "v_odd": lambda dv: dv.filter(F.col("k") % 2 == 1),
+        "v_proj": lambda dv: dv.select("lv", "mult"),
+    }
+    matview_multi_ingest(
+        spark,
+        p,
+        views,
+        _mk(spark, [(1, "a", 1), (2, "a", 1), (3, "b", 1)], ["k", "lv", "m"]),
+        _right(spark, [(1, "x", 1), (2, "y", 1), (3, "z", 1)]),
+        on="k",
+    )
+    matview_multi_ingest(
+        spark,
+        p,
+        views,
+        left_delta=_mk(spark, [(5, "c", 1)], ["k", "lv", "m"]),
+        right_delta=_right(spark, [(5, "w", 1)]),
+        on="k",
+    )
+    return p, views
+
+
+def _read_view(spark, p, vt, cols):
+    return {
+        tuple(getattr(r, c) for c in cols)
+        for r in matview_read(spark, p, view_table=vt).collect()
+    }
+
+
+def test_matview_multi_view_compaction_preserves_custom_views(
+    spark, tmp_path
+):
+    # a multi-view store's custom view tables must be folded and
+    # re-listed by compaction like 'view' — a rewrite that folded only
+    # left/right would publish a manifest whose tags the custom tables
+    # never got, orphaning (then sweeping) the served multi-view data
+    p, _ = _multi_store(spark, tmp_path, "mv_multi_compact")
+    before_odd = _read_view(spark, p, "v_odd", ["k", "lv", "rv", "mult"])
+    before_proj = _read_view(spark, p, "v_proj", ["lv", "mult"])
+    assert compact_matview_store(spark, p)
+    assert _read_view(spark, p, "v_odd", ["k", "lv", "rv", "mult"]) == (
+        before_odd
+    ) == {(1, "a", "x", 1), (3, "b", "z", 1), (5, "c", "w", 1)}
+    assert _read_view(spark, p, "v_proj", ["lv", "mult"]) == before_proj
+    # every table folded to the single compact batch dir
+    for t in ("left", "right", "v_odd", "v_proj"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(p, t))
+            if d.startswith("batch=")
+        ]
+        assert len(dirs) == 1 and dirs[0].startswith("batch=compact-"), (
+            t,
+            dirs,
+        )
+
+
+def test_matview_multi_view_takedown_scrubs_and_recomputes(spark, tmp_path):
+    # takedown on a multi-view store: tables carrying the id anti-join;
+    # a projection that DROPPED the id is re-derived from the scrubbed
+    # sides (victim-derived rows must not survive in any served view)
+    p, views = _multi_store(spark, tmp_path, "mv_multi_takedown")
+    victims = spark.createDataFrame([(1,), (2,)], ["k"])
+    with pytest.raises(ValueError, match="v_proj"):
+        matview_takedown(spark, p, victims, id_col="k")  # no transforms
+    removed = matview_takedown(spark, p, victims, id_col="k", views=views)
+    assert _read_view(spark, p, "v_odd", ["k", "lv", "rv", "mult"]) == {
+        (3, "b", "z", 1),
+        (5, "c", "w", 1),
+    }
+    # the 'a' contributions (k=1,2) are gone from the recomputed
+    # projection — not merely reduced
+    assert _read_view(spark, p, "v_proj", ["lv", "mult"]) == {
+        ("b", 1),
+        ("c", 1),
+    }
+    # v_odd lost k=1; v_proj lost the 'a' row
+    assert removed == 2
+    for t in ("left", "right", "v_odd"):
+        remaining = spark.read.parquet(os.path.join(p, t, "batch=*"))
+        assert remaining.filter(F.col("k").isin(1, 2)).count() == 0, t
+
+
+def test_matview_rewrite_waits_for_ingest_lock(spark, tmp_path):
+    # takedown/compaction must serialize against ingest: a rewrite
+    # racing an in-flight commit would let that commit publish view
+    # rows derived from just-deleted inputs (the pre-state race the
+    # ingest lock exists to prevent)
+    from libmr_spark.operators.dedup import _manifest_lock
+
+    p = _store(tmp_path, "mv_rewrite_lock")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(3, "c", 1)]), on="k")
+    victims = spark.createDataFrame([(1,)], ["k"])
+    with _manifest_lock(os.path.join(p, "_INGEST"), timeout_s=5.0):
+        with pytest.raises(TimeoutError):
+            matview_takedown(
+                spark, p, victims, id_col="k", lock_timeout_s=1.0
+            )
+        with pytest.raises(TimeoutError):
+            compact_matview_store(spark, p, lock_timeout_s=1.0)
+    # lock released: both maintenance paths proceed
+    assert compact_matview_store(spark, p)
+    assert matview_takedown(spark, p, victims, id_col="k") == 1
+    assert _served(spark, p) == {(2, "b", "y", 1)}
+
+
+def test_matview_lookup_serves_files_missing_from_zones(spark, tmp_path):
+    # pruning may only remove files PROVEN empty for the probe: a part
+    # file with no usable zone entry (statless footer recorded as
+    # null, or absent from _ZONES.json entirely) must serve
+    # unconditionally, never be silently dropped from the scan
+    import json
+
+    from libmr_spark.operators.matview import matview_lookup
+
+    p = _store(tmp_path, "mv_zone_missing")
+    n = 100
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, [(k, f"l{k}", 1) for k in range(1, n + 1)], ["k", "lv", "m"]),
+        _mk(spark, [(k, f"r{k}", 1) for k in range(1, n + 1)], ["k", "rv", "m"]),
+        on="k",
+    )
+    matview_ingest(
+        spark, p, left_delta=_left(spark, [(n + 1, "q", 1)]), on="k"
+    )
+    matview_ingest(
+        spark, p, left_delta=_left(spark, [(n + 1, "q", -1)]), on="k"
+    )
+    compact_matview_store(spark, p, zone_by="k", n_files=8)
+    vdir = [
+        d for d in os.listdir(os.path.join(p, "view")) if d.startswith("batch=")
+    ]
+    assert len(vdir) == 1
+    zpath = os.path.join(p, "view", vdir[0], "_ZONES.json")
+    with open(zpath) as f:
+        z = json.load(f)
+    listed = sorted(z["files"])
+    assert len(listed) >= 3
+    # simulate one statless file (null zone) and one file the zones
+    # write never covered (entry deleted)
+    z["files"][listed[0]] = None
+    del z["files"][listed[1]]
+    with open(zpath, "w") as f:
+        json.dump(z, f)
+    full = {
+        (r.k, r.lv, r.rv, r.mult)
+        for r in matview_lookup(spark, p, "k", 1, n).collect()
+    }
+    assert full == {(k, f"l{k}", f"r{k}", 1) for k in range(1, n + 1)}
+    # the two unproven files are in EVERY probe's scan; proven-empty
+    # files are still pruned
+    probe = matview_lookup(spark, p, "k", 40, 45)
+    opened = {f.split("/")[-1] for f in probe.inputFiles()}
+    assert {listed[0], listed[1]} <= opened
+    assert len(opened) < len(listed)
+    assert {(r.k, r.lv, r.rv, r.mult) for r in probe.collect()} == {
+        (k, f"l{k}", f"r{k}", 1) for k in range(40, 46)
+    }
+
+
 def test_min_piece_segmentation_bfs_optimality(spark):
     # BFS must be OPTIMAL where greedy longest-match fails: with
     # vocab {x, y, xy, yyy}, greedy on "xyyy" takes xy first and then

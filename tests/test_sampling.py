@@ -179,11 +179,28 @@ def test_kanon_release_levels_and_invariants(spark):
     rows += [("c", "s2", 8.0)] * 2            # c: suppressed 2 < k -> terminal
     df = spark.createDataFrame(rows, ["nat", "seg", "bal"])
     out = kanon_release(df, ["nat", "seg"], k=10, value_col="bal").collect()
-    got = {(r.nat, r.seg): (r.n, float(r.total)) for r in out}
+    got = {
+        (r.nat, r.seg): (r.n, None if r.total is None else float(r.total))
+        for r in out
+    }
+    # the sub-k terminal bucket releases its COUNT (conservation) but
+    # a NULL sum — a 5-member global remainder's exact total would
+    # break the k guarantee the API advertises
     assert got == {
         ("a", "s1"): (12, 120.0),
         ("a", "__suppressed__"): (11, 34.0),
-        (None, "__suppressed__"): (5, 19.0),
+        (None, "__suppressed__"): (5, None),
     }
     assert sum(n for n, _ in got.values()) == len(rows)  # conservation
     assert all(n >= 10 for (nat, _), (n, _) in got.items() if nat is not None)
+    # every released SUM aggregates >= k members
+    assert all(n >= 10 for n, total in got.values() if total is not None)
+
+    # a terminal bucket that reaches k releases its sum: add a third
+    # sub-k nation so the global remainder crosses k=10
+    rows2 = rows + [("d", "s3", 4.0)] * 6
+    df2 = spark.createDataFrame(rows2, ["nat", "seg", "bal"])
+    out2 = kanon_release(df2, ["nat", "seg"], k=10, value_col="bal").collect()
+    got2 = {(r.nat, r.seg): (r.n, r.total) for r in out2}
+    n_t, tot_t = got2[(None, "__suppressed__")]
+    assert n_t == 11 and float(tot_t) == 43.0
