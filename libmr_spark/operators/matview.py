@@ -48,15 +48,20 @@ Serving:
   view, no net-fold needed — the composition of join-IVM with the
   agg-IVM contract.
 
-100 TB shape: the per-batch maintenance joins shuffle on the join key
-with the batch side small (AQE broadcasts it); the pre-state net-fold
-is the dominant recurring cost and is amortized by
-:func:`compact_matview_store`, which folds every table to net rows
-through the crash-safe rewrite (zero-net rows vanish without changing
-any sum — serving is provably invariant).  The forward path at
-warehouse scale is writing the compacted tables bucketed by the join
-key so the Δ⋈state join is co-located; the manifest protocol is
-unchanged by that layout choice.
+100 TB shape: a commit never SHUFFLES full state.  The pre-state is
+kept as a Z-set sum of parts (:func:`_pre_parts`) — the leading
+compact batch, which every rewrite writes already net-folded, plus the
+netted post-rewrite ingest tail — and every consumer distributes over
+that sum: the view-delta joins join the batch against each part (AQE
+broadcasts the batch; the part is scanned, not shuffled), and
+admission restricts each part to the batch's identities with a
+broadcast semi join before netting the batch-bounded slice.  Per-commit
+cost is therefore full-state SCANS plus batch-bounded shuffles; the
+only state-sized shuffle left in the lifecycle is the rewrite itself
+(:func:`compact_matview_store` / takedown), which is policy-cadenced,
+and the tail net-fold, bounded by that cadence.  The
+commit-cost-vs-state-size curve is measured in
+``scripts/matview_commit_curve.py``.
 
 Reference parity note: the reference engine (RedisGears/LibMR) has no
 incremental view maintenance at all — this is north-star surface, cited
@@ -143,15 +148,17 @@ def _align(df: DataFrame, fields) -> DataFrame:
     return df.select(*[f.name for f in fields])
 
 
-def _union_fields(pre: DataFrame, delta: DataFrame | None, mcol: str):
-    fields = [f for f in pre.schema.fields if f.name != mcol]
-    if delta is not None:
-        have = {f.name for f in fields}
-        fields += [
-            f
-            for f in delta.schema.fields
-            if f.name not in have and f.name != mcol
-        ]
+def _union_fields(frames: list, mcol: str):
+    """Union schema (name, type) over every non-None frame, first
+    occurrence wins — the lakehouse add-column merge order."""
+    fields, have = [], set()
+    for df in frames:
+        if df is None:
+            continue
+        for f in df.schema.fields:
+            if f.name != mcol and f.name not in have:
+                have.add(f.name)
+                fields.append(f)
     return fields
 
 
@@ -160,7 +167,17 @@ def _align_keep_m(df: DataFrame, fields, mcol: str) -> DataFrame:
     return _align(df, list(fields) + [df.schema[mcol]])
 
 
-def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
+def _nullsafe_cond(left_alias: str, right_alias: str, cols: list):
+    cond = None
+    for c in cols:
+        term = F.col(f"{left_alias}.{c}").eqNullSafe(
+            F.col(f"{right_alias}.{c}")
+        )
+        cond = term if cond is None else (cond & term)
+    return cond
+
+
+def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     """Unit-CDC admission against the pre-batch net state: net the
     batch per row (an insert+delete of the same row inside one batch
     cancels), then admit an insert (+1) only where the store's net
@@ -169,15 +186,30 @@ def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
     is NULL-SAFE equality over every column, so an evolution-era null
     (an old row read under the union schema, or an old-schema replay
     aligned to it) matches itself rather than silently never
-    matching."""
+    matching.
+
+    ``parts`` is the committed pre-state as a Z-set SUM of frames
+    (:func:`_pre_parts`).  Admission only consults state rows matching
+    the batch's identities, so each part is RESTRICTED first — a semi
+    join probing the part with the BROADCAST batch-identity set.  The
+    part is scanned, never shuffled, and everything downstream of the
+    restriction is batch-bounded: this is what keeps a commit free of
+    full-state shuffles."""
     cols = [c for c in delta.columns if c != mcol]
-    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm").alias("_d")
+    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm")
+    dk = d.select(*cols)
+    hits = None
+    for part in parts:
+        h = part.alias("_s").join(
+            F.broadcast(dk.alias("_k")),
+            _nullsafe_cond("_s", "_k", cols),
+            "semi",
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    pre = _net(hits, mcol) if hits is not None else _net(delta.limit(0), mcol)
+    d = d.alias("_d")
     p = pre.withColumnRenamed(mcol, "_pm").alias("_p")
-    cond = None
-    for c in cols:
-        term = F.col(f"_d.{c}").eqNullSafe(F.col(f"_p.{c}"))
-        cond = term if cond is None else (cond & term)
-    j = d.join(p, cond, "left").withColumn(
+    j = d.join(p, _nullsafe_cond("_d", "_p", cols), "left").withColumn(
         "_pm", F.coalesce("_pm", F.lit(0))
     )
     return (
@@ -190,6 +222,32 @@ def _admit(delta: DataFrame, pre: DataFrame, mcol: str) -> DataFrame:
         .filter(F.col(mcol).isNotNull())
         .select(*[F.col(f"_d.{c}").alias(c) for c in cols], mcol)
     )
+
+
+def _pre_parts(spark, store_path, table, tags, mcol) -> list:
+    """The side's committed pre-state as a Z-set SUM of parts instead
+    of one net-folded frame.  Every matview rewrite (compaction AND
+    takedown) writes its ``compact-`` batch already NET-FOLDED, so a
+    leading compact tag is served AS WRITTEN — never re-folded — and
+    only the post-rewrite ingest tail (bounded by the maintenance
+    policy's compaction cadence) pays a net-fold shuffle.  Exact by
+    linearity: ``net(all tags) = compact_batch + net(tail)`` because
+    the compact batch IS ``net(dropped tags)``; every consumer either
+    sums the parts (the view-delta joins distribute over the sum) or
+    nets a batch-restricted slice (:func:`_admit`).  This is the
+    100 TB commit-cost shape: per-commit work is full-state SCANS plus
+    batch-bounded shuffles — zero full-state shuffles."""
+    parts = []
+    if not tags:
+        return parts
+    if tags[0].startswith("compact-"):
+        parts.append(_read_table(spark, store_path, table, tags[:1]))
+        rest = tags[1:]
+    else:
+        rest = tags
+    if rest:
+        parts.append(_net(_read_table(spark, store_path, table, rest), mcol))
+    return parts
 
 
 def _empty_like(spark, df_or_none, store_path, table, tags, mcol):
@@ -314,16 +372,17 @@ def _ingest_locked(
         )
 
     def _side_state(table, delta):
-        if tags:
-            pre = _net(_read_table(spark, store_path, table, tags), m_col)
-        else:
-            pre = _empty_like(spark, delta, store_path, table, tags, m_col)
-        # align both frames to the UNION schema (schema evolution: a
+        # the pre-state stays a SUM of parts (leading compact batch
+        # served as written + netted ingest tail, _pre_parts) — the
+        # full state is scanned by the admission restriction and the
+        # view-delta joins but never re-folded or re-shuffled
+        parts = _pre_parts(spark, store_path, table, tags, m_col)
+        # align every frame to the UNION schema (schema evolution: a
         # batch may introduce a column — the pre-state gains it as
         # typed nulls — or omit one an earlier commit added — the
         # batch rows land null-filled, old-schema-writer semantics)
-        fields = _union_fields(pre, delta, m_col)
-        pre = _align_keep_m(pre, fields, m_col)
+        fields = _union_fields(parts + [delta], m_col)
+        parts = [_align_keep_m(p, fields, m_col) for p in parts]
         if delta is not None:
             adm = _admit(
                 _align_keep_m(
@@ -331,7 +390,7 @@ def _ingest_locked(
                     fields,
                     m_col,
                 ),
-                pre,
+                parts,
                 m_col,
             )
         else:
@@ -342,13 +401,13 @@ def _ingest_locked(
             )
         # one materialization freezes admission against the pre-state
         # and feeds both the side table's write and the view joins
-        return pre, adm.localCheckpoint(eager=True)
+        return parts, [f.name for f in fields], adm.localCheckpoint(eager=True)
 
-    pre_l, ad_l = _side_state("left", left_delta)
-    pre_r, ad_r = _side_state("right", right_delta)
+    parts_l, lcols, ad_l = _side_state("left", left_delta)
+    parts_r, rcols, ad_r = _side_state("right", right_delta)
 
-    non_key_r = [c for c in pre_r.columns if c not in keys and c != m_col]
-    view_cols = [c for c in pre_l.columns if c != m_col] + non_key_r
+    non_key_r = [c for c in rcols if c not in keys]
+    view_cols = lcols + non_key_r
     clash = set(view_cols) - set(keys)
     if len(clash) != len(view_cols) - len(keys):
         raise ValueError(f"matview column clash between sides: {view_cols}")
@@ -360,11 +419,22 @@ def _ingest_locked(
             *view_cols, (F.col("_ml") * F.col("_mr")).alias("mult")
         )
 
+    # Δ(A⋈B) = ΔA⋈B_pre + A_pre⋈ΔB + ΔA⋈ΔB, with each pre-state join
+    # DISTRIBUTED over the state parts (⋈ distributes over the Z-set
+    # sum; a row living in both parts with canceling signs contributes
+    # canceling products, and the final groupBy-SUM nets them) — every
+    # term joins a batch-sized frame against a scan, so AQE broadcasts
+    # the batch and no term shuffles state
+    terms = (
+        [_vjoin(ad_l, pr) for pr in parts_r]
+        + [_vjoin(pl, ad_r) for pl in parts_l]
+        + [_vjoin(ad_l, ad_r)]
+    )
+    dv = terms[0]
+    for t in terms[1:]:
+        dv = dv.unionByName(t)
     dv = (
-        _vjoin(ad_l, pre_r)
-        .unionByName(_vjoin(pre_l, ad_r))
-        .unionByName(_vjoin(ad_l, ad_r))
-        .groupBy(*view_cols)
+        dv.groupBy(*view_cols)
         .agg(F.sum("mult").cast("long").alias("mult"))
         .filter(F.col("mult") != 0)
     )
@@ -557,17 +627,16 @@ def matview_takedown(
             )
 
         def transform(df: DataFrame, table: str) -> DataFrame:
+            # every matview rewrite NET-FOLDS its output — _pre_parts
+            # serves a leading compact batch as written, which is only
+            # exact if compact batches are always net
+            mcol = "m" if table in ("left", "right") else "mult"
             if table in recompute:
                 out = views[table](full)
-                vcols = [c for c in out.columns if c != "mult"]
-                return (
-                    out.groupBy(*vcols)
-                    .agg(F.sum("mult").cast("long").alias("mult"))
-                    .filter(F.col("mult") != 0)
-                )
+                return _net(out, "mult")
             if id_col not in df.columns:
-                return df
-            return df.join(ids, id_col, "left_anti")
+                return _net(df, mcol)
+            return _net(df.join(ids, id_col, "left_anti"), mcol)
 
         _rewrite_store(
             spark,

@@ -3572,51 +3572,72 @@ _DRIVER_CHECKED: set[str] = {
     "sequence_packing_subword", "streaming_agg_retract",
     "streaming_bm25_index", "streaming_incremental_embedding",
     "streaming_late_data_accounting", "token_id_encoding",
+    # round 9 (CORRECTNESS_r09.json) — 50/50 hash-green (the 33
+    # round-8 additions + the 3 round-9 openers + 14 re-proof rows;
+    # names new to this set):
+    "ann_drift_monitor", "ann_index_deleted", "ann_index_int8",
+    "ann_index_retrained", "bm25_index_deleted", "bm25_ndcg_eval",
+    "cluster_quota_sample", "cluster_store_time_travel",
+    "collocation_pmi_compacted", "collocation_pmi_incremental",
+    "collocation_pmi_retracted", "crossencoder_rerank",
+    "dedup_clusters_deleted", "dedup_clusters_incremental",
+    "dedup_spans_deleted", "dedup_spans_incremental",
+    "dedup_substring_rewrite", "dedup_substring_spans",
+    "fuzzy_match_parts_multipass", "hybrid_rrf_fusion",
+    "hybrid_store_deleted", "hybrid_store_mmr", "hybrid_store_rrf",
+    "mmr_diversity_rerank", "ops_dashboard_drift",
+    "quota_export_manifest", "quota_sampled_export",
+    "retrieval_recall_eval", "store_ops_dashboard",
+    "streaming_dedup_clusters", "streaming_drift_retrain",
+    "streaming_hybrid_index", "streaming_ohlc_hourly",
+    "streaming_ops_metrics", "streaming_snm_er",
+    "takedown_everywhere_audit",
 }
 
 
-# ROUND-10 ROTATION PLAN (mechanical): after CORRECTNESS_r09.json
-# lands, run `scripts/update_rotation.py CORRECTNESS_r09.json` — it
-# prints the names to append to _DRIVER_CHECKED AND the exact next
-# 50-slot _NEWEST window, ready to paste: (a) any r09 failures, (b)
-# round-9 additions that exported after position 50 this round, (c)
-# backfill to 50 with the oldest _DRIVER_CHECKED rows.
+# ROUND-11 ROTATION PLAN (mechanical): after CORRECTNESS_r10.json
+# lands, run `scripts/update_rotation.py CORRECTNESS_r10.json
+# CORRECTNESS_r09.json ...` — it prints the names to append to
+# _DRIVER_CHECKED AND the exact next 50-slot _NEWEST window, ready to
+# paste: (a) any r10 failures, (b) additions that exported after
+# position 50 this round, (c) backfill to 50 with the oldest
+# _DRIVER_CHECKED rows.
 #
-# Round-9 priority window (the driver gate checks exactly the FIRST 50
-# queries() entries).  Round 8 went 50/50 hash-green.  This round
-# gates: (a) the 33 round-8 additions that have never had a driver row
-# — all 33 judge-verified hash-PASS in VERDICT r8's independent
-# sweep; (b) the 3 round-9 additions (cross-store takedown audit,
-# streaming ops feed, export manifest); (c) 14 re-proof slots: the
-# oldest round-1-era _DRIVER_CHECKED rows, in update_rotation.py's
-# deterministic order.
+# Round-10 priority window (the driver gate checks exactly the FIRST
+# 50 queries() entries).  Round 9 went 50/50 hash-green.  This round
+# gates: (a) the 29 round-9-late additions that have never had a
+# driver row — the matview IVM family, fleet snapshot/policy, the
+# tokenizer store, filtered ANN, export lineage, and streaming twins;
+# all 29 judge-verified hash-PASS in VERDICT r9's independent sweep;
+# (b) 21 re-proof slots: the oldest round-4-era _DRIVER_CHECKED rows,
+# in update_rotation.py's deterministic order.
 _NEWEST = [
-    # (a) never driver-gated: round-8 additions (33), export order
-    "dedup_substring_spans", "dedup_spans_incremental",
-    "dedup_spans_deleted", "dedup_substring_rewrite",
-    "dedup_clusters_incremental", "cluster_store_time_travel",
-    "dedup_clusters_deleted", "streaming_ohlc_hourly",
-    "streaming_snm_er", "fuzzy_match_parts_multipass",
-    "retrieval_recall_eval", "bm25_ndcg_eval", "bm25_index_deleted",
-    "ann_index_deleted", "ann_drift_monitor", "streaming_drift_retrain",
-    "ann_index_retrained", "crossencoder_rerank", "hybrid_rrf_fusion",
-    "streaming_dedup_clusters", "store_ops_dashboard", "ann_index_int8",
-    "hybrid_store_rrf", "hybrid_store_deleted", "mmr_diversity_rerank",
-    "collocation_pmi_incremental", "collocation_pmi_retracted",
-    "cluster_quota_sample", "streaming_hybrid_index", "hybrid_store_mmr",
-    "collocation_pmi_compacted", "quota_sampled_export",
-    "ops_dashboard_drift",
-    # (b) round-9 additions (3)
-    "takedown_everywhere_audit", "streaming_ops_metrics",
-    "quota_export_manifest",
-    # (c) oldest re-proof — round-1-era rows (14)
-    "join_broadcast_dims", "outer_join_order_counts",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders", "distinct_and_approx",
-    "rollup_qty", "cube_qty", "grouping_sets_status_priority",
-    "window_topk_per_group", "window_running_sum", "window_lag_lead",
-    "window_range_frame", "orderby_limit_topk",
-    "setop_union_intersect_except",
+    # (a) never driver-gated: round-9-late additions (29), export order
+    "fleet_snapshot_reads", "policy_maintenance_pass",
+    "bpe_store_encode_pinned", "quota_export_diff",
+    "ann_index_filtered", "streaming_span_store",
+    "streaming_vocab_cdc", "hybrid_store_asof",
+    "streaming_takedown_feed", "export_manifest_updated",
+    "policy_maintenance_log", "ann_index_filtered_auto",
+    "matview_join_incremental", "matview_join_retracted",
+    "matview_agg_join", "matview_compacted", "streaming_matview_join",
+    "matview_cascade", "matview_integrity_audit", "matview_outer_serve",
+    "matview_change_feed", "matview_full_outer",
+    "matview_schema_evolution", "decontamination_store",
+    "matview_backfill_subscriber", "matview_zonemap_lookup",
+    "kanon_stats_release", "matview_multi_view",
+    "subword_min_segmentation",
+    # (b) oldest re-proof — round-4-era rows (21)
+    "orders_per_customer_list", "pivot_status_by_priority",
+    "unpivot_order_measures", "kv_scan_pyds",
+    "q5_local_supplier_volume", "scalar_subquery_above_avg_orders",
+    "q17_small_quantity_revenue", "in_subquery_orders_of_top_nation",
+    "q6_forecast_revenue", "q18_large_volume_customers",
+    "q10_returned_item_customers", "q14_promo_revenue_percent",
+    "kv_collect_then_map", "window_ntile_quartiles",
+    "scalar_string_date_math", "range_join_price_bands",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "embedding_label_centroids", "udtf_token_positions",
 ]
 
 

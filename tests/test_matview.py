@@ -624,12 +624,58 @@ def test_matview_random_cdc_soak_matches_model(spark, tmp_path):
         ld = _mk(spark, batch("l"), cols("l")) if which in ("l", "both") else None
         rd = _mk(spark, batch("r"), cols("r")) if which in ("r", "both") else None
         matview_ingest(spark, p, left_delta=ld, right_delta=rd, on="k")
+        if step == 2:
+            # compact mid-soak: subsequent commits take the
+            # base-served-as-written pre-state path (_pre_parts) and
+            # must keep matching the model exactly
+            compact_matview_store(spark, p)
         got = {
             (r.k, r.lv, r.rv): r.mult for r in matview_read(spark, p).collect()
         }
         assert got == model_view(), f"diverged at step {step}"
     audit = matview_integrity(spark, p).collect()[0]
     assert audit.mismatch_rows == 0
+
+
+def test_matview_pre_parts_base_served_without_refold(spark, tmp_path):
+    # the scale lever's structural pin: after compaction the leading
+    # compact batch is served AS WRITTEN (a bare scan — no Aggregate in
+    # its plan), and only the post-compaction ingest tail is net-folded
+    from libmr_spark.operators.dedup import _manifest_read
+    from libmr_spark.operators.matview import _pre_parts
+
+    p = _store(tmp_path, "mv_preparts")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(1, "a", 1), (2, "b", 1)]),
+        _right(spark, [(1, "x", 1), (2, "y", 1)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(3, "c", 1)]), on="k")
+    compact_matview_store(spark, p)
+    matview_ingest(spark, p, left_delta=_left(spark, [(4, "d", 1)]), on="k")
+
+    tags = _manifest_read(os.path.join(p, "_BATCHES"), None)
+    assert tags[0].startswith("compact-") and len(tags) == 2
+    parts = _pre_parts(spark, p, "left", tags, "m")
+    assert len(parts) == 2
+    base_plan = parts[0]._jdf.queryExecution().optimizedPlan().toString()
+    tail_plan = parts[1]._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in base_plan, base_plan
+    assert "Aggregate" in tail_plan, tail_plan
+    # the part sum equals the netted full state
+    from libmr_spark.operators.matview import _net, _read_table
+
+    full = {
+        (r.k, r.lv): r.m
+        for r in _net(_read_table(spark, p, "left", tags), "m").collect()
+    }
+    summed = {}
+    for part in parts:
+        for r in part.collect():
+            summed[(r.k, r.lv)] = summed.get((r.k, r.lv), 0) + r.m
+    assert {k: v for k, v in summed.items() if v != 0} == full
 
 
 def test_matview_integrity_on_evolved_store(spark, tmp_path):
