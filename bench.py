@@ -243,6 +243,9 @@ HEADLINE = [
     "kanon_stats_release",
     "matview_multi_view",
     "subword_min_segmentation",
+    # round-10: unigram-LM EM tokenizer training (perf set — pure
+    # train+segment plan work, no store commits)
+    "unigram_lm_em",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -290,3 +290,143 @@ def min_piece_segmentation(
     # BFS emits a word exactly once (finished words leave the
     # frontier), so this is a disjoint union — one row per word
     return out
+
+
+def unigram_viterbi_segment(
+    spark, words: "DataFrame", piece_costs: "DataFrame"
+) -> "DataFrame":
+    """Viterbi E-step of the unigram-LM tokenizer: for every distinct
+    word, the OPTIMAL segmentation under per-piece costs — minimal
+    total cost, ties broken by the lexicographically smallest path
+    string.  That tie-break is well-defined and prefix-compatible
+    because two distinct segmentations of one word spell the same
+    characters and first differ at a boundary (space vs letter, and
+    space sorts below every token character), so the (cost, path)
+    tuple order is a true DP order — the property that makes the
+    whole E-step exactly provable against an unrolled SQL relaxation
+    over the identical integer micro-costs.
+
+    ``words``: column ``word`` (distinct, non-empty).
+    ``piece_costs``: ``(piece, cost_u)`` with integer micro-nat costs
+    (``round(-ln p * 1e6)``) — integer arithmetic end to end, so both
+    engines add bit-identical operands.  Emits ``(word, path)`` with
+    ``path`` the space-joined optimal pieces; words not coverable by
+    the vocabulary are absent.
+
+    Scale shape: the piece table is vocabulary-bounded (collected and
+    shipped with the task — the tokenizer-artifact contract, same as
+    ``bpe_store_encode``), the DP runs per DISTINCT word inside one
+    Arrow-batched ``mapInPandas`` pass (Heaps-bounded state, no
+    iterative Spark rounds), and the corpus never enters."""
+    import pandas as pd
+
+    rows = piece_costs.collect()  # vocabulary-bounded by contract
+    costs = {r["piece"]: int(r["cost_u"]) for r in rows}
+    max_piece = max((len(p) for p in costs), default=1)
+
+    def seg(batches):
+        for pdf in batches:
+            out_w, out_p = [], []
+            for word in pdf["word"]:
+                n = len(word)
+                best = [None] * (n + 1)
+                best[0] = (0, "")
+                for pos in range(n):
+                    cur = best[pos]
+                    if cur is None:
+                        continue
+                    c0, p0 = cur
+                    for ln in range(1, min(max_piece, n - pos) + 1):
+                        pc = costs.get(word[pos : pos + ln])
+                        if pc is None:
+                            continue
+                        piece = word[pos : pos + ln]
+                        cand = (c0 + pc, p0 + " " + piece if p0 else piece)
+                        if best[pos + ln] is None or cand < best[pos + ln]:
+                            best[pos + ln] = cand
+                if best[n] is not None:
+                    out_w.append(word)
+                    out_p.append(best[n][1])
+            yield pd.DataFrame({"word": out_w, "path": out_p})
+
+    return words.select("word").mapInPandas(seg, "word string, path string")
+
+
+def unigram_em_train(
+    spark,
+    words: "DataFrame",
+    pieces: "DataFrame",
+    em_rounds: int = 2,
+) -> "DataFrame":
+    """Unigram-LM tokenizer training (SentencePiece-style hard EM)
+    over distinct words — the training half that completes the
+    optimal-segmentation machinery (:func:`min_piece_segmentation` is
+    the unit-cost special case; :func:`unigram_viterbi_segment` is the
+    weighted E-step this loop drives):
+
+    - seed counts: per-piece NON-OVERLAPPING occurrence counts over
+      the distinct words, weighted by corpus word frequency (the
+      ``replace``-delta count — identical left-to-right semantics in
+      every engine);
+    - E-step: Viterbi-segment every word under integer micro-nat
+      costs ``round(-ln(cnt/total) * 1e6)`` — the DECIMAL-washed
+      determinism recipe, addition-exact because costs are BIGINTs;
+    - M-step: re-count pieces from the winning paths (frequency-
+      weighted); pieces that won no path drop out (SentencePiece
+      pruning), and coverage survives because every surviving word's
+      winning path uses only surviving pieces.
+
+    Emits the final artifact ``(piece, n_uses, cost_u)``.  Scale
+    shape: the corpus pays ONE word-count pass; everything after is
+    Heaps-bounded (distinct words) x vocabulary-bounded (pieces), the
+    ``bpe_store_train`` envelope."""
+    from pyspark.sql import functions as F
+
+    # both inputs are bounded (distinct words / vocabulary); one
+    # materialization each keeps the corpus scan and the candidate
+    # mining from re-running under every EM round's jobs
+    words = words.localCheckpoint(eager=True)
+    pieces = pieces.localCheckpoint(eager=True)
+    occ = (
+        words.join(F.broadcast(pieces), F.expr("instr(word, piece) > 0"))
+        .select(
+            "piece",
+            (
+                F.col("freq")
+                * (
+                    (F.length("word") - F.length(F.expr("replace(word, piece, '')")))
+                    / F.length("piece")
+                ).cast("long")
+            ).alias("c"),
+        )
+    )
+    counts = occ.groupBy("piece").agg(F.sum("c").cast("long").alias("cnt"))
+
+    def _costed(cnt_df):
+        total = cnt_df.groupBy().agg(F.sum("cnt").alias("total"))
+        return cnt_df.crossJoin(F.broadcast(total)).select(
+            "piece",
+            "cnt",
+            F.round(
+                -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("cost_u"),
+        )
+
+    for _ in range(em_rounds):
+        seg = unigram_viterbi_segment(spark, words, _costed(counts))
+        counts = (
+            seg.join(words, "word")
+            .select(
+                F.explode(F.split("path", " ")).alias("piece"), "freq"
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)  # vocabulary-bounded
+        )
+    return _costed(counts).select(
+        "piece", F.col("cnt").alias("n_uses"), "cost_u"
+    )

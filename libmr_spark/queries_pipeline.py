@@ -8851,3 +8851,168 @@ def subword_min_segmentation_q(spark, sf_dir):
             F.sum("wlen").cast("long").alias("total_chars"),
         )
     )
+
+
+def _unigram_dp_cte(probs: str, out: str, rounds: int = 16) -> str:
+    """Unrolled Viterbi relaxation for the unigram-LM oracle: ``rounds``
+    min-per-(word, pos) stages over (cost, path) keys encoded as one
+    sortable string ``lpad(cost_u, 12, '0') || TAB || path`` — integer
+    micro-nat costs, so additions are exact and MIN(key) is the same
+    (cost, lexicographic-path) order the Spark E-step's python DP uses
+    (tokens carry no whitespace, so TAB/space separators are safe and
+    the space-vs-letter first difference makes path order
+    prefix-compatible).  16 rounds >= the 16-char word cap, which by
+    the Bellman induction settles every optimal prefix."""
+    ctes = [
+        f"{out}_s0 AS MATERIALIZED (SELECT word, freq, wlen, 0 AS pos, "
+        "lpad('0', 12, '0') || chr(9) AS key FROM w)"
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""{out}_e{k} AS (
+  SELECT s.word, s.freq, s.wlen, s.pos + len(v.piece) AS pos,
+         lpad(CAST(CAST(split_part(s.key, chr(9), 1) AS BIGINT) + v.cu AS VARCHAR), 12, '0')
+           || chr(9)
+           || CASE WHEN split_part(s.key, chr(9), 2) = '' THEN v.piece
+                   ELSE split_part(s.key, chr(9), 2) || ' ' || v.piece END AS key
+  FROM {out}_s{k - 1} s JOIN {probs} v
+    ON substr(s.word, s.pos + 1, len(v.piece)) = v.piece
+  WHERE s.pos < s.wlen
+)""")
+        ctes.append(f"""{out}_s{k} AS MATERIALIZED (
+  SELECT word, freq, wlen, pos, MIN(key) AS key
+  FROM (SELECT * FROM {out}_s{k - 1} UNION ALL SELECT * FROM {out}_e{k})
+  GROUP BY word, freq, wlen, pos
+)""")
+    ctes.append(
+        f"{out} AS (SELECT word, freq, split_part(key, chr(9), 2) AS path "
+        f"FROM {out}_s{rounds} WHERE pos = wlen)"
+    )
+    return ",\n".join(ctes)
+
+
+_UNIGRAM_EM_SQL = r"""
+WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+allw AS (SELECT unnest(t) AS word FROM toks),
+w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, len(word) AS wlen
+  FROM allw WHERE len(word) BETWEEN 1 AND 16 GROUP BY word
+),
+cand AS (
+  SELECT piece, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+    FROM w, unnest(range(2, 5)) AS t1(l), unnest(range(1, wlen - l + 2)) AS t2(i)
+    WHERE wlen >= l
+  ) GROUP BY piece
+),
+topk AS (SELECT piece FROM cand ORDER BY c DESC, piece ASC LIMIT 20),
+chars AS (
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+  FROM w, unnest(range(1, wlen + 1)) AS t(i)
+),
+vocab AS (SELECT piece FROM chars UNION SELECT piece FROM topk),
+c0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(SUM(freq * CAST((len(word) - len(replace(word, piece, ''))) / len(piece) AS BIGINT)) AS BIGINT) AS cnt
+  FROM w JOIN vocab ON instr(word, piece) > 0
+  GROUP BY piece
+),
+p0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM c0)) * 1000000, 0) AS BIGINT) AS cu
+  FROM c0
+),
+""" + _unigram_dp_cte("p0", "best1") + r""",
+m1 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM best1, unnest(string_split(path, ' ')) AS t(piece)
+  GROUP BY piece
+),
+p1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM m1)) * 1000000, 0) AS BIGINT) AS cu
+  FROM m1
+),
+""" + _unigram_dp_cte("p1", "best2") + r""",
+m2 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM best2, unnest(string_split(path, ' ')) AS t(piece)
+  GROUP BY piece
+)
+SELECT piece, cnt AS n_uses,
+       CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM m2)) * 1000000, 0) AS BIGINT) AS cost_u
+FROM m2
+"""
+
+
+@defquery(
+    "unigram_lm_em",
+    _UNIGRAM_EM_SQL,
+    "UNIGRAM-LM tokenizer training (operators/tokenizer_store.py::"
+    "unigram_em_train) — the SentencePiece-style hard-EM loop that "
+    "completes the tokenizer family's training side (BPE = greedy "
+    "merge training; this = probabilistic optimal-segmentation "
+    "training, with min_piece_segmentation as its unit-cost special "
+    "case). Seed counts are non-overlapping occurrence counts of the "
+    "shared char+top-20-substring vocabulary over DISTINCT words; two "
+    "EM rounds each Viterbi-segment every word under integer "
+    "micro-nat costs round(-ln(cnt/total)*1e6) — the washed-libm "
+    "determinism recipe, with all path costs BIGINT-exact — and "
+    "re-count pieces from the winning paths (unused pieces prune, "
+    "coverage survives because winning paths use only surviving "
+    "pieces). Ties break on the lexicographically smallest path, a "
+    "true DP order because segmentations of one word first differ at "
+    "a space-vs-letter boundary. The oracle replays the identical EM "
+    "on an UNROLLED 16-stage min-relaxation per E-step, so the hash "
+    "gates the full loop: seeding, both Viterbi passes, pruning and "
+    "the final probabilities. Scale shape: corpus pays one word-count "
+    "pass; E-steps are one Arrow-batched mapInPandas over distinct "
+    "words (Heaps-bounded) with a vocabulary-bounded broadcast "
+    "cost table — the bpe_store_train envelope.",
+)
+def unigram_lm_em_q(spark, sf_dir):
+    from .operators.tokenizer_store import unigram_em_train
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("wlen", F.length("word"))
+    )
+    cands = None
+    for l in (2, 3, 4):
+        c = (
+            w.filter(F.col("wlen") >= l)
+            .select(
+                "word",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("wlen") - l + 1)
+                ).alias("i"),
+            )
+            .select(F.expr(f"substring(word, i, {l})").alias("piece"))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    topk = (
+        cands.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(20)
+        .select("piece")
+    )
+    chars = (
+        w.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.col("wlen"))).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 1)").alias("piece"))
+        .distinct()
+    )
+    vocab = chars.unionByName(topk).distinct()
+    return unigram_em_train(
+        spark, w.select("word", "freq"), vocab, em_rounds=2
+    )

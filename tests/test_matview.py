@@ -1005,3 +1005,65 @@ def test_min_piece_segmentation_bfs_optimality(spark):
         for r in min_piece_segmentation(spark, words2, vocab2).collect()
     }
     assert got2 == {("xx", 2)}
+
+
+def test_unigram_viterbi_cost_and_tie_break(spark):
+    # Viterbi must pick the MIN-COST segmentation (greedy longest-match
+    # "xy y y" loses to "x yyy" under equal piece costs), and break
+    # exact cost ties on the lexicographically smallest path ("x y"
+    # beats "xy" when both cost 20); uncoverable words are absent
+    from libmr_spark.operators.tokenizer_store import (
+        unigram_viterbi_segment,
+    )
+
+    pc = spark.createDataFrame(
+        [("x", 10), ("y", 10), ("xy", 20), ("yyy", 10), ("ab", 10),
+         ("a", 10), ("b", 10)],
+        ["piece", "cost_u"],
+    )
+    words = spark.createDataFrame(
+        [("xyyy",), ("xy",), ("ab",), ("qq",)], ["word"]
+    )
+    seg = {
+        r.word: r.path
+        for r in unigram_viterbi_segment(spark, words, pc).collect()
+    }
+    assert seg == {
+        "xyyy": "x yyy",  # cost 20 beats xy|y|y (40) and x|y|y|y (40)
+        "xy": "x y",      # tie at 20 with "xy": "x y" < "xy"
+        "ab": "ab",       # 10 beats a|b (20)
+    }
+
+
+def test_unigram_em_prunes_and_washes_costs(spark):
+    # the EM loop: unused pieces prune after the E-step, surviving
+    # counts conserve the path algebra, and every emitted cost is
+    # EXACTLY round(-ln(cnt/total)*1e6) of the emitted counts (the
+    # washed integer micro-nat contract the oracle re-derives)
+    import math
+
+    from libmr_spark.operators.tokenizer_store import unigram_em_train
+
+    w = spark.createDataFrame([("aaab", 3), ("ab", 1)], ["word", "freq"])
+    pieces = spark.createDataFrame(
+        [("a",), ("b",), ("aa",), ("ab",)], ["piece"]
+    )
+    rows = unigram_em_train(spark, w, pieces, em_rounds=2).collect()
+    out = {r.piece: (r.n_uses, r.cost_u) for r in rows}
+    assert set(out) <= {"a", "b", "aa", "ab"}
+    assert all(n > 0 for n, _ in out.values())
+    total = sum(n for n, _ in out.values())
+    for piece, (n, cu) in out.items():
+        assert cu == round(-math.log(n / total) * 1e6), (piece, n, cu)
+    # coverage: both words remain segmentable by the surviving vocab
+    # (winning paths only ever use surviving pieces)
+    alphabet_pieces = {p for p in out}
+    def coverable(word):
+        reach = {0}
+        for pos in range(len(word)):
+            if pos in reach:
+                for piece in alphabet_pieces:
+                    if word.startswith(piece, pos):
+                        reach.add(pos + len(piece))
+        return len(word) in reach
+    assert coverable("aaab") and coverable("ab")
