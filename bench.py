@@ -246,6 +246,9 @@ HEADLINE = [
     # round-10: unigram-LM EM tokenizer training (perf set — pure
     # train+segment plan work, no store commits)
     "unigram_lm_em",
+    # round-10: schema evolution on the exact-dedup store (lifecycle
+    # soak: two ingests + compaction + takedown before the serve)
+    "dedup_store_schema_evolution",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -257,6 +260,7 @@ HEADLINE = [
 # #7: 38 such soaks were drowning the 2x signal). The perf set below
 # (HEADLINE minus this) is what the cross-round 2x gate tracks.
 LIFECYCLE = {
+    "dedup_store_schema_evolution",
     "streaming_matview_join",
     "matview_cascade",
     "matview_integrity_audit",

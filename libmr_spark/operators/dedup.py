@@ -209,10 +209,15 @@ def compact_incremental_store(
         cols = cluster_by.get(table)
         return df.repartition(n, *cols) if cols else df
 
+    # merge_schema: an evolved store's fold must see the union schema —
+    # the default footer-sampled schema would nondeterministically drop
+    # an evolved column from the compacted rewrite. Rewrite cost is
+    # dominated by the data read, so the all-footers read is noise here
+    # (unlike on the admission hot path).
     return len(
         _rewrite_store(
             spark, store_path, xform, tables, min_batches=2,
-            respect_snapshots=True,
+            respect_snapshots=True, merge_schema=True,
         )
     )
 
@@ -269,7 +274,10 @@ def delete_from_incremental_store(
             )
         return df.join(F.broadcast(ids), id_col, "left_anti")
 
-    _rewrite_store(spark, store_path, drop_ids, tables, min_batches=1)
+    _rewrite_store(
+        spark, store_path, drop_ids, tables, min_batches=1,
+        merge_schema=True,  # an evolved store's scrub keeps the union schema
+    )
     return deleted["n"]
 
 
@@ -552,6 +560,7 @@ def read_incremental_store_asof(
     store_path: str,
     table: str,
     as_of_batches: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot (time-travel) read of an incremental store table: load
     only the FIRST ``as_of_batches`` entries of the ``_BATCHES``
@@ -585,7 +594,16 @@ def read_incremental_store_asof(
             f"as_of_batches={as_of_batches} out of range for store "
             f"{store_path} with {len(tags)} committed batches"
         )
-    return spark.read.parquet(
+    # merge_schema: a store whose history spans a SCHEMA EVOLUTION (a
+    # later pipeline version added a payload column) reads as the
+    # union schema, pre-evolution rows null-filled — the lakehouse
+    # add-column semantics the matview family pins. Off by default:
+    # fixed-schema stores shouldn't pay the all-footers read on the
+    # admission hot path.
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[
             os.path.join(store_path, table, f"batch={t}")
             for t in tags[:as_of_batches]
@@ -1302,6 +1320,7 @@ def dedup_incremental_exact(
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    payload_cols: list | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: admit only the ``batch`` rows whose
     normalized-text fingerprint is new — first against the batch
@@ -1353,11 +1372,28 @@ def dedup_incremental_exact(
             '{"batches": ["<tag>"], "params": {"kind": "exact-fp"}} '
             "to _BATCHES"
         )
-    batch_fp = (
-        batch.withColumn("fp", fingerprint(F.col(text_col)))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
-    )
+    # payload_cols: SCHEMA EVOLUTION for the long-lived store — a later
+    # pipeline version may attach payload columns to its batches; the
+    # store's history then spans two schemas, reads serve the union
+    # (pre-evolution rows null-filled — read_incremental_store_asof
+    # with merge_schema=True) and rewrites fold under mergeSchema.
+    # Admission stays id/fp-based, so old batches are bytes-identical.
+    # Survivor payload follows the min-id survivor (min over the
+    # (id, payload...) struct — ids are unique, so this IS the min-id
+    # row's payload, deterministically).
+    if payload_cols:
+        batch_fp = (
+            batch.withColumn("fp", fingerprint(F.col(text_col)))
+            .groupBy("fp")
+            .agg(F.min(F.struct(id_col, *payload_cols)).alias("_s"))
+            .select("fp", f"_s.{id_col}", *[f"_s.{c}" for c in payload_cols])
+        )
+    else:
+        batch_fp = (
+            batch.withColumn("fp", fingerprint(F.col(text_col)))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+        )
     tags = _manifest_read(manifest_path, params)
     if tags:
         history = spark.read.parquet(
@@ -1382,9 +1418,9 @@ def dedup_incremental_exact(
         # the store.)
         return admitted
     tag = uuid.uuid4().hex
-    admitted.select("fp", id_col).write.mode("overwrite").parquet(
-        os.path.join(fp_table_path, "fps", f"batch={tag}")
-    )
+    admitted.select("fp", id_col, *(payload_cols or [])).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(fp_table_path, "fps", f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted
 

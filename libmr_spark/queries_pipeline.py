@@ -9016,3 +9016,72 @@ def unigram_lm_em_q(spark, sf_dir):
     return unigram_em_train(
         spark, w.select("word", "freq"), vocab, em_rounds=2
     )
+
+
+@defquery(
+    "dedup_store_schema_evolution",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CAST(substr(source, 4) AS INT) AS src_num, source
+  FROM documents
+),
+b1 AS (SELECT fp, min(doc_id) AS doc_id FROM norm WHERE src_num < 10 GROUP BY fp),
+b2c AS (
+  SELECT fp, min(doc_id) AS doc_id, arg_min(source, doc_id) AS src_tag
+  FROM norm WHERE src_num >= 10 GROUP BY fp
+),
+b2 AS (SELECT * FROM b2c WHERE fp NOT IN (SELECT fp FROM b1)),
+stored AS (
+  SELECT fp, doc_id, CAST(NULL AS VARCHAR) AS src_tag FROM b1
+  UNION ALL
+  SELECT fp, doc_id, src_tag FROM b2
+)
+SELECT fp, doc_id, src_tag FROM stored WHERE doc_id % 7 <> 3
+""",
+    "SCHEMA EVOLUTION for the exact-dedup signature store — the "
+    "long-lived-store migration the matview family pinned "
+    "(matview_schema_evolution), applied to the id-keyed families: a "
+    "later pipeline version starts attaching a payload column "
+    "(src_tag) to its admitted batches, so the store's history spans "
+    "two schemas. Admission stays fp/id-based — old batches are "
+    "bytes-identical and a replayed old-schema batch still admits "
+    "nothing — while the read path serves the UNION schema "
+    "(pre-evolution rows null-filled, read_incremental_store_asof "
+    "with merge_schema) and both rewrite paths (compaction, then an "
+    "id-keyed takedown spanning the two cohorts) fold under "
+    "mergeSchema so the evolved column survives the rewrite instead "
+    "of being nondeterministically dropped by footer-sampled schema "
+    "inference. The oracle's CASE-free union expresses exactly which "
+    "cohort pre-dates the column. At 100 TB the evolution is "
+    "zero-rewrite: old data is never touched, only rewrites pay the "
+    "all-footers union-schema read.",
+)
+def dedup_store_schema_evolution_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("exact_evo", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_exact(
+        spark, path, d.filter(src_num < 10).select("doc_id", "text")
+    )
+    DD.dedup_incremental_exact(
+        spark,
+        path,
+        d.filter(src_num >= 10).select(
+            "doc_id", "text", F.col("source").alias("src_tag")
+        ),
+        payload_cols=["src_tag"],
+    )
+    DD.compact_incremental_store(spark, path, tables=("fps",))
+    victims = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    DD.delete_from_incremental_store(spark, path, victims, tables=("fps",))
+    return DD.read_incremental_store_asof(
+        spark, path, "fps", merge_schema=True
+    ).select("fp", "doc_id", "src_tag")

@@ -3166,3 +3166,66 @@ def test_register_snapshot_rejects_stale_capture(spark, tmp_path):
     DD.compact_incremental_store(spark, store, tables=("fps",))  # collapses to 1
     with pytest.raises(ValueError, match="stale"):
         register_snapshot(snap, "late-pin")
+
+
+def test_exact_store_schema_evolution_null_safe(spark, tmp_path):
+    # the long-lived-store migration contract on the id-keyed family:
+    # a later pipeline version attaches a payload column; old batches
+    # stay bytes-identical, replayed old-schema batches admit nothing
+    # (admission is fp-based), reads serve the union schema with
+    # pre-evolution rows null-filled, and BOTH rewrite paths
+    # (compaction, id-keyed delete) preserve the evolved column
+    import os
+
+    from libmr_spark.operators import dedup as DD
+
+    store = str(tmp_path / "exact_evo")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    DD.dedup_incremental_exact(spark, store, b1)
+    old_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(store, "fps"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    old_bytes = {p: open(p, "rb").read() for p in old_files}
+
+    b2 = spark.createDataFrame(
+        [(3, "epsilon zeta", "crawl-v2"), (4, "alpha beta", "crawl-v2")],
+        ["doc_id", "text", "src_tag"],
+    )
+    admitted = DD.dedup_incremental_exact(
+        spark, store, b2, payload_cols=["src_tag"]
+    )
+    # doc 4 is an exact dup of doc 1 — rejected across the schema line
+    assert {r.doc_id for r in admitted.collect()} == {3}
+    # old batch untouched on disk (evolution is zero-rewrite)
+    for p, raw in old_bytes.items():
+        assert open(p, "rb").read() == raw
+    # replaying the OLD-schema batch admits nothing
+    assert DD.dedup_incremental_exact(spark, store, b1).count() == 0
+
+    served = DD.read_incremental_store_asof(
+        spark, store, "fps", merge_schema=True
+    )
+    got = {(r.doc_id, r.src_tag) for r in served.collect()}
+    assert got == {(1, None), (2, None), (3, "crawl-v2")}
+
+    # compaction folds under the union schema (evolved column survives)
+    assert DD.compact_incremental_store(spark, store, tables=("fps",)) == 2
+    served = DD.read_incremental_store_asof(
+        spark, store, "fps", merge_schema=True
+    )
+    assert {(r.doc_id, r.src_tag) for r in served.collect()} == got
+
+    # id-keyed delete spanning both cohorts keeps the union schema
+    victims = spark.createDataFrame([(1,), (3,)], ["doc_id"])
+    DD.delete_from_incremental_store(
+        spark, store, victims, tables=("fps",)
+    )
+    served = DD.read_incremental_store_asof(
+        spark, store, "fps", merge_schema=True
+    )
+    assert {(r.doc_id, r.src_tag) for r in served.collect()} == {(2, None)}
