@@ -249,6 +249,9 @@ HEADLINE = [
     # round-10: schema evolution on the exact-dedup store (lifecycle
     # soak: two ingests + compaction + takedown before the serve)
     "dedup_store_schema_evolution",
+    # round-10: zone-mapped point serving on the signature stores
+    # (lifecycle soak: ingests + takedown + zoned compaction + serve)
+    "exact_store_zonemap_lookup",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -261,6 +264,7 @@ HEADLINE = [
 # (HEADLINE minus this) is what the cross-round 2x gate tracks.
 LIFECYCLE = {
     "dedup_store_schema_evolution",
+    "exact_store_zonemap_lookup",
     "streaming_matview_join",
     "matview_cascade",
     "matview_integrity_audit",

@@ -12,6 +12,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -163,6 +165,7 @@ def compact_incremental_store(
     tables: tuple = ("index", "payload"),
     cluster_by: dict | None = None,
     n_files: int | None = None,
+    zone_by: dict | None = None,
 ) -> int:
     """Compact an incremental dedup store's manifest-listed
     ``batch=<tag>`` directories into ONE directory per table and
@@ -201,25 +204,58 @@ def compact_incremental_store(
     co-location that per-batch appends eroded, which is what makes the
     admission join partition-local at 100 TB. ``n_files`` bounds the
     clustered file count (defaults to the session's parallelism).
+
+    ``zone_by`` (e.g. ``{"fps": "doc_id"}``) instead RANGE-partitions
+    + sorts a table by that column and writes per-file min/max ZONE
+    MAPS from the parquet footers (``operators/zones.py`` — the
+    matview family's contract, shared): point/range serves through
+    :func:`read_incremental_store_zoned` then open only the covering
+    files.  Zones are written AFTER the manifest publish — a crash in
+    between degrades to unpruned serving, never to wrong results.
+    A table may use ``cluster_by`` or ``zone_by``, not both.
     Returns the number of batch directories compacted away."""
     cluster_by = cluster_by or {}
+    zone_by = zone_by or {}
+    if set(cluster_by) & set(zone_by):
+        raise ValueError(
+            f"tables {sorted(set(cluster_by) & set(zone_by))} listed in "
+            "both cluster_by (hash co-location) and zone_by (range "
+            "layout) — pick one layout per table"
+        )
     n = n_files or spark.sparkContext.defaultParallelism
 
     def xform(df, table):
         cols = cluster_by.get(table)
-        return df.repartition(n, *cols) if cols else df
+        if cols:
+            return df.repartition(n, *cols)
+        zc = zone_by.get(table)
+        if zc:
+            return df.repartitionByRange(
+                n_files or 8, F.col(zc)
+            ).sortWithinPartitions(zc)
+        return df
 
     # merge_schema: an evolved store's fold must see the union schema —
     # the default footer-sampled schema would nondeterministically drop
     # an evolved column from the compacted rewrite. Rewrite cost is
     # dominated by the data read, so the all-footers read is noise here
     # (unlike on the admission hot path).
-    return len(
-        _rewrite_store(
-            spark, store_path, xform, tables, min_batches=2,
-            respect_snapshots=True, merge_schema=True,
-        )
+    rewritten = _rewrite_store(
+        spark, store_path, xform, tables, min_batches=2,
+        respect_snapshots=True, merge_schema=True,
     )
+    if rewritten and zone_by:
+        from .zones import write_zones_if_col
+
+        tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
+        for t in tags:
+            if t.startswith("compact-"):
+                for table, zc in zone_by.items():
+                    if os.path.isdir(
+                        os.path.join(store_path, table, f"batch={t}")
+                    ):
+                        write_zones_if_col(store_path, table, t, zc)
+    return len(rewritten)
 
 
 def delete_from_incremental_store(
@@ -608,6 +644,47 @@ def read_incremental_store_asof(
             os.path.join(store_path, table, f"batch={t}")
             for t in tags[:as_of_batches]
         ]
+    )
+
+
+def read_incremental_store_zoned(
+    spark,
+    store_path: str,
+    table: str,
+    zone_col: str,
+    lo,
+    hi=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Point/range serve over a signature-store table with FILE-LEVEL
+    zone pruning: open only the part files whose ``_ZONES.json`` range
+    (written by :func:`compact_incremental_store` ``zone_by``)
+    intersects ``[lo, hi]``.  Dirs without zones — fresh ingest
+    batches since the last zoned compaction, or a crash-orphaned zones
+    write — contribute all their files, and files with a null/absent
+    zone entry serve unconditionally, so the result is always exact:
+    pruning only ever removes files PROVEN empty for the probe.  The
+    predicate additionally pushes into the parquet scan for row-group
+    pruning inside the opened files — the same two-layer skip the
+    matview family's :func:`matview.matview_lookup` pins."""
+    from .zones import pruned_paths
+
+    if hi is None:
+        hi = lo
+    tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
+    paths = pruned_paths(store_path, table, tags, zone_col, lo, hi)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if not paths:
+        # every candidate file pruned: exact empty result, typed from
+        # the store schema
+        full = reader.parquet(
+            *[os.path.join(store_path, table, f"batch={t}") for t in tags]
+        )
+        return full.limit(0)
+    return reader.parquet(*paths).filter(
+        (F.col(zone_col) >= lo) & (F.col(zone_col) <= hi)
     )
 
 

@@ -833,58 +833,14 @@ def matview_read_full_outer(
     return v.unionByName(ext_l).unionByName(ext_r)
 
 
-def _write_zones(store_path: str, table: str, tag: str, zone_col: str) -> dict:
-    """Per-FILE min/max of ``zone_col`` from the parquet footers
-    (driver-side pyarrow metadata reads — no Spark jobs), persisted as
-    ``_ZONES.json`` inside the batch directory.  Written AFTER the
-    manifest publish: a crash in between leaves a compacted dir
-    without zones and lookups fall back to the full read — pruning is
-    an optimization layer, never a correctness dependency."""
-    import json
-
-    import pyarrow.parquet as pq
-
-    d = os.path.join(store_path, table, f"batch={tag}")
-    zones = {}
-    for fn in sorted(os.listdir(d)):
-        if not fn.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(d, fn)).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-            zone_col
-        ]
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo = hi = None  # a statless row group disables the file's zone
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        # a statless file is recorded with a NULL zone (never omitted):
-        # the lookup must keep serving it unpruned — pruning may only
-        # ever remove files PROVEN empty for the probe
-        zones[fn] = [lo, hi] if lo is not None else None
-    tmp = os.path.join(d, "_ZONES.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"column": zone_col, "files": zones}, f)
-    os.replace(tmp, os.path.join(d, "_ZONES.json"))
-    return zones
-
-
-def _write_zones_if_col(store_path, table, tag, zone_col) -> None:
-    """:func:`_write_zones` guarded for multi-view stores: a view
-    table whose projection dropped the zone column stays zoneless
-    (serves unpruned) rather than failing the compaction."""
-    import pyarrow.parquet as pq
-
-    d = os.path.join(store_path, table, f"batch={tag}")
-    for fn in sorted(os.listdir(d)):
-        if fn.endswith(".parquet"):
-            schema = pq.ParquetFile(os.path.join(d, fn)).schema_arrow
-            if zone_col in schema.names:
-                _write_zones(store_path, table, tag, zone_col)
-            return
+# zone-map machinery shared with the signature stores (round 10):
+# write-after-publish, null-zones-serve-unpruned, dirs-without-zones
+# contribute whole — operators/zones.py holds the one copy
+from .zones import (  # noqa: E402
+    pruned_paths as _pruned_paths,
+    write_zones as _write_zones,  # noqa: F401  (re-export for tests)
+    write_zones_if_col as _write_zones_if_col,
+)
 
 
 def compact_matview_store(
@@ -968,36 +924,7 @@ def matview_lookup(spark, store_path: str, zone_col: str, lo, hi=None) -> DataFr
         hi = lo
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _manifest_read(manifest_path, None)
-    paths = []
-    for t in tags:
-        d = os.path.join(store_path, "view", f"batch={t}")
-        zpath = os.path.join(d, "_ZONES.json")
-        zones = None
-        if os.path.exists(zpath):
-            try:
-                with open(zpath) as f:
-                    z = json.load(f)
-                if z.get("column") == zone_col:
-                    zones = z["files"]
-            except (OSError, ValueError):
-                zones = None  # unreadable zones: serve unpruned
-        if zones is None:
-            paths.append(d)
-            continue
-        # prune ONLY files whose recorded zone proves them empty for
-        # the probe; a file with a null zone (statless footer) or no
-        # entry at all (written after the zones file, or a partial
-        # zones write) serves unconditionally — exactness never
-        # depends on the zone layer
-        for fn in sorted(os.listdir(d)):
-            if not fn.endswith(".parquet"):
-                continue
-            zone = zones.get(fn)
-            if zone is not None:
-                zlo, zhi = zone
-                if zhi < lo or zlo > hi:
-                    continue
-            paths.append(os.path.join(d, fn))
+    paths = _pruned_paths(store_path, "view", tags, zone_col, lo, hi)
     if not paths:
         # every candidate file pruned: exact empty result, typed from
         # the store schema

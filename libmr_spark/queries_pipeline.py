@@ -9085,3 +9085,72 @@ def dedup_store_schema_evolution_q(spark, sf_dir):
     return DD.read_incremental_store_asof(
         spark, path, "fps", merge_schema=True
     ).select("fp", "doc_id", "src_tag")
+
+
+@defquery(
+    "exact_store_zonemap_lookup",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CAST(substr(source, 4) AS INT) AS src_num
+  FROM documents
+),
+b1 AS (SELECT fp, min(doc_id) AS doc_id FROM norm WHERE src_num < 10 GROUP BY fp),
+kept1 AS (SELECT * FROM b1 WHERE doc_id % 11 <> 5),
+b2 AS (
+  SELECT fp, min(doc_id) AS doc_id FROM norm WHERE src_num >= 10 GROUP BY fp
+),
+stored AS (
+  SELECT * FROM kept1
+  UNION ALL
+  SELECT * FROM b2 WHERE fp NOT IN (SELECT fp FROM kept1)
+)
+SELECT fp, doc_id FROM stored WHERE doc_id BETWEEN 100 AND 299
+""",
+    "ZONE-MAPPED point serving for the signature stores — the "
+    "matview family's data-skipping contract (matview_zonemap_lookup) "
+    "applied to the id-keyed families through the SHARED zone layer "
+    "(operators/zones.py): compaction range-partitions + sorts the "
+    "exact-fp table by doc_id and writes per-file min/max zones from "
+    "the parquet footers AFTER the manifest publish (crash degrades "
+    "to unpruned, never wrong); the range serve "
+    "(read_incremental_store_zoned) opens only covering files — "
+    "null/absent zone entries and zoneless dirs serve unconditionally, "
+    "so pruning only ever removes files PROVEN empty. The lifecycle "
+    "runs two ingests, an id-keyed takedown, then the zoned "
+    "compaction, and the gate serves a doc-id range; file-level "
+    "pruning is pinned structurally via inputFiles() in pytest. At "
+    "100 TB this is the audit/point-read path over a corpus-sized "
+    "fingerprint history: one footer-read pass at (rare, "
+    "policy-cadenced) compaction buys every subsequent range probe a "
+    "scan bounded by the probe's selectivity.",
+)
+def exact_store_zonemap_lookup_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("exact_zone", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    DD.dedup_incremental_exact(
+        spark, path, d.filter(src_num < 10).select("doc_id", "text")
+    )
+    victims = d.filter(F.col("doc_id") % 11 == 5).select("doc_id")
+    DD.delete_from_incremental_store(spark, path, victims, tables=("fps",))
+    DD.dedup_incremental_exact(
+        spark, path, d.filter(src_num >= 10).select("doc_id", "text")
+    )
+    # the delete folded history to one rewrite batch; the second
+    # ingest appended — the zoned compaction below therefore rewrites
+    # (>= 2 batches) and writes the range layout + zones the serve
+    # prunes against
+    assert DD.compact_incremental_store(
+        spark, path, tables=("fps",), zone_by={"fps": "doc_id"}, n_files=8
+    ) >= 2
+    return DD.read_incremental_store_zoned(
+        spark, path, "fps", "doc_id", 100, 299
+    ).select("fp", "doc_id")

@@ -3229,3 +3229,63 @@ def test_exact_store_schema_evolution_null_safe(spark, tmp_path):
         spark, store, "fps", merge_schema=True
     )
     assert {(r.doc_id, r.src_tag) for r in served.collect()} == {(2, None)}
+
+
+def test_exact_store_zonemap_prunes_files(spark, tmp_path):
+    # the shared zone layer on a signature store: after a zoned
+    # compaction the range serve opens ONLY covering part files
+    # (structural pin via inputFiles), still returns the exact rows,
+    # a post-compaction ingest (zoneless dir) serves through the
+    # fallback, and an out-of-range probe returns a typed empty frame
+    import os
+
+    from libmr_spark.operators import dedup as DD
+
+    store = str(tmp_path / "exact_zone")
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    DD.dedup_incremental_exact(spark, store, docs.filter("doc_id < 100"))
+    DD.dedup_incremental_exact(spark, store, docs.filter("doc_id >= 100"))
+    assert DD.compact_incremental_store(
+        spark, store, tables=("fps",), zone_by={"fps": "doc_id"}, n_files=8
+    ) == 2
+
+    probe = DD.read_incremental_store_zoned(
+        spark, store, "fps", "doc_id", 40, 45
+    )
+    got = {r.doc_id for r in probe.collect()}
+    assert got == set(range(40, 46))
+    opened = {f.split("/")[-1] for f in probe.inputFiles()}
+    cdir = [
+        d
+        for d in os.listdir(os.path.join(store, "fps"))
+        if d.startswith("batch=compact-")
+    ]
+    assert len(cdir) == 1
+    total = [
+        f
+        for f in os.listdir(os.path.join(store, "fps", cdir[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(total) >= 6 and len(opened) < len(total), (opened, total)
+
+    # fresh unzoned ingest serves exactly through the whole-dir fallback
+    more = spark.createDataFrame(
+        [(500, "late arrival text")], ["doc_id", "text"]
+    )
+    DD.dedup_incremental_exact(spark, store, more)
+    assert {
+        r.doc_id
+        for r in DD.read_incremental_store_zoned(
+            spark, store, "fps", "doc_id", 500
+        ).collect()
+    } == {500}
+    # probe outside every zone and every unzoned dir
+    assert (
+        DD.read_incremental_store_zoned(
+            spark, store, "fps", "doc_id", 10_000
+        ).count()
+        == 0
+    )
