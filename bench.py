@@ -252,6 +252,9 @@ HEADLINE = [
     # round-10: zone-mapped point serving on the signature stores
     # (lifecycle soak: ingests + takedown + zoned compaction + serve)
     "exact_store_zonemap_lookup",
+    # round-10: seeded-geometric DP counter release (perf set — one
+    # aggregation tree + scalar expressions)
+    "dp_count_release",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -337,20 +340,30 @@ LIFECYCLE = {
 }
 
 
-def calibrate() -> float:
-    """Fixed CPU-bound workload (3500² numpy matmul over all BLAS
-    threads — parallel like Spark's own work — min of 3) timed
-    alongside the bench: this VM's throughput swings ±40% between runs
-    (two identical-code headlines measured 29.0s and 42.5s in round 4),
-    so cross-round per-query ratios need a machine-speed denominator.
-    scripts/bench_compare.py divides by it when both rounds carry one."""
-    import numpy as np
-
-    a = np.random.RandomState(0).rand(3500, 3500)
+def calibrate(spark) -> float:
+    """Fixed SPARK-SHAPED probe (shuffle + hash-agg over 20M synthetic
+    rows on 32 input slices, min of 3) timed alongside the bench: this
+    VM's throughput swings ±40% between runs, so cross-round per-query
+    ratios need a machine-speed denominator — and the denominator must
+    measure the thing being normalized.  The previous numpy-matmul
+    probe drifted with BLAS threading independently of Spark (round-9
+    finding: 0.15 s vs the historical 0.33-0.50 band while query
+    walls were steady), so round 10 replaced it with a probe that
+    exercises the same codegen + exchange + aggregation path the
+    gated queries run.  Secondary cross-check only:
+    scripts/bench_compare.py's PRIMARY denominator is the median raw
+    ratio over common queries (see BASELINE.md "gate scope")."""
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        (a @ a).sum()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .selectExpr("sum(`sum(v)`) AS t", "sum(`count(1)`) AS m")
+            .collect()
+        )
         best = min(best, time.time() - t0)
     return round(best, 4)
 
@@ -426,7 +439,7 @@ def main() -> int:
         "lifecycle_n_queries": sum(1 for k in timings if k in LIFECYCLE),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calib_matmul_sec": calibrate(),
+        "calib_spark_sec": calibrate(spark),
     }
     if errors:
         out["errors"] = errors
@@ -483,7 +496,7 @@ def main() -> int:
         "lifecycle_total_sec": lifecycle_total,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": out["sf"],
-        "calib_matmul_sec": out["calib_matmul_sec"],
+        "calib_spark_sec": out["calib_spark_sec"],
     }
     if "full" in out:
         compact["full_total_sec"] = out["full"]["total_sec"]

@@ -274,3 +274,48 @@ def kanon_release(
         .filter(F.col("n") > 0)
     )
     return ok.unionByName(rolled_ok).unionByName(terminal)
+
+
+def dp_geometric_release(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """Seeded-GEOMETRIC (derandomized discrete-Laplace) counter
+    release — the differential-privacy counterpart of
+    :func:`kanon_release`: every group is released, with its count
+    perturbed by integer noise drawn from the two-sided geometric
+    mechanism via an inverse-CDF over a SEEDED per-group uniform, so
+    no exact sub-k count (or its absence) ever leaks.  Derandomized =
+    reproducible: the noise is a pure function of (seed, group key) —
+    md5-prefix uniform, washed-ln inverse CDF, one rounding — so the
+    release is deterministic, auditable, and oracle-provable
+    (the PMI determinism recipe applied to a privacy mechanism).  The
+    ε-DP guarantee holds against observers who do not know the seed;
+    a production deployment keeps the seed secret and rotates it per
+    release, which changes nothing about this plan shape.
+
+    Mechanism: ``u = (2·h + 1) / 2^33`` (``h`` = first-8-hex of
+    ``md5(seed:key)`` — exact in a double, never 0/0.5/1), ``t = u -
+    0.5``, ``noise = round(-(1/ε)·sign(t)·round(ln(1 - 2|t|), 6))``
+    — the Laplace(1/ε) inverse CDF with the washed-libm contract,
+    rounded to the integer lattice (the rounded-Laplace/geometric
+    equivalence).  Emits ``(group_cols..., n_noisy)``; the true count
+    is deliberately NOT emitted.  One aggregation tree + per-group
+    scalar expressions — group-cardinality-bounded, never
+    data-bounded."""
+    from pyspark.sql import functions as F
+
+    b = 1.0 / epsilon
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    t = (2 * h + 1).cast("double") / F.lit(8589934592.0) - F.lit(0.5)
+    mag = F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)), 6)
+    noise = F.round(F.lit(-b) * F.signum(t) * mag, 0).cast("bigint")
+    return g.select(
+        *group_cols, (F.col("n") + noise).cast("bigint").alias("n_noisy")
+    )

@@ -9154,3 +9154,53 @@ def exact_store_zonemap_lookup_q(spark, sf_dir):
     return DD.read_incremental_store_zoned(
         spark, path, "fps", "doc_id", 100, 299
     ).select("fp", "doc_id")
+
+
+@defquery(
+    "dp_count_release",
+    r"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+r AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         CAST(('0x' || substr(md5('42:' || CAST(c_nationkey AS VARCHAR)
+                || ':' || c_mktsegment), 1, 8)) AS BIGINT) AS h
+  FROM g
+),
+t AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         (2 * h + 1) / 8589934592.0 - 0.5 AS t
+  FROM r
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n + CAST(ROUND(-2.0 * SIGN(t) * ROUND(LN(1 - 2 * ABS(t)), 6), 0)
+                AS BIGINT) AS BIGINT) AS n_noisy
+FROM t
+""",
+    "SEEDED-GEOMETRIC DP counter release "
+    "(operators/sampling.py::dp_geometric_release) — the "
+    "differential-privacy counterpart of kanon_stats_release: every "
+    "(nation, segment) group is released with its count perturbed by "
+    "integer noise from the two-sided-geometric/rounded-Laplace "
+    "mechanism (epsilon=0.5), so no exact small count — or its "
+    "absence — leaks. DERANDOMIZED via the PMI determinism recipe: "
+    "the noise is a pure function of (seed, group key) — md5-prefix "
+    "uniform u=(2h+1)/2^33 (exact in a double, never hits the CDF's "
+    "poles), washed-ln inverse CDF round(ln(1-2|t|),6), one final "
+    "rounding to the integer lattice — so the release is "
+    "deterministic, auditable, and sits under the driver hash; the "
+    "epsilon-DP guarantee holds against observers without the seed "
+    "(production rotates a secret seed; the plan is unchanged). True "
+    "counts are deliberately not emitted. One aggregation tree + "
+    "per-group scalar expressions — group-cardinality-bounded at any "
+    "corpus scale.",
+)
+def dp_count_release_q(spark, sf_dir):
+    from .operators.sampling import dp_geometric_release
+
+    c = _t(spark, sf_dir, "customer")
+    return dp_geometric_release(
+        c, ["c_nationkey", "c_mktsegment"], epsilon=0.5, seed="42"
+    )

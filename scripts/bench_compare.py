@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Per-query bench regression guard: compare the newest bench result
-against ONE OR MORE baselines, calib-normalized, and alarm on queries
+against ONE OR MORE baselines, normalized by the MEDIAN raw ratio
+over common queries (the denominator of record — BASELINE.md "gate
+scope"; the Spark-shaped calibration probe is a cross-check), and
+alarm on queries
 that slowed past the threshold against EVERY baseline (a query slow vs
 one baseline but at parity vs another is machine noise, not a plan
 regression — exactly the round-8 adjudication: the driver round showed
@@ -68,7 +71,7 @@ def main(argv: list[str]) -> int:
 
     new = load(new_path)
     nq_raw = queries_of(new)
-    nc = new.get("calib_matmul_sec")
+    nc = new.get("calib_spark_sec") or new.get("calib_matmul_sec")
     print(f"candidate: {os.path.basename(new_path)} "
           f"(total {new.get('value', 0):.2f}s raw, calib {nc})")
 
@@ -80,30 +83,49 @@ def main(argv: list[str]) -> int:
         bn = os.path.basename(bp)
         base_names.append(bn)
         oq = queries_of(old)
-        oc = old.get("calib_matmul_sec")
-        speed = (nc / oc) if (oc and nc) else 1.0
-        norm = "normalized" if (oc and nc) else "RAW (missing calib)"
+        # calibration pairs only match like-for-like: the round-10
+        # Spark-shaped probe (calib_spark_sec — shuffle+agg, measures
+        # the thing being normalized) or the legacy matmul for
+        # pre-round-10 baselines
+        if new.get("calib_spark_sec") and old.get("calib_spark_sec"):
+            oc, cal_name = old["calib_spark_sec"], "spark-probe"
+            cal_speed = new["calib_spark_sec"] / oc
+        elif new.get("calib_matmul_sec") and old.get("calib_matmul_sec"):
+            oc, cal_name = old["calib_matmul_sec"], "matmul(legacy)"
+            cal_speed = new["calib_matmul_sec"] / oc
+        else:
+            oc, cal_name, cal_speed = None, "none", None
         common = set(oq) & set(nq_raw)
-        # calibration sanity: the matmul denominator has one job —
-        # tracking machine speed — and it can GLITCH (BLAS threading,
-        # frequency scaling mid-measurement).  The median raw ratio
-        # over all common queries is a self-normalizing denominator
-        # (300 queries don't all change plan at once); when the two
-        # disagree by >1.5x, trust the median and say so.
+        # PRIMARY denominator (BASELINE.md "gate scope"): the median
+        # raw ratio over all common queries — ~300 queries don't all
+        # change plan at once, so the median is a self-normalizing
+        # machine-speed estimate that by construction measures the
+        # workload being normalized.  The calibration probe is a
+        # SECONDARY cross-check: report when it disagrees >1.5x
+        # (round-9 finding: the matmul probe drifted with BLAS
+        # threading while query walls were steady).
         raw_rs = sorted(
             nq_raw[k] / max(oq[k], 0.005) for k in common if oq[k] > 0
         )
-        med = raw_rs[len(raw_rs) // 2] if raw_rs else 1.0
-        if raw_rs and (speed / med > 1.5 or med / speed > 1.5):
-            print(
-                f"  CALIB GLITCH vs {bn}: matmul says x{speed:.2f} but the "
-                f"median raw ratio of {len(raw_rs)} common queries is "
-                f"x{med:.2f} — using the median as the denominator"
-            )
+        med = raw_rs[len(raw_rs) // 2] if raw_rs else None
+        if med is not None:
             speed = med
+            norm = f"median-normalized ({len(raw_rs)} common)"
+            if cal_speed and (cal_speed / med > 1.5 or med / cal_speed > 1.5):
+                print(
+                    f"  CALIB CROSS-CHECK vs {bn}: {cal_name} says "
+                    f"x{cal_speed:.2f} but the median raw ratio is "
+                    f"x{med:.2f} — median is the denominator of record"
+                )
+        elif cal_speed:
+            speed, norm = cal_speed, f"calib-normalized ({cal_name})"
+        else:
+            speed, norm = 1.0, "RAW (no common queries, no calib)"
         o_tot = sum(oq[k] for k in common)
         n_tot = sum(nq_raw[k] / speed for k in common)
-        print(f"\nvs {bn}: calib {oc} -> {nc} (speed x{speed:.2f}, {norm}); "
+        print(f"\nvs {bn}: speed x{speed:.2f} ({norm}; "
+              f"{cal_name} cross-check "
+              f"{f'x{cal_speed:.2f}' if cal_speed else 'n/a'}); "
               f"{len(common)} common queries, total "
               f"{o_tot:.2f}s -> {n_tot:.2f}s ({(n_tot / o_tot) if o_tot else 0:.2f}x)")
         # floor the denominator at 5ms: a baseline wall that rounded to

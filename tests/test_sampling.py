@@ -204,3 +204,52 @@ def test_kanon_release_levels_and_invariants(spark):
     got2 = {(r.nat, r.seg): (r.n, r.total) for r in out2}
     n_t, tot_t = got2[(None, "__suppressed__")]
     assert n_t == 11 and float(tot_t) == 43.0
+
+
+def test_dp_geometric_release_noise_exact_and_scaled(spark):
+    # the derandomized mechanism is a pure function of (seed, key):
+    # noise must equal the python replay of the md5/washed-ln/round
+    # chain exactly, shrink when epsilon grows, and repeat identically
+    import hashlib
+    import math
+
+    from libmr_spark.operators.sampling import dp_geometric_release
+
+    rows = [(f"g{i}", j) for i in range(8) for j in range(i + 1)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    true_n = {f"g{i}": i + 1 for i in range(8)}
+
+    def py_noise(key, eps, seed="42"):
+        h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16)
+        t = (2 * h + 1) / 8589934592.0 - 0.5
+        mag = round(math.log(1 - 2 * abs(t)), 6)
+        x = -(1.0 / eps) * math.copysign(1.0, t) * mag
+        # Spark/DuckDB ROUND(x, 0) is half-away-from-zero
+        return int(math.floor(abs(x) + 0.5) * math.copysign(1.0, x))
+
+    got = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], epsilon=0.5).collect()
+    }
+    assert got == {
+        k: n + py_noise(k, 0.5) for k, n in true_n.items()
+    }
+    # determinism
+    again = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], epsilon=0.5).collect()
+    }
+    assert again == got
+    # larger epsilon (weaker privacy) -> noise magnitude never grows
+    loose = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], epsilon=2.0).collect()
+    }
+    for k, n in true_n.items():
+        assert abs(loose[k] - n) <= abs(got[k] - n), k
+    # a different seed moves the noise (the release is seed-keyed)
+    other = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], epsilon=0.5, seed="7").collect()
+    }
+    assert other == {k: n + py_noise(k, 0.5, "7") for k, n in true_n.items()}
