@@ -224,7 +224,9 @@ def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     )
 
 
-def _pre_parts(spark, store_path, table, tags, mcol) -> list:
+def _pre_parts(
+    spark, store_path, table, tags, mcol, zone_col=None, key_range=None
+) -> list:
     """The side's committed pre-state as a Z-set SUM of parts instead
     of one net-folded frame.  Every matview rewrite (compaction AND
     takedown) writes its ``compact-`` batch already NET-FOLDED, so a
@@ -234,14 +236,34 @@ def _pre_parts(spark, store_path, table, tags, mcol) -> list:
     linearity: ``net(all tags) = compact_batch + net(tail)`` because
     the compact batch IS ``net(dropped tags)``; every consumer either
     sums the parts (the view-delta joins distribute over the sum) or
-    nets a batch-restricted slice (:func:`_admit`).  This is the
-    100 TB commit-cost shape: per-commit work is full-state SCANS plus
-    batch-bounded shuffles — zero full-state shuffles."""
+    nets a batch-restricted slice (:func:`_admit`).
+
+    ``key_range``: when the consuming join can only match state rows
+    whose ``zone_col`` falls in ``[lo, hi]`` (the BATCH's key range —
+    one batch-bounded two-scalar agg), the compact base is opened
+    through its zone maps (written by :func:`compact_matview_store`)
+    and files proven empty for the range are skipped — a fully-pruned
+    base contributes no part, which is exact: no state row in it can
+    match a batch key (callers pass a range only when the batch has
+    no NULL keys, so eqNullSafe null-matches cannot be lost).  The
+    tail always serves unpruned (cadence-bounded).  This is the
+    100 TB commit-cost shape: zero full-state shuffles, and state
+    scans that prune to the batch's key locality instead of growing
+    with state size."""
     parts = []
     if not tags:
         return parts
     if tags[0].startswith("compact-"):
-        parts.append(_read_table(spark, store_path, table, tags[:1]))
+        if zone_col is not None and key_range is not None:
+            paths = _pruned_paths(
+                store_path, table, tags[:1], zone_col, *key_range
+            )
+            if paths:
+                parts.append(
+                    spark.read.option("mergeSchema", "true").parquet(*paths)
+                )
+        else:
+            parts.append(_read_table(spark, store_path, table, tags[:1]))
         rest = tags[1:]
     else:
         rest = tags
@@ -371,18 +393,47 @@ def _ingest_locked(
             "right_delta (they define the store's schemas)"
         )
 
-    def _side_state(table, delta):
+    def _delta_key_range(delta):
+        """The batch's [min, max] over the leading join key — the
+        zone-prune probe for every state read this commit performs.
+        One batch-bounded two-scalar agg; None (= serve unpruned) when
+        the batch is absent, empty, or carries a NULL key (a NULL
+        identity can eqNullSafe-match state rows a value-range prune
+        could wrongly skip)."""
+        if delta is None:
+            return None
+        row = delta.agg(
+            F.min(keys[0]), F.max(keys[0]),
+            F.sum(F.col(keys[0]).isNull().cast("int")),
+        ).first()
+        if row[0] is None or (row[2] or 0) > 0:
+            return None
+        return (row[0], row[1])
+
+    rng_l = _delta_key_range(left_delta)
+    rng_r = _delta_key_range(right_delta)
+
+    def _side_state(table, delta, admit_rng):
         # the pre-state stays a SUM of parts (leading compact batch
         # served as written + netted ingest tail, _pre_parts) — the
-        # full state is scanned by the admission restriction and the
+        # full state is scanned (zone-pruned to the batch's key range
+        # when possible) by the admission restriction and the
         # view-delta joins but never re-folded or re-shuffled
-        parts = _pre_parts(spark, store_path, table, tags, m_col)
+        full_parts = _pre_parts(spark, store_path, table, tags, m_col)
         # align every frame to the UNION schema (schema evolution: a
         # batch may introduce a column — the pre-state gains it as
         # typed nulls — or omit one an earlier commit added — the
-        # batch rows land null-filled, old-schema-writer semantics)
-        fields = _union_fields(parts + [delta], m_col)
-        parts = [_align_keep_m(p, fields, m_col) for p in parts]
+        # batch rows land null-filled, old-schema-writer semantics).
+        # Fields derive from the UNPRUNED frames: pruning must never
+        # change the store's visible schema.
+        fields = _union_fields(full_parts + [delta], m_col)
+        admit_parts = [
+            _align_keep_m(p, fields, m_col)
+            for p in _pre_parts(
+                spark, store_path, table, tags, m_col,
+                zone_col=keys[0], key_range=admit_rng,
+            )
+        ]
         if delta is not None:
             adm = _admit(
                 _align_keep_m(
@@ -390,7 +441,7 @@ def _ingest_locked(
                     fields,
                     m_col,
                 ),
-                parts,
+                admit_parts,
                 m_col,
             )
         else:
@@ -401,10 +452,10 @@ def _ingest_locked(
             )
         # one materialization freezes admission against the pre-state
         # and feeds both the side table's write and the view joins
-        return parts, [f.name for f in fields], adm.localCheckpoint(eager=True)
+        return [f.name for f in fields], adm.localCheckpoint(eager=True)
 
-    parts_l, lcols, ad_l = _side_state("left", left_delta)
-    parts_r, rcols, ad_r = _side_state("right", right_delta)
+    lcols, ad_l = _side_state("left", left_delta, rng_l)
+    rcols, ad_r = _side_state("right", right_delta, rng_r)
 
     non_key_r = [c for c in rcols if c not in keys]
     view_cols = lcols + non_key_r
@@ -419,17 +470,41 @@ def _ingest_locked(
             *view_cols, (F.col("_ml") * F.col("_mr")).alias("mult")
         )
 
+    def _vparts(table, fields, other_rng):
+        # the state side of a ΔX⋈state term matches only on the
+        # BATCH's join keys, so it prunes by the OTHER side's range
+        return [
+            _align_keep_m(p, [f for f in fields], m_col)
+            for p in _pre_parts(
+                spark, store_path, table, tags, m_col,
+                zone_col=keys[0], key_range=other_rng,
+            )
+        ]
+
+    def _fields_of(cols, ref_adm):
+        return [ref_adm.schema[c] for c in cols]
+
     # Δ(A⋈B) = ΔA⋈B_pre + A_pre⋈ΔB + ΔA⋈ΔB, with each pre-state join
     # DISTRIBUTED over the state parts (⋈ distributes over the Z-set
     # sum; a row living in both parts with canceling signs contributes
     # canceling products, and the final groupBy-SUM nets them) — every
-    # term joins a batch-sized frame against a scan, so AQE broadcasts
-    # the batch and no term shuffles state
-    terms = (
-        [_vjoin(ad_l, pr) for pr in parts_r]
-        + [_vjoin(pl, ad_r) for pl in parts_l]
-        + [_vjoin(ad_l, ad_r)]
-    )
+    # term joins a batch-sized frame against a zone-pruned scan, so
+    # AQE broadcasts the batch and no term shuffles state.  Terms
+    # whose Δ side is a known-empty frame (one-sided commit) are
+    # skipped entirely — their state scan would be pure waste.
+    terms = []
+    if left_delta is not None:
+        for pr in _vparts("right", _fields_of(rcols, ad_r), rng_l):
+            terms.append(_vjoin(ad_l, pr))
+    if right_delta is not None:
+        for pl in _vparts("left", _fields_of(lcols, ad_l), rng_r):
+            terms.append(_vjoin(pl, ad_r))
+    if left_delta is not None and right_delta is not None:
+        terms.append(_vjoin(ad_l, ad_r))
+    if not terms:
+        # one-sided commit whose opposite state fully pruned away (or
+        # an empty store side): the view delta is exactly empty
+        terms = [_vjoin(ad_l, ad_r.limit(0))]
     dv = terms[0]
     for t in terms[1:]:
         dv = dv.unionByName(t)
@@ -849,6 +924,7 @@ def compact_matview_store(
     zone_by: str | None = None,
     n_files: int | None = None,
     lock_timeout_s: float = 300.0,
+    zone_side_tables: bool = True,
 ) -> list:
     """Fold every table's deltas to net rows in ONE batch directory
     per table through the crash-safe store rewrite (zero-net rows
@@ -865,14 +941,29 @@ def compact_matview_store(
     table's fold by that column (``n_files`` output files) and write
     per-file min/max ZONE MAPS from the parquet footers —
     :func:`matview_lookup` then opens only the files whose range
-    covers the probe instead of the whole table.  This is the
-    documented 100 TB layout lever: the manifest protocol is
-    unchanged, a zoneless dir just serves unpruned."""
+    covers the probe instead of the whole table.
+
+    ``zone_side_tables`` (default on): the LEFT/RIGHT folds are
+    range-laid-out and zoned by the store's leading join key, so every
+    subsequent ingest's state reads (:func:`_pre_parts`) prune to the
+    batch's key range — the layout half of the flat-commit-cost
+    contract.  This is the documented 100 TB layout lever: the
+    manifest protocol is unchanged, a zoneless dir just serves
+    unpruned."""
+    import json
+
     with _manifest_lock(
         os.path.join(store_path, "_INGEST"), timeout_s=lock_timeout_s
     ):
         tables = _store_tables(store_path)
         view_tables = set(tables[2:])
+        key0 = None
+        if zone_side_tables:
+            try:
+                with open(os.path.join(store_path, "_BATCHES")) as f:
+                    key0 = json.load(f)["params"]["on"].split(",")[0]
+            except (OSError, ValueError, KeyError):
+                key0 = None  # pre-bootstrap store: nothing to zone
 
         def transform(df: DataFrame, table: str) -> DataFrame:
             mcol = "m" if table in ("left", "right") else "mult"
@@ -887,6 +978,10 @@ def compact_matview_store(
                 out = out.repartitionByRange(
                     n_files or 8, F.col(zone_by)
                 ).sortWithinPartitions(zone_by)
+            elif key0 is not None and table in ("left", "right"):
+                out = out.repartitionByRange(
+                    n_files or 8, F.col(key0)
+                ).sortWithinPartitions(key0)
             return out
 
         rewritten = _rewrite_store(
@@ -898,14 +993,22 @@ def compact_matview_store(
             respect_snapshots=True,
             merge_schema=True,
         )
-        if rewritten and zone_by is not None:
+        if rewritten:
             tags = _manifest_read(os.path.join(store_path, "_BATCHES"), None)
             for t in tags:
-                if t.startswith("compact-"):
+                if not t.startswith("compact-"):
+                    continue
+                if zone_by is not None:
                     for vt in view_tables:
                         d = os.path.join(store_path, vt, f"batch={t}")
                         if os.path.isdir(d):
                             _write_zones_if_col(store_path, vt, t, zone_by)
+                if key0 is not None:
+                    for st in ("left", "right"):
+                        if os.path.isdir(
+                            os.path.join(store_path, st, f"batch={t}")
+                        ):
+                            _write_zones_if_col(store_path, st, t, key0)
     return rewritten
 
 

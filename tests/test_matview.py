@@ -1067,3 +1067,69 @@ def test_unigram_em_prunes_and_washes_costs(spark):
                         reach.add(pos + len(piece))
         return len(word) in reach
     assert coverable("aaab") and coverable("ab")
+
+
+def test_matview_ingest_prunes_state_by_batch_key_range(spark, tmp_path):
+    # post-compaction, a commit's state reads open only the files
+    # whose zone covers the BATCH's key range; a disjoint-range batch
+    # contributes no base part at all — and every serve stays exact
+    from libmr_spark.operators.dedup import _manifest_read
+    from libmr_spark.operators.matview import _pre_parts
+
+    p = _store(tmp_path, "mv_prune_ingest")
+    n = 100
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, [(k, f"l{k}", 1) for k in range(1, n + 1)], ["k", "lv", "m"]),
+        _mk(spark, [(k, f"r{k}", 1) for k in range(1, n + 1)], ["k", "rv", "m"]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(1, "l1", -1)]), on="k")
+    compact_matview_store(spark, p, n_files=8)
+
+    tags = _manifest_read(os.path.join(p, "_BATCHES"), None)
+    full = _pre_parts(spark, p, "right", tags, "m")
+    assert len(full) == 1
+    total_files = set(full[0].inputFiles())
+    assert len(total_files) >= 6
+
+    narrow = _pre_parts(
+        spark, p, "right", tags, "m", zone_col="k", key_range=(40, 45)
+    )
+    assert len(narrow) == 1
+    assert set(narrow[0].inputFiles()) < total_files
+    disjoint = _pre_parts(
+        spark, p, "right", tags, "m", zone_col="k", key_range=(5000, 5001)
+    )
+    assert disjoint == []
+
+    # end-to-end: an overlapping-range commit joins correctly, and a
+    # disjoint-range commit (fully pruned base) still admits and joins
+    # against nothing, exactly
+    matview_ingest(spark, p, left_delta=_left(spark, [(50, "LX", 1)]), on="k")
+    got = {
+        tuple(r) for r in matview_read(spark, p).filter(F.col("k") == 50).collect()
+    }
+    assert got == {(50, "l50", "r50", 1), (50, "LX", "r50", 1)}
+    matview_ingest(
+        spark,
+        p,
+        _mk(spark, [(9000, "lz", 1)], ["k", "lv", "m"]),
+        _mk(spark, [(9000, "rz", 1)], ["k", "rv", "m"]),
+        on="k",
+    )
+    assert {
+        tuple(r)
+        for r in matview_read(spark, p).filter(F.col("k") == 9000).collect()
+    } == {(9000, "lz", "rz", 1)}
+    # replay of the disjoint batch admits nothing (admission consults
+    # the netted tail even when the base fully prunes)
+    matview_ingest(
+        spark, p, left_delta=_mk(spark, [(9000, "lz", 1)], ["k", "lv", "m"]),
+        on="k",
+    )
+    assert {
+        tuple(r)
+        for r in matview_read(spark, p).filter(F.col("k") == 9000).collect()
+    } == {(9000, "lz", "rz", 1)}
