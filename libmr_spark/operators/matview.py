@@ -1012,7 +1012,14 @@ def compact_matview_store(
     return rewritten
 
 
-def matview_lookup(spark, store_path: str, zone_col: str, lo, hi=None) -> DataFrame:
+def matview_lookup(
+    spark,
+    store_path: str,
+    zone_col: str,
+    lo,
+    hi=None,
+    view_table: str = "view",
+) -> DataFrame:
     """Point/range serve over the view with FILE-LEVEL pruning: for
     each manifest-listed batch dir, open only the part files whose
     zone-map range intersects ``[lo, hi]`` (dirs without zones — fresh
@@ -1020,18 +1027,18 @@ def matview_lookup(spark, store_path: str, zone_col: str, lo, hi=None) -> DataFr
     write — contribute all their files, so the result is always exact;
     pruning only ever removes files proven empty for the probe).  The
     predicate additionally pushes into the parquet scan for row-group
-    pruning inside the opened files."""
-    import json
-
+    pruning inside the opened files.  ``view_table`` names one of a
+    multi-view store's custom tables (zoned the same way by
+    compaction when it kept the zone column)."""
     if hi is None:
         hi = lo
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _manifest_read(manifest_path, None)
-    paths = _pruned_paths(store_path, "view", tags, zone_col, lo, hi)
+    paths = _pruned_paths(store_path, view_table, tags, zone_col, lo, hi)
     if not paths:
         # every candidate file pruned: exact empty result, typed from
         # the store schema
-        v = _read_table(spark, store_path, "view", tags)
+        v = _read_table(spark, store_path, view_table, tags)
         return _net(v.limit(0), "mult")
     v = spark.read.option("mergeSchema", "true").parquet(*paths)
     v = v.filter((F.col(zone_col) >= lo) & (F.col(zone_col) <= hi))
