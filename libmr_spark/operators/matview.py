@@ -562,17 +562,44 @@ def matview_read(
     as_of_batches: int | None = None,
     view_table: str = "view",
 ) -> DataFrame:
-    """Serve the net view: one groupBy-SUM over the manifest-listed
-    view deltas, rows with net multiplicity > 0 (under the unit-CDC
-    admission contract a negative net is unreachable).  ``mult`` is
-    the joined row's multiplicity — a served column, so the driver
-    hash gates the Z-set algebra, not just row membership.
+    """Serve the net view: rows with net multiplicity > 0 (under the
+    unit-CDC admission contract a negative net is unreachable).
+    ``mult`` is the joined row's multiplicity — a served column, so
+    the driver hash gates the Z-set algebra, not just row membership.
     ``view_table`` names one of a multi-view store's view tables
-    (:func:`matview_multi_ingest`)."""
+    (:func:`matview_multi_ingest`).
+
+    Serving reuses the ingest path's part decomposition
+    (:func:`_pre_parts`): the compact base is ALREADY net as written,
+    so a post-compaction serve with no tail is a bare filtered scan
+    (zero shuffles), and with a tail only the base rows whose
+    identity the tail touches are re-folded — the tail's identity set
+    broadcasts, untouched base rows stream through as-is, and the
+    state-sized groupBy disappears from the serve entirely.  Exact by
+    the same linearity the commit path relies on."""
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _tags_asof(manifest_path, store_path, as_of_batches)
-    v = _read_table(spark, store_path, view_table, tags)
-    return _net(v, "mult").filter(F.col("mult") > 0)
+    parts = _pre_parts(spark, store_path, view_table, tags, "mult")
+    if len(parts) == 1:
+        return parts[0].filter(F.col("mult") > 0)
+    fields = _union_fields(parts, "mult")
+    base, tail = [_align_keep_m(p, fields, "mult") for p in parts]
+    cols = [f.name for f in fields]
+    tkeys = tail.select(*cols).distinct()
+    hit = base.alias("_b").join(
+        F.broadcast(tkeys.alias("_t")),
+        _nullsafe_cond("_b", "_t", cols),
+        "semi",
+    )
+    miss = base.alias("_b").join(
+        F.broadcast(tkeys.alias("_t")),
+        _nullsafe_cond("_b", "_t", cols),
+        "anti",
+    )
+    combined = _net(hit.unionByName(tail), "mult")
+    return (
+        miss.unionByName(combined).filter(F.col("mult") > 0)
+    )
 
 
 def matview_agg(

@@ -1133,3 +1133,49 @@ def test_matview_ingest_prunes_state_by_batch_key_range(spark, tmp_path):
         tuple(r)
         for r in matview_read(spark, p).filter(F.col("k") == 9000).collect()
     } == {(9000, "lz", "rz", 1)}
+
+
+def test_matview_read_skips_fold_post_compaction(spark, tmp_path):
+    # serving reuses the part decomposition: a post-compaction serve
+    # with no tail is a bare filtered scan (no Aggregate in the plan),
+    # and with a tail only tail-touched identities re-fold while the
+    # rest of the base streams through — equal to the full fold
+    p = _store(tmp_path, "mv_serve_fast")
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(k, f"l{k}", 1) for k in range(1, 21)]),
+        _right(spark, [(k, f"r{k}", 1) for k in range(1, 21)]),
+        on="k",
+    )
+    matview_ingest(spark, p, left_delta=_left(spark, [(1, "l1", -1)]), on="k")
+    compact_matview_store(spark, p)
+
+    served = matview_read(spark, p)
+    plan = served._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    want = {(k, f"l{k}", f"r{k}", 1) for k in range(2, 21)}
+    assert _served(spark, p) == want
+
+    # tail present: retraction of a base row + a new pair
+    matview_ingest(
+        spark,
+        p,
+        _left(spark, [(2, "l2", -1), (50, "l50", 1)]),
+        _right(spark, [(50, "r50", 1)]),
+        on="k",
+    )
+    got = _served(spark, p)
+    assert got == (want - {(2, "l2", "r2", 1)}) | {(50, "l50", "r50", 1)}
+    # cross-check against the naive full fold
+    from libmr_spark.operators.dedup import _manifest_read
+    from libmr_spark.operators.matview import _net, _read_table
+
+    tags = _manifest_read(os.path.join(p, "_BATCHES"), None)
+    naive = {
+        (r.k, r.lv, r.rv, r.mult)
+        for r in _net(_read_table(spark, p, "view", tags), "mult")
+        .filter(F.col("mult") > 0)
+        .collect()
+    }
+    assert got == naive
