@@ -579,11 +579,17 @@ def matview_read(
     the same linearity the commit path relies on."""
     manifest_path = os.path.join(store_path, "_BATCHES")
     tags = _tags_asof(manifest_path, store_path, as_of_batches)
-    parts = _pre_parts(spark, store_path, view_table, tags, "mult")
+    return _serve_net(spark, store_path, view_table, tags, "mult")
+
+
+def _serve_net(spark, store_path, table, tags, mcol) -> DataFrame:
+    """Net-positive rows of a store table, fold-free where the layout
+    allows (see :func:`matview_read`)."""
+    parts = _pre_parts(spark, store_path, table, tags, mcol)
     if len(parts) == 1:
-        return parts[0].filter(F.col("mult") > 0)
-    fields = _union_fields(parts, "mult")
-    base, tail = [_align_keep_m(p, fields, "mult") for p in parts]
+        return parts[0].filter(F.col(mcol) > 0)
+    fields = _union_fields(parts, mcol)
+    base, tail = [_align_keep_m(p, fields, mcol) for p in parts]
     cols = [f.name for f in fields]
     tkeys = tail.select(*cols).distinct()
     hit = base.alias("_b").join(
@@ -596,10 +602,8 @@ def matview_read(
         _nullsafe_cond("_b", "_t", cols),
         "anti",
     )
-    combined = _net(hit.unionByName(tail), "mult")
-    return (
-        miss.unionByName(combined).filter(F.col("mult") > 0)
-    )
+    combined = _net(hit.unionByName(tail), mcol)
+    return miss.unionByName(combined).filter(F.col(mcol) > 0)
 
 
 def matview_agg(
@@ -836,12 +840,8 @@ def matview_read_outer(
     with open(manifest_path) as f:
         keys = json.load(f)["params"]["on"].split(",")
 
-    v = _net(_read_table(spark, store_path, "view", tags), "mult").filter(
-        F.col("mult") > 0
-    )
-    L = _net(_read_table(spark, store_path, "left", tags), "m").filter(
-        F.col("m") > 0
-    )
+    v = _serve_net(spark, store_path, "view", tags, "mult")
+    L = _serve_net(spark, store_path, "left", tags, "m")
     unmatched = L.join(v.select(*keys).distinct(), keys, "left_anti")
     right_only = [
         f for f in v.schema.fields if f.name not in L.columns and f.name != "mult"
@@ -899,15 +899,9 @@ def matview_read_full_outer(
     with open(manifest_path) as f:
         keys = json.load(f)["params"]["on"].split(",")
 
-    v = _net(_read_table(spark, store_path, "view", tags), "mult").filter(
-        F.col("mult") > 0
-    )
-    L = _net(_read_table(spark, store_path, "left", tags), "m").filter(
-        F.col("m") > 0
-    )
-    R = _net(_read_table(spark, store_path, "right", tags), "m").filter(
-        F.col("m") > 0
-    )
+    v = _serve_net(spark, store_path, "view", tags, "mult")
+    L = _serve_net(spark, store_path, "left", tags, "m")
+    R = _serve_net(spark, store_path, "right", tags, "m")
     vkeys = v.select(*keys).distinct()
     l_cols = [c for c in L.columns if c != "m"]
     r_only = [
