@@ -40,8 +40,10 @@ stores.
 
 Serving:
 
-- :func:`matview_read` — one groupBy-SUM over the manifest-listed view
-  deltas (net multiplicity > 0), optionally pinned ``as_of_batches``;
+- :func:`matview_read` — the net view (multiplicity > 0), optionally
+  pinned ``as_of_batches``; FOLD-FREE where the layout allows: the
+  compact base serves as written and only tail-touched identities
+  re-fold (:func:`_serve_net`);
 - :func:`matview_agg` — a LINEAR aggregate (SUM/COUNT) over the view
   served STRAIGHT from the raw deltas in a single pass: linearity
   means ``SUM(v·mult)`` over deltas equals the aggregate over the net
@@ -56,10 +58,14 @@ that sum: the view-delta joins join the batch against each part (AQE
 broadcasts the batch; the part is scanned, not shuffled), and
 admission restricts each part to the batch's identities with a
 broadcast semi join before netting the batch-bounded slice.  Per-commit
-cost is therefore full-state SCANS plus batch-bounded shuffles; the
-only state-sized shuffle left in the lifecycle is the rewrite itself
+cost is therefore batch-bounded shuffles plus state scans that
+ZONE-PRUNE to the batch's key range (compaction range-lays-out and
+zones the side tables by the leading join key; a commit whose keys
+miss the base's zones reads no state at all); the only state-sized
+shuffle left in the lifecycle is the rewrite itself
 (:func:`compact_matview_store` / takedown), which is policy-cadenced,
-and the tail net-fold, bounded by that cadence.  The
+and the tail net-fold, bounded by that cadence.  Serving follows the
+same decomposition (fold-free post-compaction).  The
 commit-cost-vs-state-size curve is measured in
 ``scripts/matview_commit_curve.py``.
 
@@ -393,14 +399,34 @@ def _ingest_locked(
             "right_delta (they define the store's schemas)"
         )
 
-    def _delta_key_range(delta):
+    def _base_zoned(table):
+        # pruning can only ever engage against a leading compact batch
+        # that carries zone maps on the join key
+        if not tags or not tags[0].startswith("compact-"):
+            return False
+        import json as _json
+
+        zpath = os.path.join(
+            store_path, table, f"batch={tags[0]}", "_ZONES.json"
+        )
+        try:
+            with open(zpath) as f:
+                return _json.load(f).get("column") == keys[0]
+        except (OSError, ValueError):
+            return False
+
+    zoned = {t: _base_zoned(t) for t in ("left", "right")}
+
+    def _delta_key_range(delta, needed):
         """The batch's [min, max] over the leading join key — the
         zone-prune probe for every state read this commit performs.
-        One batch-bounded two-scalar agg; None (= serve unpruned) when
-        the batch is absent, empty, or carries a NULL key (a NULL
-        identity can eqNullSafe-match state rows a value-range prune
-        could wrongly skip)."""
-        if delta is None:
+        One batch-bounded two-scalar agg, SKIPPED entirely (None =
+        serve unpruned) when no zoned compact base exists to prune —
+        pre-compaction commits must not pay probe jobs that cannot
+        prune anything.  Also None when the batch is absent, empty,
+        or carries a NULL key (a NULL identity can eqNullSafe-match
+        state rows a value-range prune could wrongly skip)."""
+        if delta is None or not needed:
             return None
         row = delta.agg(
             F.min(keys[0]), F.max(keys[0]),
@@ -410,8 +436,10 @@ def _ingest_locked(
             return None
         return (row[0], row[1])
 
-    rng_l = _delta_key_range(left_delta)
-    rng_r = _delta_key_range(right_delta)
+    # rng_l prunes LEFT admission (zoned left base) and the
+    # ΔL⋈right-state view term (zoned right base); symmetrically rng_r
+    rng_l = _delta_key_range(left_delta, zoned["left"] or zoned["right"])
+    rng_r = _delta_key_range(right_delta, zoned["left"] or zoned["right"])
 
     def _side_state(table, delta, admit_rng):
         # the pre-state stays a SUM of parts (leading compact batch

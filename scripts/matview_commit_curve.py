@@ -81,6 +81,12 @@ def commit_wall(spark, path, base_id, rounds=3):
 def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [20_000, 100_000, 500_000]
     spark = get_spark("matview-commit-curve", shuffle_partitions=32)
+    # warm the JVM/codegen path so the first-measured point doesn't
+    # absorb one-time startup cost
+    warm = "/tmp/libmr_mv_curve_warm"
+    build(spark, warm, 4_000)
+    commit_wall(spark, warm, base_id=10_000_000, rounds=1)
+    shutil.rmtree(warm, ignore_errors=True)
     out = {"delta_rows": DELTA, "points": []}
     print("| state rows/side | commit wall, 4-batch tail (s) | "
           "commit wall, post-compaction (s) |")
