@@ -1476,7 +1476,18 @@ def dedup_incremental_exact(
         history = spark.read.parquet(
             *[os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
         )
-        admitted = batch_fp.join(history.select("fp"), "fp", "left_anti")
+        # an anti join cannot broadcast its big right side, so the
+        # naive batch ANTI history would SHUFFLE the full fingerprint
+        # history every commit. Restrict first (the matview _admit
+        # trick): semi-probe the history with the BROADCAST batch
+        # fingerprints — history is scanned, never shuffled, and the
+        # hit set is batch-bounded — then anti-join the batch against
+        # the hits (broadcast both ways). Admission cost is one
+        # history scan + batch-bounded shuffles, at any corpus size.
+        hits = history.select("fp").join(
+            F.broadcast(batch_fp.select("fp")), "fp", "semi"
+        )
+        admitted = batch_fp.join(F.broadcast(hits), "fp", "left_anti")
     else:
         admitted = batch_fp
     # materialize BEFORE the append: the returned frame must not lazily
@@ -1877,7 +1888,14 @@ def dedup_incremental_clusters(
         hist_shg = spark.read.parquet(
             *[os.path.join(paths["shingles"], f"batch={t}") for t in tags]
         )
-        uniq = uniq.join(hist_mem.select(id_col), id_col, "left_anti")
+        # restrict-then-anti (the exact-store admission pattern): the
+        # history side of an anti join cannot broadcast, so semi-probe
+        # it with the broadcast batch ids first — history is scanned,
+        # never shuffled, and the hit set is batch-bounded
+        _hits = hist_mem.select(id_col).join(
+            F.broadcast(uniq.select(id_col)), id_col, "semi"
+        )
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     sh_new = _shingle_hash_index(uniq, text_col, id_col, n).localCheckpoint(eager=True)
 
     a = sh_new.select(
@@ -2195,7 +2213,13 @@ def dedup_incremental_spans(
         stored_win = spark.read.parquet(
             *[os.path.join(paths["windows"], f"batch={t}") for t in tags]
         )
-        uniq = uniq.join(stored_win.select(id_col).distinct(), id_col, "left_anti")
+        # restrict-then-anti: semi-probe the stored windows with the
+        # broadcast batch ids (scan, no shuffle, no history-wide
+        # distinct), then dedup the batch-bounded hit set
+        _hits = stored_win.select(id_col).join(
+            F.broadcast(uniq.select(id_col)), id_col, "semi"
+        ).distinct()
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     # Write the batch's window postings FIRST, then re-read them and
     # derive every downstream frame from parquet scans. This breaks
     # the lineage through the filesystem: no persisted/checkpointed
@@ -2398,7 +2422,9 @@ def table_store_ingest(
         hist = spark.read.parquet(
             *[os.path.join(store_path, table, f"batch={t}") for t in tags]
         ).select(id_col)
-        uniq = uniq.join(hist, id_col, "left_anti")
+        # restrict-then-anti: scan (never shuffle) the history
+        _hits = hist.join(F.broadcast(uniq.select(id_col)), id_col, "semi")
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     uniq = uniq.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
     uniq.write.mode("overwrite").parquet(
