@@ -122,7 +122,14 @@ def bm25_index_ingest(
         hist_ids = spark.read.parquet(
             *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
         ).select(id_col)
-        uniq = uniq.join(hist_ids, id_col, "left_anti")
+        # restrict-then-anti (the store-family admission pattern): an
+        # anti join cannot broadcast its big right side, so semi-probe
+        # the history with the broadcast batch ids first — history is
+        # scanned, never shuffled; the hit set is batch-bounded
+        _hits = hist_ids.join(
+            F.broadcast(uniq.select(id_col)), id_col, "semi"
+        )
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     tf = tokenize_ws(uniq, text_col, id_col).groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -293,7 +300,14 @@ def ann_index_ingest(
         hist_ids = spark.read.parquet(
             *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
         ).select(id_col)
-        uniq = uniq.join(hist_ids, id_col, "left_anti")
+        # restrict-then-anti (the store-family admission pattern): an
+        # anti join cannot broadcast its big right side, so semi-probe
+        # the history with the broadcast batch ids first — history is
+        # scanned, never shuffled; the hit set is batch-bounded
+        _hits = hist_ids.join(
+            F.broadcast(uniq.select(id_col)), id_col, "semi"
+        )
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
         cents = _centroids_read(index_path)
         assigned = assign_exact(
             uniq, cents, vec_col=vec_col, id_col=id_col, quant_digits=quant_digits
@@ -827,7 +841,14 @@ def hybrid_index_ingest(
         hist_ids = spark.read.parquet(
             *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
         ).select(id_col)
-        uniq = uniq.join(hist_ids, id_col, "left_anti")
+        # restrict-then-anti (the store-family admission pattern): an
+        # anti join cannot broadcast its big right side, so semi-probe
+        # the history with the broadcast batch ids first — history is
+        # scanned, never shuffled; the hit set is batch-bounded
+        _hits = hist_ids.join(
+            F.broadcast(uniq.select(id_col)), id_col, "semi"
+        )
+        uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     # one materialization of the admitted batch feeds all four tables
     # (and freezes the anti-join before the store gains these doc_ids)
     uniq = uniq.localCheckpoint(eager=True)
