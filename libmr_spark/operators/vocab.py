@@ -79,13 +79,19 @@ def pmi_store_ingest(
     )
     tags = _manifest_read(manifest_path, _PARAMS)
     if tags:
+        # net only the batch's slice of the docs log: semi-probe the
+        # log with the broadcast batch ids (scan, never a log-wide
+        # shuffle), then fold the batch-bounded hits — admission
+        # consults no other doc's net, so this is exact (the
+        # restrict-then-fold decomposition the store family shares)
         net = (
             _read_table(spark, store_path, "docs", tags)
+            .join(F.broadcast(ev.select(id_col)), id_col, "semi")
             .groupBy(id_col)
             .agg(F.sum("sign").alias("net"))
         )
         ev = (
-            ev.join(net, id_col, "left")
+            ev.join(F.broadcast(net), id_col, "left")
             .filter(
                 ((F.col("sign") > 0) & (F.coalesce("net", F.lit(0)) <= 0))
                 | ((F.col("sign") < 0) & (F.col("net") == 1))
