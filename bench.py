@@ -255,6 +255,7 @@ HEADLINE = [
     # round-10: seeded-geometric DP counter release (perf set — one
     # aggregation tree + scalar expressions)
     "dp_count_release",
+    "dp_sum_release",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -319,3 +319,49 @@ def dp_geometric_release(
     return g.select(
         *group_cols, (F.col("n") + noise).cast("bigint").alias("n_noisy")
     )
+
+
+def dp_sum_release(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """Seeded-geometric DP SUM release — the value-perturbation
+    counterpart of :func:`dp_geometric_release`: per-group sums of the
+    value CLAMPED to ``[lo, hi]`` (clamping bounds one individual's
+    contribution, so the add/remove-one sensitivity is
+    ``S = max(|lo|, |hi|)``), perturbed by integer noise from the
+    rounded-Laplace(S/ε) mechanism via the same derandomized
+    washed-ln inverse CDF.  The per-group uniform is keyed
+    ``md5(seed:sum:key)`` — disjoint from the count release's stream,
+    so jointly releasing counts and sums composes two independent
+    mechanisms.  Emits ``(group_cols..., sum_noisy)``; the true sum is
+    deliberately NOT emitted and the clamp bounds are public
+    parameters.  One aggregation tree + per-group scalar expressions —
+    group-cardinality-bounded at any corpus scale."""
+    from pyspark.sql import functions as F
+
+    if not lo < hi:
+        raise ValueError(f"clamp bounds must satisfy lo < hi, got [{lo}, {hi}]")
+    sens = max(abs(lo), abs(hi))
+    b = sens / epsilon
+    clamped = F.least(F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+    g = df.groupBy(*group_cols).agg(
+        F.round(F.sum(clamped), 2).alias("_s")
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), F.lit("sum"),
+        *[F.col(c).cast("string") for c in group_cols],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    t = (2 * h + 1).cast("double") / F.lit(8589934592.0) - F.lit(0.5)
+    mag = F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)), 6)
+    noise = F.round(F.lit(-b) * F.signum(t) * mag, 0).cast("bigint")
+    return g.select(
+        *group_cols,
+        F.round(F.col("_s") + noise.cast("double"), 2).alias("sum_noisy"),
+    )

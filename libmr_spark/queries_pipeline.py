@@ -9204,3 +9204,51 @@ def dp_count_release_q(spark, sf_dir):
     return dp_geometric_release(
         c, ["c_nationkey", "c_mktsegment"], epsilon=0.5, seed="42"
     )
+
+
+@defquery(
+    "dp_sum_release",
+    r"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         ROUND(SUM(LEAST(GREATEST(CAST(c_acctbal AS DOUBLE), 0.0), 5000.0)), 2) AS s
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+r AS (
+  SELECT c_nationkey, c_mktsegment, s,
+         CAST(('0x' || substr(md5('42:sum:' || CAST(c_nationkey AS VARCHAR)
+                || ':' || c_mktsegment), 1, 8)) AS BIGINT) AS h
+  FROM g
+),
+t AS (
+  SELECT c_nationkey, c_mktsegment, s,
+         (2 * h + 1) / 8589934592.0 - 0.5 AS t
+  FROM r
+)
+SELECT c_nationkey, c_mktsegment,
+       ROUND(s + CAST(ROUND(-10000.0 * SIGN(t) * ROUND(LN(1 - 2 * ABS(t)), 6), 0)
+                 AS BIGINT), 2) AS sum_noisy
+FROM t
+""",
+    "SEEDED-GEOMETRIC DP SUM release "
+    "(operators/sampling.py::dp_sum_release) — the value-perturbation "
+    "counterpart of dp_count_release: per-(nation, segment) account "
+    "balances CLAMPED to the public bounds [0, 5000] (clamping bounds "
+    "one individual's contribution, so the add/remove-one sensitivity "
+    "is S=5000) and perturbed by integer rounded-Laplace(S/epsilon) "
+    "noise, epsilon=0.5, from the same derandomized md5-uniform/"
+    "washed-ln inverse CDF — deterministic, auditable, under the "
+    "driver hash. The per-group uniform is keyed 'seed:sum:key', "
+    "disjoint from the count release's stream, so jointly publishing "
+    "counts and sums composes two independent mechanisms. True sums "
+    "never emitted. One aggregation tree + scalar expressions — "
+    "group-cardinality-bounded at any corpus scale.",
+)
+def dp_sum_release_q(spark, sf_dir):
+    from .operators.sampling import dp_sum_release
+
+    c = _t(spark, sf_dir, "customer")
+    return dp_sum_release(
+        c, ["c_nationkey", "c_mktsegment"], "c_acctbal",
+        lo=0.0, hi=5000.0, epsilon=0.5, seed="42",
+    )

@@ -253,3 +253,58 @@ def test_dp_geometric_release_noise_exact_and_scaled(spark):
         for r in dp_geometric_release(df, ["grp"], epsilon=0.5, seed="7").collect()
     }
     assert other == {k: n + py_noise(k, 0.5, "7") for k, n in true_n.items()}
+
+
+def test_dp_sum_release_clamp_and_independent_stream(spark):
+    # clamping bounds one individual's contribution; noise is the
+    # python-replayable rounded-Laplace(S/eps) chain on a stream
+    # DISJOINT from the count release's (joint publication composes
+    # two independent mechanisms)
+    import hashlib
+    import math
+
+    from libmr_spark.operators.sampling import (
+        dp_geometric_release,
+        dp_sum_release,
+    )
+
+    rows = [("g", 100.0)] * 3 + [("g", 99999.0)] + [("h", -50.0)] * 2
+    df = spark.createDataFrame(rows, ["grp", "v"])
+
+    def py_noise(key, b, seed="42", tag="sum"):
+        h = int(
+            hashlib.md5(f"{seed}:{tag}:{key}".encode()).hexdigest()[:8], 16
+        )
+        t = (2 * h + 1) / 8589934592.0 - 0.5
+        mag = round(math.log(1 - 2 * abs(t)), 6)
+        x = -b * math.copysign(1.0, t) * mag
+        return int(math.floor(abs(x) + 0.5) * math.copysign(1.0, x))
+
+    out = {
+        r.grp: r.sum_noisy
+        for r in dp_sum_release(
+            df, ["grp"], "v", lo=0.0, hi=500.0, epsilon=0.5
+        ).collect()
+    }
+    # clamped true sums: g = 3*100 + 500 (outlier clamped), h = 0 + 0
+    assert out == {
+        "g": round(800.0 + py_noise("g", 1000.0), 2),
+        "h": round(0.0 + py_noise("h", 1000.0), 2),
+    }
+    # the count release's noise comes from its own (untagged) stream:
+    # its exact value is count + the tagless chain, which for these
+    # groups differs from the sum-tagged chain's draw
+    cnt = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], epsilon=0.5).collect()
+    }
+    def py_count_noise(key, eps=0.5, seed="42"):
+        h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16)
+        t = (2 * h + 1) / 8589934592.0 - 0.5
+        mag = round(math.log(1 - 2 * abs(t)), 6)
+        x = -(1.0 / eps) * math.copysign(1.0, t) * mag
+        return int(math.floor(abs(x) + 0.5) * math.copysign(1.0, x))
+
+    assert cnt == {"g": 4 + py_count_noise("g"), "h": 2 + py_count_noise("h")}
+    with __import__("pytest").raises(ValueError, match="lo < hi"):
+        dp_sum_release(df, ["grp"], "v", lo=5.0, hi=5.0)
