@@ -256,6 +256,7 @@ HEADLINE = [
     # aggregation tree + scalar expressions)
     "dp_count_release",
     "dp_sum_release",
+    "kanon_dp_release",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -365,3 +365,47 @@ def dp_sum_release(
         *group_cols,
         F.round(F.col("_s") + noise.cast("double"), 2).alias("sum_noisy"),
     )
+
+
+def kanon_dp_release(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    value_col: str,
+    epsilon: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """K-anonymity COMPOSED with the DP mechanism: groups with >= k
+    members release their exact (count, sum); smaller groups release a
+    DP-NOISY count (clamped at 0 — DP-safe post-processing) and a NULL
+    sum, instead of rolling up.  Every group appears, so absence leaks
+    nothing; no exact sub-k statistic is ever published; and the
+    exactness flag is implicit in the sum's nullness (public either
+    way, since k is a public parameter).  Noise is the derandomized
+    seeded-geometric stream keyed ``md5(seed:kanon:key)`` — disjoint
+    from the standalone count/sum releases, deterministic, auditable,
+    oracle-provable.  Emits ``(group_cols..., n_released, total)``.
+    One aggregation tree + scalar expressions."""
+    from pyspark.sql import functions as F
+
+    b = 1.0 / epsilon
+    dec = F.col(value_col).cast("decimal(18,2)")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total")
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), F.lit("kanon"),
+        *[F.col(c).cast("string") for c in group_cols],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    t = (2 * h + 1).cast("double") / F.lit(8589934592.0) - F.lit(0.5)
+    mag = F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)), 6)
+    noise = F.round(F.lit(-b) * F.signum(t) * mag, 0).cast("bigint")
+    return g.select(
+        *group_cols,
+        F.when(F.col("n") >= k, F.col("n"))
+        .otherwise(F.greatest(F.lit(0), F.col("n") + noise))
+        .cast("bigint")
+        .alias("n_released"),
+        F.when(F.col("n") >= k, F.col("total")).alias("total"),
+    )

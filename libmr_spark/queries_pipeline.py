@@ -9252,3 +9252,50 @@ def dp_sum_release_q(spark, sf_dir):
         c, ["c_nationkey", "c_mktsegment"], "c_acctbal",
         lo=0.0, hi=5000.0, epsilon=0.5, seed="42",
     )
+
+
+@defquery(
+    "kanon_dp_release",
+    r"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+r AS (
+  SELECT *, CAST(('0x' || substr(md5('42:kanon:' || CAST(c_nationkey AS VARCHAR)
+             || ':' || c_mktsegment), 1, 8)) AS BIGINT) AS h
+  FROM g
+),
+t AS (SELECT *, (2 * h + 1) / 8589934592.0 - 0.5 AS t FROM r)
+SELECT c_nationkey, c_mktsegment,
+       CAST(CASE WHEN n >= 10 THEN n
+            ELSE GREATEST(0, n + CAST(ROUND(-2.0 * SIGN(t)
+                 * ROUND(LN(1 - 2 * ABS(t)), 6), 0) AS BIGINT))
+       END AS BIGINT) AS n_released,
+       CAST(CASE WHEN n >= 10 THEN total END AS DOUBLE) AS total
+FROM t
+""",
+    "K-ANONYMITY composed with the DP mechanism "
+    "(operators/sampling.py::kanon_dp_release) — the release the two "
+    "standalone gates build toward: groups with >= k=10 members "
+    "publish exact (count, sum); smaller groups publish a DP-noisy "
+    "count (seeded-geometric, epsilon=0.5, clamped at 0 — DP-safe "
+    "post-processing) and a NULL sum, INSTEAD of rolling up. Every "
+    "group appears so absence leaks nothing, no exact sub-k statistic "
+    "is ever published, and the noise stream is keyed "
+    "'seed:kanon:key' — disjoint from the standalone count/sum "
+    "releases, so a fleet publishing all three composes independent "
+    "mechanisms. Deterministic, auditable, and the hash IS the audit. "
+    "One aggregation tree + scalar expressions — "
+    "group-cardinality-bounded at any corpus scale.",
+)
+def kanon_dp_release_q(spark, sf_dir):
+    from .operators.sampling import kanon_dp_release
+
+    c = _t(spark, sf_dir, "customer")
+    out = kanon_dp_release(
+        c, ["c_nationkey", "c_mktsegment"], k=10,
+        value_col="c_acctbal", epsilon=0.5, seed="42",
+    )
+    return out.withColumn("total", F.col("total").cast("double"))

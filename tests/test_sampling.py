@@ -308,3 +308,31 @@ def test_dp_sum_release_clamp_and_independent_stream(spark):
     assert cnt == {"g": 4 + py_count_noise("g"), "h": 2 + py_count_noise("h")}
     with __import__("pytest").raises(ValueError, match="lo < hi"):
         dp_sum_release(df, ["grp"], "v", lo=5.0, hi=5.0)
+
+
+def test_kanon_dp_release_composition(spark):
+    # exact above k, noisy-count/NULL-sum below k, every group present,
+    # sub-k counts clamped at zero, noise from the 'kanon' stream
+    import hashlib
+    import math
+
+    from libmr_spark.operators.sampling import kanon_dp_release
+
+    rows = [("big", 1.0)] * 12 + [("tiny", 9.0)] * 2 + [("solo", 4.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {
+        r.grp: (r.n_released, r.total)
+        for r in kanon_dp_release(df, ["grp"], k=10, value_col="v").collect()
+    }
+
+    def noise(key, eps=0.5, seed="42"):
+        h = int(hashlib.md5(f"{seed}:kanon:{key}".encode()).hexdigest()[:8], 16)
+        t = (2 * h + 1) / 8589934592.0 - 0.5
+        mag = round(math.log(1 - 2 * abs(t)), 6)
+        x = -(1.0 / eps) * math.copysign(1.0, t) * mag
+        return int(math.floor(abs(x) + 0.5) * math.copysign(1.0, x))
+
+    assert set(out) == {"big", "tiny", "solo"}  # every group appears
+    assert out["big"] == (12, 12.0)             # exact above k
+    assert out["tiny"] == (max(0, 2 + noise("tiny")), None)
+    assert out["solo"] == (max(0, 1 + noise("solo")), None)
