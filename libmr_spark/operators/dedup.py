@@ -1391,6 +1391,45 @@ def connected_components(
     return out
 
 
+#: Above this many distinct batch fingerprints, the per-fp file-prune
+#: probe is skipped: the driver-side collect stops being "bounded
+#: metadata" and a batch that large hits most range-partitioned files
+#: anyway (uniform keys: expected files opened ~ min(batch, files)).
+_FP_PROBE_MAX = 20_000
+
+
+def _admission_paths(spark, fp_table_path: str, tags: list, batch_fp) -> list:
+    """The exact-fp history read list for one admission: when the
+    history carries fp zone maps (``compact_incremental_store`` with
+    ``zone_by={"fps": "fp"}`` — the fingerprint-clustered catalog
+    layout), open only the part files whose fp range contains at least
+    one of the batch's fingerprints (:func:`..zones.pruned_paths_probes`).
+    Fingerprints are hash-uniform, so a [min, max] zone probe can never
+    prune them — but each individual fp lands in exactly one
+    range-partitioned file, so the opened-file count is bounded by the
+    BATCH size while the history grows without bound.  Falls back to
+    the full directory list when no leading zoned compact batch exists
+    or the batch is too large for a metadata-sized probe — pruning is
+    an optimization layer, never a correctness dependency (a pruned
+    file is PROVEN to contain none of the batch's fps, so it cannot
+    contribute semi-join hits)."""
+    from .zones import _load_zones, pruned_paths_probes
+
+    full = [os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
+    zoned_any = any(
+        _load_zones(os.path.join(fp_table_path, "fps", f"batch={t}"), "fp")
+        for t in tags
+    )
+    if not zoned_any:
+        return full
+    probes = [
+        r.fp for r in batch_fp.select("fp").limit(_FP_PROBE_MAX + 1).collect()
+    ]
+    if len(probes) > _FP_PROBE_MAX:
+        return full
+    return pruned_paths_probes(fp_table_path, "fps", tags, "fp", probes)
+
+
 def dedup_incremental_exact(
     spark,
     fp_table_path: str,
@@ -1473,21 +1512,31 @@ def dedup_incremental_exact(
         )
     tags = _manifest_read(manifest_path, params)
     if tags:
-        history = spark.read.parquet(
-            *[os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
-        )
-        # an anti join cannot broadcast its big right side, so the
-        # naive batch ANTI history would SHUFFLE the full fingerprint
-        # history every commit. Restrict first (the matview _admit
-        # trick): semi-probe the history with the BROADCAST batch
-        # fingerprints — history is scanned, never shuffled, and the
-        # hit set is batch-bounded — then anti-join the batch against
-        # the hits (broadcast both ways). Admission cost is one
-        # history scan + batch-bounded shuffles, at any corpus size.
-        hits = history.select("fp").join(
-            F.broadcast(batch_fp.select("fp")), "fp", "semi"
-        )
-        admitted = batch_fp.join(F.broadcast(hits), "fp", "left_anti")
+        # freeze the batch aggregate once: it feeds the probe collect,
+        # the history semi-probe, and the anti-join (and admission
+        # must not re-derive it per use)
+        batch_fp = batch_fp.localCheckpoint(eager=True)
+        paths = _admission_paths(spark, fp_table_path, tags, batch_fp)
+        if paths:
+            history = spark.read.parquet(*paths)
+            # an anti join cannot broadcast its big right side, so the
+            # naive batch ANTI history would SHUFFLE the full
+            # fingerprint history every commit. Restrict first (the
+            # matview _admit trick): semi-probe the history with the
+            # BROADCAST batch fingerprints — history is scanned, never
+            # shuffled, and the hit set is batch-bounded — then
+            # anti-join the batch against the hits (broadcast both
+            # ways). Admission cost is one history scan +
+            # batch-bounded shuffles, at any corpus size; with an
+            # fp-clustered compacted history (_admission_paths) the
+            # scan itself opens only O(batch) files.
+            hits = history.select("fp").join(
+                F.broadcast(batch_fp.select("fp")), "fp", "semi"
+            )
+            admitted = batch_fp.join(F.broadcast(hits), "fp", "left_anti")
+        else:
+            # every history file was PROVEN fp-disjoint with the batch
+            admitted = batch_fp
     else:
         admitted = batch_fp
     # materialize BEFORE the append: the returned frame must not lazily

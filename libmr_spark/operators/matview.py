@@ -124,6 +124,19 @@ def _store_tables(store_path: str) -> tuple:
     return ("left", "right") + _store_view_tables(store_path)
 
 
+#: Above this many identity rows the forced F.broadcast hint is
+#: dropped (the join degrades to whatever Catalyst/AQE picks): a
+#: bulk-load CDC batch or a very long post-compaction tail must not
+#: turn a working shuffle plan into a broadcast-limit / driver-OOM
+#: hard failure. Normal batches and policy-cadenced tails sit orders
+#: of magnitude below this.
+_BCAST_MAX_ROWS = 4_000_000
+
+
+def _bcast_if_small(df: DataFrame, n_rows: int):
+    return F.broadcast(df) if n_rows <= _BCAST_MAX_ROWS else df
+
+
 def _net(df: DataFrame, mcol: str) -> DataFrame:
     cols = [c for c in df.columns if c != mcol]
     return (
@@ -202,12 +215,21 @@ def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     restriction is batch-bounded: this is what keeps a commit free of
     full-state shuffles."""
     cols = [c for c in delta.columns if c != mcol]
-    d = _net(delta, mcol).withColumnRenamed(mcol, "_dm")
+    # materialize the netted batch once: it feeds one semi-probe per
+    # part plus the admission join (no re-derivation per use), its
+    # count gates the broadcast hint, and admission is frozen against
+    # a single evaluation of the caller's delta
+    d = (
+        _net(delta, mcol)
+        .withColumnRenamed(mcol, "_dm")
+        .localCheckpoint(eager=True)
+    )
+    n_batch = d.count()
     dk = d.select(*cols)
     hits = None
     for part in parts:
         h = part.alias("_s").join(
-            F.broadcast(dk.alias("_k")),
+            _bcast_if_small(dk.alias("_k"), n_batch),
             _nullsafe_cond("_s", "_k", cols),
             "semi",
         )
@@ -417,6 +439,19 @@ def _ingest_locked(
 
     zoned = {t: _base_zoned(t) for t in ("left", "right")}
 
+    # freeze the caller's deltas BEFORE the key-range probe: the probe
+    # and admission must observe the SAME rows, or a nondeterministic
+    # delta source (a re-evaluated shuffle sample, a non-stable limit)
+    # could yield a probe range inconsistent with the rows actually
+    # admitted — state files wrongly zone-pruned, view delta silently
+    # wrong. Only paid when a zoned base exists (otherwise no probe
+    # job runs and admission's own checkpoint is the single freeze).
+    if zoned["left"] or zoned["right"]:
+        if left_delta is not None:
+            left_delta = left_delta.localCheckpoint(eager=True)
+        if right_delta is not None:
+            right_delta = right_delta.localCheckpoint(eager=True)
+
     def _delta_key_range(delta, needed):
         """The batch's [min, max] over the leading join key — the
         zone-prune probe for every state read this commit performs.
@@ -619,14 +654,19 @@ def _serve_net(spark, store_path, table, tags, mcol) -> DataFrame:
     fields = _union_fields(parts, mcol)
     base, tail = [_align_keep_m(p, fields, mcol) for p in parts]
     cols = [f.name for f in fields]
-    tkeys = tail.select(*cols).distinct()
+    # materialize the tail's identity set once (it feeds BOTH the semi
+    # and the anti probe) and gate the broadcast hint on its size — a
+    # very long post-compaction tail degrades to AQE's pick instead of
+    # failing the serve at the broadcast limit
+    tkeys = tail.select(*cols).distinct().localCheckpoint(eager=True)
+    n_tail = tkeys.count()
     hit = base.alias("_b").join(
-        F.broadcast(tkeys.alias("_t")),
+        _bcast_if_small(tkeys.alias("_t"), n_tail),
         _nullsafe_cond("_b", "_t", cols),
         "semi",
     )
     miss = base.alias("_b").join(
-        F.broadcast(tkeys.alias("_t")),
+        _bcast_if_small(tkeys.alias("_t"), n_tail),
         _nullsafe_cond("_b", "_t", cols),
         "anti",
     )

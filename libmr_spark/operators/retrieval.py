@@ -149,16 +149,32 @@ def bm25_index_ingest(
 def bm25_index_topk(spark, index_path: str, queries: DataFrame, k: int = 10) -> DataFrame:
     """Serve BM25 top-k from the persisted index — the read path a
     retrieval layer runs per query batch: open the manifest-listed
-    postings/doclen directories and rank. At 100 TB the postings are
-    token-clustered by compaction so each query term touches one file
-    group; df/N/S come from the store, not the corpus."""
+    postings/doclen directories and rank.
+
+    ZONE-PRUNED: when compaction token-clustered the postings
+    (``compact_incremental_store(zone_by={"postings": "token"})``),
+    only the part files whose token range covers a query term are
+    opened (:func:`..zones.pruned_paths_probes` — the query term list
+    is driver-small by the same contract that broadcasts it in
+    :func:`bm25_rank`).  Exact: a pruned file is PROVEN to hold no
+    postings for any query term, so candidates, per-term df, and the
+    scores are unchanged; the corpus scalars (N, S) come from doclen,
+    which always reads whole.  At 100 TB this bounds a query batch's
+    postings I/O by the terms probed instead of the vocabulary."""
+    from .zones import pruned_paths_probes
+
     manifest_path = os.path.join(index_path, "_BATCHES")
     tags = _manifest_read(manifest_path, _PARAMS)
     if not tags:
         raise ValueError(f"empty bm25 index at {index_path} (no committed batches)")
-    tf = spark.read.parquet(
-        *[os.path.join(index_path, "postings", f"batch={t}") for t in tags]
-    )
+    full = [os.path.join(index_path, "postings", f"batch={t}") for t in tags]
+    terms = [r.token for r in queries.select("token").distinct().collect()]
+    paths = pruned_paths_probes(index_path, "postings", tags, "token", terms)
+    if paths:
+        tf = spark.read.parquet(*paths)
+    else:
+        # every postings file pruned: no query term is indexed
+        tf = spark.read.parquet(*full).limit(0)
     dl = spark.read.parquet(
         *[os.path.join(index_path, "doclen", f"batch={t}") for t in tags]
     )
@@ -433,14 +449,17 @@ def ann_index_topk(
             f"{stored.get('quant_digits')}, call uses {quant_digits}"
         )
     cents = _centroids_read(index_path)
-    assigned = spark.read.parquet(
-        *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
-    )
-    if candidate_filter is not None:
-        assigned = assigned.filter(candidate_filter)
-    # widen int8 codes back to long before the distance math (no-op on
-    # long stores); tinyint-tinyint products would overflow in-type
-    assigned = assigned.withColumn("v", F.col("v").cast("array<bigint>"))
+    # ZONE-PRUNED cell scan: the probed cid set is computable
+    # driver-side BEFORE touching the store (frozen centroids +
+    # collected queries), so when compaction cid-clustered the cells
+    # (zone_by={"cells": "cid"}) only the part files whose cid range
+    # covers a probed cell are opened — exact, since a pruned file is
+    # PROVEN to hold no probed cell's vectors, and the cid join below
+    # would drop its rows anyway. Bounds a query batch's I/O by
+    # nprobe x |queries| file groups instead of the full index.
+    from .similarity import probe_cells_exact
+    from .zones import pruned_paths_probes
+
     scale = float(10 ** quant_digits)
     qrows = queries.select(
         query_id_col,
@@ -450,6 +469,21 @@ def ann_index_topk(
     ).collect()
     if not qrows:
         raise ValueError("ann_index_topk: empty query set")
+    probe_cids = sorted(
+        {
+            cid
+            for r in qrows
+            for cid in probe_cells_exact([int(x) for x in r.v], cents, nprobe)
+        }
+    )
+    full = [os.path.join(index_path, "cells", f"batch={t}") for t in tags]
+    paths = pruned_paths_probes(index_path, "cells", tags, "cid", probe_cids)
+    assigned = spark.read.parquet(*paths) if paths else spark.read.parquet(*full).limit(0)
+    if candidate_filter is not None:
+        assigned = assigned.filter(candidate_filter)
+    # widen int8 codes back to long before the distance math (no-op on
+    # long stores); tinyint-tinyint products would overflow in-type
+    assigned = assigned.withColumn("v", F.col("v").cast("array<bigint>"))
     return ivf_rank_exact(
         assigned, qrows, cents, nprobe=nprobe, k=k,
         id_col=id_col, query_id_col=query_id_col,
@@ -914,6 +948,17 @@ def hybrid_index_rrf(
         )
         for name in HYBRID_TABLES
     }
+    # lexical-leg zone pruning (same contract as bm25_index_topk):
+    # when compaction token-zoned the postings, open only files whose
+    # token range covers a query term; exact, and pinned-read-safe
+    # because the probe walks the SAME truncated tag list
+    from .zones import pruned_paths_probes
+
+    terms = [r.token for r in query_terms.select("token").distinct().collect()]
+    ppaths = pruned_paths_probes(index_path, "postings", tags, "token", terms)
+    t["postings"] = (
+        spark.read.parquet(*ppaths) if ppaths else t["postings"].limit(0)
+    )
     dvec = t["vectors"].select(F.col("doc_id"), F.col("embedding").alias("dvec"))
     qvec = query_vecs.select("query_id", F.col("embedding").alias("qvec"))
     return rrf_fusion(

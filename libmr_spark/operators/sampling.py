@@ -281,20 +281,35 @@ def dp_geometric_release(
     group_cols: list[str],
     epsilon: float = 0.5,
     seed: str = "42",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded-GEOMETRIC (derandomized discrete-Laplace) counter
     release — the differential-privacy counterpart of
-    :func:`kanon_release`: every group is released, with its count
-    perturbed by integer noise drawn from the two-sided geometric
-    mechanism via an inverse-CDF over a SEEDED per-group uniform, so
-    no exact sub-k count (or its absence) ever leaks.  Derandomized =
-    reproducible: the noise is a pure function of (seed, group key) —
-    md5-prefix uniform, washed-ln inverse CDF, one rounding — so the
-    release is deterministic, auditable, and oracle-provable
-    (the PMI determinism recipe applied to a privacy mechanism).  The
-    ε-DP guarantee holds against observers who do not know the seed;
-    a production deployment keeps the seed secret and rotates it per
-    release, which changes nothing about this plan shape.
+    :func:`kanon_release`: released counts are perturbed by integer
+    noise drawn from the two-sided geometric mechanism via an
+    inverse-CDF over a SEEDED per-group uniform, so no exact count is
+    ever published.  Derandomized = reproducible: the noise is a pure
+    function of (seed, group key) — md5-prefix uniform, washed-ln
+    inverse CDF, one rounding — so the release is deterministic,
+    auditable, and oracle-provable (the PMI determinism recipe applied
+    to a privacy mechanism).  The ε-DP guarantee holds against
+    observers who do not know the seed; a production deployment keeps
+    the seed secret and rotates it per release, which changes nothing
+    about this plan shape.
+
+    DOMAIN CAVEAT (the part ε-DP is pedantic about): without
+    ``domain``, only groups PRESENT in the data are emitted, so group
+    presence/absence is released exactly — neighboring datasets
+    differing by the lone member of a group are perfectly
+    distinguishable by the row's existence.  The stated ε-DP guarantee
+    therefore holds only over a FIXED PUBLIC set of group keys.  Pass
+    ``domain`` (a frame bearing ``group_cols`` — the public key
+    universe, e.g. the nation dimension) to release a noisy row for
+    EVERY domain key, empty groups included (true count 0, noise
+    applied): then row existence carries no information and the
+    guarantee covers membership too.  Keys present in the data but
+    missing from the domain are dropped — the domain is the public
+    frame, by definition.
 
     Mechanism: ``u = (2·h + 1) / 2^33`` (``h`` = first-8-hex of
     ``md5(seed:key)`` — exact in a double, never 0/0.5/1), ``t = u -
@@ -309,6 +324,8 @@ def dp_geometric_release(
 
     b = 1.0 / epsilon
     g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    if domain is not None:
+        g = _frame_to_domain(domain, group_cols, g, {"n": F.lit(0)})
     key = F.concat_ws(
         ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
     )
@@ -321,6 +338,26 @@ def dp_geometric_release(
     )
 
 
+def _frame_to_domain(
+    domain: DataFrame, group_cols: list, g: DataFrame, zero_fills: dict
+) -> DataFrame:
+    """Re-frame per-group aggregates ``g`` onto the PUBLIC key universe
+    ``domain``: every domain key appears exactly once (empty groups get
+    the ``zero_fills`` neutral values), keys absent from the domain are
+    dropped.  The domain is dimension-sized — broadcast-joined, never a
+    corpus-sized shuffle."""
+    from pyspark.sql import functions as F
+
+    framed = (
+        domain.select(*group_cols)
+        .distinct()
+        .join(g, on=list(group_cols), how="left")
+    )
+    for col, zero in zero_fills.items():
+        framed = framed.withColumn(col, F.coalesce(F.col(col), zero))
+    return framed
+
+
 def dp_sum_release(
     df: DataFrame,
     group_cols: list[str],
@@ -329,6 +366,7 @@ def dp_sum_release(
     hi: float,
     epsilon: float = 0.5,
     seed: str = "42",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded-geometric DP SUM release — the value-perturbation
     counterpart of :func:`dp_geometric_release`: per-group sums of the
@@ -342,7 +380,13 @@ def dp_sum_release(
     mechanisms.  Emits ``(group_cols..., sum_noisy)``; the true sum is
     deliberately NOT emitted and the clamp bounds are public
     parameters.  One aggregation tree + per-group scalar expressions —
-    group-cardinality-bounded at any corpus scale."""
+    group-cardinality-bounded at any corpus scale.
+
+    Same DOMAIN CAVEAT as :func:`dp_geometric_release`: without
+    ``domain`` only groups present in the data are emitted, so the
+    ε-DP guarantee holds only over a fixed public set of group keys;
+    pass the public key universe to cover membership (empty groups
+    release a noisy zero-sum)."""
     from pyspark.sql import functions as F
 
     if not lo < hi:
@@ -353,6 +397,8 @@ def dp_sum_release(
     g = df.groupBy(*group_cols).agg(
         F.round(F.sum(clamped), 2).alias("_s")
     )
+    if domain is not None:
+        g = _frame_to_domain(domain, group_cols, g, {"_s": F.lit(0.0)})
     key = F.concat_ws(
         ":", F.lit(seed), F.lit("sum"),
         *[F.col(c).cast("string") for c in group_cols],
@@ -374,18 +420,26 @@ def kanon_dp_release(
     value_col: str,
     epsilon: float = 0.5,
     seed: str = "42",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """K-anonymity COMPOSED with the DP mechanism: groups with >= k
     members release their exact (count, sum); smaller groups release a
     DP-NOISY count (clamped at 0 — DP-safe post-processing) and a NULL
-    sum, instead of rolling up.  Every group appears, so absence leaks
-    nothing; no exact sub-k statistic is ever published; and the
-    exactness flag is implicit in the sum's nullness (public either
-    way, since k is a public parameter).  Noise is the derandomized
-    seeded-geometric stream keyed ``md5(seed:kanon:key)`` — disjoint
-    from the standalone count/sum releases, deterministic, auditable,
-    oracle-provable.  Emits ``(group_cols..., n_released, total)``.
-    One aggregation tree + scalar expressions."""
+    sum, instead of rolling up.  No exact sub-k statistic is ever
+    published, and the exactness flag is implicit in the sum's
+    nullness (public either way, since k is a public parameter).
+    Noise is the derandomized seeded-geometric stream keyed
+    ``md5(seed:kanon:key)`` — disjoint from the standalone count/sum
+    releases, deterministic, auditable, oracle-provable.  Emits
+    ``(group_cols..., n_released, total)``.  One aggregation tree +
+    scalar expressions.
+
+    Same DOMAIN CAVEAT as :func:`dp_geometric_release`: without
+    ``domain`` only groups present in the data appear, so presence of
+    a sub-k group is released exactly and the DP side of the composite
+    holds only over a fixed public set of group keys; pass the public
+    key universe to cover membership (empty groups release a noisy
+    zero count and a NULL sum)."""
     from pyspark.sql import functions as F
 
     b = 1.0 / epsilon
@@ -393,6 +447,8 @@ def kanon_dp_release(
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"), F.sum(dec).alias("total")
     )
+    if domain is not None:
+        g = _frame_to_domain(domain, group_cols, g, {"n": F.lit(0)})
     key = F.concat_ws(
         ":", F.lit(seed), F.lit("kanon"),
         *[F.col(c).cast("string") for c in group_cols],

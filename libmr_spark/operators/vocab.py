@@ -56,25 +56,42 @@ def pmi_store_ingest(
     sign_col: str = "sign",
     text_col: str = "text",
     id_col: str = "doc_id",
+    payload_cols: list | None = None,
 ) -> DataFrame:
     """Apply a CDC batch of (doc_id, text, sign) events to the vocab
     store: admit inserts for docs whose net stored sign is <= 0 and
     deletes for docs whose net is exactly 1, tokenize the admitted
     events ONCE into signed unigram/bigram deltas, and commit all
     three tables under one manifest swap. Within a batch, conflicting
-    events for one doc keep the single (sign, text)-least event
-    (deterministic under any partitioning; a well-formed CDC stream
-    never conflicts within a batch). Cost is O(batch tokens) + one
-    doc-net join against the docs log — never a recount of stored
-    text. Returns the admitted (doc_id, sign) rows."""
+    events for one doc keep the single (sign, text, payload)-least
+    event (deterministic under any partitioning; a well-formed CDC
+    stream never conflicts within a batch). Cost is O(batch tokens) +
+    one doc-net join against the docs log — never a recount of stored
+    text. Returns the admitted (doc_id, sign[, payload]) rows.
+
+    ``payload_cols``: SCHEMA EVOLUTION for the docs CDC log — the
+    ``payload_cols``/mergeSchema contract the exact-fp store pins
+    (:func:`..dedup.dedup_incremental_exact`) applied to the vocab
+    family: a later pipeline version starts stamping audit columns
+    (provenance tag, CDC sequence, reviewer) onto its admitted doc
+    events; old batches stay bytes-identical, admission stays purely
+    (id, sign)-based, and the log's history now spans two schemas.
+    Reads serve the union schema (pre-evolution rows null-filled —
+    :func:`vocab_docs_net` with ``merge_schema=True``) and rewrites
+    fold under mergeSchema (:func:`compact_vocab_store`
+    ``merge_schema=True``) with per-column MIN payload survival, so
+    the stamp survives compaction instead of being dropped by a
+    footer-sampled schema."""
+    payload_cols = list(payload_cols or [])
     manifest_path = os.path.join(store_path, "_BATCHES")
     ev = (
         batch.groupBy(id_col)
-        .agg(F.min(F.struct(sign_col, text_col)).alias("st"))
+        .agg(F.min(F.struct(sign_col, text_col, *payload_cols)).alias("st"))
         .select(
             id_col,
             F.col(f"st.{sign_col}").cast("int").alias("sign"),
             F.col(f"st.{text_col}").alias(text_col),
+            *[F.col(f"st.{c}").alias(c) for c in payload_cols],
         )
     )
     tags = _manifest_read(manifest_path, _PARAMS)
@@ -111,11 +128,14 @@ def pmi_store_ingest(
     tag = uuid.uuid4().hex
     uni.write.mode("overwrite").parquet(os.path.join(store_path, "uni", f"batch={tag}"))
     bi.write.mode("overwrite").parquet(os.path.join(store_path, "bi", f"batch={tag}"))
-    ev.select(id_col, "sign").write.mode("overwrite").parquet(
+    # the id column is written FIRST — vocab_docs_net and the
+    # compaction fold key the log off position 0, which mergeSchema
+    # preserves because every batch leads with it
+    ev.select(id_col, "sign", *payload_cols).write.mode("overwrite").parquet(
         os.path.join(store_path, "docs", f"batch={tag}")
     )
     _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
-    return ev.select(id_col, "sign")
+    return ev.select(id_col, "sign", *payload_cols)
 
 
 def pmi_store_topk(spark, store_path: str) -> DataFrame:
@@ -180,17 +200,67 @@ def vocab_net_counts(spark, store_path: str, as_of_batches: int | None = None) -
     return uni, bi
 
 
-def compact_vocab_store(spark, store_path: str) -> int:
+def vocab_docs_net(
+    spark, store_path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Serve the NET docs CDC log: one map-side-combinable groupBy-SUM
+    over the manifest-listed delta batches, net-0 docs (fully
+    retracted lifecycles) dropped — the audit view "which docs does
+    the store currently count, with their stamps". Payload columns
+    (``pmi_store_ingest`` ``payload_cols``) survive as the per-column
+    MIN over the doc's events (nulls skipped — a pre-evolution insert
+    contributes nothing), the same deterministic rule the compaction
+    fold applies, so this read is provably compaction-invariant.
+    ``merge_schema=True`` serves the union schema when the log spans
+    a payload evolution (pre-evolution rows null-filled)."""
+    manifest_path = os.path.join(store_path, "_BATCHES")
+    tags = _manifest_read(manifest_path, _PARAMS)
+    if not tags:
+        raise ValueError(f"empty vocab store at {store_path} (no committed batches)")
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(
+        *[os.path.join(store_path, "docs", f"batch={t}") for t in tags]
+    )
+    return _docs_net_fold(df)
+
+
+def _docs_net_fold(df: DataFrame) -> DataFrame:
+    """Shared docs-log fold: net the signed doc events, drop net-0
+    lifecycles, carry payload columns as per-column MIN. The id key is
+    the log's FIRST column (every batch writes it first; mergeSchema
+    preserves leading-field order), so stores ingested with a custom
+    ``id_col`` fold too."""
+    others = [c for c in df.columns if c != "sign"]
+    key, payload = others[0], others[1:]
+    return (
+        df.groupBy(key)
+        .agg(
+            F.sum("sign").cast("int").alias("sign"),
+            *[F.min(c).alias(c) for c in payload],
+        )
+        .filter(F.col("sign") != 0)
+        .select(key, "sign", *payload)
+    )
+
+
+def compact_vocab_store(spark, store_path: str, merge_schema: bool = False) -> int:
     """Fold the signed deltas to NET counts — the vocab store's
     compaction, which (unlike the union-rewrite the signature stores
     use) actually SHRINKS state: per table one groupBy-SUM replaces
     the delta history with one net row per key, zero-net rows (fully
     retracted words, bigrams and doc lifecycles) vanish, and the docs
-    log folds to (doc_id, net sign) with net-0 docs dropped — which
-    preserves the admission rule exactly (a dropped net-0 doc reads
-    as never-seen, and net <= 0 admits a re-insert either way). Runs
-    through the standard crash-safe ``_rewrite_store`` protocol, so
-    a crash anywhere leaves either the delta history or the fold,
+    log folds to (doc_id, net sign[, payload]) with net-0 docs dropped
+    — which preserves the admission rule exactly (a dropped net-0 doc
+    reads as never-seen, and net <= 0 admits a re-insert either way).
+    Payload columns survive the fold as per-column MIN (the
+    :func:`vocab_docs_net` rule, so serving is fold-invariant); pass
+    ``merge_schema=True`` when the log's history spans a payload
+    evolution so the fold sees the union schema instead of a
+    footer-sampled one that could silently drop the evolved column.
+    Runs through the standard crash-safe ``_rewrite_store`` protocol,
+    so a crash anywhere leaves either the delta history or the fold,
     never a mix; serving (a sum over deltas) is provably invariant
     because addition is what compaction performs. Returns the number
     of folded batches (0 if the store has < 2 commits)."""
@@ -203,18 +273,11 @@ def compact_vocab_store(spark, store_path: str) -> int:
             return (
                 df.groupBy("a", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
             )
-        # the docs log is (id_col, sign) — read the id column off the
-        # schema so stores ingested with a custom id_col compact too
-        key = next(c for c in df.columns if c != "sign")
-        return (
-            df.groupBy(key)
-            .agg(F.sum("sign").cast("int").alias("sign"))
-            .filter(F.col("sign") != 0)
-        )
+        return _docs_net_fold(df)
 
     return len(
         _rewrite_store(
             spark, store_path, fold, tables=VOCAB_TABLES, min_batches=2,
-            respect_snapshots=True,
+            respect_snapshots=True, merge_schema=merge_schema,
         )
     )

@@ -176,6 +176,44 @@ def kv_dbsize_sum(spark, sf_dir):
     return parts.groupBy(F.lit(1).alias("__g__")).agg(F.sum("n").alias("dbsize")).drop("__g__")
 
 
+@defquery(
+    "kv_internal_command",
+    f"SELECT 'BOGUS' AS command, CAST(8 AS BIGINT) AS reply_agg "
+    f"UNION ALL "
+    f"SELECT 'DBSIZE', count(*) FROM {KV_SQL} kv "
+    f"UNION ALL "
+    f"SELECT 'PING', CAST(8 AS BIGINT)",
+    "InternalCommand parity gate (/root/reference/src/mr.c:1160-1220; "
+    "builder src/mr.c:424-436): a pipeline consisting ONLY of named "
+    "commands fans out to every shard (here: 8 hash partitions — the "
+    "fixed fan-out makes the per-shard replies oracle-checkable), each "
+    "reply is parsed into a record on the initiator through the "
+    "reply-parser seam (core/rpc.py::internal_command), and per-element "
+    "failures surface as in-band error records "
+    "(src/mr.c:1203-1214) rather than aborting the fan-out — the "
+    "unknown BOGUS command yields one ERR record per shard. The gate "
+    "aggregates the replies partition-invariantly: DBSIZE replies sum "
+    "to the keyspace size, PING replies count the shard fan-out, ERR "
+    "records count the per-shard failures. Mostly an ops primitive at "
+    "any scale: one narrow mapInPandas pass, one 24-row aggregate.",
+)
+def kv_internal_command(spark, sf_dir):
+    from .core.rpc import internal_command
+
+    kv = kv_table(spark, sf_dir).repartition(8, "key")
+    replies = internal_command(kv, ["DBSIZE", "PING", "BOGUS"])
+    return (
+        replies.groupBy("command")
+        .agg(
+            F.sum(
+                F.when(F.col("command") == "DBSIZE", F.col("reply").cast("bigint"))
+                .when(F.col("reply") == "PONG", F.lit(1))
+                .when(F.col("reply").startswith("ERR"), F.lit(1))
+            ).alias("reply_agg")
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # §2.2 relational surface: aggregation
 # --------------------------------------------------------------------
@@ -3592,52 +3630,70 @@ _DRIVER_CHECKED: set[str] = {
     "streaming_hybrid_index", "streaming_ohlc_hourly",
     "streaming_ops_metrics", "streaming_snm_er",
     "takedown_everywhere_audit",
+    # round 10 (CORRECTNESS_r10.json) — 50/50 hash-green (the 29
+    # round-9-late additions + 21 round-4-era re-proof rows; names
+    # new to this set):
+    "ann_index_filtered", "ann_index_filtered_auto",
+    "bpe_store_encode_pinned", "decontamination_store",
+    "export_manifest_updated", "fleet_snapshot_reads",
+    "hybrid_store_asof", "kanon_stats_release", "matview_agg_join",
+    "matview_backfill_subscriber", "matview_cascade",
+    "matview_change_feed", "matview_compacted", "matview_full_outer",
+    "matview_integrity_audit", "matview_join_incremental",
+    "matview_join_retracted", "matview_multi_view",
+    "matview_outer_serve", "matview_schema_evolution",
+    "matview_zonemap_lookup", "policy_maintenance_log",
+    "policy_maintenance_pass", "quota_export_diff",
+    "streaming_matview_join", "streaming_span_store",
+    "streaming_takedown_feed", "streaming_vocab_cdc",
+    "subword_min_segmentation",
 }
 
 
-# ROUND-11 ROTATION PLAN (mechanical): after CORRECTNESS_r10.json
-# lands, run `scripts/update_rotation.py CORRECTNESS_r10.json
-# CORRECTNESS_r09.json ...` — it prints the names to append to
+# ROUND-12 ROTATION PLAN (mechanical): after CORRECTNESS_r11.json
+# lands, run `scripts/update_rotation.py CORRECTNESS_r11.json
+# CORRECTNESS_r10.json ...` — it prints the names to append to
 # _DRIVER_CHECKED AND the exact next 50-slot _NEWEST window, ready to
-# paste: (a) any r10 failures, (b) additions that exported after
+# paste: (a) any r11 failures, (b) additions that exported after
 # position 50 this round, (c) backfill to 50 with the oldest
 # _DRIVER_CHECKED rows.
 #
-# Round-10 priority window (the driver gate checks exactly the FIRST
-# 50 queries() entries).  Round 9 went 50/50 hash-green.  This round
-# gates: (a) the 29 round-9-late additions that have never had a
-# driver row — the matview IVM family, fleet snapshot/policy, the
-# tokenizer store, filtered ANN, export lineage, and streaming twins;
-# all 29 judge-verified hash-PASS in VERDICT r9's independent sweep;
-# (b) 21 re-proof slots: the oldest round-4-era _DRIVER_CHECKED rows,
-# in update_rotation.py's deterministic order.
+# Round-11 priority window (the driver gate checks exactly the FIRST
+# 50 queries() entries).  Round 10 went 50/50 hash-green.  This round
+# gates: (a) the 6 round-10 additions that have never had a driver
+# row (unigram-LM EM, store schema-evolution, zonemap lookup, and the
+# DP release family — all 6 judge-verified oracle-PASS in VERDICT
+# r10), plus any round-11 additions appended below as they land;
+# (b) re-proof backfill: the oldest round-4/5-era _DRIVER_CHECKED
+# rows, in update_rotation.py's deterministic order.
 _NEWEST = [
-    # (a) never driver-gated: round-9-late additions (29), export order
-    "fleet_snapshot_reads", "policy_maintenance_pass",
-    "bpe_store_encode_pinned", "quota_export_diff",
-    "ann_index_filtered", "streaming_span_store",
-    "streaming_vocab_cdc", "hybrid_store_asof",
-    "streaming_takedown_feed", "export_manifest_updated",
-    "policy_maintenance_log", "ann_index_filtered_auto",
-    "matview_join_incremental", "matview_join_retracted",
-    "matview_agg_join", "matview_compacted", "streaming_matview_join",
-    "matview_cascade", "matview_integrity_audit", "matview_outer_serve",
-    "matview_change_feed", "matview_full_outer",
-    "matview_schema_evolution", "decontamination_store",
-    "matview_backfill_subscriber", "matview_zonemap_lookup",
-    "kanon_stats_release", "matview_multi_view",
-    "subword_min_segmentation",
-    # (b) oldest re-proof — round-4-era rows (21)
-    "orders_per_customer_list", "pivot_status_by_priority",
-    "unpivot_order_measures", "kv_scan_pyds",
-    "q5_local_supplier_volume", "scalar_subquery_above_avg_orders",
-    "q17_small_quantity_revenue", "in_subquery_orders_of_top_nation",
-    "q6_forecast_revenue", "q18_large_volume_customers",
-    "q10_returned_item_customers", "q14_promo_revenue_percent",
-    "kv_collect_then_map", "window_ntile_quartiles",
-    "scalar_string_date_math", "range_join_price_bands",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "embedding_label_centroids", "udtf_token_positions",
+    # (a) never driver-gated: round-10 additions (6), export order
+    "unigram_lm_em", "dedup_store_schema_evolution",
+    "exact_store_zonemap_lookup", "dp_count_release",
+    "dp_sum_release", "kanon_dp_release",
+    # (a') round-11 additions (appended as they land this round)
+    "vocab_store_payload_evolution", "kv_internal_command",
+    "dp_count_release_domain",
+    # (b) oldest re-proof — round-4/5-era rows
+    "multimodal_audio_features", "salted_join_revenue_by_status",
+    "bucketed_join_no_shuffle", "secondary_sort_deltas",
+    "common_event_paths", "dedup_simhash", "knn_bruteforce",
+    "knn_lsh", "knn_ivf", "knn_ivf_pretrained", "text_lang_id",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q9_profit_by_nation_year",
+    "q11_important_parts", "q12_priority_lines",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q19_disjunctive_revenue",
+    "q20_bulk_shippers", "q22_idle_customer_balance",
+    "text_edit_distance_pairs",
+    "props_map_stats", "streaming_foreach_batch_sink",
+    "session_window_stats", "sample_stratified_per_source",
+    "window_first_last_nth", "events_latest_per_user",
+    "key_skew_profile", "full_outer_nation_activity",
+    "setop_all_variants", "string_agg_by_group",
+    "multimodal_phash_dedup", "null_safe_join_priority",
+    "json_roundtrip_struct",
 ]
 
 

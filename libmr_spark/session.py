@@ -22,6 +22,52 @@ def _package_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Known locations of a vendored pure-Python ``google.protobuf`` on
+#: hosts without the pip package (e.g. the gcloud SDK ships one).
+_PROTOBUF_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable if at all possible — the
+    ``transformWithStateInPandas`` Python worker hard-requires it
+    (Spark ships protobuf gencode for its StateMessage schema).  If
+    the package is absent, probe the known vendored copies and, when
+    one is adopted, extend ``PYTHONPATH`` (so forked Python workers
+    inherit it — call this BEFORE the JVM starts) and set protobuf's
+    own ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` escape hatch,
+    because a vendored runtime is typically one minor version behind
+    Spark's gencode stamp (pure-python wire compat is unaffected).
+    Returns True when ``google.protobuf`` imports."""
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for d in _PROTOBUF_FALLBACK_DIRS:
+        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            continue
+        if d not in sys.path:
+            sys.path.insert(0, d)
+        pp = os.environ.get("PYTHONPATH", "")
+        if d not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = f"{d}{os.pathsep}{pp}" if pp else d
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            import google.protobuf  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False
+
+
 def ensure_package_shipped(spark: SparkSession) -> None:
     """Idempotently ship ``libmr_spark`` to the executors of ANY
     session — including one created by an external harness rather than
@@ -70,6 +116,9 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # must run before the JVM starts so Python workers inherit the
+    # adopted protobuf path (transformWithStateInPandas support)
+    ensure_protobuf()
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     b = (
         SparkSession.builder.master(master)
@@ -80,6 +129,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO footer min/max for
+        # timestamp columns, killing row-group skipping and the zone
+        # layer on every time-keyed table; TIMESTAMP_MICROS is the
+        # modern standard every reader (incl. DuckDB) understands
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -1179,3 +1179,113 @@ def test_matview_read_skips_fold_post_compaction(spark, tmp_path):
         .collect()
     }
     assert got == naive
+
+
+def test_matview_compaction_with_date_join_key(spark, tmp_path):
+    # non-JSON-native zone stats (ADVICE r10): compact_matview_store
+    # auto-zones the side tables on keys[0], so a DATE join key used
+    # to crash write_zones at json.dump (pyarrow footer stats return
+    # datetime.date); the tagged encoding must round-trip and the
+    # zoned lookup must still prune correctly
+    import datetime
+
+    from libmr_spark.operators.matview import matview_lookup
+
+    p = _store(tmp_path, "mv_date_key")
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    left = _mk(
+        spark,
+        [(d(f"2024-01-{i:02d}"), f"l{i}", 1) for i in range(1, 21)],
+        ["k", "lv", "m"],
+    )
+    right = _mk(
+        spark,
+        [(d(f"2024-01-{i:02d}"), f"r{i}", 1) for i in range(1, 21)],
+        ["k", "rv", "m"],
+    )
+    matview_ingest(spark, p, left.filter("k < '2024-01-11'"),
+                   right.filter("k < '2024-01-11'"), on="k")
+    matview_ingest(spark, p, left.filter("k >= '2024-01-11'"),
+                   right.filter("k >= '2024-01-11'"), on="k")
+    # this call crashed before the tagged zone encoding
+    compact_matview_store(spark, p, zone_by="k", n_files=4)
+    got = {
+        (r.k, r.lv, r.rv)
+        for r in matview_lookup(
+            spark, p, "k", d("2024-01-05"), d("2024-01-07")
+        ).collect()
+    }
+    assert got == {(d(f"2024-01-{i:02d}"), f"l{i}", f"r{i}") for i in (5, 6, 7)}
+    # post-compaction ingest proves the zoned side-table read path
+    # (_pre_parts pruning) survives date keys too
+    matview_ingest(
+        spark, p, left_delta=_mk(spark, [(d("2024-01-05"), "l5b", 1)], ["k", "lv", "m"]),
+        on="k",
+    )
+    got = {
+        (r.k, r.lv, r.rv)
+        for r in matview_lookup(
+            spark, p, "k", d("2024-01-05"), d("2024-01-05")
+        ).collect()
+    }
+    assert got == {
+        (d("2024-01-05"), "l5", "r5"),
+        (d("2024-01-05"), "l5b", "r5"),
+    }
+
+
+def test_zones_non_json_native_types_roundtrip(spark, tmp_path):
+    # the zones layer itself: date / timestamp / decimal / binary
+    # columns get tagged-encoded bounds that prune exactly; a string
+    # probe against a date zone degrades to serve-unpruned (TypeError
+    # guard) instead of raising or wrongly pruning
+    import datetime
+    import decimal
+    import os
+
+    from libmr_spark.operators.zones import pruned_paths, write_zones
+
+    store = str(tmp_path / "zraw")
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (
+                d(f"2024-02-{i:02d}"),
+                datetime.datetime(2024, 2, i, 12, 0),
+                decimal.Decimal(f"{i}.25"),
+                bytes([i]),
+                i,
+            )
+            for i in range(1, 17)
+        ],
+        "dt date, ts timestamp, dec decimal(10,2), bin binary, i int",
+    )
+    base = os.path.join(store, "t", "batch=b1")
+    df.repartition(4, "i").sortWithinPartitions("dt").write.parquet(base)
+
+    allfiles = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    for col, lo, hi, prunes in [
+        ("dt", d("2024-02-03"), d("2024-02-03"), True),
+        ("ts", datetime.datetime(2024, 2, 3, 0, 0),
+         datetime.datetime(2024, 2, 3, 23, 59), True),
+        # pyarrow cannot extract decimal footer stats — the zone
+        # degrades to NULL and the serve falls back to all files
+        ("dec", decimal.Decimal("3.25"), decimal.Decimal("3.25"), False),
+        ("bin", bytes([3]), bytes([3]), True),
+    ]:
+        write_zones(store, "t", "b1", col)  # must not raise
+        paths = pruned_paths(store, "t", ["b1"], col, lo, hi)
+        if prunes:
+            assert 0 < len(paths) < len(allfiles), (col, paths)
+        else:
+            assert len(paths) == len(allfiles), (col, paths)
+        got = {r.i for r in spark.read.parquet(*paths).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)).collect()}
+        assert got == {3}, col
+
+    # incomparable probe type: serve everything rather than guess
+    write_zones(store, "t", "b1", "dt")
+    paths = pruned_paths(store, "t", ["b1"], "dt", "2024-02-03", "2024-02-03")
+    assert len(paths) == len(
+        [f for f in os.listdir(base) if f.endswith(".parquet")]
+    )

@@ -2647,6 +2647,75 @@ def test_pmi_store_cdc_lifecycle(spark, docs, tmp_path):
     assert {tuple(r) for r in pmi_store_topk(spark, path).collect()} == full
 
 
+def test_vocab_store_payload_evolution_null_safe(spark, tmp_path):
+    # the payload_cols/mergeSchema contract on the vocab docs CDC log
+    # (mirrors test_exact_store_schema_evolution_null_safe): a later
+    # pipeline version stamps an audit column; old batches stay
+    # bytes-identical, admission stays (id, sign)-based across the
+    # schema line, reads serve the union schema (pre-evolution rows
+    # null-filled), and the compaction fold preserves the stamp via
+    # per-column MIN
+    import os
+
+    from libmr_spark.operators.vocab import (
+        compact_vocab_store,
+        pmi_store_ingest,
+        vocab_docs_net,
+    )
+
+    store = str(tmp_path / "vocab_evo")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "gamma delta", 1)],
+        ["doc_id", "text", "sign"],
+    )
+    pmi_store_ingest(spark, store, b1)
+    old_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(store, "docs"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    old_bytes = {p: open(p, "rb").read() for p in old_files}
+
+    # post-evolution batch: doc 1 is a re-insert across the schema
+    # line — rejected by net-sign admission, its NULL stamp survives
+    b2 = spark.createDataFrame(
+        [(3, "epsilon zeta", 1, "crawl-v2"), (1, "alpha beta", 1, "crawl-v2")],
+        ["doc_id", "text", "sign", "src_tag"],
+    )
+    admitted = pmi_store_ingest(spark, store, b2, payload_cols=["src_tag"])
+    assert {(r.doc_id, r.src_tag) for r in admitted.collect()} == {(3, "crawl-v2")}
+    # old batch untouched on disk (evolution is zero-rewrite)
+    for p, raw in old_bytes.items():
+        assert open(p, "rb").read() == raw
+    # replaying the OLD-schema batch admits nothing
+    assert pmi_store_ingest(spark, store, b1).count() == 0
+
+    served = vocab_docs_net(spark, store, merge_schema=True)
+    got = {(r.doc_id, r.sign, r.src_tag) for r in served.collect()}
+    assert got == {(1, 1, None), (2, 1, None), (3, 1, "crawl-v2")}
+
+    # old-schema delete AFTER the evolution (mixed schemas interleave)
+    dele = spark.createDataFrame([(2, "gamma delta", -1)], ["doc_id", "text", "sign"])
+    assert pmi_store_ingest(spark, store, dele).count() == 1
+
+    # compaction folds under the union schema; stamp + serving invariant
+    assert compact_vocab_store(spark, store, merge_schema=True) >= 2
+    served = vocab_docs_net(spark, store, merge_schema=True)
+    assert {(r.doc_id, r.sign, r.src_tag) for r in served.collect()} == {
+        (1, 1, None),
+        (3, 1, "crawl-v2"),
+    }
+    # the PMI serve still nets correctly post-evolution + compaction
+    # (doc 2's counts were subtracted by the delete)
+    from libmr_spark.operators.vocab import vocab_net_counts
+
+    uni, _ = vocab_net_counts(spark, store)
+    assert {(r.w, r.c) for r in uni.collect()} == {
+        ("alpha", 1), ("beta", 1), ("epsilon", 1), ("zeta", 1),
+    }
+
+
 def test_takedown_everywhere_routes_all_store_kinds(spark, docs, emb, tmp_path):
     # one call removes a victim set from the hybrid store, a cluster
     # store and a vocab store; every family honors its own proven
@@ -3231,6 +3300,59 @@ def test_exact_store_schema_evolution_null_safe(spark, tmp_path):
     assert {(r.doc_id, r.src_tag) for r in served.collect()} == {(2, None)}
 
 
+def test_exact_store_fp_clustered_admission_prunes_files(spark, tmp_path):
+    # the catalog-bucketed history layout for hash-uniform probe keys
+    # (VERDICT r10 #5): compacting with zone_by={"fps": "fp"}
+    # range-clusters the history BY FINGERPRINT, and admission's
+    # semi-probe then opens only the files whose fp range contains a
+    # batch fingerprint (pruned_paths_probes) — O(batch) files opened
+    # at any history size — while admitting exactly the same rows
+    import os
+
+    from libmr_spark.operators import dedup as DD
+
+    store = str(tmp_path / "exact_fp_zone")
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(400)],
+        ["doc_id", "text"],
+    )
+    DD.dedup_incremental_exact(spark, store, docs.filter("doc_id < 200"))
+    DD.dedup_incremental_exact(spark, store, docs.filter("doc_id >= 200"))
+    assert DD.compact_incremental_store(
+        spark, store, tables=("fps",), zone_by={"fps": "fp"}, n_files=16
+    ) == 2
+    cdir = [
+        d for d in os.listdir(os.path.join(store, "fps"))
+        if d.startswith("batch=compact-")
+    ]
+    assert len(cdir) == 1
+    total = [
+        f for f in os.listdir(os.path.join(store, "fps", cdir[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(total) >= 12
+
+    # probe path: a 3-fp batch must open at most 3 of the files
+    tags = DD._manifest_read(os.path.join(store, "_BATCHES"), None)
+    probe_batch = docs.filter("doc_id IN (5, 150, 399)").select(
+        DD.fingerprint(F.col("text")).alias("fp"), "doc_id"
+    )
+    paths = DD._admission_paths(spark, store, tags, probe_batch)
+    opened = [p for p in paths if p.endswith(".parquet")]
+    assert 0 < len(opened) <= 3, opened
+
+    # end-to-end: a mixed dup/new batch admits exactly the new docs
+    # through the pruned read, and a replay admits nothing
+    mixed = spark.createDataFrame(
+        [(5, "unique text number 5"), (1000, "brand new text a"),
+         (1001, "brand new text b")],
+        ["doc_id", "text"],
+    )
+    admitted = DD.dedup_incremental_exact(spark, store, mixed)
+    assert {r.doc_id for r in admitted.collect()} == {1000, 1001}
+    assert DD.dedup_incremental_exact(spark, store, mixed).count() == 0
+
+
 def test_exact_store_zonemap_prunes_files(spark, tmp_path):
     # the shared zone layer on a signature store: after a zoned
     # compaction the range serve opens ONLY covering part files
@@ -3288,4 +3410,96 @@ def test_exact_store_zonemap_prunes_files(spark, tmp_path):
             spark, store, "fps", "doc_id", 10_000
         ).count()
         == 0
+    )
+
+
+def test_bm25_zoned_serve_prunes_postings_files(spark, sf_dir, tmp_path):
+    # VERDICT r10 #8: the shared zone layer wired through the BM25
+    # serve path — token-zoned compaction + probe-pruned postings read
+    # (only files whose token range covers a query term are opened),
+    # with the ranking bit-identical to the unpruned serve
+    from libmr_spark.operators.dedup import compact_incremental_store
+    from libmr_spark.operators.retrieval import bm25_index_ingest, bm25_index_topk
+    from libmr_spark.queries_pipeline import _BM25_K, _BM25_QUERIES
+
+    path = str(tmp_path / "bm25_zoned")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    bm25_index_ingest(spark, path, d.filter(src_num < 10))
+    bm25_index_ingest(spark, path, d.filter(src_num >= 10))
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    baseline = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, qt, k=_BM25_K).collect()
+    }
+
+    assert compact_incremental_store(
+        spark, path, tables=("postings", "doclen"),
+        zone_by={"postings": "token"}, n_files=16,
+    ) == 2
+    served = bm25_index_topk(spark, path, qt, k=_BM25_K)
+    assert {
+        (r.query_id, r.rank, r.doc_id, r.score) for r in served.collect()
+    } == baseline
+    import os
+
+    opened = {f for f in served.inputFiles() if "/postings/" in f}
+    cdir = [
+        x for x in os.listdir(os.path.join(path, "postings"))
+        if x.startswith("batch=compact-")
+    ][0]
+    total = [
+        f for f in os.listdir(os.path.join(path, "postings", cdir))
+        if f.endswith(".parquet")
+    ]
+    assert len(total) >= 12 and 0 < len(opened) < len(total), (
+        len(opened), len(total),
+    )
+
+    # unknown-vocabulary query: every file pruned, typed empty result
+    ghost = spark.createDataFrame(
+        [(99, "zzzzunindexed")], "query_id int, token string"
+    )
+    assert bm25_index_topk(spark, path, ghost, k=3).count() == 0
+
+
+def test_ann_zoned_serve_prunes_cells_files(spark, emb, tmp_path):
+    # VERDICT r10 #8, ANN half: cid-zoned compaction + the driver-side
+    # probe-cid set prune the cells scan to the probed file groups,
+    # serving identical integer-exact kNN
+    import os
+
+    from libmr_spark.operators.dedup import compact_incremental_store
+    from libmr_spark.operators.retrieval import ann_index_ingest, ann_index_topk
+
+    path = str(tmp_path / "ann_zoned")
+    half = emb.agg((F.max("vec_id") / 2).cast("bigint")).first()[0]
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") < half))
+    ann_index_ingest(spark, path, emb.filter(F.col("vec_id") >= half))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    baseline = {
+        (r.query_id, r.rank, r.vec_id, r.dist)
+        for r in ann_index_topk(spark, path, queries, nprobe=1, k=3).collect()
+    }
+
+    assert compact_incremental_store(
+        spark, path, tables=("cells",), zone_by={"cells": "cid"}, n_files=8
+    ) == 2
+    served = ann_index_topk(spark, path, queries, nprobe=1, k=3)
+    assert {
+        (r.query_id, r.rank, r.vec_id, r.dist) for r in served.collect()
+    } == baseline
+    opened = {f for f in served.inputFiles() if "/cells/" in f}
+    cdir = [
+        x for x in os.listdir(os.path.join(path, "cells"))
+        if x.startswith("batch=compact-")
+    ][0]
+    total = [
+        f for f in os.listdir(os.path.join(path, "cells", cdir))
+        if f.endswith(".parquet")
+    ]
+    assert len(total) >= 6 and 0 < len(opened) < len(total), (
+        len(opened), len(total),
     )

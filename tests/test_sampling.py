@@ -336,3 +336,58 @@ def test_kanon_dp_release_composition(spark):
     assert out["big"] == (12, 12.0)             # exact above k
     assert out["tiny"] == (max(0, 2 + noise("tiny")), None)
     assert out["solo"] == (max(0, 1 + noise("solo")), None)
+
+
+def test_dp_release_public_domain_frame(spark):
+    # the known-domain fix (ADVICE r10): with a public domain frame,
+    # EVERY domain key emits a row — empty groups release noise around
+    # a true count of 0 / sum of 0.0 — and keys outside the domain are
+    # dropped; row existence therefore carries no information
+    import hashlib
+    import math
+
+    from libmr_spark.operators.sampling import (
+        dp_geometric_release,
+        dp_sum_release,
+        kanon_dp_release,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 12 + [("b", 2.0)] * 2 + [("zz", 5.0)], ["grp", "v"]
+    )
+    dom = spark.createDataFrame([("a",), ("b",), ("c",)], ["grp"])
+
+    def noise(key, prefix="", eps=0.5, seed="42", b=None):
+        h = int(hashlib.md5(f"{seed}:{prefix}{key}".encode()).hexdigest()[:8], 16)
+        t = (2 * h + 1) / 8589934592.0 - 0.5
+        mag = round(math.log(1 - 2 * abs(t)), 6)
+        x = -(b if b is not None else 1.0 / eps) * math.copysign(1.0, t) * mag
+        return int(math.floor(abs(x) + 0.5) * math.copysign(1.0, x))
+
+    out = {
+        r.grp: r.n_noisy
+        for r in dp_geometric_release(df, ["grp"], domain=dom).collect()
+    }
+    # empty group 'c' released (noisy 0), out-of-domain 'zz' dropped
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"] == 0 + noise("c")
+    assert out["a"] == 12 + noise("a")
+
+    out = {
+        r.grp: r.sum_noisy
+        for r in dp_sum_release(
+            df, ["grp"], "v", lo=0.0, hi=10.0, domain=dom
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"] == round(0.0 + noise("c", prefix="sum:", b=10.0 / 0.5), 2)
+
+    out = {
+        r.grp: (r.n_released, r.total)
+        for r in kanon_dp_release(
+            df, ["grp"], k=10, value_col="v", domain=dom
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"] == (12, 12.0)  # exact above k, unaffected by framing
+    assert out["c"] == (max(0, 0 + noise("c", prefix="kanon:")), None)

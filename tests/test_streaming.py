@@ -108,10 +108,13 @@ def test_stateful_sessionizer_matches_batch_query(spark, events_dir, events_batc
 
 
 def _protobuf_ok() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    # ensure_protobuf adopts a vendored pure-python google.protobuf
+    # (PYTHONPATH + version-check escape hatch) when the pip package
+    # is absent; evaluated at collection time, before the JVM starts
+    from libmr_spark.session import ensure_protobuf
 
-        return True
+    try:
+        return ensure_protobuf()
     except Exception:
         return False
 
