@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from libmr_spark import queries as Q  # noqa: E402
-from libmr_spark.session import ensure_package_shipped  # noqa: E402
+from libmr_spark.session import ensure_package_shipped, ensure_protobuf  # noqa: E402
+
+# At IMPORT time, before any harness-built JVM starts: adopt a vendored
+# google.protobuf (PYTHONPATH + version-check escape hatch) so forked
+# Python workers can speak the transformWithStateInPandas state
+# protocol — harmless no-op when the pip package exists.
+ensure_protobuf()
 
 
 def entry(spark: SparkSession) -> DataFrame:

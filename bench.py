@@ -266,6 +266,15 @@ HEADLINE = [
     # round-11: public-domain DP release (perf set — broadcast domain
     # frame + one aggregation tree)
     "dp_count_release_domain",
+    # round-11: transformWithStateInPandas under the gate (lifecycle:
+    # a 3-micro-batch streaming drain — checkpoint-bound at toy SF)
+    "streaming_tws_user_stats",
+    # round-11: contrastive hard-negative mining (perf set — one
+    # tokenize pass + shortlist-bounded windows)
+    "hard_negative_mining",
+    # round-11: zoned-layout invariance for the near-dup store
+    # (lifecycle soak: three ingests + zoned compaction + admission)
+    "dedup_minhash_zoned_admission",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -280,6 +289,11 @@ LIFECYCLE = {
     "dedup_store_schema_evolution",
     "exact_store_zonemap_lookup",
     "vocab_store_payload_evolution",
+    # 3-micro-batch RocksDB-state streaming drain: wall is checkpoint
+    # machinery, not plan work — same exclusion rationale as the
+    # store-commit soaks
+    "streaming_tws_user_stats",
+    "dedup_minhash_zoned_admission",
     "streaming_matview_join",
     "matview_cascade",
     "matview_integrity_audit",

@@ -1398,6 +1398,46 @@ def connected_components(
 _FP_PROBE_MAX = 20_000
 
 
+def _table_zoned(store_path: str, table: str, tags: list, zone_col: str) -> bool:
+    """True when at least one manifest-listed dir of ``table`` carries
+    zone maps on ``zone_col`` — the gate for probe-collect work: an
+    unzoned store must not pay collect jobs that cannot prune."""
+    from .zones import _load_zones
+
+    return any(
+        _load_zones(os.path.join(store_path, table, f"batch={t}"), zone_col)
+        for t in tags
+    )
+
+
+def _probe_paths(
+    store_path: str, table: str, tags: list, zone_col: str, values
+) -> list:
+    """Read list for a probe-value set against a (possibly) zoned
+    table: ``values=None`` (probe unavailable / too large) or an
+    unzoned table reads everything; otherwise only files whose zone
+    range contains a probe value (plus zoneless dirs, which always
+    serve whole). May return [] when every file is PROVEN disjoint
+    with the probes — callers must treat that as an exact empty
+    history."""
+    from .zones import pruned_paths_probes
+
+    full = [os.path.join(store_path, table, f"batch={t}") for t in tags]
+    if values is None or not _table_zoned(store_path, table, tags, zone_col):
+        return full
+    return pruned_paths_probes(store_path, table, tags, zone_col, values)
+
+
+def _collect_probes(df, col: str, cap: int = _FP_PROBE_MAX):
+    """The distinct probe values of ``df[col]``, or None when there
+    are more than ``cap`` (a batch that large hits most files anyway,
+    and the driver-side list stops being metadata-sized)."""
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
 def _admission_paths(spark, fp_table_path: str, tags: list, batch_fp) -> list:
     """The exact-fp history read list for one admission: when the
     history carries fp zone maps (``compact_incremental_store`` with
@@ -1413,21 +1453,11 @@ def _admission_paths(spark, fp_table_path: str, tags: list, batch_fp) -> list:
     an optimization layer, never a correctness dependency (a pruned
     file is PROVEN to contain none of the batch's fps, so it cannot
     contribute semi-join hits)."""
-    from .zones import _load_zones, pruned_paths_probes
-
-    full = [os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
-    zoned_any = any(
-        _load_zones(os.path.join(fp_table_path, "fps", f"batch={t}"), "fp")
-        for t in tags
+    if not _table_zoned(fp_table_path, "fps", tags, "fp"):
+        return [os.path.join(fp_table_path, "fps", f"batch={t}") for t in tags]
+    return _probe_paths(
+        fp_table_path, "fps", tags, "fp", _collect_probes(batch_fp, "fp")
     )
-    if not zoned_any:
-        return full
-    probes = [
-        r.fp for r in batch_fp.select("fp").limit(_FP_PROBE_MAX + 1).collect()
-    ]
-    if len(probes) > _FP_PROBE_MAX:
-        return full
-    return pruned_paths_probes(fp_table_path, "fps", tags, "fp", probes)
 
 
 def dedup_incremental_exact(
@@ -1654,35 +1684,67 @@ def dedup_incremental_minhash(
     pay_path = os.path.join(store_path, "payload")
     tags = _manifest_read(manifest_path, params)
     if tags:
-        hist_idx = spark.read.parquet(
-            *[os.path.join(idx_path, f"batch={t}") for t in tags]
-        )
-        cand = (
-            banded.alias("b")
-            .join(
-                hist_idx.alias("h"),
-                (F.col("b.band") == F.col("h.band")) & (F.col("b.bucket") == F.col("h.bucket")),
+        # bucket-probe pruning (the fp-clustered layout generalized to
+        # the band index): when compaction zoned index/ by `bucket`
+        # (zone_by={"index": "bucket"}), open only the files whose
+        # bucket range contains one of the batch's bucket keys —
+        # xxhash64 buckets are hash-uniform, so only per-value probes
+        # prune; the probe set is |batch| x bands, capped. Zero extra
+        # work on an unzoned store (the gate is a metadata check).
+        idx_paths = [os.path.join(idx_path, f"batch={t}") for t in tags]
+        if _table_zoned(store_path, "index", tags, "bucket"):
+            banded = banded.localCheckpoint(eager=True)
+            idx_paths = _probe_paths(
+                store_path, "index", tags, "bucket",
+                _collect_probes(banded, "bucket"),
             )
-            .select(
-                F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+        cand = None
+        if idx_paths:
+            hist_idx = spark.read.parquet(*idx_paths)
+            cand = (
+                banded.alias("b")
+                .join(
+                    hist_idx.alias("h"),
+                    (F.col("b.band") == F.col("h.band")) & (F.col("b.bucket") == F.col("h.bucket")),
+                )
+                .select(
+                    F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+                )
+                .dropDuplicates(["bid", "hid"])
             )
-            .dropDuplicates(["bid", "hid"])
-        )
-        hist_pay = spark.read.parquet(
-            *[os.path.join(pay_path, f"batch={t}") for t in tags]
-        )
-        verified = (
-            cand.join(sigs.select(F.col(id_col).alias("bid"), F.col("shingles").alias("sh_b")), "bid")
-            .join(hist_pay.select(F.col(id_col).alias("hid"), F.col("shingles").alias("sh_h")), "hid")
-        )
-        inter = F.size(F.array_intersect("sh_b", "sh_h"))
-        union = F.size(F.array_union("sh_b", "sh_h"))
-        rejected = (
-            verified.filter(inter / union >= threshold)
-            .select(F.col("bid").alias(id_col))
-            .distinct()
-        )
-        admitted = sigs.join(rejected, id_col, "left_anti")
+        if cand is not None:
+            # candidate-id payload pruning: the verify only needs the
+            # CANDIDATES' shingle arrays, but an unzoned payload scan
+            # reads every batch's fat shingle column. With an id-zoned
+            # payload (zone_by={"payload": "<id_col>"}) the candidate
+            # hid set (batch-bounded) prunes the read to the covering
+            # files — the scan becomes O(candidates), not O(corpus).
+            pay_paths = [os.path.join(pay_path, f"batch={t}") for t in tags]
+            if _table_zoned(store_path, "payload", tags, id_col):
+                cand = cand.localCheckpoint(eager=True)
+                pay_paths = _probe_paths(
+                    store_path, "payload", tags, id_col,
+                    _collect_probes(cand, "hid"),
+                )
+            if pay_paths:
+                hist_pay = spark.read.parquet(*pay_paths)
+                verified = (
+                    cand.join(sigs.select(F.col(id_col).alias("bid"), F.col("shingles").alias("sh_b")), "bid")
+                    .join(hist_pay.select(F.col(id_col).alias("hid"), F.col("shingles").alias("sh_h")), "hid")
+                )
+                inter = F.size(F.array_intersect("sh_b", "sh_h"))
+                union = F.size(F.array_union("sh_b", "sh_h"))
+                rejected = (
+                    verified.filter(inter / union >= threshold)
+                    .select(F.col("bid").alias(id_col))
+                    .distinct()
+                )
+                admitted = sigs.join(rejected, id_col, "left_anti")
+            else:
+                admitted = sigs  # no candidate's payload exists: nothing rejects
+        else:
+            # every index file PROVEN bucket-disjoint with the batch
+            admitted = sigs
     else:
         admitted = sigs
     admitted = admitted.select(id_col, "sig", "shingles").localCheckpoint(eager=True)
@@ -1759,37 +1821,62 @@ def dedup_incremental_embedding(
     pay_path = os.path.join(store_path, "payload")
     tags = _manifest_read(manifest_path, params)
     if tags:
-        hist_idx = spark.read.parquet(
-            *[os.path.join(idx_path, f"batch={t}") for t in tags]
-        )
-        cand = (
-            banded.alias("b")
-            .join(hist_idx.alias("h"), F.col("b.bucket") == F.col("h.bucket"))
-            .select(F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid"))
-            .dropDuplicates(["bid", "hid"])
-        )
-        hist_pay = spark.read.parquet(
-            *[os.path.join(pay_path, f"batch={t}") for t in tags]
-        )
-        # int8 payload: compare against the raw codes (scale-invariant)
-        hvec = F.col("qvec").cast("array<double>") if payload_int8 else F.col(vec_col)
-        cos = F.round(
-            cosine_similarity(F.col("__vb__"), F.col("__vh__")), 6
-        )
-        rejected = (
-            cand.join(
-                sig.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("__vb__")),
-                "bid",
+        # bucket-probe index pruning + candidate-id payload pruning —
+        # the same two layout levers as dedup_incremental_minhash
+        # (sign-LSH buckets are hash-uniform; the payload's vector
+        # column is the fat read): zero extra work on unzoned stores.
+        idx_paths = [os.path.join(idx_path, f"batch={t}") for t in tags]
+        if _table_zoned(store_path, "index", tags, "bucket"):
+            banded = banded.localCheckpoint(eager=True)
+            idx_paths = _probe_paths(
+                store_path, "index", tags, "bucket",
+                _collect_probes(banded, "bucket"),
             )
-            .join(
-                hist_pay.select(F.col(id_col).alias("hid"), hvec.alias("__vh__")),
-                "hid",
+        cand = None
+        if idx_paths:
+            hist_idx = spark.read.parquet(*idx_paths)
+            cand = (
+                banded.alias("b")
+                .join(hist_idx.alias("h"), F.col("b.bucket") == F.col("h.bucket"))
+                .select(F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid"))
+                .dropDuplicates(["bid", "hid"])
             )
-            .filter(cos >= threshold)
-            .select(F.col("bid").alias(id_col))
-            .distinct()
+        rejected = None
+        if cand is not None:
+            pay_paths = [os.path.join(pay_path, f"batch={t}") for t in tags]
+            if _table_zoned(store_path, "payload", tags, id_col):
+                cand = cand.localCheckpoint(eager=True)
+                pay_paths = _probe_paths(
+                    store_path, "payload", tags, id_col,
+                    _collect_probes(cand, "hid"),
+                )
+            if pay_paths:
+                hist_pay = spark.read.parquet(*pay_paths)
+                # int8 payload: compare against the raw codes (scale-invariant)
+                hvec = (
+                    F.col("qvec").cast("array<double>")
+                    if payload_int8
+                    else F.col(vec_col)
+                )
+                cos = F.round(
+                    cosine_similarity(F.col("__vb__"), F.col("__vh__")), 6
+                )
+                rejected = (
+                    cand.join(
+                        sig.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("__vb__")),
+                        "bid",
+                    )
+                    .join(
+                        hist_pay.select(F.col(id_col).alias("hid"), hvec.alias("__vh__")),
+                        "hid",
+                    )
+                    .filter(cos >= threshold)
+                    .select(F.col("bid").alias(id_col))
+                    .distinct()
+                )
+        admitted = (
+            sig.join(rejected, id_col, "left_anti") if rejected is not None else sig
         )
-        admitted = sig.join(rejected, id_col, "left_anti")
     else:
         admitted = sig
     admitted = admitted.select(id_col, vec_col, "__bh__").localCheckpoint(eager=True)

@@ -3673,7 +3673,8 @@ _NEWEST = [
     "dp_sum_release", "kanon_dp_release",
     # (a') round-11 additions (appended as they land this round)
     "vocab_store_payload_evolution", "kv_internal_command",
-    "dp_count_release_domain",
+    "dp_count_release_domain", "streaming_tws_user_stats",
+    "hard_negative_mining", "dedup_minhash_zoned_admission",
     # (b) oldest re-proof — round-4/5-era rows
     "multimodal_audio_features", "salted_join_revenue_by_status",
     "bucketed_join_no_shuffle", "secondary_sort_deltas",
@@ -3692,8 +3693,6 @@ _NEWEST = [
     "window_first_last_nth", "events_latest_per_user",
     "key_skew_profile", "full_outer_nation_activity",
     "setop_all_variants", "string_agg_by_group",
-    "multimodal_phash_dedup", "null_safe_join_priority",
-    "json_roundtrip_struct",
 ]
 
 

@@ -9445,3 +9445,247 @@ def dp_count_release_domain_q(spark, sf_dir):
         c, ["c_nationkey", "c_mktsegment"], epsilon=0.5, seed="42",
         domain=domain,
     )
+
+
+@defquery(
+    "streaming_tws_user_stats",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(value) AS DOUBLE) AS vmax
+FROM events GROUP BY user_id
+""",
+    "transformWithStateInPandas under the DRIVER GATE — Spark 4's "
+    "typed-state streaming operator (value-state handles, RocksDB "
+    "provider) maintaining per-user running (count, max) across THREE "
+    "micro-batches sliced by event_id, so every user's state is "
+    "genuinely carried between batches (an update-mode row per user "
+    "per batch; the final state is the per-user max, which the "
+    "monotone statistics make exact). Oracle = the batch aggregate "
+    "over all events — streaming/batch parity for the one streaming "
+    "API that previously lived only behind a pytest. The protobuf "
+    "runtime the TWS python worker needs is adopted by "
+    "session.py::ensure_protobuf (vendored pure-python fallback); if "
+    "a deployment lacks ANY usable protobuf the query degrades to "
+    "applyInPandasWithState with identical fold semantics (documented "
+    "fallback — state semantics, slicing, and the served result are "
+    "unchanged; tests pin that the TWS path is what executes here).",
+)
+def streaming_tws_user_stats_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .queries_ext import _sink_dir
+    from .session import ensure_protobuf
+    from .streaming.stateful import running_accumulator, user_stats_tws
+    from .streaming.windows import run_to_memory_sink
+
+    srcdir = _sink_dir("stream_tws_in", sf_dir)
+    shutil.rmtree(srcdir, ignore_errors=True)
+    os.makedirs(srcdir)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base_t = 1_700_000_000
+    for k in range(3):
+        chunk = e.filter(F.col("event_id") % 3 == k).drop("event_id")
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    sdf = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    def _fallback():
+        # identical fold semantics on the always-available stateful API
+        return running_accumulator(
+            sdf,
+            key_cols=["user_id"],
+            fold=lambda acc, pdf: (
+                acc[0] + len(pdf),
+                max(acc[1], float(pdf["value"].max()))
+                if acc[1] is not None
+                else float(pdf["value"].max()),
+            ),
+            zero=(0, None),
+            # running_accumulator stores ONE tuple-wrapped value — the
+            # 2-field accumulator rides a single struct field
+            state_schema="s struct<n:bigint,vmax:double>",
+            out_schema="user_id bigint, n bigint, vmax double",
+            emit=lambda key, acc: {
+                "user_id": key[0], "n": acc[0], "vmax": acc[1],
+            },
+        )
+
+    table = "q_tws_user_stats"
+    try:
+        if ensure_protobuf():
+            try:
+                run_to_memory_sink(
+                    user_stats_tws(sdf.groupBy("user_id")), table,
+                    output_mode="update",
+                )
+            except Exception:
+                # driver-importable protobuf but a worker that cannot
+                # see it (session built before PYTHONPATH was fixed):
+                # degrade, same semantics
+                table = "q_tws_user_stats_fb"
+                run_to_memory_sink(_fallback(), table, output_mode="update")
+        else:  # no usable protobuf anywhere
+            table = "q_tws_user_stats_fb"
+            run_to_memory_sink(_fallback(), table, output_mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max("vmax").alias("vmax"))
+    )
+
+
+_HN_MIN_TF = 3  # "strongly on-topic" bar: every query term >= this tf
+
+
+def _hard_negative_sql(shortlist: int = 20, kneg: int = 5) -> str:
+    """Hard-negative oracle: the BM25 shortlist oracle wrapped as a
+    CTE, minus the strong-coverage positives (every query term with
+    tf >= _HN_MIN_TF), re-ranked."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in sorted(set(_BM25_QUERIES)))
+    return f"""
+    WITH ranked AS ({_bm25_sql(shortlist)}),
+    qd AS (SELECT * FROM (VALUES {vals}) v(query_id, token)),
+    nterms AS (SELECT query_id, count(*) AS nq FROM qd GROUP BY query_id),
+    tf2 AS (
+      SELECT doc_id, token, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents) GROUP BY doc_id, token),
+    cover AS (
+      SELECT qd.query_id, t.doc_id, count(*) AS ncov
+      FROM qd JOIN tf2 t ON t.token = qd.token AND t.tf >= {_HN_MIN_TF}
+      GROUP BY qd.query_id, t.doc_id),
+    pos AS (
+      SELECT cover.query_id, cover.doc_id
+      FROM cover JOIN nterms USING (query_id) WHERE ncov = nq),
+    negs AS (
+      SELECT r.query_id, r.rank, r.doc_id, r.score
+      FROM ranked r LEFT JOIN pos p
+        ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+      WHERE p.doc_id IS NULL)
+    SELECT query_id, neg_rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+                  AS INT) AS neg_rank
+      FROM negs) t
+    WHERE neg_rank <= {kneg}
+    """
+
+
+@defquery(
+    "hard_negative_mining",
+    _hard_negative_sql(),
+    "HARD-NEGATIVE MINING — the training-data op a retrieval/reranker "
+    "pipeline runs at corpus scale: for each query, the BM25 "
+    "shortlist's top non-relevant documents (high-scoring but not "
+    "STRONGLY on-topic — some query term below 3 occurrences) become "
+    "contrastive negatives, with relevance defined EXACTLY "
+    "(integer tf thresholds — the same human-judgment-free labeling "
+    "trick as bm25_ndcg_eval, so the gate is hash-stable). Spark shape: one "
+    "tokenize pass feeds both the BM25 ranking (posting-bounded "
+    "candidates, broadcast query terms) and the coverage labels; the "
+    "positives anti-join and the per-query re-rank are "
+    "shortlist-bounded windows. At 100 TB the shortlist comes from "
+    "the persisted BM25 store (bm25_index_topk over the token-zoned "
+    "postings) and the mining cost is queries x shortlist, never "
+    "corpus-shaped — this is how contrastive training pairs are "
+    "actually produced for embedding-model fine-tuning.",
+)
+def hard_negative_mining_q(spark, sf_dir):
+    from .operators.retrieval import bm25_rank, tokenize_ws
+
+    shortlist, kneg = 20, 5
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(d)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qt = spark.createDataFrame(
+        sorted(set(_BM25_QUERIES)), "query_id int, token string"
+    )
+    ranked = bm25_rank(tf, dl, qt, k=shortlist)
+    nterms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    cover = (
+        qt.join(
+            tf.filter(F.col("tf") >= _HN_MIN_TF).select("doc_id", "token"),
+            "token",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("ncov"))
+    )
+    pos = (
+        cover.join(F.broadcast(nterms), "query_id")
+        .filter(F.col("ncov") == F.col("nq"))
+        .select("query_id", "doc_id")
+    )
+    negs = ranked.join(pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= kneg)
+        .select("query_id", "neg_rank", "doc_id", "score")
+    )
+
+
+@defquery(
+    "dedup_minhash_zoned_admission",
+    _incr_minhash_sql(),
+    "ZONED-LAYOUT invariance proof for the near-dup store (round-11 "
+    "catalog-bucketed admission): the SAME admission scenario as "
+    "dedup_incremental_minhash / _compacted, but compaction lays the "
+    "history out with zone_by={'index': 'bucket', 'payload': doc_id} "
+    "— the fp-clustered layout generalized to the banded stores — so "
+    "the final ingest's candidate generation runs through "
+    "bucket-probe-pruned index files and its Jaccard verify through "
+    "candidate-id-pruned payload files. The oracle is the identical "
+    "from-scratch replay, so the hash proves pruning changed NOTHING: "
+    "a pruned file is provably disjoint with the batch's buckets / "
+    "candidate ids. At 100 TB this is the layout under which a "
+    "commit's index scan opens O(batch x bands) file groups and the "
+    "verify reads only the candidates' shingle payload instead of the "
+    "corpus's (the payload column is the fat one).",
+)
+def dedup_minhash_zoned_admission_q(spark, sf_dir):
+    import shutil
+
+    from .operators import dedup as DD
+    from .queries_ext import _sink_dir
+
+    path = _sink_dir("minhash_history_zoned", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    hist = d.filter(src_num < 15)
+    DD.dedup_incremental_minhash(spark, path, hist)
+    for parity in (0, 1):
+        DD.dedup_incremental_minhash(
+            spark, path, hist.filter(src_num % 2 == parity)
+        )
+    assert DD.compact_incremental_store(
+        spark, path, zone_by={"index": "bucket", "payload": "doc_id"},
+        n_files=16,
+    ) == 3
+    return DD.dedup_incremental_minhash(spark, path, d.filter(src_num >= 15))

@@ -3503,3 +3503,97 @@ def test_ann_zoned_serve_prunes_cells_files(spark, emb, tmp_path):
     assert len(total) >= 6 and 0 < len(opened) < len(total), (
         len(opened), len(total),
     )
+
+
+def test_minhash_store_zoned_probe_pruning(spark, tmp_path):
+    # the fp-clustered layout generalized to the near-dup stores:
+    # bucket-zoned index + id-zoned payload; admission through the
+    # pruned reads still rejects a stored near-dup and admits novelty,
+    # and the probe pruner provably skips index/payload files
+    import os
+
+    from libmr_spark.operators import dedup as DD
+    from libmr_spark.operators.zones import pruned_paths_probes
+
+    store = str(tmp_path / "mh_zoned")
+    docs = spark.createDataFrame(
+        [(i, f"wholly unique document body number {i} with padding words")
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    DD.dedup_incremental_minhash(
+        spark, store, docs.filter("doc_id < 100"), num_hashes=64, bands=4
+    )
+    DD.dedup_incremental_minhash(
+        spark, store, docs.filter("doc_id >= 100"), num_hashes=64, bands=4
+    )
+    assert DD.compact_incremental_store(
+        spark, store, tables=("index", "payload"),
+        zone_by={"index": "bucket", "payload": "doc_id"}, n_files=16,
+    ) == 2
+
+    mixed = spark.createDataFrame(
+        [(1000, "wholly unique document body number 5 with padding words"),
+         (2000, "completely fresh never seen text with different words")],
+        ["doc_id", "text"],
+    )
+    admitted = DD.dedup_incremental_minhash(
+        spark, store, mixed, num_hashes=64, bands=4
+    )
+    assert {r.doc_id for r in admitted.collect()} == {2000}
+    # replay: 1000 still rejected (dup of 5), 2000 now rejects itself
+    assert DD.dedup_incremental_minhash(
+        spark, store, mixed, num_hashes=64, bands=4
+    ).count() == 0
+
+    # structural: a single bucket probe opens a strict subset of the
+    # compacted index files; a single id probe of the payload likewise
+    tags = DD._manifest_read(os.path.join(store, "_BATCHES"), None)
+    cdir = [d for d in os.listdir(os.path.join(store, "index"))
+            if d.startswith("batch=compact-")][0]
+    total_idx = [f for f in os.listdir(os.path.join(store, "index", cdir))
+                 if f.endswith(".parquet")]
+    one_bucket = spark.read.parquet(
+        os.path.join(store, "index", cdir)
+    ).select("bucket").first()[0]
+    opened = [p for p in pruned_paths_probes(
+        store, "index", tags, "bucket", [one_bucket]
+    ) if p.endswith(".parquet")]
+    assert 0 < len(opened) < len(total_idx), (len(opened), len(total_idx))
+    total_pay = [f for f in os.listdir(os.path.join(store, "payload", cdir))
+                 if f.endswith(".parquet")]
+    opened_pay = [p for p in pruned_paths_probes(
+        store, "payload", tags, "doc_id", [5]
+    ) if p.endswith(".parquet")]
+    assert 0 < len(opened_pay) < len(total_pay), (len(opened_pay), len(total_pay))
+
+
+def test_embedding_store_zoned_probe_pruning(spark, emb, tmp_path):
+    # same two layout levers on the vector store: exact copy of a
+    # stored vector rejected through the pruned index/payload reads,
+    # orthogonal novelty admitted
+    from libmr_spark.operators import dedup as DD
+    from pyspark.sql import functions as SF
+
+    store = str(tmp_path / "emb_zoned")
+    half = emb.agg((SF.max("vec_id") / 2).cast("bigint")).first()[0]
+    base = emb.filter(SF.col("vec_id") < half)
+    DD.dedup_incremental_embedding(spark, store, base.filter(SF.col("vec_id") % 2 == 0))
+    DD.dedup_incremental_embedding(spark, store, base.filter(SF.col("vec_id") % 2 == 1))
+    assert DD.compact_incremental_store(
+        spark, store, tables=("index", "payload"),
+        zone_by={"index": "bucket", "payload": "vec_id"}, n_files=8,
+    ) == 2
+
+    dup = base.limit(1).select(
+        (SF.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    novel = base.limit(1).select(
+        (SF.col("vec_id") + 2_000_000).alias("vec_id"),
+        SF.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    admitted = DD.dedup_incremental_embedding(
+        spark, store, dup.unionByName(novel)
+    )
+    got = {r.vec_id for r in admitted.collect()}
+    assert got == {novel.first().vec_id}
