@@ -465,3 +465,157 @@ def kanon_dp_release(
         .alias("n_released"),
         F.when(F.col("n") >= k, F.col("total")).alias("total"),
     )
+
+
+def dsir_importance_select(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    k: int = 200,
+    buckets: int = 2048,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the ``k`` raw-pool documents whose hashed-bigram distribution
+    looks most like a small TARGET set, sampling WITHOUT replacement in
+    proportion to the importance weights via the Gumbel-top-k trick
+    (Vieira 2014).  ``is_target`` marks the target rows inside ``docs``
+    (e.g. a curated source); everything else is the raw pool the
+    selection draws from.
+
+    Mechanics, all JVM expressions (no UDF anywhere):
+
+    1. bigrams of the whitespace-tokenized text hash into ``buckets``
+       feature buckets (md5-derived — portable to any engine);
+    2. per-bucket counts on each side give two add-one-smoothed
+       bag-of-ngrams models; a bucket's log-likelihood-ratio weight is
+       ``ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))``, each ln ROUNDED to 6
+       then carried as DECIMAL(18,8) so downstream accumulation is
+       exact integer arithmetic — order-free under partial aggregation
+       at any cluster size;
+    3. a doc's log importance weight is the DECIMAL dot product of its
+       bucket counts with the weight table;
+    4. Gumbel-top-k: per-doc noise ``g = -ln(-ln(u))`` with ``u`` a
+       md5-derived rational in (0,1) (washed-ln chain, deterministic
+       and partition-invariant), and the top ``k`` raw docs by
+       ``log_weight + g`` are the sample — equivalent to k draws
+       without replacement from softmax(log_weight).
+
+    Scale shape: the corpus is exploded ONCE; the weight table is
+    ``buckets``-bounded and BROADCAST to the doc-side dot product; the
+    final top-k is a TakeOrderedAndProject, not a global sort
+    materialization.  Linear in corpus size, no pair stage, one
+    corpus-keyed shuffle (the per-doc-per-bucket partial aggregate).
+    Docs with < 2 tokens have no bigram mass and are never selected
+    (documented DSIR behavior for degenerate docs).
+
+    Returns ``(id_col, keep_cols..., log_weight, gumbel_key, rank)``
+    with rank 1..k ordered by the Gumbel-perturbed key descending,
+    ties broken on ``id_col``.
+    """
+    keep_cols = keep_cols or []
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        is_target.cast("int").alias("_tgt"),
+        toks.alias("_ws"),
+    )
+    npairs = F.greatest(F.size("_ws") - 1, F.lit(0))
+    occ = base.select(
+        id_col,
+        "_tgt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, npairs),
+                F.slice(F.col("_ws"), 2, npairs),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("_bg"),
+    ).select(
+        id_col,
+        "_tgt",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col("_bg"))), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % buckets
+        ).alias("_b"),
+    )
+    # ONE corpus-keyed shuffle: per-(doc, bucket) counts; everything
+    # after is bucket-bounded or doc-bounded.
+    doc_bucket = occ.groupBy(id_col, "_tgt", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    side = doc_bucket.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt") == 1, F.col("_c")).otherwise(0)).alias("_t"),
+        F.sum(F.when(F.col("_tgt") == 0, F.col("_c")).otherwise(0)).alias("_r"),
+    )
+    totals = side.agg(
+        F.sum("_t").alias("_tt"), F.sum("_r").alias("_rr")
+    )
+    weights = side.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.round(F.log((F.col("_t") + 1.0) / (F.col("_tt") + F.lit(float(buckets)))), 6)
+            .cast("decimal(18,8)")
+            - F.round(F.log((F.col("_r") + 1.0) / (F.col("_rr") + F.lit(float(buckets)))), 6)
+            .cast("decimal(18,8)")
+        ).alias("_lw"),
+    )
+    scored = (
+        doc_bucket.filter(F.col("_tgt") == 0)
+        .join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c").cast("decimal(12,0)") * F.col("_lw")).alias("_score"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("g:" + seed + ":"), F.col(id_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 999983
+            + 1
+        ).cast("double")
+        / F.lit(999984.0)
+    )
+    l1 = F.round(F.log(u), 6).cast("decimal(18,8)")  # < 0, never rounds to 0
+    g = F.round(-F.log((-l1).cast("double")), 6).cast("decimal(18,8)")
+    keyed = scored.select(
+        id_col,
+        F.col("_score"),
+        (F.col("_score") + g).alias("_key"),
+    )
+    # TakeOrderedAndProject (distributed partial top-k per partition,
+    # k-bounded merge on the driver side of the exchange) — never a
+    # global sort of the corpus-sized score table; rank is computed on
+    # the k-bounded result, so the global window is k rows by
+    # construction.
+    topk = keyed.orderBy(F.col("_key").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    picked = topk.withColumn("rank", F.row_number().over(w))
+    # passthrough columns come from a broadcast of the k-row winner set
+    # into the docs scan — never a corpus-keyed shuffle
+    out = docs.select(id_col, *keep_cols).join(
+        F.broadcast(picked), id_col
+    ) if keep_cols else picked
+    return out.select(
+        id_col,
+        *keep_cols,
+        F.round(F.col("_score").cast("double"), 6).alias("log_weight"),
+        F.round(F.col("_key").cast("double"), 6).alias("gumbel_key"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -9689,3 +9689,93 @@ def dedup_minhash_zoned_admission_q(spark, sf_dir):
         n_files=16,
     ) == 3
     return DD.dedup_incremental_minhash(spark, path, d.filter(src_num >= 15))
+
+
+# ------------------------------------------------------------------
+# Round 11: DSIR — data selection via importance resampling
+# ------------------------------------------------------------------
+
+_DSIR_B = 2048   # hashed-bigram feature buckets
+_DSIR_K = 200    # sample size (without replacement)
+
+
+@defquery(
+    "dsir_importance_resample",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(substr(source, 4, 10) AS INT) < 2 AS tgt,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    occ AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substr(md5('dsir:' || ws[i] || ' ' || ws[i+1]), 1, 6))
+                  AS BIGINT) % {_DSIR_B} AS b
+      FROM base, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) u(i)),
+    db AS (SELECT doc_id, tgt, b, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+    side AS (
+      SELECT b,
+             SUM(CASE WHEN tgt THEN c ELSE 0 END) AS t,
+             SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS r
+      FROM db GROUP BY b),
+    tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM side),
+    wts AS (
+      SELECT b,
+             CAST(round(ln((t + 1.0) / (tt + {_DSIR_B}.0)), 6) AS DECIMAL(18,8))
+           - CAST(round(ln((r + 1.0) / (rr + {_DSIR_B}.0)), 6) AS DECIMAL(18,8)) AS lw
+      FROM side CROSS JOIN tot),
+    scored AS (
+      SELECT db.doc_id,
+             SUM(CAST(db.c AS DECIMAL(12,0)) * wts.lw) AS score
+      FROM db JOIN wts ON db.b = wts.b WHERE NOT db.tgt GROUP BY db.doc_id),
+    gum AS (
+      SELECT doc_id, score,
+             score + CAST(round(-ln(CAST(
+               -CAST(round(ln((CAST(('0x' || substr(md5('g:dsir:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 999983 + 1)
+                     / 999984.0), 6) AS DECIMAL(18,8))
+               AS DOUBLE)), 6) AS DECIMAL(18,8)) AS key
+      FROM scored),
+    sel AS (
+      SELECT doc_id, score, key,
+             row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+      FROM gum)
+    SELECT d.doc_id, d.source, d.lang,
+           round(CAST(s.score AS DOUBLE), 6) AS log_weight,
+           round(CAST(s.key AS DOUBLE), 6) AS gumbel_key,
+           CAST(s.rank AS INT) AS rank
+    FROM sel s JOIN base d USING (doc_id)
+    WHERE s.rank <= {_DSIR_K}
+    """,
+    "DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023), the published method for picking pretraining data that "
+    "matches a small curated target distribution: hashed-bigram "
+    f"bag-of-ngrams models ({_DSIR_B} md5 buckets) for the TARGET "
+    "(source src0/src1 — the curated proxy) and the RAW pool, "
+    "per-bucket add-one-smoothed log-likelihood-ratio weights, each "
+    "ln ROUNDED then DECIMAL(18,8) so the per-doc dot product is "
+    "exact decimal arithmetic (order-free under partial aggregation "
+    "at any cluster size), and Gumbel-top-k selection of "
+    f"{_DSIR_K} docs — sampling WITHOUT replacement proportional to "
+    "softmax(log weight) with md5-derived washed-ln Gumbel noise, so "
+    "the draw is deterministic, partition-invariant, and "
+    "oracle-provable. Scale shape: corpus exploded once, ONE "
+    "corpus-keyed shuffle (doc x bucket partial agg), the "
+    "bucket-bounded weight table broadcast, the top-k a "
+    "TakeOrderedAndProject (never a global sort), and the "
+    "passthrough join a broadcast of the k winners into the docs "
+    "scan. The oracle replays the identical washed arithmetic.",
+)
+def dsir_importance_resample_q(spark, sf_dir):
+    from .operators.sampling import dsir_importance_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_select(
+        d,
+        F.substring("source", 4, 10).cast("int") < 2,
+        keep_cols=["source", "lang"],
+        k=_DSIR_K,
+        buckets=_DSIR_B,
+        seed="dsir",
+    )

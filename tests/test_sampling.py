@@ -391,3 +391,34 @@ def test_dp_release_public_domain_frame(spark):
     assert set(out) == {"a", "b", "c"}
     assert out["a"] == (12, 12.0)  # exact above k, unaffected by framing
     assert out["c"] == (max(0, 0 + noise("c", prefix="kanon:")), None)
+
+
+def test_dsir_importance_select_invariants(docs):
+    from libmr_spark.operators.sampling import dsir_importance_select
+
+    tgt = F.substring("source", 4, 10).cast("int") < 2
+    sel = dsir_importance_select(
+        docs, tgt, keep_cols=["source"], k=50, buckets=512, seed="t"
+    ).collect()
+    # exactly k winners, ranks 1..k, no target docs in the sample
+    assert len(sel) == 50
+    assert sorted(r["rank"] for r in sel) == list(range(1, 51))
+    assert all(int(r.source[3:]) >= 2 for r in sel)
+    # ordered by gumbel_key descending
+    by_rank = sorted(sel, key=lambda r: r["rank"])
+    keys = [r.gumbel_key for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+    # partition-invariant: identical winner set under a hostile layout
+    sel2 = dsir_importance_select(
+        docs.repartition(13, "lang"), tgt,
+        keep_cols=["source"], k=50, buckets=512, seed="t",
+    ).collect()
+    assert {(r.doc_id, r["rank"]) for r in sel} == {(r.doc_id, r["rank"]) for r in sel2}
+    # the selection skews toward target-like docs: mean log-weight of
+    # winners strictly above the raw-pool mean (DSIR's whole point)
+    all_scored = dsir_importance_select(
+        docs, tgt, k=10**9, buckets=512, seed="t"
+    ).collect()
+    mean_sel = sum(r.log_weight for r in sel) / len(sel)
+    mean_all = sum(r.log_weight for r in all_scored) / len(all_scored)
+    assert mean_sel > mean_all
