@@ -9779,3 +9779,298 @@ def dsir_importance_resample_q(spark, sf_dir):
         buckets=_DSIR_B,
         seed="dsir",
     )
+
+
+# ------------------------------------------------------------------
+# Round 11: span-corruption training examples (T5-style denoising)
+# ------------------------------------------------------------------
+
+_SC_BLOCK = 20   # tokens per noise block
+_SC_SPAN = 3     # masked span length inside each block (15% density)
+
+
+@defquery(
+    "span_corruption_examples",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i - 1 AS i, ws[i] AS tok
+      FROM base, unnest(range(1, len(ws) + 1)) u(i)),
+    m AS (
+      SELECT doc_id, i, tok,
+             i // {_SC_BLOCK} AS block, i % {_SC_BLOCK} AS off,
+             CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(i // {_SC_BLOCK} AS VARCHAR)), 1, 6)) AS BIGINT)
+               % ({_SC_BLOCK} - {_SC_SPAN} + 1) AS s
+      FROM tok),
+    f AS (
+      SELECT doc_id, i, tok, block,
+             off BETWEEN s AND s + {_SC_SPAN} - 1 AS masked,
+             off = s AS is_start
+      FROM m),
+    inp AS (
+      SELECT doc_id, i AS ord,
+             CASE WHEN is_start THEN '<extra_id_' || CAST(block AS VARCHAR) || '>'
+                  ELSE tok END AS piece
+      FROM f WHERE is_start OR NOT masked),
+    tgt AS (
+      SELECT doc_id, i * 2 AS ord,
+             '<extra_id_' || CAST(block AS VARCHAR) || '>' AS piece
+      FROM f WHERE is_start
+      UNION ALL
+      SELECT doc_id, i * 2 + 1, tok FROM f WHERE masked),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+             SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS n_spans
+      FROM f GROUP BY doc_id),
+    it AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS input_text
+           FROM inp GROUP BY doc_id),
+    tt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS target_text
+           FROM tgt GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_spans AS BIGINT) AS n_spans,
+           CAST(a.n_masked AS BIGINT) AS n_masked,
+           it.input_text,
+           coalesce(tt.target_text, '') AS target_text
+    FROM agg a JOIN it USING (doc_id) LEFT JOIN tt USING (doc_id)
+    """,
+    "span-corruption training-example construction (the T5 denoising "
+    "objective, Raffel et al. 2020): every consecutive "
+    f"{_SC_BLOCK}-token block masks one {_SC_SPAN}-token span (15% "
+    "noise density) whose start offset is md5-derived from (doc, "
+    "block) — deterministic, partition-invariant, reproducible across "
+    "engines, where T5's RNG spans are not. The input keeps unmasked "
+    "tokens with one sentinel per span; the target is the sentinel-"
+    "delimited masked spans (sentinel ids are block numbers — a "
+    "documented deviation from T5's sequential numbering that keeps "
+    "the construction relational). Scale shape: ONE posexplode over "
+    "the corpus, ONE per-doc shuffle; both example strings rebuild "
+    "inside the per-doc aggregate via null-skipping collect_list + "
+    "array_sort on unique ordinals (never an order-dependent "
+    "collect), so per-task memory is bounded by document length — "
+    "the floor for any example-construction op. Zero joins on the "
+    "corpus, zero Python, zero windows.",
+)
+def span_corruption_examples_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    tok = d.select("doc_id", F.posexplode(ws).alias("i", "tok"))
+    block = (F.col("i") / _SC_BLOCK).cast("int")
+    off = F.col("i") % _SC_BLOCK
+    s = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sc:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        block.cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (_SC_BLOCK - _SC_SPAN + 1)
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), block.cast("string"), F.lit(">"))
+    f = tok.select(
+        "doc_id",
+        "i",
+        "tok",
+        ((off >= s) & (off <= s + _SC_SPAN - 1)).alias("masked"),
+        (off == s).alias("is_start"),
+        sentinel.alias("sent"),
+    )
+    inp_piece = (
+        F.when(F.col("is_start"), F.struct(F.col("i").alias("ord"), F.col("sent").alias("piece")))
+        .when(~F.col("masked"), F.struct(F.col("i").alias("ord"), F.col("tok").alias("piece")))
+    )
+    tgt_arr = F.filter(
+        F.array(
+            F.when(
+                F.col("is_start"),
+                F.struct((F.col("i") * 2).alias("ord"), F.col("sent").alias("piece")),
+            ),
+            F.when(
+                F.col("masked"),
+                F.struct((F.col("i") * 2 + 1).alias("ord"), F.col("tok").alias("piece")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    joined = lambda col: F.array_join(  # noqa: E731
+        F.transform(F.array_sort(col), lambda x: x.piece), " "
+    )
+    return (
+        f.select("doc_id", "masked", "is_start", inp_piece.alias("ip"), tgt_arr.alias("ta"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("is_start").cast("int")).cast("bigint").alias("n_spans"),
+            F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked"),
+            joined(F.collect_list("ip")).alias("input_text"),
+            joined(F.flatten(F.collect_list("ta"))).alias("target_text"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_spans", "n_masked", "input_text", "target_text"
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# Round 11: TWS composite-state gate (MapState + ListState)
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "streaming_tws_event_profile",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n_type
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT user_id, count(*) AS n_total, max(value) AS vmax
+      FROM events GROUP BY 1)
+    SELECT p.user_id, p.event_type,
+           CAST(p.n_type AS BIGINT) AS n_type,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(t.vmax AS DOUBLE) AS vmax
+    FROM per p JOIN tot t USING (user_id)
+    """,
+    "transformWithStateInPandas COMPOSITE typed state under the "
+    "driver gate: the MapState (event_type -> running count, updated "
+    "in place and read back via iterator()) and ListState (per-user "
+    "values appended per batch with appendList) handles, which the "
+    "value-state TWS gate does not touch, maintained across a THREE "
+    "micro-batch drain (event_id-sliced files, RocksDB provider, "
+    "vendored-protobuf worker runtime). Emitted statistics are all "
+    "monotone (two counters + a max), so the final per-(user, type) "
+    "row is the batch-split-invariant update-mode maximum and the "
+    "batch per-type/per-user aggregate join is an exact oracle — "
+    "streaming/batch parity for the full typed-state API surface. "
+    "Degrades to applyInPandasWithState with the map carried as "
+    "parallel arrays when no protobuf exists (identical fold, "
+    "documented fallback).",
+)
+def streaming_tws_event_profile_q(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+
+    from .queries_ext import _sink_dir
+    from .session import ensure_protobuf
+    from .streaming.stateful import event_profile_tws, running_accumulator
+    from .streaming.windows import run_to_memory_sink
+
+    srcdir = _sink_dir("stream_tws_profile_in", sf_dir)
+    shutil.rmtree(srcdir, ignore_errors=True)
+    os.makedirs(srcdir)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base_t = 1_700_000_000
+    for k in range(3):
+        chunk = e.filter(F.col("event_id") % 3 == k).drop("event_id")
+        stage = os.path.join(srcdir, f"_stage{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"chunk_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+
+    sdf = (
+        spark.readStream.schema("user_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def _fallback():
+        # identical fold on applyInPandasWithState: the map rides as
+        # parallel arrays (types[], counts[]) + (n_total, vmax)
+        def fold(acc, pdf):
+            types, counts, n_total, vmax = acc
+            d = dict(zip(types, counts))
+            for t, n in pdf.groupby("event_type").size().items():
+                d[t] = d.get(t, 0) + int(n)
+            m = float(pdf["value"].max())
+            return (
+                list(d.keys()),
+                list(d.values()),
+                n_total + len(pdf),
+                m if vmax is None else max(vmax, m),
+            )
+
+        return running_accumulator(
+            sdf,
+            key_cols=["user_id"],
+            fold=fold,
+            zero=([], [], 0, None),
+            state_schema=(
+                "s struct<types:array<string>,counts:array<bigint>,"
+                "n_total:bigint,vmax:double>"
+            ),
+            out_schema=(
+                "user_id bigint, event_type string, n_type bigint, "
+                "n_total bigint, vmax double"
+            ),
+            emit=lambda key, acc: [
+                {
+                    "user_id": key[0],
+                    "event_type": t,
+                    "n_type": n,
+                    "n_total": acc[2],
+                    "vmax": acc[3],
+                }
+                for t, n in zip(acc[0], acc[1])
+            ],
+        )
+
+    table = "q_tws_event_profile"
+    try:
+        if ensure_protobuf():
+            try:
+                run_to_memory_sink(
+                    event_profile_tws(sdf.groupBy("user_id")), table,
+                    output_mode="update",
+                )
+            except Exception:
+                table = "q_tws_event_profile_fb"
+                run_to_memory_sink(_fallback(), table, output_mode="update")
+        else:
+            table = "q_tws_event_profile_fb"
+            run_to_memory_sink(_fallback(), table, output_mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
+    return (
+        spark.table(table)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_type").alias("n_type"),
+            F.max("n_total").alias("n_total"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

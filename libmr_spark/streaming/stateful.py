@@ -38,7 +38,10 @@ def running_accumulator(
         for pdf in pdfs:
             acc = fold(acc, pdf)
         state.update((acc,))
-        yield pd.DataFrame([emit(key, acc)])
+        row = emit(key, acc)
+        # emit may return one dict (one row) or a list of dicts
+        # (multi-row update, e.g. one row per map-state entry)
+        yield pd.DataFrame(row if isinstance(row, list) else [row])
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         step,
@@ -129,6 +132,83 @@ def user_stats_tws(sdf, value_col: str = "value") -> DataFrame:
     return sdf.transformWithStateInPandas(
         UserStats(),
         outputStructType="user_id bigint, n bigint, vmax double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def event_profile_tws(
+    sdf, type_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-user event-type PROFILE via ``transformWithStateInPandas``
+    exercising the COMPOSITE typed-state handles the value-state gate
+    (:func:`user_stats_tws`) does not touch:
+
+    * ``MapState`` (event_type → running count) — per-type counters
+      updated in place, read back with ``iterator()`` at emit time;
+    * ``ListState`` (the user's observed values) — appended per batch
+      with ``appendList``, folded with order-free statistics (len /
+      max) so the emitted row is exact regardless of replay order.
+
+    Emits, per user per batch, one UPDATE row per event type seen so
+    far: ``(user_id, event_type, n_type, n_total, vmax)``.  All three
+    statistics are monotone (counters and a max), so the FINAL state
+    per (user, type) is the batch-split-invariant per-key maximum —
+    the same serving contract as the value-state gate.  Same
+    environment gate as :func:`user_stats_tws` (protobuf worker
+    runtime; RocksDB provider).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "t string", "n bigint")
+            self._vals = handle.getListState("vals", "v double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            frames = [pdf for pdf in rows]
+            batch = (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(columns=[type_col, value_col])
+            )
+            for t, n in batch.groupby(type_col).size().items():
+                cur = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (int(cur) + int(n),))
+            if len(batch):
+                self._vals.appendList(
+                    [(float(v),) for v in batch[value_col].tolist()]
+                )
+            vals = [v[0] for v in self._vals.get()]
+            n_total, vmax = len(vals), max(vals)
+            out = [
+                {
+                    "user_id": key[0],
+                    "event_type": t[0],
+                    "n_type": int(n[0]),
+                    "n_total": n_total,
+                    "vmax": float(vmax),
+                }
+                for t, n in self._counts.iterator()
+            ]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return sdf.transformWithStateInPandas(
+        Profile(),
+        outputStructType=(
+            "user_id bigint, event_type string, n_type bigint, "
+            "n_total bigint, vmax double"
+        ),
         outputMode="Update",
         timeMode="None",
     )

@@ -489,3 +489,51 @@ def test_watermark_lag_and_late_drop_semantics(spark, tmp_path):
     # 01:30 >= its window end); h1: 01:50 kept (end 02:00 > 01:30);
     # h2: 02:30; h3 (03:30) withheld: end 04:00 > final wm 03:30.
     assert got == {0: 2, 60: 1, 120: 1}
+
+
+def test_tws_event_profile_composite_state(spark, sf_dir):
+    """transformWithStateInPandas MapState + ListState: the per-user
+    per-type profile must equal the batch aggregates (this test runs
+    the TWS path directly — no fallback branch — so a pass proves the
+    composite typed-state handles execute in this environment)."""
+    from pyspark.sql import functions as F
+
+    from libmr_spark.sources.readers import events_stream, events_table
+    from libmr_spark.streaming.stateful import event_profile_tws
+    from libmr_spark.streaming.windows import run_to_memory_sink
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    grouped = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "value")
+        .groupBy("user_id")
+    )
+    run_to_memory_sink(
+        event_profile_tws(grouped), "t_tws_profile", output_mode="update"
+    )
+    got = {
+        (r.user_id, r.event_type): (r.n_type, r.n_total, round(r.vmax, 6))
+        for r in spark.table("t_tws_profile")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_type").alias("n_type"),
+            F.max("n_total").alias("n_total"),
+            F.max("vmax").alias("vmax"),
+        )
+        .collect()
+    }
+    e = events_table(spark, sf_dir)
+    tot = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"), F.max("value").alias("vmax")
+    )
+    want = {
+        (r.user_id, r.event_type): (r.n_type, r.n_total, round(r.vmax, 6))
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+        .join(tot, "user_id")
+        .collect()
+    }
+    assert got == want
