@@ -275,6 +275,15 @@ HEADLINE = [
     # round-11: zoned-layout invariance for the near-dup store
     # (lifecycle soak: three ingests + zoned compaction + admission)
     "dedup_minhash_zoned_admission",
+    # round-11: DSIR importance resampling (perf set — one corpus
+    # explode + bucket-bounded broadcast + TakeOrdered top-k)
+    "dsir_importance_resample",
+    # round-11: T5 span-corruption examples (perf set — one posexplode
+    # + one per-doc aggregate)
+    "span_corruption_examples",
+    # round-11: TWS MapState/ListState drain (lifecycle: streaming
+    # checkpoint machinery, same exclusion as the value-state gate)
+    "streaming_tws_event_profile",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with
@@ -293,6 +302,7 @@ LIFECYCLE = {
     # machinery, not plan work — same exclusion rationale as the
     # store-commit soaks
     "streaming_tws_user_stats",
+    "streaming_tws_event_profile",
     "dedup_minhash_zoned_admission",
     "streaming_matview_join",
     "matview_cascade",

@@ -3675,11 +3675,13 @@ _NEWEST = [
     "vocab_store_payload_evolution", "kv_internal_command",
     "dp_count_release_domain", "streaming_tws_user_stats",
     "hard_negative_mining", "dedup_minhash_zoned_admission",
+    "dsir_importance_resample", "span_corruption_examples",
+    "streaming_tws_event_profile",
     # (b) oldest re-proof — round-4/5-era rows
     "multimodal_audio_features", "salted_join_revenue_by_status",
-    "bucketed_join_no_shuffle", "secondary_sort_deltas",
-    "common_event_paths", "dedup_simhash", "knn_bruteforce",
-    "knn_lsh", "knn_ivf", "knn_ivf_pretrained", "text_lang_id",
+    "secondary_sort_deltas",
+    "dedup_simhash", "knn_bruteforce",
+    "knn_lsh", "knn_ivf", "text_lang_id",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",
     "q8_market_share", "q9_profit_by_nation_year",
