@@ -214,6 +214,72 @@ def event_profile_tws(
     )
 
 
+def timer_heartbeat_tws(sdf) -> DataFrame:
+    """``transformWithStateInPandas`` TIMER surface — the last typed-
+    state API (``registerTimer`` / ``listTimers`` / ``deleteTimer`` /
+    ``handleExpiredTimer``) left unexercised by the value-state and
+    composite-state processors: per-user running count with an EVENT-
+    TIME timer re-armed every batch (one live timer per key — existing
+    timers are swept via ``listTimers`` + ``deleteTimer`` before
+    re-registering; expiry = current watermark + 1ms, so the timer
+    fires as soon as the NEXT batch advances the watermark), whose
+    expiry emits a 'timer' snapshot row alongside the per-batch 'live'
+    rows.  ``sdf`` must carry a watermark (``withWatermark``) for
+    ``timeMode='EventTime'``.
+
+    Event-time (not processing-time) timers on purpose: watermark
+    advance is data-driven, so an availableNow drain terminates and
+    the firing schedule is replay-stable — a processing-time short
+    fuse under availableNow re-batches on the wall clock instead of
+    the data (unbounded empty micro-batches). Timer-channel CONTENT is
+    still registration-order-dependent across keys, so this operator
+    is pytest-pinned (timers fired, snapshots bounded, live channel
+    exact) rather than oracle-gated. Production use of the same shape:
+    state GC / session-timeout emission, where the callback clears
+    state instead of snapshotting it. Same environment gate as
+    :func:`user_stats_tws`.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Heartbeat(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = sum(len(pdf) for pdf in rows)
+            if self._n.exists():
+                n += self._n.get()[0]
+            self._n.update((n,))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + 1
+            )
+            yield pd.DataFrame(
+                [{"user_id": key[0], "kind": "live", "n": int(n)}]
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+            n = self._n.get()[0] if self._n.exists() else 0
+            yield pd.DataFrame(
+                [{"user_id": key[0], "kind": "timer", "n": int(n)}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return sdf.transformWithStateInPandas(
+        Heartbeat(),
+        outputStructType="user_id bigint, kind string, n bigint",
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
 def rolling_extremes(
     sdf: DataFrame,
     key_cols: list[str],
