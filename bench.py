@@ -284,6 +284,9 @@ HEADLINE = [
     # round-11: TWS MapState/ListState drain (lifecycle: streaming
     # checkpoint machinery, same exclusion as the value-state gate)
     "streaming_tws_event_profile",
+    # round-11: word2vec negative-sampling table + equi-join draws
+    # (perf set — vocab-bounded construction, broadcast slot table)
+    "negative_sampling_draws",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -3676,9 +3676,9 @@ _NEWEST = [
     "dp_count_release_domain", "streaming_tws_user_stats",
     "hard_negative_mining", "dedup_minhash_zoned_admission",
     "dsir_importance_resample", "span_corruption_examples",
-    "streaming_tws_event_profile",
+    "streaming_tws_event_profile", "negative_sampling_draws",
     # (b) oldest re-proof — round-4/5-era rows
-    "multimodal_audio_features", "salted_join_revenue_by_status",
+    "multimodal_audio_features",
     "secondary_sort_deltas",
     "dedup_simhash", "knn_bruteforce",
     "knn_lsh", "knn_ivf", "text_lang_id",

@@ -10074,3 +10074,132 @@ def streaming_tws_event_profile_q(spark, sf_dir):
             F.max("vmax").alias("vmax"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Round 11: negative-sampling table (word2vec unigram^0.75 draws)
+# ------------------------------------------------------------------
+
+_NS_M = 100_000   # slot-table size (word2vec uses 1e8 at full scale)
+_NS_N = 10_000    # number of draws the gate verifies
+
+
+@defquery(
+    "negative_sampling_draws",
+    rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                w -> w <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token,
+             CAST(round(pow(count(*), 0.75) * 1000000, 0) AS BIGINT) AS iw
+      FROM tok GROUP BY token),
+    cum AS (
+      SELECT token, iw,
+             SUM(iw) OVER (ORDER BY token ASC
+                           ROWS UNBOUNDED PRECEDING) AS chi
+      FROM vocab),
+    tot AS (SELECT SUM(iw) AS w FROM vocab),
+    ranges AS (
+      SELECT token,
+             CAST(({_NS_M} * (chi - iw)) // w AS BIGINT) AS s0,
+             CAST(({_NS_M} * chi) // w AS BIGINT) AS s1
+      FROM cum CROSS JOIN tot),
+    slots AS (
+      SELECT token, CAST(i AS BIGINT) AS slot
+      FROM ranges, unnest(range(s0, s1)) u(i)
+      WHERE s1 > s0),
+    draws AS (
+      SELECT CAST(('0x' || substr(md5('ns:' || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_NS_M} AS slot
+      FROM unnest(range(1, {_NS_N} + 1)) u(i)),
+    hits AS (
+      SELECT s.token, count(*) AS n_drawn
+      FROM draws d JOIN slots s ON d.slot = s.slot
+      GROUP BY s.token)
+    SELECT r.token,
+           CAST(r.s1 - r.s0 AS BIGINT) AS n_slots,
+           CAST(coalesce(h.n_drawn, 0) AS BIGINT) AS n_drawn
+    FROM ranges r LEFT JOIN hits h ON r.token = h.token
+    WHERE r.s1 > r.s0
+    """,
+    "word2vec-style negative-sampling table + verified draws (Mikolov "
+    "et al. 2013): per-token weight count^0.75 (ONE pow per DISTINCT "
+    "token, rounded then scaled to an exact BIGINT), token slot "
+    f"ranges over a {_NS_M}-slot quantized table via integer "
+    "cumulative arithmetic (the construction word2vec itself uses — "
+    "every boundary is integer division, so the table is bit-"
+    f"identical in any engine), and {_NS_N} md5-derived draws "
+    "resolved by plain EQUI-join on slot id — the trick that makes "
+    "distributed categorical sampling scale: no inverse-CDF range "
+    "join (which would be a nested-loop non-equi join), no rejection "
+    "loop. Scale shape: corpus tokenized once into a vocab-bounded "
+    "aggregate; the slot table is M rows (vocab-bounded explode, "
+    "broadcastable); draws are corpus-scale-extensible (key the md5 "
+    "by (center, context) pair id for per-pair negatives) and join "
+    "by equality. The cumulative window is post-aggregate and "
+    "vocab-bounded — the documented swap at extreme vocab sizes is "
+    "a two-level segment cumsum, same contract as vocab_coverage_"
+    "cutoff.",
+)
+def negative_sampling_draws_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.round(F.pow(F.count(F.lit(1)), 0.75) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("iw")
+    )
+    wspec = Window.orderBy(F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vocab.select("token", "iw", F.sum("iw").over(wspec).alias("chi"))
+    tot = vocab.agg(F.sum("iw").alias("w"))
+    ranges = cum.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(f"({_NS_M} * (chi - iw)) div w").alias("s0"),
+        F.expr(f"({_NS_M} * chi) div w").alias("s1"),
+    )
+    slots = (
+        ranges.filter(F.col("s1") > F.col("s0"))
+        .select(
+            "token",
+            F.explode(F.sequence(F.col("s0"), F.col("s1") - 1)).alias("slot"),
+        )
+    )
+    draws = spark.range(1, _NS_N + 1).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ns:"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _NS_M
+        ).alias("slot")
+    )
+    hits = (
+        draws.join(F.broadcast(slots), "slot")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_drawn"))
+    )
+    return (
+        ranges.filter(F.col("s1") > F.col("s0"))
+        .join(hits, "token", "left")
+        .select(
+            "token",
+            (F.col("s1") - F.col("s0")).cast("bigint").alias("n_slots"),
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("bigint").alias("n_drawn"),
+        )
+    )
