@@ -287,6 +287,9 @@ HEADLINE = [
     # round-11: word2vec negative-sampling table + equi-join draws
     # (perf set — vocab-bounded construction, broadcast slot table)
     "negative_sampling_draws",
+    # round-11: user-level DP via contribution bounding (perf set —
+    # user-keyed capping windows + one aggregation tree)
+    "dp_user_level_release",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

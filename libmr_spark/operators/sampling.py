@@ -623,3 +623,81 @@ def dsir_importance_select(
         F.round(F.col("_key").cast("double"), 6).alias("gumbel_key"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def dp_user_level_count_release(
+    df: DataFrame,
+    user_col: str,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    rows_per_group: int = 3,
+    groups_per_user: int = 2,
+    epsilon: float = 0.5,
+    seed: str = "42",
+    domain: DataFrame | None = None,
+) -> DataFrame:
+    """USER-level DP counter release via contribution bounding (the
+    bounded-user-contribution pipeline of Wilson et al. 2020,
+    "Differentially Private SQL"): the row-level releases above
+    protect one ROW, but a user contributing many rows is unprotected
+    — their removal can swing a count arbitrarily.  This operator
+    makes the privacy unit the USER:
+
+    1. **L∞ bound** — within each (user, group) keep at most
+       ``rows_per_group`` rows, chosen by md5 rank over
+       ``order_col`` (deterministic, data-independent given the keys);
+    2. **L0 bound** — each user contributes to at most
+       ``groups_per_user`` groups, again md5-chosen from the keys;
+    3. one user's presence now shifts the released count vector by at
+       most ``L1 = rows_per_group * groups_per_user``, so the
+       seeded-geometric mechanism (:func:`dp_geometric_release`) at
+       ``epsilon / L1`` per unit — i.e. noise scale ``b = L1/ε`` —
+       releases the per-group counts with user-level ε-DP over the
+       public ``domain`` frame (same domain caveat as the row-level
+       release without one).
+
+    The capping windows are partitioned by user (corpus-keyed,
+    never global); the md5 rank keys are disjoint streams
+    (``seed:cap:...`` / ``seed:grp:...``) from the noise stream
+    (``seed:user:...``).  One user-keyed shuffle + one group
+    aggregation tree — the same scale shape as a plain grouped count.
+    Emits ``(group_cols..., n_noisy)``."""
+    from pyspark.sql import functions as F
+
+    l1 = rows_per_group * groups_per_user
+    gcols = [F.col(c).cast("string") for c in group_cols]
+    cap_key = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), F.lit("cap"), F.col(user_col).cast("string"),
+            *gcols, F.col(order_col).cast("string"),
+        )
+    )
+    w_rows = Window.partitionBy(user_col, *group_cols).orderBy(
+        cap_key.asc(), F.col(order_col).asc()
+    )
+    grp_key = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), F.lit("grp"), F.col(user_col).cast("string"), *gcols
+        )
+    )
+    # rank each user's GROUPS by a key-derived hash; dense_rank over
+    # the distinct (user, group) pairs == rank of the group itself
+    # because grp_key is constant within a (user, group)
+    w_groups = Window.partitionBy(user_col).orderBy(
+        grp_key.asc(), *[F.col(c).asc() for c in group_cols]
+    )
+    capped = (
+        df.withColumn("_rn", F.row_number().over(w_rows))
+        .filter(F.col("_rn") <= rows_per_group)
+        .withColumn("_gr", F.dense_rank().over(w_groups))
+        .filter(F.col("_gr") <= groups_per_user)
+        .drop("_rn", "_gr")
+    )
+    return dp_geometric_release(
+        capped,
+        group_cols,
+        epsilon=epsilon / l1,
+        seed=f"{seed}:user",
+        domain=domain,
+    )

@@ -3677,8 +3677,8 @@ _NEWEST = [
     "hard_negative_mining", "dedup_minhash_zoned_admission",
     "dsir_importance_resample", "span_corruption_examples",
     "streaming_tws_event_profile", "negative_sampling_draws",
+    "dp_user_level_release",
     # (b) oldest re-proof — round-4/5-era rows
-    "multimodal_audio_features",
     "secondary_sort_deltas",
     "dedup_simhash", "knn_bruteforce",
     "knn_lsh", "knn_ivf", "text_lang_id",

@@ -10203,3 +10203,79 @@ def negative_sampling_draws_q(spark, sf_dir):
             F.coalesce(F.col("n_drawn"), F.lit(0)).cast("bigint").alias("n_drawn"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Round 11: user-level DP release via contribution bounding
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "dp_user_level_release",
+    r"""
+WITH capped AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY md5('42:cap:' || CAST(user_id AS VARCHAR) || ':' ||
+                        event_type || ':' || CAST(event_id AS VARCHAR)) ASC,
+                    event_id ASC) AS rn
+  FROM events),
+kept AS (SELECT * FROM capped WHERE rn <= 3),
+gr AS (
+  SELECT *, dense_rank() OVER (
+           PARTITION BY user_id
+           ORDER BY md5('42:grp:' || CAST(user_id AS VARCHAR) || ':' ||
+                        event_type) ASC, event_type ASC) AS g
+  FROM kept),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM gr WHERE g <= 2 GROUP BY event_type),
+dom AS (SELECT t AS event_type
+        FROM (VALUES ('click'), ('error'), ('purchase'),
+                     ('signup'), ('view')) v(t)),
+j AS (SELECT dom.event_type, COALESCE(cnt.n, 0) AS n
+      FROM dom LEFT JOIN cnt USING (event_type)),
+r AS (SELECT event_type, n,
+             CAST(('0x' || substr(md5('42:user:' || event_type), 1, 8))
+                  AS BIGINT) AS h
+      FROM j),
+t AS (SELECT event_type, n, (2 * h + 1) / 8589934592.0 - 0.5 AS t FROM r)
+SELECT event_type,
+       CAST(n + CAST(ROUND(-12.0 * SIGN(t) * ROUND(LN(1 - 2 * ABS(t)), 6), 0)
+                AS BIGINT) AS BIGINT) AS n_noisy
+FROM t
+""",
+    "USER-level DP release — contribution bounding (Wilson et al. "
+    "2020, 'Differentially Private SQL with Bounded User "
+    "Contributions'): the row-level DP gates protect one ROW, but a "
+    "user with many events is unprotected. Here each user is capped "
+    "to 3 rows per event type (md5-ranked — deterministic and "
+    "data-independent given the keys) and 2 event types total "
+    "(L-inf / L0 bounds), so one user's removal shifts the count "
+    "vector by at most L1 = 6, and the seeded-geometric mechanism at "
+    "noise scale b = L1/eps = 12 releases per-type counts with "
+    "USER-level eps-DP over the public 5-value event-type domain "
+    "(every domain key emits a row — membership covered). Capping "
+    "windows are user-partitioned (corpus-keyed, never global); the "
+    "cap/group/noise md5 streams are disjoint. Scale shape: one "
+    "user-keyed shuffle + one group-bounded aggregation tree — a "
+    "plain grouped count's cost, plus nothing.",
+)
+def dp_user_level_release_q(spark, sf_dir):
+    from .operators.sampling import dp_user_level_count_release
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    types = ["click", "error", "purchase", "signup", "view"]
+    domain = spark.createDataFrame([(t,) for t in types], "event_type string")
+    return dp_user_level_count_release(
+        e,
+        "user_id",
+        ["event_type"],
+        "event_id",
+        rows_per_group=3,
+        groups_per_user=2,
+        epsilon=0.5,
+        seed="42",
+        domain=domain,
+    )

@@ -422,3 +422,50 @@ def test_dsir_importance_select_invariants(docs):
     mean_sel = sum(r.log_weight for r in sel) / len(sel)
     mean_all = sum(r.log_weight for r in all_scored) / len(all_scored)
     assert mean_sel > mean_all
+
+
+def test_dp_user_level_contribution_bounding(spark):
+    from libmr_spark.operators.sampling import dp_user_level_count_release
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for t in ("a", "b", "c"):
+            for _ in range(4):
+                rows.append((u, t, eid)); eid += 1
+    base = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, event_id bigint"
+    )
+    # neighboring dataset: one HEAVY user adds 100 rows of one type and
+    # 50 of another — without bounding this swings counts by 150
+    heavy = [(99, "a", 10_000 + i) for i in range(100)]
+    heavy += [(99, "b", 20_000 + i) for i in range(50)]
+    neigh = base.union(
+        spark.createDataFrame(
+            heavy, "user_id bigint, event_type string, event_id bigint"
+        )
+    )
+    dom = spark.createDataFrame([("a",), ("b",), ("c",)], "event_type string")
+
+    def release(df):
+        return {
+            r.event_type: r.n_noisy
+            for r in dp_user_level_count_release(
+                df, "user_id", ["event_type"], "event_id",
+                rows_per_group=3, groups_per_user=2,
+                epsilon=0.5, seed="s", domain=dom,
+            ).collect()
+        }
+
+    a, b = release(base), release(neigh)
+    # noise is a pure function of (seed, group key), so the per-group
+    # release difference IS the capped-count difference: one extra
+    # user moves each group by <= rows_per_group and the whole vector
+    # by <= rows_per_group * groups_per_user
+    diffs = {t: b[t] - a[t] for t in a}
+    assert all(0 <= d <= 3 for d in diffs.values()), diffs
+    assert sum(diffs.values()) <= 6, diffs
+    # every domain key released exactly once, membership covered
+    assert set(a) == {"a", "b", "c"}
+    # determinism: identical rerun, identical release
+    assert release(base) == a
