@@ -290,6 +290,12 @@ HEADLINE = [
     # round-11: user-level DP via contribution bounding (perf set —
     # user-keyed capping windows + one aggregation tree)
     "dp_user_level_release",
+    # round-11: observe() side-channel metrics (perf set — one corpus
+    # pass, metrics ride the action)
+    "observed_quality_metrics",
+    # round-11: mapInArrow int8 quantization (perf set — one scalar
+    # aggregate + shuffle-free Arrow pass)
+    "embedding_quantize_arrow",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -995,3 +995,59 @@ def pca_power_exact(
         lambda acc, x: acc + x,
     )
     return c.select(id_col, proj.alias("p1"))
+
+
+def quantize_embeddings_arrow(
+    df: DataFrame,
+    scale: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-native int8 quantization statistics via ``mapInArrow`` —
+    the zero-copy batch API below even ``mapInPandas`` (no pandas
+    Series materialization; the list column's values buffer feeds
+    numpy directly via ``pyarrow``). Per vector: ``q_i = floor(x_i *
+    127 / scale + 0.5)`` (explicit half-up tie-break — engine-
+    portable where numpy's default half-even and SQL round's
+    half-away disagree), emitting ``(id, n_dims, qsum, qmin, qmax)``.
+
+    ``scale`` is the global max-|x| (one scalar, computed by the
+    caller's aggregate — the same frozen-scalar contract as the IVF
+    centroids). Work is per-batch vectorized: flatten the ListArray's
+    values (zero-copy), quantize once, reduce by the list offsets
+    with ``np.add/minimum/maximum.reduceat``. The int8 payload this
+    derives is what `ann_index_int8` ships; this operator is the
+    Arrow-path derivation with exact integer outputs, so the whole
+    transform is oracle-checkable.
+    """
+    import pyarrow as pa
+
+    def quantize(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            lst = batch.column(batch.schema.get_field_index(vec_col))
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = np.asarray(lst.offsets)
+            vals = np.asarray(lst.values, dtype=np.float64)
+            q = np.floor(vals * 127.0 / scale + 0.5).astype(np.int64)
+            starts = offs[:-1]
+            n_dims = (offs[1:] - offs[:-1]).astype(np.int64)
+            qsum = np.add.reduceat(q, starts)
+            qmin = np.minimum.reduceat(q, starts)
+            qmax = np.maximum.reduceat(q, starts)
+            yield pa.record_batch(
+                {
+                    id_col: ids,
+                    "n_dims": pa.array(n_dims),
+                    "qsum": pa.array(qsum),
+                    "qmin": pa.array(qmin),
+                    "qmax": pa.array(qmax),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        quantize,
+        schema=f"{id_col} bigint, n_dims bigint, qsum bigint, "
+        "qmin bigint, qmax bigint",
+    )

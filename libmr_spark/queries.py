@@ -3677,10 +3677,10 @@ _NEWEST = [
     "hard_negative_mining", "dedup_minhash_zoned_admission",
     "dsir_importance_resample", "span_corruption_examples",
     "streaming_tws_event_profile", "negative_sampling_draws",
-    "dp_user_level_release",
+    "dp_user_level_release", "observed_quality_metrics",
+    "embedding_quantize_arrow",
     # (b) oldest re-proof — round-4/5-era rows
-    "secondary_sort_deltas",
-    "dedup_simhash", "knn_bruteforce",
+    "knn_bruteforce",
     "knn_lsh", "knn_ivf", "text_lang_id",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",

@@ -10279,3 +10279,99 @@ def dp_user_level_release_q(spark, sf_dir):
         seed="42",
         domain=domain,
     )
+
+
+# ------------------------------------------------------------------
+# Round 11: observe() metrics + mapInArrow quantization
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "observed_quality_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    """,
+    "df.observe() — Spark's zero-extra-scan metric channel: data-"
+    "quality counters (row count, blank-text count, char volume, max "
+    "doc length) attached as OBSERVED metrics to an "
+    "existing pass over the corpus, harvested from the Observation "
+    "handle after the action instead of re-scanning. This is the "
+    "pipeline-health pattern at 100 TB: the ingest job you already "
+    "run carries the counters for free (one scan, metrics ride the "
+    "executor->driver heartbeat), where a naive monitor costs a "
+    "second full scan. The gate emits the observed values as a "
+    "1-row frame; the oracle recomputes them relationally — proving "
+    "the side channel agrees with the declarative aggregate.",
+)
+def observed_quality_metrics_q(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    d = _t(spark, sf_dir, "documents")
+    obs = Observation("quality")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.trim(F.col("text")) == "").cast("int")).alias("n_blank"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+    # the action the metrics ride on (any real pipeline action works;
+    # count() is the cheapest full pass)
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]),
+                int(m["n_blank"]),
+                int(m["total_chars"]),
+                int(m["max_len"]),
+            )
+        ],
+        "n_docs bigint, n_blank bigint, total_chars bigint, max_len bigint",
+    )
+
+
+@defquery(
+    "embedding_quantize_arrow",
+    """
+    WITH s AS (
+      SELECT max(abs(CAST(x AS DOUBLE))) AS m
+      FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+    q AS (
+      SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT) AS qi
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      CROSS JOIN s)
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(SUM(qi) AS BIGINT) AS qsum,
+           CAST(min(qi) AS BIGINT) AS qmin,
+           CAST(max(qi) AS BIGINT) AS qmax
+    FROM q GROUP BY vec_id
+    """,
+    "mapInArrow int8 quantization — the Arrow-native batch API below "
+    "even mapInPandas: the list column's values buffer feeds numpy "
+    "zero-copy (no pandas Series materialization), one vectorized "
+    "quantize per batch, per-vector reduction via reduceat on the "
+    "list offsets. q_i = floor(x*127/scale + 0.5) with the global "
+    "max-|x| scale frozen by one aggregate (the ann_index_int8 "
+    "derivation, exposed as an exact-integer-output op so the whole "
+    "Arrow path is oracle-checkable; half-up tie-break is explicit "
+    "because numpy half-even and SQL half-away disagree at .5). "
+    "Scale shape: one scalar aggregate + one embarrassingly-parallel "
+    "Arrow pass — no shuffle after the scalar.",
+)
+def embedding_quantize_arrow_q(spark, sf_dir):
+    from .operators.similarity import quantize_embeddings_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = e.select(
+        F.max(F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))))
+    ).collect()[0][0]
+    return quantize_embeddings_arrow(e, float(scale))
