@@ -3666,6 +3666,17 @@ _DRIVER_CHECKED: set[str] = {
 # r10), plus any round-11 additions appended below as they land;
 # (b) re-proof backfill: the oldest round-4/5-era _DRIVER_CHECKED
 # rows, in update_rotation.py's deterministic order.
+#
+# Round-11 session-2 additions in the window (all locally
+# oracle-verified at TWO shuffle-partition settings before export):
+# dsir_importance_resample, span_corruption_examples,
+# streaming_tws_event_profile, negative_sampling_draws,
+# dp_user_level_release, observed_quality_metrics,
+# embedding_quantize_arrow.  The 7 backfill names they displaced
+# (common_event_paths, knn_ivf_pretrained, bucketed_join_no_shuffle,
+# salted_join_revenue_by_status, multimodal_audio_features,
+# secondary_sort_deltas, dedup_simhash) remain _DRIVER_CHECKED and
+# re-enter the re-proof queue at round 12.
 _NEWEST = [
     # (a) never driver-gated: round-10 additions (6), export order
     "unigram_lm_em", "dedup_store_schema_evolution",
