@@ -296,6 +296,9 @@ HEADLINE = [
     # round-11: mapInArrow int8 quantization (perf set — one scalar
     # aggregate + shuffle-free Arrow pass)
     "embedding_quantize_arrow",
+    # round-11: applyInArrow grouped trimmed mean (perf set — one
+    # group-keyed shuffle, numpy per group)
+    "trimmed_mean_arrow",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

@@ -3689,9 +3689,9 @@ _NEWEST = [
     "dsir_importance_resample", "span_corruption_examples",
     "streaming_tws_event_profile", "negative_sampling_draws",
     "dp_user_level_release", "observed_quality_metrics",
-    "embedding_quantize_arrow",
+    "embedding_quantize_arrow", "trimmed_mean_arrow",
     # (b) oldest re-proof — round-4/5-era rows
-    "knn_bruteforce",
+
     "knn_lsh", "knn_ivf", "text_lang_id",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",

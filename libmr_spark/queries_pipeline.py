@@ -10375,3 +10375,78 @@ def embedding_quantize_arrow_q(spark, sf_dir):
         F.max(F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))))
     ).collect()[0][0]
     return quantize_embeddings_arrow(e, float(scale))
+
+
+# ------------------------------------------------------------------
+# Round 11: applyInArrow grouped robust statistics
+# ------------------------------------------------------------------
+
+
+@defquery(
+    "trimmed_mean_arrow",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+      FROM events),
+    r AS (
+      SELECT event_type, q,
+             row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s),
+    t AS (
+      SELECT event_type, q, n
+      FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(q) AS BIGINT) AS qsum,
+           round(CAST(SUM(q) AS DOUBLE) / (1000000.0 * count(*)), 6)
+             AS trimmed_mean
+    FROM t GROUP BY event_type
+    """,
+    "applyInArrow — the grouped Arrow-native API (the grouped "
+    "counterpart of mapInArrow; no pandas materialization): per "
+    "event type, a 10%-each-side TRIMMED MEAN of the value column — "
+    "the robust statistic monitoring pipelines prefer over a mean "
+    "that one corrupt row can move arbitrarily. Determinism recipe: "
+    "values wash to exact micro-int64s via floor(x*1e6+0.5) (half-up "
+    "— numpy half-even and SQL half-away disagree at .5), the trim "
+    "is RANK-based on the sorted int array (ties carry equal values, "
+    "so any stable order yields the same kept multiset), the sum is "
+    "exact int64, and ONE final division produces the float. Scale "
+    "shape: one group-keyed shuffle; per-group work is a vectorized "
+    "numpy sort on the group's Arrow buffer. The documented 100 TB "
+    "swap for mega-groups is approx_percentile bounds + a filtered "
+    "exact aggregate (no per-group materialization).",
+)
+def trimmed_mean_arrow_q(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    def trimmed(table: pa.Table) -> pa.Table:
+        et = table.column("event_type")[0].as_py()
+        v = np.asarray(table.column("value"), dtype=np.float64)
+        q = np.sort(np.floor(v * 1_000_000 + 0.5).astype(np.int64))
+        n = len(q)
+        k = n // 10
+        kept = q[k: n - k]
+        qsum = int(kept.sum())
+        return pa.table(
+            {
+                "event_type": pa.array([et]),
+                "n_total": pa.array([n], type=pa.int64()),
+                "n_kept": pa.array([len(kept)], type=pa.int64()),
+                "qsum": pa.array([qsum], type=pa.int64()),
+                "trimmed_mean": pa.array(
+                    [round(qsum / (1_000_000.0 * len(kept)), 6)]
+                ),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        trimmed,
+        schema="event_type string, n_total bigint, n_kept bigint, "
+        "qsum bigint, trimmed_mean double",
+    )
