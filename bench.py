@@ -299,6 +299,9 @@ HEADLINE = [
     # round-11: applyInArrow grouped trimmed mean (perf set — one
     # group-keyed shuffle, numpy per group)
     "trimmed_mean_arrow",
+    # round-11: ICLM semantic packing (perf set — JVM integer-plane
+    # LSH, one bounded-group partition + Arrow fold)
+    "semantic_packing_iclm",
 ]
 
 # Store-LIFECYCLE queries: each one bootstraps a manifest store with

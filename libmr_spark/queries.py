@@ -3690,10 +3690,11 @@ _NEWEST = [
     "streaming_tws_event_profile", "negative_sampling_draws",
     "dp_user_level_release", "observed_quality_metrics",
     "embedding_quantize_arrow", "trimmed_mean_arrow",
+    "semantic_packing_iclm",
     # (b) oldest re-proof — round-4/5-era rows
 
     "knn_lsh", "knn_ivf", "text_lang_id",
-    "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_quality_score", "text_fingerprint",
     "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",
     "q8_market_share", "q9_profit_by_nation_year",
     "q11_important_parts", "q12_priority_lines",

@@ -10450,3 +10450,140 @@ def trimmed_mean_arrow_q(spark, sf_dir):
         schema="event_type string, n_total bigint, n_kept bigint, "
         "qsum bigint, trimmed_mean double",
     )
+
+
+# ------------------------------------------------------------------
+# Round 11: in-context semantic packing (ICLM-style)
+# ------------------------------------------------------------------
+
+_ICLM_PLANES = 6      # sign-LSH planes -> 64 semantic buckets
+_ICLM_BUDGET = 512    # tokens per packed sequence
+_ICLM_SPAN = 128      # sub-bucket span bounding each pack-fold group
+
+
+@defquery(
+    "semantic_packing_iclm",
+    rf"""
+    WITH RECURSIVE e AS (
+      SELECT d.doc_id,
+             CAST(len(string_split_regex(trim(d.text), '\s+')) AS INT)
+               AS n_tokens,
+             em.embedding
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+    x AS (
+      SELECT doc_id, n_tokens, i - 1 AS i,
+             CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,8)) AS v
+      FROM e, unnest(range(1, len(embedding) + 1)) u(i)),
+    dots AS (
+      SELECT doc_id, n_tokens, j,
+             SUM(v * ((((i * 37) + (j * 101)) % 19) - 9)) AS dot
+      FROM x, unnest(range(0, {_ICLM_PLANES})) jj(j)
+      GROUP BY doc_id, n_tokens, j),
+    bkt AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(CASE WHEN dot > 0
+                       THEN CAST(round(pow(2, j), 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY doc_id, n_tokens),
+    docs AS (
+      SELECT bucket, doc_id // {_ICLM_SPAN} AS sub, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY bucket, doc_id // {_ICLM_SPAN}
+                                ORDER BY doc_id) AS rn
+      FROM bkt),
+    pack AS (
+      SELECT bucket, sub, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.sub, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= {_ICLM_BUDGET}
+                  THEN p.pack_id ELSE p.pack_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_ICLM_BUDGET}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM pack p JOIN docs d
+        ON d.bucket = p.bucket AND d.sub = p.sub AND d.rn = p.rn + 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(sub AS BIGINT) AS sub,
+           doc_id, n_tokens, pack_id
+    FROM pack
+    """,
+    "in-context semantic packing (the ICLM recipe, Shi et al. 2023 "
+    "'In-Context Pretraining'): training sequences pack RELATED "
+    "documents together instead of random neighbors, so attention "
+    "sees coherent long contexts. Semantic grouping is sign-LSH over "
+    f"the doc embedding with {_ICLM_PLANES} INTEGER hyperplanes "
+    "derived from a closed-form index formula (((i*37 + j*101) % 19) "
+    "- 9) — no float literals to ship, and the dot product is an "
+    "exact DECIMAL sum of washed embedding values times integer "
+    "weights, so the bucket assignment is bit-identical in any "
+    "engine (no libm anywhere). Within a (bucket, id-span) group "
+    "docs pack by the same deterministic next-fit fold as "
+    "sequence_packing (greedy 512-token budget, doc_id order — the "
+    "documented simplification of ICLM's TSP-path ordering). Scale "
+    "shape: dot products are per-row JVM expressions (zero explode "
+    "on the Spark side), ONE hash partition by (bucket, sub) whose "
+    "groups are bounded by the span, one Arrow fold per group. The "
+    "oracle replays buckets relationally and the fold as a "
+    "recursive CTE.",
+)
+def semantic_packing_iclm_q(spark, sf_dir):
+    import pandas as pd
+
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    em = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = d.join(em, "doc_id")
+
+    def dot_j(j: int):
+        prods = F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda x, i: (
+                F.round(x.cast("double"), 6).cast("decimal(18,8)")
+                * (((i * 37) + F.lit(j * 101)) % 19 - 9)
+            ).cast("decimal(28,8)"),
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(28,8)"),
+            lambda acc, x: (acc + x).cast("decimal(28,8)"),
+        )
+
+    bucket = None
+    for j in range(_ICLM_PLANES):
+        bit = F.when(dot_j(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    keyed = base.select(
+        bucket.cast("bigint").alias("bucket"),
+        F.expr(f"doc_id div {_ICLM_SPAN}").alias("sub"),
+        "doc_id",
+        "n_tokens",
+    )
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack, fill = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > _ICLM_BUDGET:
+                pack += 1
+                fill = 0
+            fill += int(t)
+            pack_ids.append(pack)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["bucket", "sub", "doc_id", "n_tokens", "pack_id"]]
+
+    n = keyed.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartition(n, "bucket", "sub")
+        .groupBy("bucket", "sub")
+        .applyInPandas(
+            pack_group,
+            schema="bucket bigint, sub bigint, doc_id bigint, "
+            "n_tokens int, pack_id bigint",
+        )
+    )
