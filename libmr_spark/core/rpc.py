@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .builder import run_with_job_group_timeout
 from .registry import GLOBAL_REGISTRY, Registry, StepType
+from .smalldf import local_df
 
 #: Error string raised when a per-call RPC deadline passes; matches the
 #: reference's "Remote task timeout" (/root/reference/src/mr.c:2085-2099).
@@ -39,7 +40,7 @@ def _maybe_timed(result: DataFrame, timeout_ms: int | None) -> DataFrame:
     rows = run_with_job_group_timeout(
         result.sparkSession, result.collect, timeout_ms, REMOTE_TASK_TIMEOUT_ERROR
     )
-    return result.sparkSession.createDataFrame(rows, schema=result.schema)
+    return local_df(result.sparkSession, rows, result.schema)
 
 
 def run_on_key(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
 from ..functions.vector import cosine_similarity
+from ..core.smalldf import local_df
 
 
 # --- incremental-store batch manifest ---------------------------------
@@ -295,7 +296,7 @@ def delete_from_incremental_store(
     if not os.path.exists(os.path.join(store_path, "_BATCHES")):
         return 0
     if not isinstance(ids, _DF):
-        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+        ids = local_df(spark, [(i,) for i in ids], f"{id_col} bigint")
     ids = ids.select(id_col).distinct()
 
     deleted = {"n": 0}
@@ -531,7 +532,8 @@ def store_ops_dashboard(spark, stores: list) -> DataFrame:
             rows.append(
                 (kind, table, st["n_batches"], t["n_dirs"], t["n_rows"], t["bytes"])
             )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "store_kind string, table_name string, n_batches int, "
         "n_dirs int, n_rows bigint, bytes bigint",
@@ -2183,7 +2185,7 @@ def delete_from_cluster_store(
     if not os.path.exists(os.path.join(store_path, "_BATCHES")):
         return 0
     if not isinstance(ids, _DF):
-        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+        ids = local_df(spark, [(i,) for i in ids], f"{id_col} bigint")
     ids = ids.select(id_col).distinct()
 
     state: dict = {}
@@ -2516,7 +2518,7 @@ def delete_from_span_store(spark, store_path: str, ids, id_col: str = "doc_id") 
     if not os.path.exists(os.path.join(store_path, "_BATCHES")):
         return 0
     if not isinstance(ids, _DF):
-        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+        ids = local_df(spark, [(i,) for i in ids], f"{id_col} bigint")
     return _rewrite_span_store(
         spark, store_path, drop_ids=ids.select(id_col).distinct(), id_col=id_col
     )["n_deleted"]

@@ -82,6 +82,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.smalldf import local_df
 
 from .dedup import (
     _manifest_lock,
@@ -878,7 +879,8 @@ def matview_integrity(
         recomputed.count(),
         mismatch,
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [row],
         "left_net_rows bigint, right_net_rows bigint, view_rows bigint, "
         "recomputed_rows bigint, mismatch_rows bigint",

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.smalldf import local_df
 
 from . import dedup as DD
 
@@ -177,7 +178,8 @@ def apply_maintenance_policy(
             result = len(ann_index_retrain(spark, path))
         audit.append((store_name, action, metric, value, int(result), True))
 
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         audit,
         "store_kind string, action string, fired_metric string, "
         "trigger_value double, result bigint, executed boolean",

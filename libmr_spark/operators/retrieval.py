@@ -35,6 +35,7 @@ import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.smalldf import local_df
 
 from .dedup import _manifest_publish, _manifest_read
 
@@ -610,7 +611,8 @@ def ann_drift_stats(spark, index_path: str) -> DataFrame:
         *[os.path.join(index_path, "cells", f"batch={t}") for t in tags]
     )
     cents = _centroids_read(index_path)
-    frozen = spark.createDataFrame(
+    frozen = local_df(
+        spark,
         [(cid, [str(x) for x in s], n) for cid, (s, n) in enumerate(cents)],
         "cid int, sf array<string>, nf bigint",
     ).select(

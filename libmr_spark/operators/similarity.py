@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.smalldf import local_df
 
 from ..functions.vector import cosine_similarity, dot, to_double_array
 
@@ -863,8 +864,8 @@ def ivf_rank_exact(
             probe_rows.append((r[query_id_col], cid))
 
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(probe_rows, f"{query_id_col} {query_id_type}, cid int")
-    qv = spark.createDataFrame(qv_rows, f"{query_id_col} {query_id_type}, qv array<bigint>")
+    probes = local_df(spark, probe_rows, f"{query_id_col} {query_id_type}, cid int")
+    qv = local_df(spark, qv_rows, f"{query_id_col} {query_id_type}, qv array<bigint>")
     dist = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

@@ -28,6 +28,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.smalldf import local_df
 
 from .dedup import _manifest_publish, _manifest_read
 
@@ -165,9 +166,9 @@ def bpe_store_train(
         ).localCheckpoint()
 
     tag = uuid.uuid4().hex
-    spark.createDataFrame(
-        new_merges, "rnd int, l string, r string, n bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    local_df(
+        spark, new_merges, "rnd int, l string, r string, n bigint"
+    ).write.mode("overwrite").parquet(
         os.path.join(store_path, "merges", f"batch={tag}")
     )
     _manifest_publish(os.path.join(store_path, "_BATCHES"), _PARAMS, add_tags=[tag])

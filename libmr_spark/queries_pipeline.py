@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from .core.smalldf import local_df
 
 from .queries import QUERIES, _SHINGLE_SQL, _t, defquery, top_k  # noqa: F401
 
@@ -511,8 +512,8 @@ _MIX_VALUES_SQL = ", ".join(f"('{s}', {w})" for s, w in _MIX_W.items())
 )
 def domain_mixture_resample_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    tgt = spark.createDataFrame(
-        [(s, w) for s, w in _MIX_W.items()], "source string, w int"
+    tgt = local_df(
+        spark, [(s, w) for s, w in _MIX_W.items()], "source string, w int"
     )
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ct = counts.join(F.broadcast(tgt), "source")
@@ -4027,7 +4028,7 @@ def bm25_topk_q(spark, sf_dir):
     # doc length == sum of its term frequencies: dl derives from tf, so
     # the corpus is tokenized ONCE (the scan+explode is the 100 TB cost)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = d.sparkSession.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(d.sparkSession, _BM25_QUERIES, "query_id int, token string")
     return bm25_rank(tf, dl, qt, k=_BM25_K)
 
 
@@ -4137,8 +4138,8 @@ def bpe_train_merges_q(spark, sf_dir):
             "word", "freq", apply_merge("syms", l, r).alias("syms")
         ).localCheckpoint()
 
-    return spark.createDataFrame(
-        merges, "rnd int, merge_left string, merge_right string, n bigint"
+    return local_df(
+        spark, merges, "rnd int, merge_left string, merge_right string, n bigint"
     )
 
 
@@ -4230,7 +4231,7 @@ def bm25_index_incremental_q(spark, sf_dir):
     bm25_index_ingest(spark, path, d.filter(src_num < 10))
     bm25_index_ingest(spark, path, d.filter((src_num >= 10) & (src_num < 15)))
     bm25_index_ingest(spark, path, d.filter(src_num >= 15))
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     return bm25_index_topk(spark, path, qt, k=_BM25_K)
 
 
@@ -4298,7 +4299,7 @@ def streaming_bm25_index_q(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     return bm25_index_topk(spark, store, qt, k=_BM25_K)
 
 
@@ -4368,8 +4369,8 @@ def bm25_ndcg_eval_q(spark, sf_dir):
     ranked = bm25_topk_q(spark, sf_dir).select("query_id", "doc_id", "rank")
     d = _t(spark, sf_dir, "documents")
     toks = tokenize_ws(d)
-    qt = spark.createDataFrame(
-        sorted(set(_BM25_QUERIES)), "query_id int, token string"
+    qt = local_df(
+        spark, sorted(set(_BM25_QUERIES)), "query_id int, token string"
     )
     rel = (
         qt.join(toks, "token")
@@ -4547,7 +4548,7 @@ def bm25_index_deleted_q(spark, sf_dir):
     delete_from_incremental_store(
         spark, path, victims, id_col="doc_id", tables=("doclen", "postings")
     )
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     return bm25_index_topk(spark, path, qt, k=_BM25_K)
 
 
@@ -4846,7 +4847,7 @@ def bm25_cosine_rerank_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select(
         "query_id", F.col("rank").alias("bm25_rank"), "doc_id"
     )
@@ -4921,7 +4922,7 @@ def crossencoder_rerank_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     short = bm25_rank(tf, dl, qt, k=_RERANK_SHORTLIST).select("query_id", "doc_id")
     prefix = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 64
@@ -5162,7 +5163,7 @@ def hybrid_rrf_fusion_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     emb = _t(spark, sf_dir, "embeddings")
     dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
     # semi-join pins the broadcast side to the |query batch| rows
@@ -5437,7 +5438,7 @@ def _hybrid_store_build(spark, sf_dir, path):
 
 
 def _hybrid_queries(spark, sf_dir):
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     qv = (
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -5606,7 +5607,7 @@ def mmr_diversity_rerank_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tf = tokenize_ws(d).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    qt = local_df(spark, _BM25_QUERIES, "query_id int, token string")
     emb = _t(spark, sf_dir, "embeddings")
     dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dvec"))
     qvec = emb.select(
@@ -6358,7 +6359,8 @@ def takedown_everywhere_audit_q(spark, sf_dir):
         vocab_stores=[("vocab", stores["vocab"])],
     )
 
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [(f"audit:{k}", "deleted", int(v)) for k, v in sorted(audit.items())],
         "store_kind string, key string, val bigint",
     )
@@ -6707,7 +6709,8 @@ def fleet_snapshot_reads_q(spark, sf_dir):
 
     ingest(d.filter(src_num >= 14))  # post-snapshot commits: invisible below
 
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [
             (f"snapshot:{k}", "n_batches", snapshot_batches(snap, k))
             for k in sorted(stores)
@@ -6943,7 +6946,8 @@ def bpe_store_encode_pinned_q(spark, sf_dir):
     bpe_store_train(spark, store, d, rounds=_BPE_ROUNDS - 3)
 
     merges = bpe_store_merges(spark, store)
-    merge_rows = spark.createDataFrame(
+    merge_rows = local_df(
+        spark,
         [("merge", f"{rnd}:{l}:{r}", int(n), None) for rnd, l, r, n in merges],
         "kind string, key string, val bigint, h string",
     )
@@ -7385,9 +7389,9 @@ def streaming_takedown_feed_q(spark, sf_dir):
             table_stores={"exact": (exact, ("fps",))},
             vocab_stores=[("vocab", vocab)],
         )
-        s.createDataFrame(
-            sorted(audit.items()), "store string, n bigint"
-        ).coalesce(1).write.mode("append").parquet(feed)
+        local_df(
+            s, sorted(audit.items()), "store string, n bigint"
+        ).write.mode("append").parquet(feed)
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -9623,8 +9627,8 @@ def hard_negative_mining_q(spark, sf_dir):
     toks = tokenize_ws(d)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qt = spark.createDataFrame(
-        sorted(set(_BM25_QUERIES)), "query_id int, token string"
+    qt = local_df(
+        spark, sorted(set(_BM25_QUERIES)), "query_id int, token string"
     )
     ranked = bm25_rank(tf, dl, qt, k=shortlist)
     nterms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
@@ -10267,7 +10271,7 @@ def dp_user_level_release_q(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
     types = ["click", "error", "purchase", "signup", "view"]
-    domain = spark.createDataFrame([(t,) for t in types], "event_type string")
+    domain = local_df(spark, [(t,) for t in types], "event_type string")
     return dp_user_level_count_release(
         e,
         "user_id",
@@ -10324,7 +10328,8 @@ def observed_quality_metrics_q(spark, sf_dir):
     # count() is the cheapest full pass)
     observed.count()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(m["n_docs"]),
