@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
 from ..functions.vector import cosine_similarity
+from ..core.layout import fan_out
 from ..core.smalldf import local_df
 
 
@@ -1282,7 +1283,9 @@ def embedding_neardup_pairs_bucketed(
     quadratic in its own size, the irreducible cost of pair output.
     """
     band_hashes = _sign_band_hashes(planes_per_band, bands, seed)
-    sig = df.select(id_col, vec_col).withColumn("__bh__", band_hashes(F.col(vec_col)))
+    sig = fan_out(df.select(id_col, vec_col), id_col).withColumn(
+        "__bh__", band_hashes(F.col(vec_col))
+    )
     ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (

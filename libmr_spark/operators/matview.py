@@ -219,11 +219,14 @@ def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     # materialize the netted batch once: it feeds one semi-probe per
     # part plus the admission join (no re-derivation per use), its
     # count gates the broadcast hint, and admission is frozen against
-    # a single evaluation of the caller's delta
+    # a single evaluation of the caller's delta.  The checkpoint is
+    # LAZY and the count is its materializing action — one job, not
+    # two, for the same freeze (the count's scan is what computes and
+    # caches the checkpoint partitions).
     d = (
         _net(delta, mcol)
         .withColumnRenamed(mcol, "_dm")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_batch = d.count()
     dk = d.select(*cols)
@@ -447,11 +450,14 @@ def _ingest_locked(
     # admitted — state files wrongly zone-pruned, view delta silently
     # wrong. Only paid when a zoned base exists (otherwise no probe
     # job runs and admission's own checkpoint is the single freeze).
+    # (lazy: the key-range probe below is the materializing action —
+    # the probe and admission observe the same frozen rows with one
+    # job instead of checkpoint-then-probe's two)
     if zoned["left"] or zoned["right"]:
         if left_delta is not None:
-            left_delta = left_delta.localCheckpoint(eager=True)
+            left_delta = left_delta.localCheckpoint(eager=False)
         if right_delta is not None:
-            right_delta = right_delta.localCheckpoint(eager=True)
+            right_delta = right_delta.localCheckpoint(eager=False)
 
     def _delta_key_range(delta, needed):
         """The batch's [min, max] over the leading join key — the
@@ -515,8 +521,10 @@ def _ingest_locked(
                 m_col,
             )
         # one materialization freezes admission against the pre-state
-        # and feeds both the side table's write and the view joins
-        return [f.name for f in fields], adm.localCheckpoint(eager=True)
+        # and feeds both the side table's write and the view joins —
+        # lazily, so the side table's own write job (always the first
+        # consumer below) is what computes and caches it
+        return [f.name for f in fields], adm.localCheckpoint(eager=False)
 
     lcols, ad_l = _side_state("left", left_delta, rng_l)
     rcols, ad_r = _side_state("right", right_delta, rng_r)
@@ -659,8 +667,8 @@ def _serve_net(spark, store_path, table, tags, mcol) -> DataFrame:
     # and the anti probe) and gate the broadcast hint on its size — a
     # very long post-compaction tail degrades to AQE's pick instead of
     # failing the serve at the broadcast limit
-    tkeys = tail.select(*cols).distinct().localCheckpoint(eager=True)
-    n_tail = tkeys.count()
+    tkeys = tail.select(*cols).distinct().localCheckpoint(eager=False)
+    n_tail = tkeys.count()  # the checkpoint's materializing action — one job
     hit = base.alias("_b").join(
         _bcast_if_small(tkeys.alias("_t"), n_tail),
         _nullsafe_cond("_b", "_t", cols),
@@ -756,15 +764,17 @@ def matview_takedown(
         removed = 0
         recompute = []
         before = {}
+        probes = []  # (tag, frame) — counted in ONE union job below
         for vt in tables[2:]:
             v = _net(_read_table(spark, store_path, vt, tags), "mult").filter(
                 F.col("mult") > 0
             )
             if id_col in v.columns:
-                removed += v.join(ids, id_col, "semi").count()
+                probes.append((f"rm:{vt}", v.join(ids, id_col, "semi")))
             else:
                 recompute.append(vt)
-                before[vt] = v.count()
+                before[vt] = 0  # groupBy-count emits no row for an empty view
+                probes.append((f"before:{vt}", v))
         missing = [vt for vt in recompute if not views or vt not in views]
         if missing:
             raise ValueError(
@@ -774,6 +784,20 @@ def matview_takedown(
                 "provide the store's view transforms (silent retention is "
                 "not an option)"
             )
+        if probes:
+            # one union-groupBy action replaces a count job per view
+            # table (the audit loop was paying a planning gap + job
+            # per table for driver-scalar answers)
+            u = None
+            for t, df in probes:
+                p = df.select(F.lit(t).alias("_t"))
+                u = p if u is None else u.unionAll(p)
+            for r in u.groupBy("_t").count().collect():
+                t, n = r["_t"], int(r["count"])
+                if t.startswith("rm:"):
+                    removed += n
+                else:
+                    before[t.split(":", 1)[1]] = n
 
         full = None
         if recompute:
@@ -868,16 +892,36 @@ def matview_integrity(
     # the view's merged order appends new columns at the end while
     # the L+R-derived order interleaves them)
     recomputed = recomputed.select(*served.columns)
-    mismatch = (
-        served.exceptAll(recomputed).count()
-        + recomputed.exceptAll(served).count()
-    )
+    # ONE action for all six counters: served/recomputed are frozen
+    # lazily (the union's first branch materializes each, later
+    # branches reuse the cached partitions instead of re-running the
+    # audit join), and the six counts ride one union-groupBy job
+    # instead of six count jobs with six planning gaps.
+    served = served.localCheckpoint(eager=False)
+    recomputed = recomputed.localCheckpoint(eager=False)
+
+    def _tagged(df, t):
+        return df.select(F.lit(t).alias("_t"))
+
+    counts = dict.fromkeys(["m1", "m2", "l", "r", "s", "c"], 0)
+    for r in (
+        _tagged(served.exceptAll(recomputed), "m1")
+        .unionAll(_tagged(recomputed.exceptAll(served), "m2"))
+        .unionAll(_tagged(L, "l"))
+        .unionAll(_tagged(R, "r"))
+        .unionAll(_tagged(served, "s"))
+        .unionAll(_tagged(recomputed, "c"))
+        .groupBy("_t")
+        .count()
+        .collect()
+    ):
+        counts[r["_t"]] = int(r["count"])
     row = (
-        L.count(),
-        R.count(),
-        served.count(),
-        recomputed.count(),
-        mismatch,
+        counts["l"],
+        counts["r"],
+        counts["s"],
+        counts["c"],
+        counts["m1"] + counts["m2"],
     )
     return local_df(
         spark,

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.layout import fan_out
 from ..core.smalldf import local_df
 
 from ..functions.vector import cosine_similarity, dot, to_double_array
@@ -427,11 +428,14 @@ def kmeans_exact(
     receives ``{"centroids": [(s, n), ...]}`` for introspection.
     """
     scale = float(10 ** quant_digits)
-    q = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
-        ).alias("v"),
+    q = fan_out(
+        df.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+            ).alias("v"),
+        ),
+        id_col,
     ).localCheckpoint()  # reused every round: freeze lineage once
     cents = lloyd_exact(q, k=k, rounds=rounds, id_col=id_col)
     if stats is not None:
@@ -962,8 +966,9 @@ def pca_power_exact(
     mean = [half_away(float(S[p]) / float(n)) for p in range(dim)]
 
     m_lit = F.array(*[F.lit(int(m)).cast("long") for m in mean])
-    c = q.select(
-        id_col, F.zip_with("v", m_lit, lambda a, b: a - b).alias("c")
+    c = fan_out(
+        q.select(id_col, F.zip_with("v", m_lit, lambda a, b: a - b).alias("c")),
+        id_col,
     ).localCheckpoint()  # reused every iteration: freeze lineage once
 
     w = [10 ** quant_digits] * dim

@@ -126,6 +126,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing is parallelism-first (target = bytes /
+        # defaultParallelism) but floored at minPartitionSize = 1m; a
+        # compute-heavy stage fed by a few MB of shuffle (window
+        # explodes, Arrow UDF batches over signatures) therefore
+        # collapses to 1-4 tasks and serializes on one core. 64k keeps
+        # the parallelism-first behaviour honest for small shuffles;
+        # at scale bytes/parallelism >> 64k and nothing changes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

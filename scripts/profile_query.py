@@ -84,14 +84,19 @@ def main() -> int:
     names = [a for a in args if not os.path.isdir(a)]
     runs = int(os.environ.get("PROFILE_RUNS", "1"))
 
+    import shutil
+
     os.makedirs(EVDIR, exist_ok=True)
     for f in os.listdir(EVDIR):
-        os.unlink(os.path.join(EVDIR, f))
+        p = os.path.join(EVDIR, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
     spark = get_spark(
         "profile",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     # warm the reader path once
@@ -116,6 +121,13 @@ def main() -> int:
         # flush the event log and parse the LAST run's jobs
         logs = [os.path.join(EVDIR, f) for f in os.listdir(EVDIR) if not f.startswith(".")]
         log = max(logs, key=os.path.getmtime)
+        if os.path.isdir(log):  # Spark 4 rolling event-log directory
+            parts = [
+                os.path.join(log, f)
+                for f in os.listdir(log)
+                if f.startswith("events_")
+            ]
+            log = max(parts, key=os.path.getmtime)
         jobs = parse_eventlog(log)
         idx = 0
         for k, j in enumerate(jobs):
