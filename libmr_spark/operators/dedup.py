@@ -1286,11 +1286,22 @@ def embedding_neardup_pairs_bucketed(
     sig = fan_out(df.select(id_col, vec_col), id_col).withColumn(
         "__bh__", band_hashes(F.col(vec_col))
     )
-    ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
+    # Explicit bucket/pair partitioning (user repartitions are exempt
+    # from AQE's parallelism-first coalescing): the bucket self-join
+    # and the candidate-verify tail are CPU-heavy stages fed by few-MB
+    # shuffles, which AQE otherwise folds onto 1-2 tasks (measured:
+    # the whole verify tail on one core).  The self-join reuses the
+    # matching HashPartitioning on both sides, and dropDuplicates
+    # reuses the pair partitioning — no extra exchange is added.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket")).repartition(
+        npart, "bucket"
+    )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .repartition(npart, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))

@@ -226,7 +226,7 @@ def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     d = (
         _net(delta, mcol)
         .withColumnRenamed(mcol, "_dm")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_batch = d.count()
     dk = d.select(*cols)
@@ -455,9 +455,9 @@ def _ingest_locked(
     # job instead of checkpoint-then-probe's two)
     if zoned["left"] or zoned["right"]:
         if left_delta is not None:
-            left_delta = left_delta.localCheckpoint(eager=False)
+            left_delta = left_delta.localCheckpoint(eager=True)
         if right_delta is not None:
-            right_delta = right_delta.localCheckpoint(eager=False)
+            right_delta = right_delta.localCheckpoint(eager=True)
 
     def _delta_key_range(delta, needed):
         """The batch's [min, max] over the leading join key — the
@@ -524,7 +524,7 @@ def _ingest_locked(
         # and feeds both the side table's write and the view joins —
         # lazily, so the side table's own write job (always the first
         # consumer below) is what computes and caches it
-        return [f.name for f in fields], adm.localCheckpoint(eager=False)
+        return [f.name for f in fields], adm.localCheckpoint(eager=True)
 
     lcols, ad_l = _side_state("left", left_delta, rng_l)
     rcols, ad_r = _side_state("right", right_delta, rng_r)
@@ -667,7 +667,7 @@ def _serve_net(spark, store_path, table, tags, mcol) -> DataFrame:
     # and the anti probe) and gate the broadcast hint on its size — a
     # very long post-compaction tail degrades to AQE's pick instead of
     # failing the serve at the broadcast limit
-    tkeys = tail.select(*cols).distinct().localCheckpoint(eager=False)
+    tkeys = tail.select(*cols).distinct().localCheckpoint(eager=True)
     n_tail = tkeys.count()  # the checkpoint's materializing action — one job
     hit = base.alias("_b").join(
         _bcast_if_small(tkeys.alias("_t"), n_tail),
@@ -897,8 +897,8 @@ def matview_integrity(
     # branches reuse the cached partitions instead of re-running the
     # audit join), and the six counts ride one union-groupBy job
     # instead of six count jobs with six planning gaps.
-    served = served.localCheckpoint(eager=False)
-    recomputed = recomputed.localCheckpoint(eager=False)
+    served = served.localCheckpoint(eager=True)
+    recomputed = recomputed.localCheckpoint(eager=True)
 
     def _tagged(df, t):
         return df.select(F.lit(t).alias("_t"))

@@ -611,12 +611,23 @@ def semantic_dedup(
     a = kmeans_exact(df, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col)
     a = a.select(id_col, "cid").localCheckpoint()  # one pass; reused 3x below
     withv = a.join(df.select(id_col, vec_col), id_col)
+    # The pair join below is keyed on cid alone, so its shuffle has at
+    # most k distinct keys and AQE's parallelism-first coalescing folds
+    # the few-MB exchange onto 1-2 tasks — serializing the whole
+    # within-cluster cosine pass on one core (measured 12.2 s vs 4.5 s
+    # at sf0.1).  Partitioning each side EXPLICITLY by its cid key
+    # (user repartitions are exempt from AQE coalescing, and the join
+    # reuses the matching HashPartitioning on both sides) keeps the
+    # per-cluster pair work spread one-cluster-per-task.  At 100 TB k
+    # scales with the corpus (docstring above), so defaultParallelism
+    # buckets of many cells is exactly the layout the join wants.
+    npart = df.sparkSession.sparkContext.defaultParallelism
     L = withv.select(
         F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"), F.col(vec_col).alias("va")
-    )
+    ).repartition(npart, "cid_a")
     R = withv.select(
         F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"), F.col(vec_col).alias("vb")
-    )
+    ).repartition(npart, "cid_b")
     drops = (
         L.join(R, (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
         .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= threshold)

@@ -1554,7 +1554,18 @@ GROUP BY 1
     "the right tool for bounded-hop queries exactly like this one.",
 )
 def reachability_recursive_cte_q(spark, sf_dir):
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__reach_li__")
+    from .core.layout import fan_out
+
+    # lineitem at bench SF is one parquet split, so the edge-building
+    # self-join's map side runs on a single task; fan_out by the join
+    # key spreads it AND lets the self-join reuse the partitioning
+    # (both sides of `e` scan this same view).  No-op for any
+    # multi-split input; DISTINCT/GROUP BY downstream make the result
+    # partitioning-independent.
+    fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    ).createOrReplaceTempView("__reach_li__")
     return spark.sql(_REACH_SQL.format(li="__reach_li__"))
 
 

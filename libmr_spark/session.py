@@ -133,7 +133,7 @@ def get_spark(
         # collapses to 1-4 tasks and serializes on one core. 64k keeps
         # the parallelism-first behaviour honest for small shuffles;
         # at scale bytes/parallelism >> 64k and nothing changes.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
