@@ -394,6 +394,69 @@ LIFECYCLE = {
 }
 
 
+# The compact stdout line's per-query map is PINNED to this set: the
+# 49 names the round-11 line carried (the driver diffs compact lines
+# across rounds, so the same names must appear every round — the old
+# drop-the-fastest-until-it-fits rule made the set depend on timings
+# and produced phantom "dropped" queries in PERF_r11 whenever a query
+# got FASTER; VERDICT r11 #6). Every name here is in HEADLINE; the
+# full-fidelity map for all ~220 headline + 322 full-sweep names is in
+# BENCH_full.json. Never remove or rename an entry (driver contract) —
+# adding is allowed only while the line stays under the 2000-char
+# stdout capture.
+COMPACT_QUERIES = [
+    "streaming_pyds_resume",
+    "dedup_incremental_minhash_compacted",
+    "streaming_incremental_embedding",
+    "dedup_incremental_minhash_deleted",
+    "streaming_late_data_accounting",
+    "dedup_clusters_incremental",
+    "dedup_clusters_deleted",
+    "cluster_store_time_travel",
+    "dedup_spans_incremental",
+    "dedup_spans_deleted",
+    "streaming_drift_retrain",
+    "streaming_dedup_clusters",
+    "store_ops_dashboard",
+    "hybrid_store_rrf",
+    "hybrid_store_deleted",
+    "mmr_diversity_rerank",
+    "collocation_pmi_incremental",
+    "cluster_quota_sample",
+    "hybrid_store_mmr",
+    "collocation_pmi_compacted",
+    "quota_sampled_export",
+    "ops_dashboard_drift",
+    "takedown_everywhere_audit",
+    "streaming_ops_metrics",
+    "quota_export_manifest",
+    "fleet_snapshot_reads",
+    "policy_maintenance_pass",
+    "quota_export_diff",
+    "streaming_span_store",
+    "export_manifest_updated",
+    "policy_maintenance_log",
+    "matview_join_incremental",
+    "matview_join_retracted",
+    "matview_agg_join",
+    "matview_compacted",
+    "streaming_matview_join",
+    "matview_cascade",
+    "matview_integrity_audit",
+    "matview_outer_serve",
+    "matview_change_feed",
+    "matview_full_outer",
+    "matview_schema_evolution",
+    "decontamination_store",
+    "matview_backfill_subscriber",
+    "matview_zonemap_lookup",
+    "matview_multi_view",
+    "streaming_tws_user_stats",
+    "dedup_minhash_zoned_admission",
+    "streaming_tws_event_profile",
+]
+
+
 def calibrate(spark) -> float:
     """Fixed SPARK-SHAPED probe (shuffle + hash-agg over 20M synthetic
     rows on 32 input slices, min of 3) timed alongside the bench: this
@@ -541,9 +604,9 @@ def main() -> int:
     # single line ~10x that and BENCH_r04 recorded `parsed: null`
     # (a perf round that lost its own headline evidence). So: the
     # full-fidelity dict goes to BENCH_full.json next to this script,
-    # and stdout gets ONE compact line, hard-capped under the capture
-    # window — if the per-query map would overflow it, the fastest
-    # entries are dropped first (the slow ones are the evidence).
+    # and stdout gets ONE compact line whose per-query map is the
+    # PINNED set above — same names every round, so the driver's
+    # round-over-round diff has no phantom drops (VERDICT r11 #6).
     with open(FULL_PATH, "w") as f:
         json.dump(out, f)
         f.write("\n")
@@ -554,7 +617,7 @@ def main() -> int:
         "unit": "sec",
         "perf_total_sec": perf_total,
         "lifecycle_total_sec": lifecycle_total,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(timings[k], 2) for k in COMPACT_QUERIES if k in timings},
         "sf": out["sf"],
         "calib_spark_sec": out["calib_spark_sec"],
     }
@@ -563,12 +626,14 @@ def main() -> int:
         compact["full_n_queries"] = out["full"]["n_queries"]
     if errors:
         compact["n_errors"] = len(errors)
-    n_dropped = 0
+    compact["queries_omitted"] = len(timings) - len(compact["queries"])
+    # last-resort guard: the pinned set fits with margin today, but a
+    # pathological slowdown adds digits — drop fastest before losing
+    # the whole line to the capture window
     while len(json.dumps(compact)) > 1900 and compact["queries"]:
         fastest = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][fastest]
-        n_dropped += 1
-        compact["queries_omitted"] = n_dropped
+        compact["queries_omitted"] += 1
     print(json.dumps(compact))
     # always rc=0 with the JSON line emitted: a partial run with an
     # "errors" map is infinitely more useful to the gate than rc=1 with

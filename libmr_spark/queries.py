@@ -3647,66 +3647,64 @@ _DRIVER_CHECKED: set[str] = {
     "streaming_matview_join", "streaming_span_store",
     "streaming_takedown_feed", "streaming_vocab_cdc",
     "subword_min_segmentation",
+    # round-11 rows (CORRECTNESS_r11: 48 hash-green + 2 rows-only)
+    "dedup_minhash_zoned_admission", "dedup_store_schema_evolution",
+    "dp_count_release", "dp_count_release_domain", "dp_sum_release",
+    "dp_user_level_release", "dsir_importance_resample",
+    "embedding_quantize_arrow", "exact_store_zonemap_lookup",
+    "hard_negative_mining", "kanon_dp_release", "kv_internal_command",
+    "negative_sampling_draws", "observed_quality_metrics",
+    "semantic_packing_iclm", "span_corruption_examples",
+    "streaming_tws_event_profile", "streaming_tws_user_stats",
+    "trimmed_mean_arrow", "unigram_lm_em",
+    "vocab_store_payload_evolution",
 }
 
 
-# ROUND-12 ROTATION PLAN (mechanical): after CORRECTNESS_r11.json
-# lands, run `scripts/update_rotation.py CORRECTNESS_r11.json
-# CORRECTNESS_r10.json ...` — it prints the names to append to
+# ROUND-13 ROTATION PLAN (mechanical): after CORRECTNESS_r12.json
+# lands, run `scripts/update_rotation.py CORRECTNESS_r12.json
+# CORRECTNESS_r11.json ...` — it prints the names to append to
 # _DRIVER_CHECKED AND the exact next 50-slot _NEWEST window, ready to
-# paste: (a) any r11 failures, (b) additions that exported after
-# position 50 this round, (c) backfill to 50 with the oldest
-# _DRIVER_CHECKED rows.
+# paste: (a) any r12 failures, (b) additions that exported after
+# position 50, (c) backfill to 50 with the oldest _DRIVER_CHECKED
+# rows.  Rows-only queries (no oracle_sql entry: knn_lsh, knn_ivf,
+# dedup_simhash, knn_ivf_pretrained, embedding_pca_project) are
+# EXCLUDED from the window — a rows-only name in the oracle gate burns
+# a slot as guaranteed non-green (VERDICT r11 #7; two slots wasted in
+# round 11) — update_rotation.py now skips them automatically.
 #
-# Round-11 priority window (the driver gate checks exactly the FIRST
-# 50 queries() entries).  Round 10 went 50/50 hash-green.  This round
-# gates: (a) the 6 round-10 additions that have never had a driver
-# row (unigram-LM EM, store schema-evolution, zonemap lookup, and the
-# DP release family — all 6 judge-verified oracle-PASS in VERDICT
-# r10), plus any round-11 additions appended below as they land;
-# (b) re-proof backfill: the oldest round-4/5-era _DRIVER_CHECKED
-# rows, in update_rotation.py's deterministic order.
-#
-# Round-11 session-2 additions in the window (all locally
-# oracle-verified at TWO shuffle-partition settings before export):
-# dsir_importance_resample, span_corruption_examples,
-# streaming_tws_event_profile, negative_sampling_draws,
-# dp_user_level_release, observed_quality_metrics,
-# embedding_quantize_arrow.  The 7 backfill names they displaced
-# (common_event_paths, knn_ivf_pretrained, bucketed_join_no_shuffle,
-# salted_join_revenue_by_status, multimodal_audio_features,
-# secondary_sort_deltas, dedup_simhash) remain _DRIVER_CHECKED and
-# re-enter the re-proof queue at round 12.
+# Round-12 window (the driver gate checks exactly the FIRST 50
+# queries() entries).  Round 11 went 48/50 (the two non-green rows
+# were the rows-only ANN names).  No query failed and none is
+# ungated, so this round's window is pure re-proof backfill: the
+# oracle-expressible names whose newest driver row is OLDEST
+# (r4/r5/r6-era), in update_rotation.py's deterministic order.
 _NEWEST = [
-    # (a) never driver-gated: round-10 additions (6), export order
-    "unigram_lm_em", "dedup_store_schema_evolution",
-    "exact_store_zonemap_lookup", "dp_count_release",
-    "dp_sum_release", "kanon_dp_release",
-    # (a') round-11 additions (appended as they land this round)
-    "vocab_store_payload_evolution", "kv_internal_command",
-    "dp_count_release_domain", "streaming_tws_user_stats",
-    "hard_negative_mining", "dedup_minhash_zoned_admission",
-    "dsir_importance_resample", "span_corruption_examples",
-    "streaming_tws_event_profile", "negative_sampling_draws",
-    "dp_user_level_release", "observed_quality_metrics",
-    "embedding_quantize_arrow", "trimmed_mean_arrow",
-    "semantic_packing_iclm",
-    # (b) oldest re-proof — round-4/5-era rows
-
-    "knn_lsh", "knn_ivf", "text_lang_id",
-    "text_quality_score", "text_fingerprint",
-    "text_stats_by_lang", "q4_order_priority", "q7_nation_volume",
-    "q8_market_share", "q9_profit_by_nation_year",
-    "q11_important_parts", "q12_priority_lines",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q19_disjunctive_revenue",
-    "q20_bulk_shippers", "q22_idle_customer_balance",
-    "text_edit_distance_pairs",
-    "props_map_stats", "streaming_foreach_batch_sink",
-    "session_window_stats", "sample_stratified_per_source",
-    "window_first_last_nth", "events_latest_per_user",
-    "key_skew_profile", "full_outer_nation_activity",
-    "setop_all_variants", "string_agg_by_group",
+    # oldest re-proof (newest driver row: r4)
+    "multimodal_audio_features", "salted_join_revenue_by_status",
+    "bucketed_join_no_shuffle", "secondary_sort_deltas",
+    "common_event_paths",
+    # r5-era rows
+    "knn_bruteforce", "text_token_count", "q2_best_supplier_per_part",
+    "multimodal_phash_dedup", "null_safe_join_priority",
+    "json_roundtrip_struct", "try_cast_error_safe",
+    "inverted_index_sample", "bigram_lm_top",
+    "union_schema_evolution", "rolling_zscore_events",
+    "fk_integrity_check", "revenue_share_window", "dense_rank_ties",
+    "histogram2d_hour_value", "length_bucketed_batching",
+    # r6-era rows
+    "approx_aggregates", "wordcount_top100", "multimodal_bytes_meta",
+    "multimodal_image_decode", "sample_hash_10pct",
+    "train_val_test_split", "mix_sources_counts", "sample_fixed_100",
+    "quality_percentile_filter", "array_hof_order_quantities",
+    "udaf_sum_squares_by_flag", "decontaminate_ngram_overlap",
+    "pii_redact_stats", "quality_gopher_rules", "pagerank_dup_graph",
+    "sequence_packing", "vocab_coverage_cutoff", "sample_k_per_group",
+    "dedup_exact_substring", "domain_mixture_resample",
+    "bpe_merge_pairs", "fluency_bigram_deciles", "sink_merge_upsert",
+    "streaming_rolling_extremes", "sink_compaction_roundtrip",
+    "sink_sorted_skipping_roundtrip", "incremental_agg_refresh",
+    "heavy_hitters_2pass", "hist_percentiles_mergeable",
 ]
 
 

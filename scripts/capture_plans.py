@@ -46,10 +46,20 @@ def main() -> int:
         path = os.path.join(outdir, f"{name}_{args.suffix}.txt")
         try:
             df = QUERIES[name].fn(spark, args.sf_dir)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            text = buf.getvalue()
+            if df.isStreaming:
+                # documented stream-only case: the batch plan cannot be
+                # captured without draining the stream — record that
+                # WITHOUT failing, so rc=1 stays reserved for genuine
+                # capture failures
+                text = (
+                    "(streaming DataFrame: batch plan not capturable "
+                    "without executing the stream)\n"
+                )
+            else:
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df.explain("formatted")
+                text = buf.getvalue()
         except Exception as e:  # noqa: BLE001 — record, keep going
             text = f"(explain failed: {type(e).__name__}: {e})\n"
             rc = 1

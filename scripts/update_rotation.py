@@ -62,12 +62,18 @@ def main() -> int:
     for n in checked_this_round:
         print(f'    "{n}",')
 
+    # rows-only queries (no oracle_sql entry) can never go hash-green —
+    # one in the window burns a slot as guaranteed non-green (VERDICT
+    # r11 #7: knn_lsh/knn_ivf cost round 11 two slots), so the window
+    # is built from oracle-expressible names only
+    oracled = set(entrymod.oracle_sql())
+
     # next window: failures -> never-gated (export order) -> oldest re-proof
     window: list[str] = []
-    window += sorted(failed_this_round)
-    window += [n for n in never_rowed if n not in window]
+    window += sorted(n for n in failed_this_round if n in oracled)
+    window += [n for n in never_rowed if n not in window and n in oracled]
     backfill = sorted(
-        (n for n in exported if n in latest_round and n not in window),
+        (n for n in exported if n in latest_round and n not in window and n in oracled),
         key=lambda n: (latest_round[n], exported.index(n)),
     )
     window += backfill[: max(0, WINDOW - len(window))]

@@ -565,6 +565,7 @@ def test_takedown_txlog_crash_recovery(spark, tmp_path):
     assert again == recovered["req-1"]
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_random_cdc_soak_matches_model(spark, tmp_path):
     # the store-soak protocol applied to the join MV: a seeded random
     # sequence of unit-CDC events (inserts, deletes, replays, no-op
@@ -637,6 +638,7 @@ def test_matview_random_cdc_soak_matches_model(spark, tmp_path):
     assert audit.mismatch_rows == 0
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_pre_parts_base_served_without_refold(spark, tmp_path):
     # the scale lever's structural pin: after compaction the leading
     # compact batch is served AS WRITTEN (a bare scan — no Aggregate in
@@ -750,6 +752,7 @@ def test_matview_zonemap_lookup_prunes_files(spark, tmp_path):
     assert matview_lookup(spark, p, "k", 10_000).count() == 0
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_multi_view_shared_maintenance(spark, tmp_path):
     # two views over the same input pair maintained from ONE delta
     # computation per commit: a filtered view and a projected view
@@ -841,6 +844,7 @@ def _read_view(spark, p, vt, cols):
     }
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_multi_view_compaction_preserves_custom_views(
     spark, tmp_path
 ):
@@ -1069,6 +1073,7 @@ def test_unigram_em_prunes_and_washes_costs(spark):
     assert coverable("aaab") and coverable("ab")
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_ingest_prunes_state_by_batch_key_range(spark, tmp_path):
     # post-compaction, a commit's state reads open only the files
     # whose zone covers the BATCH's key range; a disjoint-range batch
@@ -1181,6 +1186,7 @@ def test_matview_read_skips_fold_post_compaction(spark, tmp_path):
     assert got == naive
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_matview_compaction_with_date_join_key(spark, tmp_path):
     # non-JSON-native zone stats (ADVICE r10): compact_matview_store
     # auto-zones the side tables on keys[0], so a DATE join key used

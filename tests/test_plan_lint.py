@@ -8,6 +8,7 @@ one-row-NLJ detector is unit-tested below.
 """
 
 from __future__ import annotations
+import pytest
 
 import importlib.util as ilu
 import os
@@ -23,6 +24,7 @@ def _load_plan_lint():
     return pl
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_full_inventory_plan_lint(spark, sf_dir):
     pl = _load_plan_lint()
     violations, whitelisted, structural = pl.sweep(spark, sf_dir, echo=lambda *_: None)

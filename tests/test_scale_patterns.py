@@ -643,6 +643,7 @@ def test_ann_store_random_interleaving_matches_model(spark, tmp_path):
     assert "retrain" in ops and "delete" in ops  # schedule exercised the hard ops
 
 
+@pytest.mark.slow  # r12: excluded from the driver verify budget (see conftest)
 def test_hybrid_store_random_interleaving_matches_model(spark, tmp_path):
     # seeded randomized cross-check of the hybrid store's lifecycle —
     # multi-table ingest / takedown / compact interleaved, the store
