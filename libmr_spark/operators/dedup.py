@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
 from ..functions.vector import cosine_similarity
-from ..core.layout import fan_out
+from ..core.layout import fan_out, rebalanced
 from ..core.smalldf import local_df
 
 
@@ -229,13 +229,22 @@ def compact_incremental_store(
     def xform(df, table):
         cols = cluster_by.get(table)
         if cols:
-            return df.repartition(n, *cols)
+            if n_files is not None:
+                # caller pinned the file count — honor it exactly
+                return df.repartition(n, *cols)
+            # size-targeted clustering (guide §6): hash-cluster on the
+            # join key but let AQE coalesce toward the advisory size —
+            # one file for a KB-scale store, ~64 MB files at scale.
+            # Coalescing merges whole hash partitions, so "every key
+            # group lands wholly in one file" is preserved.
+            return rebalanced(df, *cols)
         zc = zone_by.get(table)
         if zc:
             return df.repartitionByRange(
                 n_files or 8, F.col(zc)
             ).sortWithinPartitions(zc)
-        return df
+        # un-keyed rewrite: same size targeting, round-robin
+        return rebalanced(df)
 
     # merge_schema: an evolved store's fold must see the union schema —
     # the default footer-sampled schema would nondeterministically drop
@@ -310,7 +319,10 @@ def delete_from_incremental_store(
             deleted["n"] = (
                 df.join(F.broadcast(ids), id_col, "left_semi").count()
             )
-        return df.join(F.broadcast(ids), id_col, "left_anti")
+        # size-targeted rewrite layout (guide §6): without it the
+        # anti-join inherits the scan/shuffle parallelism and a small
+        # store rewrite leaves one tiny file per task
+        return rebalanced(df.join(F.broadcast(ids), id_col, "left_anti"))
 
     _rewrite_store(
         spark, store_path, drop_ids, tables, min_batches=1,
@@ -1286,22 +1298,20 @@ def embedding_neardup_pairs_bucketed(
     sig = fan_out(df.select(id_col, vec_col), id_col).withColumn(
         "__bh__", band_hashes(F.col(vec_col))
     )
-    # Explicit bucket/pair partitioning (user repartitions are exempt
-    # from AQE's parallelism-first coalescing): the bucket self-join
-    # and the candidate-verify tail are CPU-heavy stages fed by few-MB
-    # shuffles, which AQE otherwise folds onto 1-2 tasks (measured:
-    # the whole verify tail on one core).  The self-join reuses the
-    # matching HashPartitioning on both sides, and dropDuplicates
-    # reuses the pair partitioning — no extra exchange is added.
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket")).repartition(
-        npart, "bucket"
-    )
+    # No explicit repartitions here: round 11 added fixed
+    # repartition(defaultParallelism) on the bucket and pair keys to
+    # defeat AQE's small-shuffle collapse, and it measured as a net
+    # REGRESSION at small shuffle sizes (streaming_incremental_embedding
+    # 0.46x, dedup_embedding_cosine +50% — VERDICT r11 #2): the forced
+    # 32-task exchanges cost more than the parallelism bought.  The
+    # small-shuffle parallelism protection lives in the session-level
+    # AQE minPartitionSize floor instead (session.py), which adapts to
+    # shuffle bytes rather than pinning a task count.
+    ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .repartition(npart, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
@@ -1350,7 +1360,17 @@ def connected_components(
     ``localCheckpoint`` for ``checkpoint``.
 
     ``stats`` (optional dict) receives ``{"rounds": r}`` for
-    observability and tests.
+    observability and tests (0 = the driver-local fast path ran).
+
+    Fast path: an edge set under ``_CC_DRIVER_MAX_EDGES`` (a few MB
+    collected — the same size class a broadcast join moves to every
+    executor) is solved with one driver-side union-find pass instead
+    of the iterative rounds, each of which costs two Spark jobs and
+    several shuffles (guide §2.4).  Union-by-min keeps the smaller id
+    as root, so a component's final root is exactly its minimum member
+    — identical labels to the distributed fixpoint.  ``nodes`` is
+    never collected (corpus-sized at scale); only the star/roots table
+    changes provenance.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1358,6 +1378,41 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= _CC_DRIVER_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        e.unpersist()
+        tname = dict(e.dtypes).get("u", "bigint")
+        roots = local_df(
+            edges.sparkSession,
+            [(x, find(x)) for x in parent if find(x) != x],
+            f"u {tname}, __root__ {tname}",
+        )
+        out = (
+            nodes.select(F.col(id_col))
+            .join(roots.withColumnRenamed("u", id_col), id_col, "left_outer")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__root__"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+        return out
     prev_sig = None
     rounds = 0
     for _ in range(max_iterations):
@@ -1601,7 +1656,11 @@ def dedup_incremental_exact(
         # the store.)
         return admitted
     tag = uuid.uuid4().hex
-    admitted.select("fp", id_col, *(payload_cols or [])).write.mode(
+    # rebalanced: a commit writes advisory-sized files (one for a small
+    # batch) instead of one tiny file per upstream task — every later
+    # admission re-lists and re-scans ALL history, so file count per
+    # commit is the store's compounding cost (guide §6)
+    rebalanced(admitted.select("fp", id_col, *(payload_cols or []))).write.mode(
         "overwrite"
     ).parquet(os.path.join(fp_table_path, "fps", f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -1768,10 +1827,11 @@ def dedup_incremental_minhash(
     # tag with an atomic manifest swap — unpublished directories are
     # invisible to every reader (see docstring)
     tag = uuid.uuid4().hex
-    _band_keys(admitted).write.mode("overwrite").parquet(
+    # rebalanced: advisory-sized commit files (see exact-fp ingest)
+    rebalanced(_band_keys(admitted)).write.mode("overwrite").parquet(
         os.path.join(idx_path, f"batch={tag}")
     )
-    admitted.select(id_col, "shingles").write.mode("overwrite").parquet(
+    rebalanced(admitted.select(id_col, "shingles")).write.mode("overwrite").parquet(
         os.path.join(pay_path, f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -1897,9 +1957,10 @@ def dedup_incremental_embedding(
         admitted = sig
     admitted = admitted.select(id_col, vec_col, "__bh__").localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(idx_path, f"batch={tag}"))
+    # rebalanced: advisory-sized commit files (see exact-fp ingest)
+    rebalanced(
+        admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
+    ).write.mode("overwrite").parquet(os.path.join(idx_path, f"batch={tag}"))
     if payload_int8:
         from ..functions.vector import symmetric_int8
 
@@ -1911,7 +1972,9 @@ def dedup_incremental_embedding(
         )
     else:
         payload = admitted.select(id_col, vec_col)
-    payload.write.mode("overwrite").parquet(os.path.join(pay_path, f"batch={tag}"))
+    rebalanced(payload).write.mode("overwrite").parquet(
+        os.path.join(pay_path, f"batch={tag}")
+    )
     _manifest_publish(manifest_path, params, add_tags=[tag])
     return admitted.select(id_col)
 
@@ -1940,14 +2003,56 @@ def _shingle_hash_index(
     return sh.select(id_col, F.size("hs").alias("sz"), F.explode("hs").alias("shingle"))
 
 
+#: Edge/hop-count ceiling for the driver-local fast paths in
+#: connected_components and _resolve_remap: below it the graph is
+#: collected and solved in one pass on the driver (same decision
+#: structure as a broadcast join — a few MB of keys are cheaper to
+#: move once than to iterate over with 2 Spark jobs per round).
+#: 200k edges is ~3 MB collected; above it the distributed
+#: large-star/small-star (resp. pointer-doubling) path runs unchanged.
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
 def _resolve_remap(remap: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Path-compress the cluster-merge forest: (old, new) hop edges →
     (old, root). Chains only form ACROSS ingests (within one ingest the
     CC labels are already final), labels strictly decrease along a
     chain (min-id canonicalization), and pointer-doubling halves chain
     depth per round — O(log depth) joins over the REMAP table only,
-    never the member table."""
+    never the member table.  A forest under ``_CC_DRIVER_MAX_EDGES``
+    hops (the overwhelmingly common case: |merges| grows with batch
+    count, not corpus size) is instead collected and compressed on the
+    driver in one pass — every store commit/serve was paying ~2 Spark
+    jobs per hop round for a table of a few hundred rows (guide §2.4:
+    remove work the operation never needed).  Same (old, root) rows
+    either way."""
     r = remap.select("old", "new").localCheckpoint(eager=True)
+    if r.count() <= _CC_DRIVER_MAX_EDGES:
+        rows = r.collect()
+        r.unpersist()
+        parent = {row["old"]: row["new"] for row in rows}
+        memo: dict = {}
+
+        def root(x):
+            chain = []
+            while x in parent and x not in memo:
+                chain.append(x)
+                x = parent[x]
+                if len(chain) > len(parent):
+                    raise RuntimeError(
+                        "_resolve_remap: merge forest contains a cycle"
+                    )
+            t = memo.get(x, x)
+            for c in chain:
+                memo[c] = t
+            return t
+
+        tname = dict(remap.dtypes).get("old", "bigint")
+        return local_df(
+            remap.sparkSession,
+            [(o, root(o)) for o in parent],
+            f"old {tname}, new {tname}",
+        )
     for _ in range(max_iterations):
         hop = (
             r.alias("a")
@@ -2108,13 +2213,14 @@ def dedup_incremental_clusters(
         remap_new = spark.createDataFrame([], "old bigint, new bigint")
 
     tag = uuid.uuid4().hex
-    members_new.write.mode("overwrite").parquet(
+    # rebalanced: advisory-sized commit files (see exact-fp ingest)
+    rebalanced(members_new).write.mode("overwrite").parquet(
         os.path.join(paths["members"], f"batch={tag}")
     )
-    remap_new.write.mode("overwrite").parquet(
+    rebalanced(remap_new).write.mode("overwrite").parquet(
         os.path.join(paths["remap"], f"batch={tag}")
     )
-    sh_new.write.mode("overwrite").parquet(
+    rebalanced(sh_new).write.mode("overwrite").parquet(
         os.path.join(paths["shingles"], f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -2160,8 +2266,8 @@ def compact_incremental_clusters(spark, store_path: str, id_col: str = "doc_id")
             state["rr"] = _resolve_remap(df)
             return df.filter(F.lit(False))
         if table == "members":
-            return _apply_remap(df, state["rr"], id_col)
-        return df
+            return rebalanced(_apply_remap(df, state["rr"], id_col))
+        return rebalanced(df)
 
     return len(
         _rewrite_store(
@@ -2213,7 +2319,7 @@ def delete_from_cluster_store(
                 eager=True
             )
             state["sh"] = rem
-            return rem
+            return rebalanced(rem)
         # members: resolve, drop, recompute within touched clusters
         res = _apply_remap(df, state["rr"], id_col)
         hit = res.join(F.broadcast(ids), id_col, "left_semi")
@@ -2241,7 +2347,9 @@ def delete_from_cluster_store(
         relabeled = connected_components(pairs, affected, id_col=id_col).select(
             id_col, F.col("cluster_id").alias("cid")
         )
-        return untouched.unionByName(relabeled).localCheckpoint(eager=True)
+        return rebalanced(
+            untouched.unionByName(relabeled).localCheckpoint(eager=True)
+        )
 
     _rewrite_store(
         spark, store_path, takedown, tables=("remap", "shingles", "members"),
@@ -2385,7 +2493,8 @@ def dedup_incremental_spans(
     # batch directory no reader ever sees. Tokenize-once amortization
     # is preserved (windows are computed once, read back thereafter).
     tag = uuid.uuid4().hex
-    _span_windows(uniq, id_col, text_col).write.mode("overwrite").parquet(
+    # rebalanced: advisory-sized commit files (see exact-fp ingest)
+    rebalanced(_span_windows(uniq, id_col, text_col)).write.mode("overwrite").parquet(
         os.path.join(paths["windows"], f"batch={tag}")
     )
     win_new = spark.read.parquet(os.path.join(paths["windows"], f"batch={tag}"))
@@ -2422,8 +2531,12 @@ def dedup_incremental_spans(
         rw.join(shared_all, "h", "left_semi").select(id_col, "i"), id_col
     ).persist()
 
-    spans.write.mode("overwrite").parquet(os.path.join(paths["revspans"], f"batch={tag}"))
-    recompute.write.mode("overwrite").parquet(os.path.join(paths["revdocs"], f"batch={tag}"))
+    rebalanced(spans).write.mode("overwrite").parquet(
+        os.path.join(paths["revspans"], f"batch={tag}")
+    )
+    rebalanced(recompute).write.mode("overwrite").parquet(
+        os.path.join(paths["revdocs"], f"batch={tag}")
+    )
     _manifest_publish(manifest_path, params, add_tags=[tag])
     return spans
 
@@ -2491,7 +2604,7 @@ def _rewrite_span_store(spark, store_path: str, drop_ids=None, id_col: str = "do
                 win = win.join(F.broadcast(drop_ids), id_col, "left_anti")
             win = win.persist()
             state["win"] = win
-            return win
+            return rebalanced(win)
         if table == "revspans":
             win = state["win"]
             from pyspark.sql import Window as _W
@@ -2502,9 +2615,9 @@ def _rewrite_span_store(spark, store_path: str, drop_ids=None, id_col: str = "do
                 "i",
                 (F.min(id_col).over(wh) != F.max(id_col).over(wh)).alias("dup"),
             ).filter(F.col("dup"))
-            return _spans_from_dup_windows(dup.select(id_col, "i"), id_col)
+            return rebalanced(_spans_from_dup_windows(dup.select(id_col, "i"), id_col))
         # revdocs: every surviving doc's latest revision is this one
-        return state["win"].select(id_col).distinct()
+        return rebalanced(state["win"].select(id_col).distinct())
 
     n_b = len(
         _rewrite_store(
@@ -2579,7 +2692,8 @@ def table_store_ingest(
         uniq = uniq.join(F.broadcast(_hits), id_col, "left_anti")
     uniq = uniq.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    uniq.write.mode("overwrite").parquet(
+    # rebalanced: advisory-sized commit files (see exact-fp ingest)
+    rebalanced(uniq).write.mode("overwrite").parquet(
         os.path.join(store_path, table, f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])

@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.layout import rebalanced
 from .dedup import _manifest_publish, _manifest_read
 
 _PARAMS = {"kind": "sharded-export"}
@@ -137,7 +138,9 @@ def export_store_commit(spark, store_path: str, exp: DataFrame) -> DataFrame:
         r.file_idx for r in rows.filter(~F.col("reused")).select("file_idx").collect()
     ]  # |shards|-bounded driver list — the write plan, not data
     if changed:
-        exp.filter(F.col("file_idx").isin(changed)).write.mode(
+        # rebalanced on the partition key: one advisory-sized file per
+        # file_idx directory instead of one per upstream task
+        rebalanced(exp.filter(F.col("file_idx").isin(changed)), "file_idx").write.mode(
             "overwrite"
         ).partitionBy("file_idx").parquet(os.path.join(store_path, "files", f"batch={tag}"))
     rows.coalesce(1).write.mode("overwrite").parquet(

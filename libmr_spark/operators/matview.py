@@ -82,6 +82,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.layout import rebalanced
 from ..core.smalldf import local_df
 
 from .dedup import (
@@ -220,9 +221,11 @@ def _admit(delta: DataFrame, parts: list, mcol: str) -> DataFrame:
     # part plus the admission join (no re-derivation per use), its
     # count gates the broadcast hint, and admission is frozen against
     # a single evaluation of the caller's delta.  The checkpoint is
-    # LAZY and the count is its materializing action — one job, not
-    # two, for the same freeze (the count's scan is what computes and
-    # caches the checkpoint partitions).
+    # EAGER: it runs its own (batch-bounded) job here and the count
+    # below is a cheap scan of the cached partitions.  Lazy
+    # checkpoints (r11 experiment) saved that job but were reverted:
+    # under AQE the materializing action re-plans the checkpointed
+    # subtree, so the "one job" saving was not realized reliably.
     d = (
         _net(delta, mcol)
         .withColumnRenamed(mcol, "_dm")
@@ -450,9 +453,9 @@ def _ingest_locked(
     # admitted — state files wrongly zone-pruned, view delta silently
     # wrong. Only paid when a zoned base exists (otherwise no probe
     # job runs and admission's own checkpoint is the single freeze).
-    # (lazy: the key-range probe below is the materializing action —
-    # the probe and admission observe the same frozen rows with one
-    # job instead of checkpoint-then-probe's two)
+    # (eager: the checkpoint job runs here, then the key-range probe
+    # scans the cached partitions — see _admit on why lazy was
+    # reverted)
     if zoned["left"] or zoned["right"]:
         if left_delta is not None:
             left_delta = left_delta.localCheckpoint(eager=True)
@@ -520,10 +523,10 @@ def _ingest_locked(
                 fields,
                 m_col,
             )
-        # one materialization freezes admission against the pre-state
-        # and feeds both the side table's write and the view joins —
-        # lazily, so the side table's own write job (always the first
-        # consumer below) is what computes and caches it
+        # one EAGER materialization freezes admission against the
+        # pre-state; the side table's write and the view joins then
+        # scan the cached partitions (see _admit on why lazy was
+        # reverted)
         return [f.name for f in fields], adm.localCheckpoint(eager=True)
 
     lcols, ad_l = _side_state("left", left_delta, rng_l)
@@ -587,14 +590,18 @@ def _ingest_locked(
     )
 
     tag = uuid.uuid4().hex
-    ad_l.write.mode("overwrite").parquet(
+    # rebalanced: each commit writes advisory-sized files (one for a
+    # small delta) instead of one tiny file per shuffle task — every
+    # later commit re-lists and re-scans the whole state history, so
+    # per-commit file count is the soak's compounding cost (guide §6)
+    rebalanced(ad_l).write.mode("overwrite").parquet(
         os.path.join(store_path, "left", f"batch={tag}")
     )
-    ad_r.write.mode("overwrite").parquet(
+    rebalanced(ad_r).write.mode("overwrite").parquet(
         os.path.join(store_path, "right", f"batch={tag}")
     )
     if views is None:
-        dv.write.mode("overwrite").parquet(
+        rebalanced(dv).write.mode("overwrite").parquet(
             os.path.join(store_path, "view", f"batch={tag}")
         )
     else:
@@ -606,9 +613,11 @@ def _ingest_locked(
             out = fn(dv)
             vcols = [c for c in out.columns if c != "mult"]
             (
-                out.groupBy(*vcols)
-                .agg(F.sum("mult").cast("long").alias("mult"))
-                .filter(F.col("mult") != 0)
+                rebalanced(
+                    out.groupBy(*vcols)
+                    .agg(F.sum("mult").cast("long").alias("mult"))
+                    .filter(F.col("mult") != 0)
+                )
                 .write.mode("overwrite")
                 .parquet(os.path.join(store_path, name, f"batch={tag}"))
             )
@@ -668,7 +677,7 @@ def _serve_net(spark, store_path, table, tags, mcol) -> DataFrame:
     # very long post-compaction tail degrades to AQE's pick instead of
     # failing the serve at the broadcast limit
     tkeys = tail.select(*cols).distinct().localCheckpoint(eager=True)
-    n_tail = tkeys.count()  # the checkpoint's materializing action — one job
+    n_tail = tkeys.count()  # cheap scan of the eagerly cached partitions
     hit = base.alias("_b").join(
         _bcast_if_small(tkeys.alias("_t"), n_tail),
         _nullsafe_cond("_b", "_t", cols),
@@ -832,10 +841,10 @@ def matview_takedown(
             mcol = "m" if table in ("left", "right") else "mult"
             if table in recompute:
                 out = views[table](full)
-                return _net(out, "mult")
+                return rebalanced(_net(out, "mult"))
             if id_col not in df.columns:
-                return _net(df, mcol)
-            return _net(df.join(ids, id_col, "left_anti"), mcol)
+                return rebalanced(_net(df, mcol))
+            return rebalanced(_net(df.join(ids, id_col, "left_anti"), mcol))
 
         _rewrite_store(
             spark,
@@ -1117,6 +1126,10 @@ def compact_matview_store(
                 out = out.repartitionByRange(
                     n_files or 8, F.col(key0)
                 ).sortWithinPartitions(key0)
+            else:
+                # unzoned fold: size-targeted files instead of one
+                # tiny file per shuffle task (guide §6)
+                out = rebalanced(out)
             return out
 
         rewritten = _rewrite_store(

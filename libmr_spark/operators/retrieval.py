@@ -35,6 +35,7 @@ import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.layout import rebalanced
 from ..core.smalldf import local_df
 
 from .dedup import _manifest_publish, _manifest_read
@@ -141,8 +142,15 @@ def bm25_index_ingest(
     # after the store gains this batch's own doc_ids)
     dl = dl.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    tf.write.mode("overwrite").parquet(os.path.join(index_path, "postings", f"batch={tag}"))
-    dl.write.mode("overwrite").parquet(os.path.join(index_path, "doclen", f"batch={tag}"))
+    # rebalanced: advisory-sized commit files — every later ingest
+    # re-lists and re-scans all history, so per-commit file count is
+    # the store's compounding cost (guide §6)
+    rebalanced(tf).write.mode("overwrite").parquet(
+        os.path.join(index_path, "postings", f"batch={tag}")
+    )
+    rebalanced(dl).write.mode("overwrite").parquet(
+        os.path.join(index_path, "doclen", f"batch={tag}")
+    )
     _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
     return dl
 
@@ -365,7 +373,7 @@ def ann_index_ingest(
             )
         assigned = assigned.localCheckpoint(eager=True)
         tag = uuid.uuid4().hex
-        assigned.write.mode("overwrite").parquet(
+        rebalanced(assigned).write.mode("overwrite").parquet(
             os.path.join(index_path, "cells", f"batch={tag}")
         )
         from .dedup import _manifest_lock
@@ -391,7 +399,7 @@ def ann_index_ingest(
         assigned = assigned.withColumn("v", F.col("v").cast("array<tinyint>"))
     assigned = assigned.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    assigned.write.mode("overwrite").parquet(
+    rebalanced(assigned).write.mode("overwrite").parquet(
         os.path.join(index_path, "cells", f"batch={tag}")
     )
     # params=None preserves the store's recorded params verbatim — an
@@ -561,7 +569,7 @@ def ann_index_retrain(
         out = q.withColumn("cid", _kmeans_assign_udf(cents)(F.col("v")))
         if int8_store:
             out = out.withColumn("v", F.col("v").cast("array<tinyint>"))
-        return out
+        return rebalanced(out)
 
     snapshot = _rewrite_store(
         spark, index_path, retrain, tables=("cells",), min_batches=1,
@@ -896,18 +904,19 @@ def hybrid_index_ingest(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, 64
     )
     tag = uuid.uuid4().hex
-    tf.write.mode("overwrite").parquet(
+    # rebalanced: advisory-sized commit files (see bm25_index_ingest)
+    rebalanced(tf).write.mode("overwrite").parquet(
         os.path.join(index_path, "postings", f"batch={tag}")
     )
-    dl.write.mode("overwrite").parquet(
+    rebalanced(dl).write.mode("overwrite").parquet(
         os.path.join(index_path, "doclen", f"batch={tag}")
     )
-    uniq.select(id_col, vec_col).write.mode("overwrite").parquet(
+    rebalanced(uniq.select(id_col, vec_col)).write.mode("overwrite").parquet(
         os.path.join(index_path, "vectors", f"batch={tag}")
     )
-    uniq.select(id_col, prefix.alias("prefix")).write.mode("overwrite").parquet(
-        os.path.join(index_path, "prefixes", f"batch={tag}")
-    )
+    rebalanced(uniq.select(id_col, prefix.alias("prefix"))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "prefixes", f"batch={tag}"))
     # THE transaction: all four table writes become visible here or never
     _manifest_publish(manifest_path, _HYBRID_PARAMS, add_tags=[tag])
     return dl

@@ -71,32 +71,67 @@ def takedown_everywhere(
     # batches outgrow broadcast would drop the hint to a shuffle
     # anti-join inside the family deletes)
     ids = victims.select(id_col).distinct()
-    audit: dict = {}
-    for name, (path, tables) in (table_stores or {}).items():
-        audit[name] = DD.delete_from_incremental_store(
-            spark, path, ids, id_col=id_col, tables=tables
-        )
-    for name, path in cluster_stores or []:
-        audit[name] = DD.delete_from_cluster_store(spark, path, ids, id_col=id_col)
-    for name, path in span_stores or []:
-        audit[name] = DD.delete_from_span_store(spark, path, ids, id_col=id_col)
-    for entry in matview_stores or []:
-        from .matview import matview_takedown
 
+    # Each family delete is an independent rewrite of a DISTINCT store
+    # directory (own manifest/rewrite locks, own output paths), so the
+    # fleet pass overlaps them from a small thread pool (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially — the next store's scan back-fills executors idled
+    # by the previous store's commit tail).  2-3 in flight is enough
+    # to fill the tail without lock contention.  Per-store semantics
+    # are unchanged (each delete is individually crash-safe and
+    # idempotent); on a failure the OTHER in-flight stores run to
+    # completion before the error propagates — safe for the same
+    # reason a crashed sequential pass is: the txlog coordinator
+    # re-runs, completed stores no-op.
+    from .matview import matview_takedown
+
+    tasks: list[tuple[str, object]] = []
+    for name, (path, tables) in (table_stores or {}).items():
+        tasks.append((
+            name,
+            lambda p=path, t=tables: DD.delete_from_incremental_store(
+                spark, p, ids, id_col=id_col, tables=t
+            ),
+        ))
+    for name, path in cluster_stores or []:
+        tasks.append((
+            name,
+            lambda p=path: DD.delete_from_cluster_store(spark, p, ids, id_col=id_col),
+        ))
+    for name, path in span_stores or []:
+        tasks.append((
+            name,
+            lambda p=path: DD.delete_from_span_store(spark, p, ids, id_col=id_col),
+        ))
+    for entry in matview_stores or []:
         # (name, path) or (name, path, views) — a MULTI-view store
         # whose projections dropped id_col needs its view transforms
         # so the scrub can re-derive those tables (matview_takedown
         # raises rather than silently retain victim-derived rows)
         name, path, *rest = entry
-        audit[name] = matview_takedown(
-            spark, path, ids, id_col=id_col, views=rest[0] if rest else None
-        )
+        tasks.append((
+            name,
+            lambda p=path, v=(rest[0] if rest else None): matview_takedown(
+                spark, p, ids, id_col=id_col, views=v
+            ),
+        ))
     for name, path in vocab_stores or []:
         ev = victims.select(id_col, text_col).withColumn("sign", F.lit(-1))
-        audit[name] = pmi_store_ingest(
-            spark, path, ev, text_col=text_col, id_col=id_col
-        ).count()
-    return audit
+        tasks.append((
+            name,
+            lambda p=path, e=ev: pmi_store_ingest(
+                spark, p, e, text_col=text_col, id_col=id_col
+            ).count(),
+        ))
+
+    if len(tasks) <= 1:
+        return {name: fn() for name, fn in tasks}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
+        futs = [(name, pool.submit(fn)) for name, fn in tasks]
+        return {name: f.result() for name, f in futs}
 
 
 def takedown_with_txlog(
@@ -136,10 +171,14 @@ def takedown_with_txlog(
         with open(done_path) as f:
             return json.load(f)  # request already completed: no-op replay
     if not os.path.exists(intent_path):
-        victims.select(
-            *(
-                {id_col, text_col} & set(victims.columns)
-                or {id_col}
+        from ..core.layout import rebalanced
+
+        rebalanced(
+            victims.select(
+                *(
+                    {id_col, text_col} & set(victims.columns)
+                    or {id_col}
+                )
             )
         ).write.mode("overwrite").parquet(vic_path)
         routing = {

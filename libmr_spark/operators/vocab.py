@@ -36,6 +36,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.layout import rebalanced
 from .dedup import _manifest_publish, _manifest_read
 
 _PARAMS = {"kind": "vocab-pmi", "tokenizer": "ws-lower", "ngram": "2"}
@@ -126,14 +127,20 @@ def pmi_store_ingest(
     # (no-op at the default) so a custom text_col tokenizes correctly.
     uni, bi = _pmi_counts(ev.withColumnRenamed(text_col, "text"), sign_col="sign")
     tag = uuid.uuid4().hex
-    uni.write.mode("overwrite").parquet(os.path.join(store_path, "uni", f"batch={tag}"))
-    bi.write.mode("overwrite").parquet(os.path.join(store_path, "bi", f"batch={tag}"))
+    # rebalanced: advisory-sized commit files — later commits re-list
+    # and re-scan all history, so per-commit file count compounds
+    rebalanced(uni).write.mode("overwrite").parquet(
+        os.path.join(store_path, "uni", f"batch={tag}")
+    )
+    rebalanced(bi).write.mode("overwrite").parquet(
+        os.path.join(store_path, "bi", f"batch={tag}")
+    )
     # the id column is written FIRST — vocab_docs_net and the
     # compaction fold key the log off position 0, which mergeSchema
     # preserves because every batch leads with it
-    ev.select(id_col, "sign", *payload_cols).write.mode("overwrite").parquet(
-        os.path.join(store_path, "docs", f"batch={tag}")
-    )
+    rebalanced(ev.select(id_col, "sign", *payload_cols)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, "docs", f"batch={tag}"))
     _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
     return ev.select(id_col, "sign", *payload_cols)
 
@@ -268,12 +275,14 @@ def compact_vocab_store(spark, store_path: str, merge_schema: bool = False) -> i
 
     def fold(df, table):
         if table == "uni":
-            return df.groupBy("w").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
+            return rebalanced(
+                df.groupBy("w").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
+            )
         if table == "bi":
-            return (
+            return rebalanced(
                 df.groupBy("a", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
             )
-        return _docs_net_fold(df)
+        return rebalanced(_docs_net_fold(df))
 
     return len(
         _rewrite_store(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from .core.layout import rebalanced
 from .core.smalldf import local_df
 
 from .queries import QUERIES, _SHINGLE_SQL, _t, defquery, top_k  # noqa: F401
@@ -1360,7 +1361,9 @@ def streaming_incremental_dedup_q(spark, sf_dir):
         if bdf.isEmpty():
             return
         admitted = DD.dedup_incremental_exact(bdf.sparkSession, store, bdf)
-        admitted.select("fp", "doc_id").write.mode("append").parquet(results)
+        rebalanced(admitted.select("fp", "doc_id")).write.mode("append").parquet(
+            results
+        )
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -1874,7 +1877,7 @@ def streaming_incremental_embedding_q(spark, sf_dir):
         if bdf.isEmpty():
             return
         admitted = DD.dedup_incremental_embedding(bdf.sparkSession, store, bdf)
-        admitted.write.mode("append").parquet(results)
+        rebalanced(admitted).write.mode("append").parquet(results)
 
     q = (
         spark.readStream.schema(e.schema)
@@ -6692,13 +6695,24 @@ def fleet_snapshot_reads_q(spark, sf_dir):
         shutil.rmtree(p, ignore_errors=True)
 
     def ingest(batch):
-        DD.dedup_incremental_exact(spark, stores["exact"], batch)
-        DD.dedup_incremental_clusters(spark, stores["cluster"], batch)
-        DD.dedup_incremental_spans(spark, stores["span"], batch)
-        pmi_store_ingest(
-            spark, stores["vocab"],
-            batch.select("doc_id", "text").withColumn("sign", F.lit(1)),
-        )
+        # the four stores are independent (own dirs/locks): overlap
+        # their commit jobs from a small thread pool so one store's
+        # driver-side commit tail back-fills with the next store's
+        # scan (guide §2.6); per-store semantics unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [
+            lambda: DD.dedup_incremental_exact(spark, stores["exact"], batch),
+            lambda: DD.dedup_incremental_clusters(spark, stores["cluster"], batch),
+            lambda: DD.dedup_incremental_spans(spark, stores["span"], batch),
+            lambda: pmi_store_ingest(
+                spark, stores["vocab"],
+                batch.select("doc_id", "text").withColumn("sign", F.lit(1)),
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(j) for j in jobs]:
+                f.result()
 
     ingest(d.filter(src_num < 7))
     ingest(d.filter((src_num >= 7) & (src_num < 14)))

@@ -133,7 +133,17 @@ def get_spark(
         # collapses to 1-4 tasks and serializes on one core. 64k keeps
         # the parallelism-first behaviour honest for small shuffles;
         # at scale bytes/parallelism >> 64k and nothing changes.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        # Round-11 history: 64k was landed with measurements
+        # (dedup_embedding_cosine 3.3->1.9s, semantic_dedup_kmeans
+        # 11.9->3.8s), then reverted to 1m in the end-of-round snapshot
+        # in favour of fixed repartition(32) calls on the embedding
+        # path, which measured WORSE (VERDICT r11 #2/#3).  Round 12
+        # removed those repartitions and re-landed 64k after an A/B at
+        # 32 cores (see OPTIMIZATION_r12.md); env knob for re-testing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -321,9 +321,13 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
 
 
-def test_connected_components_chain_converges_fast(spark):
+def test_connected_components_chain_converges_fast(spark, monkeypatch):
     # a 1000-link chain has diameter 1000: naive min-label propagation
-    # needs ~1000 rounds, large-star/small-star must land in O(log n)
+    # needs ~1000 rounds, large-star/small-star must land in O(log n).
+    # Force the DISTRIBUTED path (the driver union-find fast path would
+    # otherwise absorb a 1000-edge graph) — this test pins the
+    # at-scale algorithm's convergence, not the small-graph shortcut.
+    monkeypatch.setattr(DD, "_CC_DRIVER_MAX_EDGES", 0)
     n = 1000
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
     nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
@@ -331,7 +335,46 @@ def test_connected_components_chain_converges_fast(spark):
     out = DD.connected_components(edges, nodes, stats=stats)
     assert out.filter(F.col("cluster_id") != 0).count() == 0  # one component, min id 0
     assert out.count() == n + 1
-    assert stats["rounds"] <= 20, f"took {stats['rounds']} rounds"
+    assert 0 < stats["rounds"] <= 20, f"took {stats['rounds']} rounds"
+
+
+def test_connected_components_driver_fast_path_matches_distributed(spark, monkeypatch):
+    # the round-12 driver union-find fast path must label EXACTLY like
+    # the distributed large-star/small-star fixpoint: same components,
+    # same min-id canonical roots, singletons self-labelled
+    import random
+
+    rng = random.Random(7)
+    edges_py = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(220)], "doc_id long")
+    stats_fast: dict = {}
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in DD.connected_components(edges, nodes, stats=stats_fast).collect()
+    }
+    assert stats_fast["rounds"] == 0  # fast path actually ran
+    monkeypatch.setattr(DD, "_CC_DRIVER_MAX_EDGES", 0)
+    stats_dist: dict = {}
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in DD.connected_components(edges, nodes, stats=stats_dist).collect()
+    }
+    assert stats_dist["rounds"] > 0  # distributed path actually ran
+    assert fast == dist
+
+
+def test_resolve_remap_driver_fast_path_matches_joins(spark, monkeypatch):
+    # chains across ingests: 9->7, 7->4, 4->1; 8->2; plus a no-chain
+    # hop 6->5 — the driver compression must resolve to terminals
+    remap = spark.createDataFrame(
+        [(9, 7), (7, 4), (4, 1), (8, 2), (6, 5)], "old long, new long"
+    )
+    fast = {(r.old, r.new) for r in DD._resolve_remap(remap).collect()}
+    monkeypatch.setattr(DD, "_CC_DRIVER_MAX_EDGES", 0)
+    dist = {(r.old, r.new) for r in DD._resolve_remap(remap).collect()}
+    assert fast == {(9, 1), (7, 1), (4, 1), (8, 2), (6, 5)}
+    assert fast == dist
 
 
 def test_winnowing_robust_to_local_edit(spark):
