@@ -244,7 +244,7 @@ def compact_incremental_store(
                 n_files or 8, F.col(zc)
             ).sortWithinPartitions(zc)
         # un-keyed rewrite: same size targeting, round-robin
-        return rebalanced(df)
+        return rebalanced(df, probe=True)
 
     # merge_schema: an evolved store's fold must see the union schema —
     # the default footer-sampled schema would nondeterministically drop
@@ -1303,10 +1303,12 @@ def embedding_neardup_pairs_bucketed(
     # defeat AQE's small-shuffle collapse, and it measured as a net
     # REGRESSION at small shuffle sizes (streaming_incremental_embedding
     # 0.46x, dedup_embedding_cosine +50% — VERDICT r11 #2): the forced
-    # 32-task exchanges cost more than the parallelism bought.  The
-    # small-shuffle parallelism protection lives in the session-level
-    # AQE minPartitionSize floor instead (session.py), which adapts to
-    # shuffle bytes rather than pinning a task count.
+    # 32-task exchanges cost more than the parallelism bought.  A
+    # session-wide 64k AQE minPartitionSize floor was also A/B-rejected
+    # (helps this path ~1.4x, costs every store-commit shuffle more —
+    # session.py).  At scale the candidate table is large and AQE's
+    # parallelism-first coalescing spreads it fine; the toy-SF verify
+    # tail runs on few tasks and that is the cheaper total.
     ex = sig.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -1660,7 +1662,7 @@ def dedup_incremental_exact(
     # batch) instead of one tiny file per upstream task — every later
     # admission re-lists and re-scans ALL history, so file count per
     # commit is the store's compounding cost (guide §6)
-    rebalanced(admitted.select("fp", id_col, *(payload_cols or []))).write.mode(
+    rebalanced(admitted.select("fp", id_col, *(payload_cols or [])), probe=True).write.mode(
         "overwrite"
     ).parquet(os.path.join(fp_table_path, "fps", f"batch={tag}"))
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -1828,10 +1830,10 @@ def dedup_incremental_minhash(
     # invisible to every reader (see docstring)
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see exact-fp ingest)
-    rebalanced(_band_keys(admitted)).write.mode("overwrite").parquet(
+    rebalanced(_band_keys(admitted), probe=True).write.mode("overwrite").parquet(
         os.path.join(idx_path, f"batch={tag}")
     )
-    rebalanced(admitted.select(id_col, "shingles")).write.mode("overwrite").parquet(
+    rebalanced(admitted.select(id_col, "shingles"), probe=True).write.mode("overwrite").parquet(
         os.path.join(pay_path, f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -1959,7 +1961,8 @@ def dedup_incremental_embedding(
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see exact-fp ingest)
     rebalanced(
-        admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket"))
+        admitted.select(F.col(id_col), F.explode("__bh__").alias("bucket")),
+        probe=True,
     ).write.mode("overwrite").parquet(os.path.join(idx_path, f"batch={tag}"))
     if payload_int8:
         from ..functions.vector import symmetric_int8
@@ -1972,7 +1975,7 @@ def dedup_incremental_embedding(
         )
     else:
         payload = admitted.select(id_col, vec_col)
-    rebalanced(payload).write.mode("overwrite").parquet(
+    rebalanced(payload, probe=True).write.mode("overwrite").parquet(
         os.path.join(pay_path, f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -2214,13 +2217,13 @@ def dedup_incremental_clusters(
 
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see exact-fp ingest)
-    rebalanced(members_new).write.mode("overwrite").parquet(
+    rebalanced(members_new, probe=True).write.mode("overwrite").parquet(
         os.path.join(paths["members"], f"batch={tag}")
     )
-    rebalanced(remap_new).write.mode("overwrite").parquet(
+    rebalanced(remap_new, probe=True).write.mode("overwrite").parquet(
         os.path.join(paths["remap"], f"batch={tag}")
     )
-    rebalanced(sh_new).write.mode("overwrite").parquet(
+    rebalanced(sh_new, probe=True).write.mode("overwrite").parquet(
         os.path.join(paths["shingles"], f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -2267,7 +2270,7 @@ def compact_incremental_clusters(spark, store_path: str, id_col: str = "doc_id")
             return df.filter(F.lit(False))
         if table == "members":
             return rebalanced(_apply_remap(df, state["rr"], id_col))
-        return rebalanced(df)
+        return rebalanced(df, probe=True)
 
     return len(
         _rewrite_store(
@@ -2319,7 +2322,7 @@ def delete_from_cluster_store(
                 eager=True
             )
             state["sh"] = rem
-            return rebalanced(rem)
+            return rebalanced(rem, probe=True)
         # members: resolve, drop, recompute within touched clusters
         res = _apply_remap(df, state["rr"], id_col)
         hit = res.join(F.broadcast(ids), id_col, "left_semi")
@@ -2348,7 +2351,8 @@ def delete_from_cluster_store(
             id_col, F.col("cluster_id").alias("cid")
         )
         return rebalanced(
-            untouched.unionByName(relabeled).localCheckpoint(eager=True)
+            untouched.unionByName(relabeled).localCheckpoint(eager=True),
+            probe=True,
         )
 
     _rewrite_store(
@@ -2494,7 +2498,7 @@ def dedup_incremental_spans(
     # is preserved (windows are computed once, read back thereafter).
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see exact-fp ingest)
-    rebalanced(_span_windows(uniq, id_col, text_col)).write.mode("overwrite").parquet(
+    _span_windows(uniq, id_col, text_col).write.mode("overwrite").parquet(
         os.path.join(paths["windows"], f"batch={tag}")
     )
     win_new = spark.read.parquet(os.path.join(paths["windows"], f"batch={tag}"))
@@ -2531,10 +2535,12 @@ def dedup_incremental_spans(
         rw.join(shared_all, "h", "left_semi").select(id_col, "i"), id_col
     ).persist()
 
-    rebalanced(spans).write.mode("overwrite").parquet(
+    # spans/recompute are shuffle-tailed: AQE partition coalescing
+    # already bounds their write parallelism — no REBALANCE hint
+    spans.write.mode("overwrite").parquet(
         os.path.join(paths["revspans"], f"batch={tag}")
     )
-    rebalanced(recompute).write.mode("overwrite").parquet(
+    recompute.write.mode("overwrite").parquet(
         os.path.join(paths["revdocs"], f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])
@@ -2615,9 +2621,9 @@ def _rewrite_span_store(spark, store_path: str, drop_ids=None, id_col: str = "do
                 "i",
                 (F.min(id_col).over(wh) != F.max(id_col).over(wh)).alias("dup"),
             ).filter(F.col("dup"))
-            return rebalanced(_spans_from_dup_windows(dup.select(id_col, "i"), id_col))
+            return _spans_from_dup_windows(dup.select(id_col, "i"), id_col)
         # revdocs: every surviving doc's latest revision is this one
-        return rebalanced(state["win"].select(id_col).distinct())
+        return state["win"].select(id_col).distinct()
 
     n_b = len(
         _rewrite_store(
@@ -2693,7 +2699,7 @@ def table_store_ingest(
     uniq = uniq.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see exact-fp ingest)
-    rebalanced(uniq).write.mode("overwrite").parquet(
+    rebalanced(uniq, probe=True).write.mode("overwrite").parquet(
         os.path.join(store_path, table, f"batch={tag}")
     )
     _manifest_publish(manifest_path, params, add_tags=[tag])

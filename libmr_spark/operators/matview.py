@@ -594,14 +594,16 @@ def _ingest_locked(
     # small delta) instead of one tiny file per shuffle task — every
     # later commit re-lists and re-scans the whole state history, so
     # per-commit file count is the soak's compounding cost (guide §6)
-    rebalanced(ad_l).write.mode("overwrite").parquet(
+    rebalanced(ad_l, probe=True).write.mode("overwrite").parquet(
         os.path.join(store_path, "left", f"batch={tag}")
     )
-    rebalanced(ad_r).write.mode("overwrite").parquet(
+    rebalanced(ad_r, probe=True).write.mode("overwrite").parquet(
         os.path.join(store_path, "right", f"batch={tag}")
     )
     if views is None:
-        rebalanced(dv).write.mode("overwrite").parquet(
+        # dv is aggregation-tailed: AQE partition coalescing already
+        # bounds the write parallelism — no REBALANCE hint needed
+        dv.write.mode("overwrite").parquet(
             os.path.join(store_path, "view", f"batch={tag}")
         )
     else:
@@ -613,11 +615,9 @@ def _ingest_locked(
             out = fn(dv)
             vcols = [c for c in out.columns if c != "mult"]
             (
-                rebalanced(
-                    out.groupBy(*vcols)
-                    .agg(F.sum("mult").cast("long").alias("mult"))
-                    .filter(F.col("mult") != 0)
-                )
+                out.groupBy(*vcols)
+                .agg(F.sum("mult").cast("long").alias("mult"))
+                .filter(F.col("mult") != 0)
                 .write.mode("overwrite")
                 .parquet(os.path.join(store_path, name, f"batch={tag}"))
             )
@@ -839,12 +839,14 @@ def matview_takedown(
             # serves a leading compact batch as written, which is only
             # exact if compact batches are always net
             mcol = "m" if table in ("left", "right") else "mult"
+            # _net is aggregation-tailed: AQE coalescing bounds the
+            # rewrite's write parallelism — no REBALANCE hint needed
             if table in recompute:
                 out = views[table](full)
-                return rebalanced(_net(out, "mult"))
+                return _net(out, "mult")
             if id_col not in df.columns:
-                return rebalanced(_net(df, mcol))
-            return rebalanced(_net(df.join(ids, id_col, "left_anti"), mcol))
+                return _net(df, mcol)
+            return _net(df.join(ids, id_col, "left_anti"), mcol)
 
         _rewrite_store(
             spark,
@@ -1126,10 +1128,8 @@ def compact_matview_store(
                 out = out.repartitionByRange(
                     n_files or 8, F.col(key0)
                 ).sortWithinPartitions(key0)
-            else:
-                # unzoned fold: size-targeted files instead of one
-                # tiny file per shuffle task (guide §6)
-                out = rebalanced(out)
+            # (unzoned fold: _net is aggregation-tailed, AQE
+            # coalescing bounds the write — no hint needed)
             return out
 
         rewritten = _rewrite_store(

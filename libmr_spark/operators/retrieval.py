@@ -142,13 +142,13 @@ def bm25_index_ingest(
     # after the store gains this batch's own doc_ids)
     dl = dl.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    # rebalanced: advisory-sized commit files — every later ingest
-    # re-lists and re-scans all history, so per-commit file count is
-    # the store's compounding cost (guide §6)
-    rebalanced(tf).write.mode("overwrite").parquet(
+    # tf is aggregation-tailed (AQE partition coalescing bounds the
+    # write); dl is checkpointed — rebalanced(probe) gives it
+    # advisory-sized commit files (guide §6)
+    tf.write.mode("overwrite").parquet(
         os.path.join(index_path, "postings", f"batch={tag}")
     )
-    rebalanced(dl).write.mode("overwrite").parquet(
+    rebalanced(dl, probe=True).write.mode("overwrite").parquet(
         os.path.join(index_path, "doclen", f"batch={tag}")
     )
     _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
@@ -373,7 +373,7 @@ def ann_index_ingest(
             )
         assigned = assigned.localCheckpoint(eager=True)
         tag = uuid.uuid4().hex
-        rebalanced(assigned).write.mode("overwrite").parquet(
+        rebalanced(assigned, probe=True).write.mode("overwrite").parquet(
             os.path.join(index_path, "cells", f"batch={tag}")
         )
         from .dedup import _manifest_lock
@@ -399,7 +399,7 @@ def ann_index_ingest(
         assigned = assigned.withColumn("v", F.col("v").cast("array<tinyint>"))
     assigned = assigned.localCheckpoint(eager=True)
     tag = uuid.uuid4().hex
-    rebalanced(assigned).write.mode("overwrite").parquet(
+    rebalanced(assigned, probe=True).write.mode("overwrite").parquet(
         os.path.join(index_path, "cells", f"batch={tag}")
     )
     # params=None preserves the store's recorded params verbatim — an
@@ -905,16 +905,18 @@ def hybrid_index_ingest(
     )
     tag = uuid.uuid4().hex
     # rebalanced: advisory-sized commit files (see bm25_index_ingest)
-    rebalanced(tf).write.mode("overwrite").parquet(
+    # tf/dl are aggregation-tailed (AQE bounds their writes); the two
+    # uniq projections are narrow over the checkpointed batch (probe)
+    tf.write.mode("overwrite").parquet(
         os.path.join(index_path, "postings", f"batch={tag}")
     )
-    rebalanced(dl).write.mode("overwrite").parquet(
+    dl.write.mode("overwrite").parquet(
         os.path.join(index_path, "doclen", f"batch={tag}")
     )
-    rebalanced(uniq.select(id_col, vec_col)).write.mode("overwrite").parquet(
-        os.path.join(index_path, "vectors", f"batch={tag}")
-    )
-    rebalanced(uniq.select(id_col, prefix.alias("prefix"))).write.mode(
+    rebalanced(uniq.select(id_col, vec_col), probe=True).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "vectors", f"batch={tag}"))
+    rebalanced(uniq.select(id_col, prefix.alias("prefix")), probe=True).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_path, "prefixes", f"batch={tag}"))
     # THE transaction: all four table writes become visible here or never

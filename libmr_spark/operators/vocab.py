@@ -127,18 +127,19 @@ def pmi_store_ingest(
     # (no-op at the default) so a custom text_col tokenizes correctly.
     uni, bi = _pmi_counts(ev.withColumnRenamed(text_col, "text"), sign_col="sign")
     tag = uuid.uuid4().hex
-    # rebalanced: advisory-sized commit files — later commits re-list
-    # and re-scan all history, so per-commit file count compounds
-    rebalanced(uni).write.mode("overwrite").parquet(
+    # uni/bi are aggregation-tailed (AQE partition coalescing bounds
+    # their writes); the docs log below is narrow over the checkpointed
+    # batch — rebalanced(probe) gives it advisory-sized commit files
+    uni.write.mode("overwrite").parquet(
         os.path.join(store_path, "uni", f"batch={tag}")
     )
-    rebalanced(bi).write.mode("overwrite").parquet(
+    bi.write.mode("overwrite").parquet(
         os.path.join(store_path, "bi", f"batch={tag}")
     )
     # the id column is written FIRST — vocab_docs_net and the
     # compaction fold key the log off position 0, which mergeSchema
     # preserves because every batch leads with it
-    rebalanced(ev.select(id_col, "sign", *payload_cols)).write.mode(
+    rebalanced(ev.select(id_col, "sign", *payload_cols), probe=True).write.mode(
         "overwrite"
     ).parquet(os.path.join(store_path, "docs", f"batch={tag}"))
     _manifest_publish(manifest_path, _PARAMS, add_tags=[tag])
@@ -274,15 +275,15 @@ def compact_vocab_store(spark, store_path: str, merge_schema: bool = False) -> i
     from .dedup import _rewrite_store
 
     def fold(df, table):
+        # all three folds are aggregation-tailed: AQE partition
+        # coalescing bounds the rewrite's write parallelism
         if table == "uni":
-            return rebalanced(
-                df.groupBy("w").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
-            )
+            return df.groupBy("w").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
         if table == "bi":
-            return rebalanced(
+            return (
                 df.groupBy("a", "b").agg(F.sum("c").alias("c")).filter(F.col("c") != 0)
             )
-        return rebalanced(_docs_net_fold(df))
+        return _docs_net_fold(df)
 
     return len(
         _rewrite_store(

@@ -1361,7 +1361,7 @@ def streaming_incremental_dedup_q(spark, sf_dir):
         if bdf.isEmpty():
             return
         admitted = DD.dedup_incremental_exact(bdf.sparkSession, store, bdf)
-        rebalanced(admitted.select("fp", "doc_id")).write.mode("append").parquet(
+        rebalanced(admitted.select("fp", "doc_id"), probe=True).write.mode("append").parquet(
             results
         )
 
@@ -1877,7 +1877,7 @@ def streaming_incremental_embedding_q(spark, sf_dir):
         if bdf.isEmpty():
             return
         admitted = DD.dedup_incremental_embedding(bdf.sparkSession, store, bdf)
-        rebalanced(admitted).write.mode("append").parquet(results)
+        rebalanced(admitted, probe=True).write.mode("append").parquet(results)
 
     q = (
         spark.readStream.schema(e.schema)

@@ -126,23 +126,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's coalescing is parallelism-first (target = bytes /
-        # defaultParallelism) but floored at minPartitionSize = 1m; a
-        # compute-heavy stage fed by a few MB of shuffle (window
-        # explodes, Arrow UDF batches over signatures) therefore
-        # collapses to 1-4 tasks and serializes on one core. 64k keeps
-        # the parallelism-first behaviour honest for small shuffles;
-        # at scale bytes/parallelism >> 64k and nothing changes.
-        # Round-11 history: 64k was landed with measurements
-        # (dedup_embedding_cosine 3.3->1.9s, semantic_dedup_kmeans
-        # 11.9->3.8s), then reverted to 1m in the end-of-round snapshot
-        # in favour of fixed repartition(32) calls on the embedding
-        # path, which measured WORSE (VERDICT r11 #2/#3).  Round 12
-        # removed those repartitions and re-landed 64k after an A/B at
-        # 32 cores (see OPTIMIZATION_r12.md); env knob for re-testing.
+        # AQE coalescePartitions.minPartitionSize stays at Spark's
+        # default (1m) — SETTLED by an interleaved min-of-2 A/B at 32
+        # cores this round (OPTIMIZATION_r12.md "minPartitionSize
+        # A/B"): a 64k floor (round-11's experiment, reverted there
+        # without a measurement) speeds the CPU-heavy small-shuffle
+        # analytics paths (dedup_embedding_cosine 3.24->2.30s,
+        # semantic_dedup_kmeans 4.26->3.79s) but slows EVERY
+        # commit-machinery shuffle in the ~40 store-lifecycle soaks
+        # (matview_join_incremental 10.38->14.97s, dedup_spans
+        # 9.67->12.47s, minhash_compacted 11.79->13.27s) — a clear net
+        # loss, and at production scale bytes/parallelism >> the floor
+        # on analytics shuffles while small shuffles are exactly the
+        # incremental commits that want fewer tasks.  Env knob kept
+        # for re-testing on other hardware.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
